@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001 as a smoke check.
+``queries()``/``oracle_sql()`` aggregate every implemented operator's
+(spark, sf_dir) -> DataFrame callable and its DuckDB oracle SQL from the
+engine's query modules. Queries without an oracle entry (ML / streaming —
+not SQL-expressible) get the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -13,26 +13,46 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 pricing summary) on sf0.001."""
+    from kafka_pyspark_bigdata_spark.plans import relational
+
+    return relational.q1_pricing_summary(spark, SF0001)
+
+
+def _modules():
+    from kafka_pyspark_bigdata_spark.plans import relational
+
+    mods = [relational]
+    for modpath in (
+        "kafka_pyspark_bigdata_spark.operators.dedup",
+        "kafka_pyspark_bigdata_spark.operators.similarity",
+        "kafka_pyspark_bigdata_spark.operators.text",
+        "kafka_pyspark_bigdata_spark.operators.multimodal",
+        "kafka_pyspark_bigdata_spark.ml.queries",
+        "kafka_pyspark_bigdata_spark.streaming.queries",
+    ):
+        try:
+            import importlib
+
+            mods.append(importlib.import_module(modpath))
+        except ModuleNotFoundError:
+            pass
+    return mods
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _modules():
+        out.update(getattr(mod, "QUERIES", {}))
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _modules():
+        out.update(getattr(mod, "ORACLES", {}))
+    return out

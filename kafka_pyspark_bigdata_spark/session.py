@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference creates bare sessions with a legacy flag
+(spark_trainer.py:10-21, api.py:11-18 set ``spark.sql.legacy.setCommandReorder``);
+a fresh build drops that and instead turns on the things that matter at
+100 TB: AQE (runtime coalescing + skew-join splitting), a sane shuffle
+partition count, Arrow for any pandas interchange, and UTC session time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kafka_pyspark_bigdata_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for local runs; on a
+    real cluster, leave ``master`` unset in spark-submit and this factory
+    only contributes conf. Shuffle partitions default to 32 locally — on a
+    1000-executor cluster you would size this ~2-3x total cores (or simply
+    rely on AQE coalescing from a higher initial value).
+    """
+    master = master or os.environ.get(
+        "SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    )
+    parts = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Runtime re-planning: partition coalescing, skew-join splitting,
+        # dynamic broadcast — essential at scale, free locally.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(parts))
+        # Deterministic wall-clock semantics for timestamp fixtures.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow-batched transfer for pandas UDFs / toPandas (10-100x row-at-a-time).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Dimension tables (region/nation/supplier/part at TPC-H shape) are
+        # broadcast-size even at 100 TB fact scale; raise the threshold so
+        # Catalyst picks broadcast-hash joins without hints.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Scan parallelism: 128 MiB splits is the right grain for wide
+        # parquet fact tables.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

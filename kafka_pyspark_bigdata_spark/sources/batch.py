@@ -1,0 +1,58 @@
+"""Batch sources/sinks (reference O1/O10/O11 re-expressed).
+
+The reference reads CSV with a python ``csv.DictReader`` (producer.py:33-35)
+and lands CSV micro-batches re-read by ``spark.read.csv`` over cumulative
+path lists (spark_trainer.py:43-46). Here everything is a declarative scan:
+parquet for the driver fixtures (columnar, predicate-pushdown-able,
+splittable — the only sane format at 100 TB), CSV with an explicit schema
+for reference parity (never ``inferSchema`` — a schema inference pass is a
+full extra scan of the data).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Column pruning + filter pushdown reach the
+    parquet reader automatically because this stays declarative.
+
+    The ``events`` fixture stores TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; we read nanos as long (session conf) and convert
+    to microsecond timestamps in the plan — same truncation DuckDB applies
+    when casting TIMESTAMP_NS to its microsecond TIMESTAMP.
+    """
+    path = table_path(sf_dir, name)
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_csv(spark: SparkSession, paths: list[str] | str, schema: StructType) -> DataFrame:
+    """CSV scan with header and explicit schema (reference O1).
+
+    A multi-path list is an implicit UNION ALL (reference O11,
+    spark_trainer.py:43-46): Spark plans one scan over all files, which is
+    strictly better than N scans + N-1 union nodes.
+    """
+    return spark.read.option("header", True).schema(schema).csv(paths)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink with header (reference O10, consumer.py:61-67)."""
+    df.write.option("header", True).mode(mode).csv(path)
