@@ -1,0 +1,194 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, processed
+with Arrow-batched pandas functions (`mapInPandas`).
+
+The container has no image/audio codecs, so the *decode* steps are
+deterministic fakes (clearly marked) — but every piece of Spark plumbing is
+real and is what matters at 100 TB:
+
+- binary columns travel as `BinaryType` with a typed metadata struct
+  alongside (format/n_bytes), the layout a petabyte-scale media lakehouse
+  uses (payload + queryable metadata, partition-prunable without touching
+  bytes);
+- decode/feature-extract runs in `mapInPandas` over Arrow record batches —
+  bytes never pass through row-at-a-time Python, and the UDF's output
+  schema is explicit, so Catalyst can prune/push around it;
+- the fake decode derives its outputs from the actual payload bytes
+  (length + prefix checksum), so the oracle can verify the whole pipeline
+  end-to-end in SQL.
+
+A real deployment swaps `_fake_decode_image` / `_fake_sample_frames` for
+PIL/ffmpeg calls with the same signatures; see the NotImplementedError
+guards.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.batch import load_table
+
+CHECKSUM_PREFIX = 16  # bytes of payload hashed into the checksum feature
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("checksum16", IntegerType()),
+        StructField("aspect_ratio", DoubleType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_sampled", IntegerType()),
+        StructField("first_frame_offset", IntegerType()),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the media layout from the documents fixture: payload =
+    utf-8 bytes of the text (stand-in for image bytes), metadata struct
+    with a format tag and byte length."""
+    docs = load_table(spark, sf_dir, "documents")
+    fmt = F.element_at(
+        F.array(F.lit("png"), F.lit("jpg"), F.lit("webp")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            fmt.alias("format"), F.octet_length("text").alias("n_bytes")
+        ).alias("meta"),
+    )
+
+
+def _fake_decode_image(payload: bytes) -> tuple[int, int, int]:
+    """STUB for a real image decode (PIL.Image.open). Deterministic fake:
+    dimensions derived from payload length, checksum from payload bytes —
+    enough to prove the bytes actually reached the UDF."""
+    n = len(payload)
+    width = 64 + n % 512
+    height = 64 + (n * 7) % 384
+    checksum16 = sum(payload[:CHECKSUM_PREFIX]) % 65536
+    return width, height, checksum16
+
+
+def decode_image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: Arrow batches in, feature rows out."""
+    for pdf in batches:
+        n = pdf["payload"].map(len)
+        width = 64 + n % 512
+        height = 64 + (n * 7) % 384
+        checksum = pdf["payload"].map(
+            lambda b: sum(b[:CHECKSUM_PREFIX]) % 65536
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "format": pdf["format"],
+                "n_bytes": n.astype("int32"),
+                "width": width.astype("int32"),
+                "height": height.astype("int32"),
+                "checksum16": checksum.astype("int32"),
+                "aspect_ratio": width.astype("float64") / height.astype("float64"),
+            }
+        )
+
+
+def mm_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode + feature extraction over binary media columns.
+
+    Plan shape: parquet scan → project (payload, meta) → mapInPandas
+    (Arrow) → small typed rows. At scale the scan partitions by file; the
+    UDF is embarrassingly parallel; nothing shuffles until a consumer
+    aggregates. The decode itself is a deterministic fake (no codecs in
+    this environment) — swap `_fake_decode_image` for PIL to go real.
+    """
+    media = media_table(spark, sf_dir)
+    flat = media.select(
+        "doc_id", "payload", F.col("meta.format").alias("format")
+    )
+    return flat.mapInPandas(decode_image_batches, DECODE_SCHEMA).orderBy("doc_id")
+
+
+# Text is ASCII in the fixture, so byte == char: the oracle recomputes the
+# checksum with ascii(substr(..)) and the dimensions with octet_length.
+MM_DECODE_SQL = f"""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+       CAST(64 + (octet_length(encode(text)) * 7) % 384 AS INTEGER) AS height,
+       CAST(list_sum(list_transform(range(1, least({CHECKSUM_PREFIX}, octet_length(encode(text))) + 1),
+                                    i -> ascii(substr(text, i, 1)))) % 65536 AS INTEGER)
+         AS checksum16,
+       CAST(64 + octet_length(encode(text)) % 512 AS DOUBLE)
+         / CAST(64 + (octet_length(encode(text)) * 7) % 384 AS DOUBLE) AS aspect_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def sample_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the video/audio frame-sampling stub: frame
+    count derived from payload length; sample every 10th frame."""
+    for pdf in batches:
+        n = pdf["payload"].map(len)
+        n_frames = (n % 100 + 1).astype("int32")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_frames": n_frames,
+                "n_sampled": ((n_frames + 9) // 10).astype("int32"),
+                "first_frame_offset": (n % 64).astype("int32"),
+            }
+        )
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video/audio frame sampling stub over binary payloads (every-10th
+    strategy) — same mapInPandas plumbing as mm_decode_image."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.select("doc_id", "payload")
+        .mapInPandas(sample_frame_batches, FRAME_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+MM_FRAME_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) % 100 + 1 AS INTEGER) AS n_frames,
+       CAST((octet_length(encode(text)) % 100 + 1 + 9) // 10 AS INTEGER) AS n_sampled,
+       CAST(octet_length(encode(text)) % 64 AS INTEGER) AS first_frame_offset
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "mm_decode_image": mm_decode_image,
+    "mm_frame_sample": mm_frame_sample,
+}
+
+ORACLES = {
+    "mm_decode_image": MM_DECODE_SQL,
+    "mm_frame_sample": MM_FRAME_SQL,
+}

@@ -1,0 +1,190 @@
+"""Text-analysis operators for LLM-training-data pipelines.
+
+All four operators (token stats, language-ID, quality scoring, document
+fingerprinting) are pure `pyspark.sql.functions` expressions — no Python
+UDFs — so they run inside WholeStageCodegen and scale linearly: a single
+narrow projection pass over the corpus, no shuffle at all except where an
+aggregation is explicitly requested. At 100 TB these are scan-bound ops.
+
+Tokenization contract (shared with the DuckDB oracles and the dedup
+module): lowercase, split on runs of whitespace, drop empty tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+
+# Tiny embedded stopword list for the n-gram/stopword language heuristic.
+EN_STOPWORDS = ("the", "a", "of", "to", "in", "is", "and")
+_STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+# Classification threshold: fraction of tokens that are English stopwords.
+LANGID_THRESHOLD = 0.05
+
+
+def tokens_expr(col: str = "text") -> Column:
+    """lower → split on \\s+ → drop empties. Mirrored in SQL as
+    list_filter(string_split_regex(lower(text),'\\s+'), t -> t <> '')."""
+    return F.filter(F.split(F.lower(F.col(col)), r"\s+"), lambda t: t != F.lit(""))
+
+
+TOKENS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+
+def with_tokens(df: DataFrame) -> DataFrame:
+    return df.withColumn("toks", tokens_expr())
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer): counts, uniques, mean length.
+
+    Integer arithmetic + one exact double division → engine-portable values.
+    """
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_unique_tokens"),
+        (
+            F.aggregate("toks", F.lit(0), lambda acc, t: acc + F.length(t)).cast(
+                "double"
+            )
+            / F.size("toks")
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+TEXT_TOKEN_STATS_SQL = f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique_tokens,
+       CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+         AS avg_token_len
+FROM tok ORDER BY doc_id
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via stopword-ratio heuristic (n-gram-free variant of the
+    classic ratio classifier): share of tokens that are English stopwords;
+    >= threshold → 'en'."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    ratio = (
+        F.size(F.filter("toks", lambda t: t.isin(*EN_STOPWORDS))).cast("double")
+        / F.size("toks")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= F.lit(LANGID_THRESHOLD), F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+TEXT_LANGID_SQL = f"""
+WITH tok AS (SELECT doc_id, lang, {TOKENS_SQL} AS toks FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE) / len(toks)
+           AS stopword_ratio
+  FROM tok
+)
+SELECT doc_id, lang AS labeled_lang, stopword_ratio,
+       CASE WHEN stopword_ratio >= {LANGID_THRESHOLD} THEN 'en' ELSE 'other' END
+         AS predicted_lang
+FROM r ORDER BY doc_id
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: blend of length saturation, lexical
+    diversity (type-token ratio) and mean token length — the standard cheap
+    pre-filters for LLM training corpora. Identical expression tree on both
+    engines → bit-identical doubles."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size("toks").cast("double")
+    uniq_ratio = F.size(F.array_distinct("toks")).cast("double") / n_tok
+    avg_len = (
+        F.aggregate("toks", F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tok
+    )
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + F.lit(0.3) * uniq_ratio
+        + F.lit(0.3) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
+    )
+    return docs.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= F.lit(0.5)).alias("is_high_quality"),
+    ).orderBy("doc_id")
+
+
+TEXT_QUALITY_SQL = f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS uniq_ratio,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS avg_len
+  FROM tok
+), s AS (
+  SELECT doc_id,
+         0.4 * least(1.0, n_tok / 100.0)
+       + 0.3 * uniq_ratio
+       + 0.3 * least(1.0, avg_len / 8.0) AS quality_score
+  FROM m
+)
+SELECT doc_id, quality_score, quality_score >= 0.5 AS is_high_quality
+FROM s ORDER BY doc_id
+"""
+
+
+def normalized_text_expr(col: str = "text") -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
+
+
+NORMALIZED_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized text (the
+    exact-dedup key), plus a 16-hex-char prefix hash usable as a cheap
+    shard/bucket key at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.encode(normalized_text_expr(), "UTF-8"))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 16).alias("fingerprint_prefix"),
+    ).orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5({NORMALIZED_SQL}) AS fingerprint,
+       substr(md5({NORMALIZED_SQL}), 1, 16) AS fingerprint_prefix
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_langid": text_langid,
+    "text_quality": text_quality,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+}

@@ -1,0 +1,46 @@
+"""Oracle-compare the LLM-pipeline extension operators at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_pyspark_bigdata_spark.operators import dedup, multimodal, similarity, text
+
+from conftest import assert_oracle_match
+
+MODULES = [text, dedup, similarity, multimodal]
+CASES = [(m, name) for m in MODULES for name in sorted(m.QUERIES)]
+
+
+@pytest.mark.parametrize(
+    "mod,name", CASES, ids=[name for _, name in CASES]
+)
+def test_operator_oracle(spark, duck, mod, name):
+    assert_oracle_match(spark, duck, mod.QUERIES[name], mod.ORACLES[name])
+
+
+def test_ngram_jaccard_finds_planted_dups(spark):
+    """The sf0.001 documents fixture contains planted near-duplicates; the
+    inverted-index jaccard and the MinHash+LSH path must agree exactly."""
+    a = dedup.dedup_ngram_jaccard(spark, "/root/testdata/sf0.001")
+    b = dedup.dedup_minhash_lsh(spark, "/root/testdata/sf0.001")
+    pa = {(r.doc_a, r.doc_b) for r in a.collect()}
+    pb = {(r.doc_a, r.doc_b) for r in b.collect()}
+    # minhash verifies at a lower threshold (0.7 vs 0.8) so it is a superset
+    assert pa <= pb
+    assert len(pa) > 0
+
+
+def test_multimodal_batch_plumbing(spark):
+    """The mapInPandas decode must see real payload bytes (checksum match)."""
+    rows = multimodal.mm_decode_image(spark, "/root/testdata/sf0.001").limit(3).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(50)
+        .collect()
+    }
+    for r in rows:
+        payload = docs[r.doc_id].encode()
+        assert r.n_bytes == len(payload)
+        assert r.checksum16 == sum(payload[: multimodal.CHECKSUM_PREFIX]) % 65536
