@@ -1,0 +1,112 @@
+"""Reference-parity tests for the ML pipeline semantics (trainer + the
+three endpoint queries) on synthetic bike-shaped data (FIXTURES.md §2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kafka_pyspark_bigdata_spark.ml import serving, trainer
+
+
+@pytest.fixture(scope="module")
+def bike_df(spark):
+    rs = np.random.RandomState(42)
+    n = 300
+    data = {c: rs.uniform(0, 10, n) for c in trainer.BIKE_FEATURES}
+    data["Duration"] = (
+        5.0 * data["Distance"] + 2.0 * data["Haversine"] + rs.normal(0, 1, n)
+    )
+    pdf = pd.DataFrame(data)
+    # poke holes: null labels are dropped, null features mean-imputed
+    pdf.loc[:4, "Duration"] = None
+    pdf.loc[5:9, "Temp"] = None
+    return spark.createDataFrame(pdf)
+
+
+@pytest.fixture(scope="module")
+def model(bike_df):
+    return trainer.train(
+        bike_df, trainer.BIKE_FEATURES, trainer.BIKE_LABEL, num_trees=5, max_depth=4
+    )
+
+
+def test_cast_prune_drops_null_labels(bike_df):
+    out = trainer.cast_prune(bike_df, trainer.BIKE_FEATURES, trainer.BIKE_LABEL)
+    assert out.count() == 295
+    assert out.columns == [*trainer.BIKE_FEATURES, trainer.BIKE_LABEL]
+
+
+def test_predict_one_defaults_missing(spark, model):
+    payload = {"Distance": 3.5, "Haversine": 3.2, "Temp": 20.0}
+    pred, missing = serving.predict_one(
+        spark, model, payload, trainer.BIKE_FEATURES
+    )
+    assert isinstance(pred, float)
+    assert set(missing) == set(trainer.BIKE_FEATURES) - set(payload)
+
+
+def test_predict_one_rejects_non_numeric(spark, model):
+    with pytest.raises(ValueError, match="non-numeric"):
+        serving.predict_one(
+            spark, model, {"Distance": "far"}, trainer.BIKE_FEATURES
+        )
+
+
+def test_sensitivity_association_is_columnar(spark, model):
+    values = [1.0, 5.0, 10.0, 20.0]
+    out = serving.sensitivity_sweep(
+        spark, model, {"Distance": 3.0}, trainer.BIKE_FEATURES, "Temp", values
+    ).collect()
+    assert [r.varied_value for r in out] == values
+    assert all(r.varied_feature == "Temp" for r in out)
+
+
+def test_optimal_time_screens_and_sorts(spark, model):
+    out = serving.optimal_time(
+        spark,
+        model,
+        {"Distance": 3.0},
+        trainer.BIKE_FEATURES,
+        hours=[0, 6, 12, 18, 25, -3],  # 25/-3 invalid → screened
+        minute_of_hour=30,
+        target_min=0.0,
+        target_max=1e9,
+        hour_col="Phour",
+        minute_col="Pmin",
+    ).collect()
+    assert {r.hour for r in out} <= {0, 6, 12, 18}
+    preds = [r.predicted for r in out]
+    assert preds == sorted(preds)
+
+
+def test_train_incremental_cumulative_union(spark, tmp_path):
+    rs = np.random.RandomState(7)
+    paths = []
+    for i in range(3):
+        pdf = pd.DataFrame(
+            {
+                **{c: rs.uniform(0, 10, 50) for c in trainer.BIKE_FEATURES},
+                "Duration": rs.uniform(0, 100, 50),
+            }
+        )
+        p = str(tmp_path / f"batch_{i}.csv")
+        pdf.to_csv(p, index=False)
+        paths.append(p)
+    schema = serving.serving_schema([*trainer.BIKE_FEATURES, trainer.BIKE_LABEL])
+    models = trainer.train_incremental(
+        spark,
+        paths,
+        trainer.BIKE_FEATURES,
+        trainer.BIKE_LABEL,
+        schema,
+        num_trees=3,
+        max_depth=3,
+    )
+    assert set(models) == {1, 2, 3}
+    imp = trainer.feature_importances(spark, models[3], trainer.BIKE_FEATURES)
+    rows = imp.collect()
+    assert len(rows) == len(trainer.BIKE_FEATURES)
+    vals = [r.importance for r in rows]
+    assert vals == sorted(vals, reverse=True)

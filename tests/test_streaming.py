@@ -1,0 +1,104 @@
+"""Streaming semantics: count-based micro-batcher (O9), window aggs,
+Kafka JSON encode/decode (O4/O8)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from kafka_pyspark_bigdata_spark.sources.batch import load_table
+from kafka_pyspark_bigdata_spark.streaming import windows
+from kafka_pyspark_bigdata_spark.streaming.batcher import run_count_batched_stream
+from kafka_pyspark_bigdata_spark.streaming.kafka import decode_json_stream, encode_json
+from kafka_pyspark_bigdata_spark.streaming.queries import _events_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_count_batcher_exact_sizes_and_cap(spark, tmp_path):
+    """1000 rows, batch_size=300, cap=3 → exactly 3×300, remainder dropped
+    (consumer.py:80-82: stop landing once the cap is hit)."""
+    stream = _events_stream(spark, SF)
+    b = run_count_batched_stream(
+        stream,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        batch_size=300,
+        max_batches=3,
+    )
+    sizes = {
+        r.batch_id: r.n_rows
+        for r in b.result(spark)
+        .groupBy("batch_id")
+        .agg(F.count("*").alias("n_rows"))
+        .collect()
+    }
+    assert sizes == {0: 300, 1: 300, 2: 300}
+
+
+def test_count_batcher_remainder_flush(spark, tmp_path):
+    """Cap above supply → remainder lands as a final partial file
+    (consumer.py:85-94)."""
+    stream = _events_stream(spark, SF)
+    b = run_count_batched_stream(
+        stream,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        batch_size=300,
+        max_batches=5,
+    )
+    sizes = {
+        r.batch_id: r.n_rows
+        for r in b.result(spark)
+        .groupBy("batch_id")
+        .agg(F.count("*").alias("n_rows"))
+        .collect()
+    }
+    assert sizes == {0: 300, 1: 300, 2: 300, 3: 100}
+    # all 1000 input rows preserved, none duplicated
+    assert b.result(spark).select("event_id").distinct().count() == 1000
+
+
+def test_window_aggs_batch_semantics(spark):
+    ev = load_table(spark, SF, "events")
+    tumbling = windows.tumbling_agg(ev).collect()
+    assert sum(r.n_events for r in tumbling) == 1000
+    sliding = windows.sliding_agg(ev, width="2 hours", slide="1 hour").collect()
+    # every event lands in exactly 2 sliding windows
+    assert sum(r.n_events for r in sliding) == 2000
+    sess = windows.session_agg(ev, gap="30 minutes").collect()
+    assert sum(r.n_events for r in sess) == 1000
+    assert all(r.session_start <= r.session_end for r in sess)
+
+
+def test_kafka_json_roundtrip_and_corrupt_skip(spark):
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "click", 1.5), (2, "view", 2.5)], ["event_id", "kind", "value"]
+    )
+    encoded = encode_json(df)
+    assert encoded.columns == ["value"]
+    corrupt = spark.createDataFrame(
+        [("not json",), ("[1,2,3]",)], ["value"]
+    )
+    both = encoded.unionByName(corrupt)
+    decoded = decode_json_stream(both, schema).orderBy("event_id").collect()
+    # corrupt payloads skipped (consumer.py:47-49); valid rows intact
+    assert [(r.event_id, r.kind, r.value) for r in decoded] == [
+        (1, "click", 1.5),
+        (2, "view", 2.5),
+    ]
