@@ -28,8 +28,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from ..sources.batch import load_table
+from ..sources.batch import load_table, parallelize_scan
 from .text import NORMALIZED_SQL, TOKENS_SQL, normalized_text_expr, with_tokens
 
 # MinHash/LSH parameters: 16 hashes in 4 bands of 4 rows → catches
@@ -48,9 +49,10 @@ COSINE_DUP_THRESHOLD = 0.45
 
 def with_shingles(df: DataFrame) -> DataFrame:
     """Distinct word-3-gram shingles; docs with <3 tokens are dropped (no
-    shingle support)."""
+    shingle support). The scan is re-parallelized first: shingling +
+    hashing is the compute-heavy part of every dedup operator."""
     return (
-        with_tokens(df)
+        with_tokens(parallelize_scan(df))
         .filter(F.size("toks") >= 3)
         .withColumn(
             "shingles",
@@ -103,36 +105,50 @@ FROM documents GROUP BY 1 ORDER BY canonical_doc_id
 # ---------------------------------------------------------------------------
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with 3-gram-shingle Jaccard >= 0.8.
+    """EXACT near-dup pairs with 3-gram-shingle Jaccard >= 0.8, via prefix
+    filtering (the PPJoin family).
 
-    Candidate generation is an inverted-index self-join on shingle;
-    |A∩B| comes from the pair-count, |A|,|B| from per-doc sizes. All
-    integer arithmetic + one exact double division.
+    A naive inverted-index join emits Σ df² pair rows — quadratic in the
+    doc-frequency of hot shingles, which melts down on dense corpora. The
+    prefix-filtering lemma fixes it WITHOUT losing exactness: if
+    J(A,B) >= t, then the (1-t)|A|+1 globally-rarest shingles of A and the
+    (1-t)|B|+1 rarest of B must intersect. So only each doc's short rare
+    prefix is indexed; candidates come from the prefix self-join; the full
+    shingle sets verify exactly. Prefix length uses pure integer math
+    (n - ceil(0.8n) + 1, as (4n+4) div 5) so both engines agree bit-wise.
     """
-    sh = with_shingles(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "shingles", F.size("shingles").alias("n_sh")
+    # localCheckpoint: sh feeds five plan branches (inverted index ×2,
+    # prefix, verify ×2) — materialize once instead of recomputing the
+    # shingling per branch (Spark does no cross-branch CSE).
+    sh = (
+        with_shingles(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
+        .localCheckpoint()
     )
-    inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
-    a, b = inv.alias("a"), inv.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(F.count("*").alias("n_common"))
+    inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    with_df = inv.join(inv.groupBy("s").agg(F.count("*").alias("df")), "s")
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+    prefix_len = F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + F.lit(1)
+    prefix = with_df.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= prefix_len
     )
-    jac = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "s")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "s")
+    cand = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
     )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = cand.join(x, "doc_a").join(y, "doc_b")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_common)
     return (
-        common.select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        verified.select(
+            "doc_a", "doc_b", n_common.alias("n_common"), jac.alias("jaccard")
+        )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
@@ -140,19 +156,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_NGRAM_SQL = f"""
 WITH {SHINGLES_CTE},
-inv AS (
-  SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS s FROM sh
+szs AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh),
+inv AS (SELECT doc_id, n_sh, UNNEST(shingles) AS s FROM szs),
+with_df AS (
+  SELECT inv.doc_id, inv.n_sh, inv.s, d.df
+  FROM inv JOIN (SELECT s, COUNT(*) AS df FROM inv GROUP BY s) d USING (s)
 ),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
-  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
+prefix AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, s) AS rk,
+           n_sh - ((4 * n_sh + 4) // 5) + 1 AS plen
+    FROM with_df
+  ) WHERE rk <= plen
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(x.shingles, y.shingles)) AS n_common,
+         CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+           / (len(x.shingles) + len(y.shingles)
+              - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+  FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
 )
-SELECT doc_a, doc_b, n_common,
-       CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
-FROM pairs
-WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= {JACCARD_THRESHOLD}
+SELECT doc_a, doc_b, CAST(n_common AS INTEGER) AS n_common, jaccard
+FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
 
@@ -161,71 +192,70 @@ ORDER BY doc_a, doc_b
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _sig(i: int) -> Column:
-    """MinHash signature i: lexicographic min of salted md5 over shingles.
-    Min-wise hashing over the md5 ordering — deterministic and portable."""
-    return F.array_min(
-        F.transform(
-            "shingles", lambda s: F.md5(F.encode(F.concat(F.lit(f"{i}:"), s), "UTF-8"))
-        )
-    )
-
-
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard-verified at >= 0.7.
 
-    Signatures and band keys are map-side expressions; candidates come from
-    b small equi-joins on band keys (shuffle keys are 16-byte hashes,
-    volume O(n·b) not O(n²)); the exact verify touches only candidates.
+    One pass computes all 16 signatures (explode shingles → 16 salted-md5
+    MINs as a partial aggregation — each shingle is hashed exactly once per
+    salt); band keys collapse to a long (doc_id, band_idx, key) table so
+    candidate generation is ONE self-equi-join on (band_idx, key) instead
+    of b separate joins re-evaluating the signature plan. The exact verify
+    touches only the deduplicated candidates. Shuffle volume is O(n·b)
+    16-byte keys — never O(n²).
     """
-    docs = with_shingles(load_table(spark, sf_dir, "documents"))
-    sigs = docs.select(
-        "doc_id",
-        "shingles",
-        *[_sig(i).alias(f"sig{i}") for i in range(NUM_HASHES)],
+    sh = (
+        with_shingles(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "shingles")
+        .localCheckpoint()
     )
-    bands = sigs.select(
-        "doc_id",
-        "shingles",
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sigs = exploded.groupBy("doc_id").agg(
         *[
-            F.md5(
-                F.encode(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            f"sig{b * ROWS_PER_BAND + r}"
-                            for r in range(ROWS_PER_BAND)
-                        ],
-                    ),
-                    "UTF-8",
-                )
-            ).alias(f"band{b}")
-            for b in range(NUM_BANDS)
-        ],
+            F.min(
+                F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("s")), "UTF-8"))
+            ).alias(f"sig{i}")
+            for i in range(NUM_HASHES)
+        ]
     )
-    cand = None
-    for b in range(NUM_BANDS):
-        lhs = bands.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("shingles").alias("sh_a"),
-            F.col(f"band{b}").alias("bk"),
-        )
-        rhs = bands.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("shingles").alias("sh_b"),
-            F.col(f"band{b}").alias("bk"),
-        )
-        pairs = lhs.join(rhs, "bk").filter(F.col("doc_a") < F.col("doc_b"))
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.select("doc_a", "doc_b", "sh_a", "sh_b").dropDuplicates(
-        ["doc_a", "doc_b"]
+    band_keys = [
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    "|",
+                    *[f"sig{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)],
+                ),
+                "UTF-8",
+            )
+        ).alias(f"band{b}")
+        for b in range(NUM_BANDS)
+    ]
+    bands_long = sigs.select("doc_id", *band_keys).select(
+        "doc_id",
+        F.posexplode(F.array(*[f"band{b}" for b in range(NUM_BANDS)])).alias(
+            "band_idx", "bk"
+        ),
     )
+    lhs = bands_long.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "bk"
+    )
+    rhs = bands_long.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "bk"
+    )
+    cand = (
+        lhs.join(rhs, ["band_idx", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = cand.join(x, "doc_a").join(y, "doc_b")
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_common.cast("double") / (
         F.size("sh_a") + F.size("sh_b") - n_common
     )
     return (
-        cand.select("doc_a", "doc_b", jac.alias("jaccard"))
+        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )

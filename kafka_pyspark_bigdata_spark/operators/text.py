@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.batch import load_table
+from ..sources.batch import load_table, parallelize_scan
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan, re-parallelized for the compute-heavy text ops
+    (single small file locally; no-op on a real multi-split table)."""
+    return parallelize_scan(load_table(spark, sf_dir, "documents"))
 
 # Tiny embedded stopword list for the n-gram/stopword language heuristic.
 EN_STOPWORDS = ("the", "a", "of", "to", "in", "is", "and")
@@ -42,7 +48,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Integer arithmetic + one exact double division → engine-portable values.
     """
-    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    docs = with_tokens(load_documents(spark, sf_dir))
     return docs.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
@@ -71,7 +77,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID via stopword-ratio heuristic (n-gram-free variant of the
     classic ratio classifier): share of tokens that are English stopwords;
     >= threshold → 'en'."""
-    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    docs = with_tokens(load_documents(spark, sf_dir))
     ratio = (
         F.size(F.filter("toks", lambda t: t.isin(*EN_STOPWORDS))).cast("double")
         / F.size("toks")
@@ -106,7 +112,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity (type-token ratio) and mean token length — the standard cheap
     pre-filters for LLM training corpora. Identical expression tree on both
     engines → bit-identical doubles."""
-    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    docs = with_tokens(load_documents(spark, sf_dir))
     n_tok = F.size("toks").cast("double")
     uniq_ratio = F.size(F.array_distinct("toks")).cast("double") / n_tok
     avg_len = (
@@ -158,7 +164,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over whitespace-normalized text (the
     exact-dedup key), plus a 16-hex-char prefix hash usable as a cheap
     shard/bucket key at scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_documents(spark, sf_dir)
     fp = F.md5(F.encode(normalized_text_expr(), "UTF-8"))
     return docs.select(
         "doc_id",

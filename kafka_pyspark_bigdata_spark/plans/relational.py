@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.numeric import davg, davg_sql, dsum, dsum_expr, dsum_sql
-from ..sources.batch import load_table
+from ..sources.batch import load_table, parallelize_scan
 
 
 def _revenue_expr() -> F.Column:
@@ -59,7 +59,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     single pass at 100 TB — and does, because nothing here needs a second
     shuffle.
     """
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = parallelize_scan(load_table(spark, sf_dir, "lineitem")).filter(
         F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp")
     )
     charge = _revenue_expr() * (

@@ -43,6 +43,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_scan(df: DataFrame, min_ratio: int = 2) -> DataFrame:
+    """Repartition a scan that arrived with too few partitions for the
+    cluster (the small-file case: one parquet file → one task → one core
+    doing all the compute downstream).
+
+    On a real 100 TB table the scan has thousands of 128 MiB splits and
+    this is a no-op (``getNumPartitions`` already ≥ cores); locally, the
+    fixtures are single files, and compute-heavy operators (shingling,
+    hashing, cosine) would otherwise run single-threaded. The shuffle this
+    inserts moves only the small input, never fires on big inputs.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * min_ratio <= target:
+        return df.repartition(target)
+    return df
+
+
 def read_csv(spark: SparkSession, paths: list[str] | str, schema: StructType) -> DataFrame:
     """CSV scan with header and explicit schema (reference O1).
 
