@@ -1,0 +1,594 @@
+"""Advanced relational + time-series operators.
+
+Extends ``plans.relational`` with the operator classes a full analytics
+engine needs beyond the reference's own surface (SURVEY.md §2 notes the
+reference has no joins/windows/aggregation variety; §7 M1/M4 say to expose
+them over the TPC-H-shaped fixtures): conditional aggregation, ratio
+aggregates, decorrelated correlated subqueries, HAVING, scalar subqueries,
+COUNT(DISTINCT), CUBE, argmax (``max_by``), PIVOT, and — on the ``events``
+stream table — the time-series operators Spark has no single primitive for:
+AS-OF join, range (interval) join, and gap-based sessionization.
+
+Every query is ``(spark, sf_dir) -> DataFrame`` with a value-exact DuckDB
+oracle. Scale posture mirrors ``plans.relational``: dimension joins are
+broadcast, fact joins shuffle once on their natural key, aggregates are
+partial map-side, and the time-series ops shuffle once on ``user_id`` (the
+stream's partition key) and then run linear per-key passes — the layout a
+1000-executor cluster wants for a keyed event stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import davg, davg_sql, dsum, dsum_expr, dsum_sql
+from ..sources.batch import load_table
+from .relational import _REV_SQL, _revenue_expr
+
+# Microsecond-precision events CTE for the DuckDB oracles: the parquet
+# stores TIMESTAMP(NANOS); Spark-side load_table truncates to micros, so the
+# oracle casts to DuckDB's microsecond TIMESTAMP for identical arithmetic.
+_EV_US = "ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)"
+
+
+# ---------------------------------------------------------------------------
+# Conditional / ratio aggregation (TPC-H Q12 / Q14 shapes)
+# ---------------------------------------------------------------------------
+
+def q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + conditional counts (SUM of CASE).
+
+    orders⋈lineitem shuffles once on the order key; the CASE collapses into
+    the partial aggregate, so high/low tallies ride the same single shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_priority_count"),
+            F.count(F.when(~high, 1)).alias("low_priority_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_priority_count,
+       COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_priority_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of conditional revenue (promo %% of total).
+
+    part is dimension-sized → broadcast; both the conditional and total
+    decimal sums come out of ONE partial aggregation pass; the ratio is a
+    final driver-side double division.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", _revenue_expr()).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            dsum_expr(promo).alias("promo_revenue"),
+            dsum_expr(_revenue_expr()).alias("total_revenue"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+                "promo_pct"
+            ),
+            "promo_revenue",
+            "total_revenue",
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT 100.0 * promo_revenue / total_revenue AS promo_pct,
+       promo_revenue, total_revenue
+FROM (
+  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
+                       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+         CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Correlated / scalar subqueries, HAVING (Q17 / Q18 / Q22 shapes)
+# ---------------------------------------------------------------------------
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part avg quantity),
+    decorrelated into a groupBy + join back — the rewrite every optimizer
+    wants; Spark gets it by construction.
+
+    The per-part average is fact-side aggregated first (small output:
+    |parts| rows), then joined back; the brand filter rides the broadcast
+    part join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        davg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == per_part.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = f"""
+SELECT {dsum_sql('l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (
+  SELECT l_partkey AS pk, {davg_sql('l_quantity')} AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+) a ON l_partkey = pk
+WHERE p_brand = 'Brand#12' AND l_quantity < 0.5 * avg_qty
+"""
+
+
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact aggregate, then join back for
+    enrichment. The HAVING filter runs on the aggregate output (|orders|
+    rows, tiny vs |lineitem|), so the enrichment joins see only survivors.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, {dsum_sql('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250.0
+) b
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q22_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global average balance) + anti join
+    (customers with no orders since 2000), aggregated per market segment.
+
+    The scalar average is a one-row broadcast; the anti join is the NOT
+    EXISTS operator; the final rollup is a 5-key aggregate.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    rich = customer.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal").alias("sum_acctbal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+Q22_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n_customers, {dsum_sql('c_acctbal')} AS sum_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT {davg_sql('c_acctbal')} FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# COUNT(DISTINCT), CUBE, argmax, PIVOT
+# ---------------------------------------------------------------------------
+
+def q_count_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per brand (TPC-H Q16 shape). Spark plans the classic
+    two-phase expand: dedup partial on (brand, key), then count — still one
+    logical pass, no driver-side set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q_COUNT_DISTINCT_SQL = """
+SELECT p_brand,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(segment, priority): all 4 grouping-set combinations in one
+    map-side expand + single shuffle (the grouping-sets generalization of
+    ``q_rollup_acctbal``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    return (
+        joined.cube("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_price",
+        )
+        .orderBy("segment", "priority")
+    )
+
+
+Q_CUBE_SQL = f"""
+SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE(c_mktsegment, o_orderpriority)
+ORDER BY segment, priority
+"""
+
+
+def q_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin per group via ``max_by``/``min_by`` over a struct —
+    a pure partial aggregate (no window, no second shuffle), with the
+    struct's (value, event_id) ordering making ties deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("max_by(event_id, struct(value, event_id))").alias("max_event_id"),
+            F.max("value").alias("max_value"),
+            F.expr("min_by(event_id, struct(value, event_id))").alias("min_event_id"),
+            F.min("value").alias("min_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_ARGMAX_SQL = """
+WITH r AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rmax,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rmin
+  FROM events
+)
+SELECT event_type,
+       MAX(CASE WHEN rmax = 1 THEN event_id END) AS max_event_id,
+       MAX(CASE WHEN rmax = 1 THEN value END) AS max_value,
+       MAX(CASE WHEN rmin = 1 THEN event_id END) AS min_event_id,
+       MAX(CASE WHEN rmin = 1 THEN value END) AS min_value
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT event counts per user. The pivot values are declared up front
+    so Spark plans ONE pass (no values-discovery pre-query); output is a
+    dense user × type count matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, subset=EVENT_TYPES)
+        .orderBy("user_id")
+    )
+
+
+Q_PIVOT_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-series operators over the events stream table
+# ---------------------------------------------------------------------------
+
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for each purchase, the most recent click by the same
+    user at or before the purchase time (DuckDB's ASOF JOIN semantics).
+
+    Spark has no as-of primitive; the scalable formulation is the
+    union-and-carry-forward pattern: tag both sides, union, ONE shuffle on
+    ``user_id``, then a running ``last(..., ignorenulls)`` window fills each
+    purchase with the latest preceding click. Cost is one shuffle + one
+    linear pass per key — vs a naive inequality join's per-user cross
+    product. Ties at identical timestamps order clicks first (tag 0 < 1),
+    matching the at-or-before contract deterministically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.col("event_id").alias("eid"),
+        F.lit(0).alias("tag"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.col("event_id").alias("eid"),
+        F.lit(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ets", "tag", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("tag") == 0
+    carried = clicks.unionByName(purchases).select(
+        "user_id",
+        "ets",
+        "eid",
+        "tag",
+        F.last(F.when(is_click, F.col("eid")), ignorenulls=True).over(w).alias("click_id"),
+        F.last(F.when(is_click, F.col("ets")), ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return (
+        carried.filter(F.col("tag") == 1)
+        .select(
+            F.col("eid").alias("purchase_id"),
+            "user_id",
+            "click_id",
+            (F.unix_micros("ets") - F.unix_micros("click_ts")).alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+Q_ASOF_SQL = f"""
+WITH {_EV_US},
+u AS (
+  SELECT user_id, ts AS ets, event_id AS eid, 0 AS tag FROM ev WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 FROM ev WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ets, eid, tag,
+         LAST_VALUE(CASE WHEN tag = 0 THEN eid END IGNORE NULLS) OVER w AS click_id,
+         LAST_VALUE(CASE WHEN tag = 0 THEN ets END IGNORE NULLS) OVER w AS click_ts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ets, tag, eid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT eid AS purchase_id, user_id, click_id,
+       epoch_us(ets) - epoch_us(click_ts) AS gap_us
+FROM c WHERE tag = 1 ORDER BY purchase_id
+"""
+
+
+def q_range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: clicks by the same user in the 10 minutes
+    before each error. The equi half (``user_id``) drives a hash join; the
+    range predicate is a post-join filter — per-key streams stay small, so
+    this never degenerates into the O(n²) pure-inequality join."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("ets")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    cond = (
+        (errors.user_id == clicks.cu)
+        & (clicks.cts >= F.col("ets") - F.expr("INTERVAL 10 MINUTES"))
+        & (clicks.cts < F.col("ets"))
+    )
+    return (
+        errors.join(clicks, cond, "left")
+        .groupBy("error_id", "user_id")
+        .agg(F.count("cts").alias("n_clicks_10m"))
+        .orderBy("error_id")
+    )
+
+
+Q_RANGE_JOIN_SQL = f"""
+WITH {_EV_US}
+SELECT e.event_id AS error_id, e.user_id, COUNT(c.ts) AS n_clicks_10m
+FROM ev e
+LEFT JOIN ev c ON c.user_id = e.user_id AND c.event_type = 'click'
+              AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts
+WHERE e.event_type = 'error'
+GROUP BY e.event_id, e.user_id
+ORDER BY error_id
+"""
+
+
+SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4 h idle gap closes a session
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the batch shape of a session window):
+    a new session starts when a user is idle > 4 h. lag → gap flag →
+    running sum = session id, then per-session aggregate. One shuffle on
+    ``user_id``; both window passes and the aggregate reuse that
+    partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wo))
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(new_sess).over(wrun).cast("int").alias("session_id"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+Q_SESSIONIZE_SQL = f"""
+WITH {_EV_US},
+g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group via rank arithmetic (portable across engines,
+    unlike interpolating percentile built-ins whose rounding differs):
+    row_number + group count pick the middle one-or-two rows; their mean is
+    the median. Sum of ≤2 doubles is order-independent, so the value is
+    bit-identical everywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(cnt + 1) div 2")) | (F.col("rn") == F.expr("(cnt + 2) div 2"))
+    )
+    return (
+        mid.groupBy("o_orderpriority")
+        .agg(
+            F.avg("o_totalprice").alias("median_price"),
+            F.max("cnt").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_EXACT_MEDIAN_SQL = """
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM orders
+)
+SELECT o_orderpriority, AVG(o_totalprice) AS median_price, MAX(cnt) AS n_orders
+FROM r
+WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "q12_priority_counts": q12_priority_counts,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_orders": q18_large_volume_orders,
+    "q22_rich_idle_customers": q22_rich_idle_customers,
+    "q_count_distinct_suppliers": q_count_distinct_suppliers,
+    "q_cube_order_stats": q_cube_order_stats,
+    "q_argmax_events": q_argmax_events,
+    "q_pivot_user_events": q_pivot_user_events,
+    "q_asof_click_purchase": q_asof_click_purchase,
+    "q_range_join_error_context": q_range_join_error_context,
+    "q_sessionize": q_sessionize,
+    "q_exact_median": q_exact_median,
+}
+
+ORACLES = {
+    "q12_priority_counts": Q12_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q18_large_volume_orders": Q18_SQL,
+    "q22_rich_idle_customers": Q22_SQL,
+    "q_count_distinct_suppliers": Q_COUNT_DISTINCT_SQL,
+    "q_cube_order_stats": Q_CUBE_SQL,
+    "q_argmax_events": Q_ARGMAX_SQL,
+    "q_pivot_user_events": Q_PIVOT_SQL,
+    "q_asof_click_purchase": Q_ASOF_SQL,
+    "q_range_join_error_context": Q_RANGE_JOIN_SQL,
+    "q_sessionize": Q_SESSIONIZE_SQL,
+    "q_exact_median": Q_EXACT_MEDIAN_SQL,
+}
