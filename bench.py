@@ -35,6 +35,9 @@ def main() -> None:
         "q_top_customers",
         "q_window_top_orders",
         "q_events_hourly",
+        "q18_large_volume_orders",
+        "q_asof_click_purchase",
+        "q_sessionize",
         # text / dedup / similarity / multimodal extensions
         "text_quality",
         "text_fingerprint",
@@ -43,11 +46,19 @@ def main() -> None:
         "dedup_minhash_lsh",
         "ann_topk_bruteforce",
         "ann_lsh_bucketed",
+        "ann_ivf",
         "mm_decode_image",
     ]
 
-    # Warm the JVM/session so query 1 doesn't pay session startup.
+    # Warm-up: run every headline plan once at the smallest SF so the timed
+    # runs measure steady-state execution, not JVM JIT + whole-stage-codegen
+    # compilation (the generated-class cache is keyed by code, so the sf0.1
+    # plans reuse the compiled stages; the data volume below is negligible).
     spark.range(1000).selectExpr("sum(id)").collect()
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir):
+        for name in headline:
+            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in headline:
