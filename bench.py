@@ -49,6 +49,9 @@ def main() -> None:
         "ann_ivf",
         "mm_decode_image",
     ]
+    # Never let a stale name crash the bench (round-1 lesson): time only the
+    # queries that are actually registered.
+    headline = [n for n in headline if n in qs]
 
     # Warm-up: run every headline plan once at the smallest SF so the timed
     # runs measure steady-state execution, not JVM JIT + whole-stage-codegen

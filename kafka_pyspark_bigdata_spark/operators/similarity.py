@@ -15,11 +15,25 @@ Two paths:
   trading recall for a bounded candidate set. The hyperplanes are literal
   constants, so the DuckDB oracle replicates the algorithm exactly.
 
-Both are value-exact against the oracle: cosine is computed in double and
+- **IVF** (`ann_ivf`): inverted-file ANN — the standard coarse-quantizer
+  design (Faiss-style IVF-Flat, public knowledge). Corpus vectors are
+  assigned to their nearest of `IVF_NLIST` coarse centroids; each query
+  probes its `IVF_NPROBE` nearest lists and scans only those candidates.
+  Centroids here are the first `IVF_NLIST` corpus vectors (deterministic
+  data-sampled init at every SF); at 100 TB they'd come from a k-means
+  sample, but either way they are driver-resident state inlined as
+  literals, so the corpus assignment is a pure map-side expression — ZERO
+  shuffle for list assignment, and the probe join broadcasts |Q|·nprobe
+  rows against the assigned corpus (map-side again). The only shuffle is
+  the final per-query top-k window over the candidate set.
+
+All are value-exact against the oracle: cosine is computed in double and
 rounded to 6 decimals (reduction error over 64 terms ~1e-14).
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -167,12 +181,150 @@ WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+def _cosine_to_lit(vec_col: str, vec: list[float]) -> Column:
+    """Cosine between an array<float> column and a literal vector, double
+    math + round-6 — the same contract as ``cosine_expr`` so the DuckDB
+    oracle (which computes the centroid side from the table) agrees."""
+    lit_arr = F.array(*[F.lit(float(x)) for x in vec])
+    dot = F.aggregate(
+        F.zip_with(vec_col, lit_arr, lambda u, v: u.cast("double") * v),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    col_norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda u: u.cast("double") * u.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    lit_norm = math.sqrt(sum(float(x) * float(x) for x in vec))
+    return F.round(dot / (col_norm * F.lit(lit_norm)), 6)
+
+
+def _centroid_sim_array(vec_col: str, cents: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<s: similarity, ncid: -centroid_id>> — struct ordering
+    makes array_max/array_sort pick highest similarity with ties broken
+    toward the SMALLEST centroid id (ncid is negated)."""
+    return F.array(
+        *[
+            F.struct(
+                _cosine_to_lit(vec_col, vec).alias("s"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, vec in cents
+        ]
+    )
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: top-5 per query, scanning only the query's IVF_NPROBE
+    nearest centroid lists.
+
+    The centroid table (IVF_NLIST rows) is collected once at plan-build
+    time and inlined as literals — corpus list-assignment is then a
+    map-side expression over the scan (no join, no shuffle), exactly how a
+    production IVF keeps its coarse quantizer in executor memory. A
+    (query, neighbor) pair can appear in at most one probed list (each
+    corpus vector lives in exactly one list), so no candidate dedup is
+    needed before the top-k window.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < IVF_NLIST)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    sim_arr = _centroid_sim_array("embedding", cents)
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        (-F.array_max(sim_arr)["ncid"]).cast("int").alias("list_id"),
+    )
+    # top-NPROBE lists per query: sort asc by (s, ncid), reverse → desc by
+    # s with ties toward smaller centroid id, take the first NPROBE.
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(
+                F.slice(F.reverse(F.array_sort(sim_arr)), 1, IVF_NPROBE)
+            ).alias("pr"),
+        )
+        .select("query_id", "qv", (-F.col("pr.ncid")).cast("int").alias("list_id"))
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_expr("qv", "cv").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_NLIST}
+),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_cos_sql('e.embedding', 'c.cv')} AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, cid AS list_id FROM (
+    SELECT vec_id, embedding, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid AS list_id FROM (
+    SELECT vec_id, embedding, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cosine
+  FROM probes JOIN assigned USING (list_id)
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf": ann_ivf,
 }
 
 ORACLES = {
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_lsh_bucketed": _ann_lsh_sql(),
+    "ann_ivf": ANN_IVF_SQL,
 }
