@@ -8,9 +8,13 @@ share two trainings.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.ml import PipelineModel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 from ..sources.batch import load_table
 from . import serving, trainer
@@ -20,11 +24,18 @@ LINEITEM_LABEL = "l_extendedprice"
 EVENTS_FEATURES = ["hour", "dow"]
 EVENTS_LABEL = "value"
 
-_model_cache: dict[tuple[str, str], PipelineModel] = {}
+# Keyed by (applicationId, sf_dir, table): a PipelineModel handle is bound
+# to the JVM that trained it, so a restarted SparkSession must retrain
+# rather than reuse a stale Py4J reference.
+_model_cache: dict[tuple[str, str, str], PipelineModel] = {}
+
+
+def _app_id(spark: SparkSession) -> str:
+    return spark.sparkContext.applicationId
 
 
 def _lineitem_model(spark: SparkSession, sf_dir: str) -> PipelineModel:
-    key = (sf_dir, "lineitem")
+    key = (_app_id(spark), sf_dir, "lineitem")
     if key not in _model_cache:
         df = load_table(spark, sf_dir, "lineitem")
         _model_cache[key] = trainer.train(df, LINEITEM_FEATURES, LINEITEM_LABEL)
@@ -32,7 +43,7 @@ def _lineitem_model(spark: SparkSession, sf_dir: str) -> PipelineModel:
 
 
 def _events_model(spark: SparkSession, sf_dir: str) -> PipelineModel:
-    key = (sf_dir, "events")
+    key = (_app_id(spark), sf_dir, "events")
     if key not in _model_cache:
         df = load_table(spark, sf_dir, "events").select(
             F.hour("ts").alias("hour"),
@@ -103,11 +114,97 @@ def ml_optimal_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_predict_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18 round trip: save the trained pipeline to disk, load it back
+    (spark_trainer.py:82-84 → api.py:24-37 handoff), and prove the loaded
+    model reproduces the in-memory model's grid predictions bit-for-bit."""
+    model = _lineitem_model(spark, sf_dir)
+    base_dir = tempfile.mkdtemp(prefix="kpbd_models_")
+    trainer.save_model(model, base_dir, 1, LINEITEM_FEATURES)
+    loaded = trainer.load_model(base_dir, 1)
+    grid = [
+        {"l_quantity": float(q), "l_discount": d, "l_tax": 0.05, "l_linenumber": 1.0}
+        for q in range(1, 11)
+        for d in (0.0, 0.05, 0.10)
+    ]
+    rows = [tuple(serving.coerce_features(g, LINEITEM_FEATURES)[0]) for g in grid]
+    df = spark.createDataFrame(rows, serving.serving_schema(LINEITEM_FEATURES))
+    mem = model.transform(df).select(
+        "l_quantity", "l_discount", F.col("prediction").alias("pred_mem")
+    )
+    disk = loaded.transform(df).select(
+        "l_quantity", "l_discount", F.col("prediction").alias("pred_loaded")
+    )
+    return (
+        mem.join(disk, ["l_quantity", "l_discount"])
+        .select(
+            F.col("l_quantity").cast("double").alias("quantity"),
+            F.col("l_discount").cast("double").alias("discount"),
+            "pred_loaded",
+            (F.col("pred_loaded") == F.col("pred_mem")).alias("matches_in_memory"),
+        )
+        .orderBy("quantity", "discount")
+    )
+
+
+INCR_BATCH_SIZE = 300
+INCR_MAX_BATCHES = 3
+
+
+def ml_incremental_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole ingest→train chain as ONE query
+    (producer→consumer→trainer, spark_trainer.py:107-109): stream events →
+    count-batcher lands 3 exact-size CSV micro-batch files → v1..v3 train
+    on cumulative file prefixes → one importance table per version,
+    unioned. Rows-only check: 3 versions × 2 features = 6 rows."""
+    from ..streaming.batcher import run_count_batched_stream
+    from ..streaming.queries import _events_stream
+
+    stream = _events_stream(spark, sf_dir).select(
+        F.hour("ts").cast("double").alias("hour"),
+        F.dayofweek("ts").cast("double").alias("dow"),
+        "value",
+    )
+    out_dir = tempfile.mkdtemp(prefix="incr_train_")
+    batcher = run_count_batched_stream(
+        stream,
+        out_dir=out_dir,
+        checkpoint_dir=os.path.join(out_dir, "_ckpt"),
+        batch_size=INCR_BATCH_SIZE,
+        max_batches=INCR_MAX_BATCHES,
+        fmt="csv",
+    )
+    batch_paths = [
+        os.path.join(batcher.data_dir, f"batch_id={k}")
+        for k in range(batcher.batches_written())
+    ]
+    schema = StructType(
+        [StructField(c, DoubleType(), True) for c in ["hour", "dow", "value"]]
+    )
+    models = trainer.train_incremental(
+        spark, batch_paths, EVENTS_FEATURES, EVENTS_LABEL, schema, num_trees=5
+    )
+    per_version = [
+        trainer.feature_importances(spark, m, EVENTS_FEATURES).select(
+            F.lit(v).alias("version"),
+            "feature",
+            (F.col("importance") >= 0.0).alias("importance_valid"),
+        )
+        for v, m in sorted(models.items())
+    ]
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("version", "feature")
+
+
 QUERIES = {
     "ml_feature_importances": ml_feature_importances,
     "ml_predict_grid": ml_predict_grid,
     "ml_sensitivity_quantity": ml_sensitivity_quantity,
     "ml_optimal_hour": ml_optimal_hour,
+    "ml_predict_loaded": ml_predict_loaded,
+    "ml_incremental_versions": ml_incremental_versions,
 }
 
 # Not SQL-expressible (model training/inference) → no ORACLES entries;

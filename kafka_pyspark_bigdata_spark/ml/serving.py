@@ -38,7 +38,9 @@ def coerce_features(
     payload: dict, feature_cols: list[str]
 ) -> tuple[list[float], list[str]]:
     """missing→0.0 (collected in a warning list), non-numeric→ValueError
-    (api.py:49-73)."""
+    (api.py:49-73). Numeric strings like "12.5" are accepted — the
+    reference coerces with ``float(val)`` (api.py:61-65), which parses
+    strings; only values float() rejects are collected as bad."""
     values, missing, bad = [], [], []
     for c in feature_cols:
         v = payload.get(c)
@@ -48,7 +50,10 @@ def coerce_features(
         elif isinstance(v, Number) and not isinstance(v, bool):
             values.append(float(v))
         else:
-            bad.append(c)
+            try:
+                values.append(float(v))
+            except (TypeError, ValueError):
+                bad.append(c)
     if bad:
         raise ValueError(f"non-numeric features: {bad}")
     return values, missing

@@ -20,6 +20,9 @@ collects to the driver except the (tiny) importance vector.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.ml import Pipeline, PipelineModel
 from pyspark.ml.feature import Imputer, VectorAssembler
 from pyspark.ml.regression import RandomForestRegressor
@@ -99,6 +102,50 @@ def train_incremental(
         )
         models[k] = train(df, feature_cols, label_col, **kw)
     return models
+
+
+def model_path(base_dir: str, version: int | str) -> str:
+    """Versioned model layout ``model_{v}_rf`` (spark_trainer.py:82;
+    api.py:26 loads the same names)."""
+    return os.path.join(base_dir, f"model_{version}_rf")
+
+
+def save_model(
+    model: PipelineModel,
+    base_dir: str,
+    version: int | str,
+    feature_cols: list[str] | None = None,
+) -> str:
+    """Persist a trained pipeline (O18, spark_trainer.py:82-84): the model
+    dir plus — when feature names are given — the sorted importance JSON
+    sidecar (spark_trainer.py:87-99 ``model_{v}_rf_feature_importances.json``).
+    """
+    path = model_path(base_dir, version)
+    model.write().overwrite().save(path)
+    if feature_cols is not None:
+        rf = model.stages[-1]
+        imp = {
+            name: float(v)
+            for name, v in zip(feature_cols, rf.featureImportances.toArray())
+        }
+        imp = dict(sorted(imp.items(), key=lambda kv: kv[1], reverse=True))
+        with open(path + "_feature_importances.json", "w") as f:
+            json.dump(imp, f, indent=4)
+    return path
+
+
+def load_model(base_dir: str, version: int | str) -> PipelineModel | None:
+    """Load a persisted pipeline (api.py:24-37 semantics: missing path →
+    None, never an exception — the API serves 404s for absent versions)."""
+    path = model_path(base_dir, version)
+    if not os.path.exists(path):
+        return None
+    return PipelineModel.load(path)
+
+
+def load_models(base_dir: str, versions: list[int | str]) -> dict[str, PipelineModel | None]:
+    """Boot-time model dict keyed by version string (api.py:23-37)."""
+    return {str(v): load_model(base_dir, v) for v in versions}
 
 
 def feature_importances(

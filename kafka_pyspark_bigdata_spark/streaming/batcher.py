@@ -69,26 +69,35 @@ class CountBatcher:
     # -- core --------------------------------------------------------------
     def _global_index(self, df: DataFrame) -> DataFrame:
         """Global 0-based row index, distributed: monotonically_increasing_id
-        encodes (partition_id, within-partition seq); per-partition counts
-        (tiny) give each partition its offset."""
-        tagged = df.withColumn("_mid", F.monotonically_increasing_id()).withColumn(
-            "_pid", F.spark_partition_id()
+        is consecutive within a partition, so per-partition (count, min id)
+        — one tiny row per partition — turn it into a dense global index.
+
+        The input is materialized with ``localCheckpoint`` BEFORE the stats
+        job so the stats and the downstream writes read the SAME evaluation:
+        on a recomputed lineage, partition assignment (and therefore _mid)
+        could differ between jobs and silently mis-bucket rows. Offsets are
+        derived from the observed per-partition min _mid, not from the id's
+        internal (pid << 33) bit layout."""
+        tagged = (
+            df.withColumn("_mid", F.monotonically_increasing_id())
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint()
         )
-        counts = sorted(
-            (r["_pid"], r["cnt"])
-            for r in tagged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        stats = sorted(
+            (r["_pid"], r["cnt"], r["min_mid"])
+            for r in tagged.groupBy("_pid")
+            .agg(F.count("*").alias("cnt"), F.min("_mid").alias("min_mid"))
+            .collect()
         )
-        offsets, acc = {}, 0
-        for pid, cnt in counts:
-            offsets[pid] = acc
-            acc += cnt
-        if not offsets:
+        if not stats:
             return tagged.withColumn("_idx", F.lit(0)).limit(0)
-        offset_map = F.create_map(
-            *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
-        )
-        within = F.col("_mid") - (F.col("_pid").cast("long") * F.lit(1 << 33))
-        return tagged.withColumn("_idx", offset_map[F.col("_pid")] + within)
+        base_entries, acc = [], 0
+        for pid, cnt, min_mid in stats:
+            # _idx = (global offset of this partition) + (_mid - min _mid)
+            base_entries += [pid, acc - min_mid]
+            acc += cnt
+        base_map = F.create_map(*[F.lit(x) for x in base_entries])
+        return tagged.withColumn("_idx", base_map[F.col("_pid")] + F.col("_mid"))
 
     def process_batch(self, df: DataFrame, batch_id: int) -> None:
         """foreachBatch callback."""

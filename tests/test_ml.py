@@ -110,3 +110,39 @@ def test_train_incremental_cumulative_union(spark, tmp_path):
     assert len(rows) == len(trainer.BIKE_FEATURES)
     vals = [r.importance for r in rows]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_coerce_features_accepts_numeric_strings():
+    """api.py:61-65 coerces with float(val), which parses numeric strings."""
+    values, missing = serving.coerce_features(
+        {"Distance": "12.5", "Temp": 3}, ["Distance", "Temp", "Wind"]
+    )
+    assert values == [12.5, 3.0, 0.0]
+    assert missing == ["Wind"]
+    with pytest.raises(ValueError, match="non-numeric"):
+        serving.coerce_features({"Distance": "far"}, ["Distance"])
+
+
+def test_model_save_load_roundtrip(spark, model, tmp_path):
+    """O18: persisted model reloads and reproduces predictions exactly
+    (spark_trainer.py:82-84 → api.py:24-37 handoff)."""
+    import json
+    import os
+
+    base = str(tmp_path)
+    path = trainer.save_model(model, base, 2, trainer.BIKE_FEATURES)
+    assert os.path.isdir(path) and path.endswith("model_2_rf")
+    imp_file = path + "_feature_importances.json"
+    with open(imp_file) as f:
+        imp = json.load(f)
+    assert set(imp) == set(trainer.BIKE_FEATURES)
+    assert list(imp.values()) == sorted(imp.values(), reverse=True)
+
+    loaded = trainer.load_model(base, 2)
+    payload = {c: float(i + 1) for i, c in enumerate(trainer.BIKE_FEATURES)}
+    p_mem, _ = serving.predict_one(spark, model, payload, trainer.BIKE_FEATURES)
+    p_disk, _ = serving.predict_one(spark, loaded, payload, trainer.BIKE_FEATURES)
+    assert p_mem == p_disk
+    # missing version → None (api.py:35-37), never an exception
+    assert trainer.load_model(base, 99) is None
+    assert trainer.load_models(base, [2, 99])["99"] is None

@@ -102,3 +102,29 @@ def test_kafka_json_roundtrip_and_corrupt_skip(spark):
         (1, "click", 1.5),
         (2, "view", 2.5),
     ]
+
+
+def test_global_index_dense_on_shuffled_multipartition_input(spark):
+    """_global_index must assign a dense 0..n-1 index even when the input
+    arrives through a shuffle (non-deterministic partition order) — the
+    localCheckpoint pins ONE evaluation for both the stats job and the
+    downstream plan."""
+    from kafka_pyspark_bigdata_spark.streaming.batcher import CountBatcher
+
+    df = (
+        load_table(spark, SF, "events")
+        .repartition(7, F.col("user_id"))
+        .select("event_id", "user_id")
+    )
+    b = CountBatcher(out_dir="/tmp/unused_gidx")
+    indexed = b._global_index(df)
+    idx = sorted(r["_idx"] for r in indexed.select("_idx").collect())
+    assert idx == list(range(1000))
+    # batch bucketing derived from the index is exact-size
+    sizes = (
+        indexed.withColumn("b", (F.col("_idx") / 250).cast("int"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    assert {r["b"]: r["count"] for r in sizes} == {0: 250, 1: 250, 2: 250, 3: 250}
