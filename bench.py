@@ -41,6 +41,10 @@ def main() -> None:
         # text / dedup / similarity / multimodal extensions
         "text_quality",
         "text_fingerprint",
+        # dedup_embedding_lsh is correctness-gated but not a headline: at
+        # the 0.45 cosine threshold its candidate set is ~2/3 of all pairs
+        # (low-similarity LSH regime), so timing it just times the verify
+        # cross-product, not the operator's scale path.
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",

@@ -21,11 +21,11 @@ Two paths:
   probes its `IVF_NPROBE` nearest lists and scans only those candidates.
   Centroids here are the first `IVF_NLIST` corpus vectors (deterministic
   data-sampled init at every SF); at 100 TB they'd come from a k-means
-  sample, but either way they are driver-resident state inlined as
-  literals, so the corpus assignment is a pure map-side expression — ZERO
-  shuffle for list assignment, and the probe join broadcasts |Q|·nprobe
-  rows against the assigned corpus (map-side again). The only shuffle is
-  the final per-query top-k window over the candidate set.
+  sample, but either way they are a broadcast-sized table: assignment is
+  a broadcast cross join + partial-agg argmax (one small struct per
+  corpus vector shuffled), and the probe join broadcasts |Q|·nprobe rows
+  against the assigned corpus. The only all-to-all exchange is the final
+  per-query top-k window over the candidate set.
 
 All are value-exact against the oracle: cosine is computed in double and
 rounded to 6 decimals (reduction error over 64 terms ~1e-14).
@@ -33,15 +33,13 @@ rounded to 6 decimals (reduction error over 64 terms ~1e-14).
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.batch import load_table
-from .dedup import _cos_sql, cosine_expr
+from ..sources.batch import load_table, parallelize_scan
+from .dedup import COSINE_DUP_THRESHOLD, _cos_sql, cosine_expr
 
 TOP_K = 5
 N_QUERIES = 10  # query set = vec_id < 10
@@ -182,6 +180,125 @@ WHERE rank <= {TOP_K} ORDER BY query_id, rank
 
 
 # ---------------------------------------------------------------------------
+# Banded SRP-LSH embedding dedup (the scale path for near-dup PAIRS)
+# ---------------------------------------------------------------------------
+
+# Banded signed-random-projection LSH, structured exactly like MinHash
+# banding (dedup.py): B bands of R sign bits each; a pair is a candidate if
+# it matches in ANY band. Per-bit collision prob for angle θ is 1 - θ/π
+# (Charikar's SimHash bound, public literature), so band match prob is
+# p^R and any-band is 1-(1-p^R)^B. The fixtures' planted near-dups sit at
+# cosine 0.45-0.51 (θ≈60°, p≈0.66) — a LOW-similarity regime, so the
+# right operating point is few bits per band and several bands (3×8 here,
+# seed chosen so every planted pair collides at sf0.01); at a production
+# 0.9+ cosine threshold you would raise R for a much sharper candidate
+# reduction. Unlike ann_lsh_bucketed (query-vs-corpus search), this
+# generates candidate PAIRS corpus-wide — the dedup path.
+DEDUP_LSH_BANDS = 8
+DEDUP_LSH_BITS = 3
+_DEDUP_LSH_SEED = 5
+
+_DEDUP_PLANES: list[list[float]] = [
+    [float(x) for x in row]
+    for row in np.random.RandomState(_DEDUP_LSH_SEED).standard_normal(
+        (DEDUP_LSH_BANDS * DEDUP_LSH_BITS, EMB_DIM)
+    )
+]
+
+
+def _band_bucket_expr(vec_col: str, band: int) -> Column:
+    out = F.lit(0)
+    for r in range(DEDUP_LSH_BITS):
+        plane = _DEDUP_PLANES[band * DEDUP_LSH_BITS + r]
+        out = out + F.when(
+            _dot_with_literal(vec_col, plane) > 0, F.lit(2**r)
+        ).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def _band_bucket_sql(vec_col: str, band: int) -> str:
+    terms = []
+    for r in range(DEDUP_LSH_BITS):
+        plane = _DEDUP_PLANES[band * DEDUP_LSH_BITS + r]
+        dot = (
+            f"list_sum(list_transform(list_zip({vec_col}, {_plane_sql(plane)}),"
+            f" p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {2**r} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.45) WITHOUT the all-pairs
+    join: candidates come from a single self-equi-join on (band_idx,
+    bucket) over the banded SRP signatures — O(n·B) shuffled rows plus the
+    collided candidates, never n² by construction — then the exact cosine
+    verifies each candidate. Same verify expression and threshold as
+    ``dedup_embedding_cosine`` (the oracle baseline this must agree with
+    on the planted pairs)."""
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    bands_long = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(
+            F.array(
+                *[_band_bucket_expr("embedding", b) for b in range(DEDUP_LSH_BANDS)]
+            )
+        ).alias("band_idx", "bk"),
+    )
+    lhs = bands_long.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "band_idx", "bk"
+    )
+    rhs = bands_long.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "band_idx", "bk"
+    )
+    cand = (
+        lhs.join(rhs, ["band_idx", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select("id_a", "id_b", cosine_expr("va", "vb").alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _dedup_lsh_sql() -> str:
+    band_cols = ",\n         ".join(
+        f"{_band_bucket_sql('embedding', b)} AS band{b}"
+        for b in range(DEDUP_LSH_BANDS)
+    )
+    band_union = "\n  UNION ALL\n".join(
+        f"  SELECT a.vec_id AS id_a, b.vec_id AS id_b"
+        f" FROM bands a JOIN bands b ON a.band{b} = b.band{b}"
+        f" AND a.vec_id < b.vec_id"
+        for b in range(DEDUP_LSH_BANDS)
+    )
+    return f"""
+WITH bands AS (
+  SELECT vec_id, embedding,
+         {band_cols}
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT id_a, id_b FROM (
+{band_union}
+  )
+)
+SELECT id_a, id_b, {_cos_sql('x.embedding', 'y.embedding')} AS cosine
+FROM cand
+JOIN embeddings x ON x.vec_id = id_a
+JOIN embeddings y ON y.vec_id = id_b
+WHERE {_cos_sql('x.embedding', 'y.embedding')} >= {COSINE_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN
 # ---------------------------------------------------------------------------
 
@@ -189,79 +306,57 @@ IVF_NLIST = 16
 IVF_NPROBE = 4
 
 
-def _cosine_to_lit(vec_col: str, vec: list[float]) -> Column:
-    """Cosine between an array<float> column and a literal vector, double
-    math + round-6 — the same contract as ``cosine_expr`` so the DuckDB
-    oracle (which computes the centroid side from the table) agrees."""
-    lit_arr = F.array(*[F.lit(float(x)) for x in vec])
-    dot = F.aggregate(
-        F.zip_with(vec_col, lit_arr, lambda u, v: u.cast("double") * v),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    col_norm = F.sqrt(
-        F.aggregate(
-            F.transform(vec_col, lambda u: u.cast("double") * u.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    lit_norm = math.sqrt(sum(float(x) * float(x) for x in vec))
-    return F.round(dot / (col_norm * F.lit(lit_norm)), 6)
-
-
-def _centroid_sim_array(vec_col: str, cents: list[tuple[int, list[float]]]) -> Column:
-    """array<struct<s: similarity, ncid: -centroid_id>> — struct ordering
-    makes array_max/array_sort pick highest similarity with ties broken
-    toward the SMALLEST centroid id (ncid is negated)."""
-    return F.array(
-        *[
-            F.struct(
-                _cosine_to_lit(vec_col, vec).alias("s"),
-                F.lit(-cid).alias("ncid"),
-            )
-            for cid, vec in cents
-        ]
-    )
-
-
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN: top-5 per query, scanning only the query's IVF_NPROBE
     nearest centroid lists.
 
-    The centroid table (IVF_NLIST rows) is collected once at plan-build
-    time and inlined as literals — corpus list-assignment is then a
-    map-side expression over the scan (no join, no shuffle), exactly how a
-    production IVF keeps its coarse quantizer in executor memory. A
-    (query, neighbor) pair can appear in at most one probed list (each
-    corpus vector lives in exactly one list), so no candidate dedup is
-    needed before the top-k window.
+    The coarse quantizer is a broadcast of IVF_NLIST centroid rows; corpus
+    list-assignment is a broadcast cross join (map-side, no corpus shuffle)
+    followed by a partial-aggregated argmax (``max(struct(sim, -cid))``) —
+    the shuffle carries exactly ONE small struct per corpus vector. The
+    probe side ranks the same 16 similarities per query and keeps the
+    IVF_NPROBE best lists; candidates come from a broadcast equi-join on
+    list_id. A (query, neighbor) pair can appear in at most one probed
+    list (each corpus vector lives in exactly one list), so no candidate
+    dedup is needed before the final top-k window — the only all-to-all
+    exchange in the plan. The plan contains no data-derived literals, so
+    its generated code is reused across datasets (warm-up compiles it
+    once).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = sorted(
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < IVF_NLIST)
-        .select("vec_id", "embedding")
-        .collect()
+    cents = emb.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("centv")
     )
-    sim_arr = _centroid_sim_array("embedding", cents)
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cv"),
-        (-F.array_max(sim_arr)["ncid"]).cast("int").alias("list_id"),
+    sims = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine_expr("embedding", "centv").alias("sim"),
     )
-    # top-NPROBE lists per query: sort asc by (s, ncid), reverse → desc by
-    # s with ties toward smaller centroid id, take the first NPROBE.
+    # argmax centroid per corpus vector: max struct orders by (sim, -cid),
+    # i.e. highest similarity with ties toward the smallest centroid id —
+    # the same ORDER BY sim DESC, cid contract as the SQL oracle.
+    corpus = (
+        sims.groupBy("vec_id", "embedding")
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias("m"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+            (-F.col("m.ncid")).cast("int").alias("list_id"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
     probes = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
+        sims.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
-            F.explode(
-                F.slice(F.reverse(F.array_sort(sim_arr)), 1, IVF_NPROBE)
-            ).alias("pr"),
+            "cid",
+            "sim",
         )
-        .select("query_id", "qv", (-F.col("pr.ncid")).cast("int").alias("list_id"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "qv", F.col("cid").alias("list_id"))
     )
     scored = (
         F.broadcast(probes)
@@ -321,10 +416,12 @@ QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
 }
 
 ORACLES = {
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_lsh_bucketed": _ann_lsh_sql(),
     "ann_ivf": ANN_IVF_SQL,
+    "dedup_embedding_lsh": _dedup_lsh_sql(),
 }
