@@ -128,3 +128,45 @@ def test_global_index_dense_on_shuffled_multipartition_input(spark):
         .collect()
     )
     assert {r["b"]: r["count"] for r in sizes} == {0: 250, 1: 250, 2: 250, 3: 250}
+
+
+import pytest
+
+
+@pytest.mark.skipif(
+    not os.environ.get("KAFKA_BOOTSTRAP"),
+    reason="set KAFKA_BOOTSTRAP=host:port (and put spark-sql-kafka on the "
+    "classpath) to run the real-broker integration smoke",
+)
+def test_kafka_roundtrip_against_real_broker(spark, tmp_path):
+    """O5/O7 against a live broker: stream events → kafka_sink → topic →
+    kafka_source → memory sink; every event_id must survive the hop."""
+    import uuid
+
+    from kafka_pyspark_bigdata_spark.streaming.kafka import kafka_sink, kafka_source
+
+    bootstrap = os.environ["KAFKA_BOOTSTRAP"]
+    topic = f"kpbd_smoke_{uuid.uuid4().hex[:8]}"
+    src = _events_stream(spark, SF).select("event_id", "event_type", "value")
+    q = kafka_sink(src, bootstrap, topic, str(tmp_path / "ckpt_sink"))
+    q.processAllAvailable()
+    q.stop()
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    back = kafka_source(spark, bootstrap, topic, schema)
+    name = f"kafka_back_{uuid.uuid4().hex[:8]}"
+    q2 = (
+        back.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_src"))
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.table(name).select("event_id").distinct().count() == 1000
