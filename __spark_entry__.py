@@ -29,6 +29,7 @@ def _modules():
     mods = [relational]
     for modpath in (
         "kafka_pyspark_bigdata_spark.plans.advanced",
+        "kafka_pyspark_bigdata_spark.plans.tpch_extra",
         "kafka_pyspark_bigdata_spark.operators.dedup",
         "kafka_pyspark_bigdata_spark.operators.similarity",
         "kafka_pyspark_bigdata_spark.operators.text",

@@ -36,6 +36,9 @@ def main() -> None:
         "q_window_top_orders",
         "q_events_hourly",
         "q18_large_volume_orders",
+        "q6_forecast_revenue",
+        "q9_product_profit",
+        "q21_waiting_supplier",
         "q_asof_click_purchase",
         "q_sessionize",
         # text / dedup / similarity / multimodal extensions
