@@ -1,0 +1,237 @@
+"""Corpus-pipeline operators: deterministic sampling, train/eval splits,
+eval decontamination, corpus term statistics, and sequence packing — the
+bookkeeping half of an LLM training-data pipeline (the dedup/similarity
+half lives in operators.dedup / operators.similarity).
+
+Everything is hash-deterministic (md5 of the stable doc_id, never rand()):
+a sample or split must be reproducible across runs, engines, and cluster
+sizes, so the sampling key is content-addressed — the same property the
+dedup operators rely on. All operators are pure `pyspark.sql.functions`
+expression trees (zero Python UDFs) with value-exact DuckDB oracles.
+
+Scale notes per operator are on the functions; the common pattern is
+narrow projection → (optionally) one key shuffle, nothing quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.batch import load_table
+from .dedup import SHINGLES_CTE, with_shingles
+from .text import EN_STOPWORDS, _STOP_SQL, TOKENS_SQL, tokens_expr, with_tokens
+
+SAMPLE_BUCKETS = 10          # hash space for sampling/splits
+TRAIN_BUCKETS = 8            # buckets 0-7 → train, 8-9 → eval (80/20)
+PACK_CAPACITY = 2048         # tokens per packed sequence
+TOPK_TERMS = 50
+
+
+def hash_bucket_expr(col: str = "doc_id", buckets: int = SAMPLE_BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets): first 4 hex chars of
+    md5(CAST(id AS string)) mod buckets. Stable across engines, runs and
+    partitionings — the content-addressed alternative to rand() sampling."""
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.col(col).cast("string"), "UTF-8")), 1, 4), 16, 10
+    ).cast("bigint")
+    return (h % buckets).cast("int")
+
+
+def _bucket_sql(col: str = "doc_id", buckets: int = SAMPLE_BUCKETS) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 4))::BIGINT"
+        f" % {buckets} AS INTEGER)"
+    )
+
+
+def corpus_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample (bucket 0 of 10). A pure scan
+    filter — the predicate is computable from the row alone, so at 100 TB
+    this is a map-side pass with no shuffle and no coordination, unlike
+    rand()-based sampling which is neither reproducible nor stratifiable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("bucket", hash_bucket_expr())
+        .filter(F.col("bucket") == 0)
+        .select("doc_id", "source", "lang", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_SAMPLE_SQL = f"""
+SELECT doc_id, source, lang, {_bucket_sql()} AS bucket
+FROM documents
+WHERE {_bucket_sql()} = 0
+ORDER BY doc_id
+"""
+
+
+def corpus_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based 80/20 train/eval split with per-(split, source) counts —
+    the stratification report every dataset card needs. One partial-agg
+    shuffle over (split, source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        hash_bucket_expr() < TRAIN_BUCKETS, F.lit("train")
+    ).otherwise(F.lit("eval"))
+    return (
+        docs.select(split.alias("split"), "source")
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "source")
+    )
+
+
+CORPUS_SPLIT_SQL = f"""
+SELECT CASE WHEN {_bucket_sql()} < {TRAIN_BUCKETS} THEN 'train' ELSE 'eval' END AS split,
+       source, COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY split, source
+"""
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination by n-gram overlap (the public GPT-2/GPT-3
+    style filter): a TRAIN document is contaminated if it shares any
+    word-3-gram shingle with any EVAL document. Candidates come from the
+    inverted-index equi-join on the shingle — never a doc×doc product; at
+    scale the eval shingle set (benchmarks, ~millions of shingles) is
+    broadcast so the corpus-side pass is map-side only. Returns the
+    contaminated train docs with their overlap size."""
+    sh = with_shingles(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "shingles", hash_bucket_expr().alias("bucket")
+    )
+    train = sh.filter(F.col("bucket") < TRAIN_BUCKETS).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    eval_sh = (
+        sh.filter(F.col("bucket") >= TRAIN_BUCKETS)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    return (
+        train.join(F.broadcast(eval_sh), "s")
+        .groupBy(F.col("doc_id").alias("train_doc_id"))
+        .agg(F.countDistinct("s").alias("n_shared_shingles"))
+        .orderBy("train_doc_id")
+    )
+
+
+TEXT_DECONTAMINATE_SQL = f"""
+WITH {SHINGLES_CTE},
+b AS (SELECT doc_id, shingles, {_bucket_sql()} AS bucket FROM sh),
+train AS (
+  SELECT doc_id, UNNEST(shingles) AS s FROM b WHERE bucket < {TRAIN_BUCKETS}
+),
+eval_sh AS (
+  SELECT DISTINCT UNNEST(shingles) AS s FROM b WHERE bucket >= {TRAIN_BUCKETS}
+)
+SELECT doc_id AS train_doc_id, COUNT(DISTINCT s) AS n_shared_shingles
+FROM train JOIN eval_sh USING (s)
+GROUP BY doc_id
+ORDER BY train_doc_id
+"""
+
+
+def text_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-50 terms by tf·idf. idf uses the rational form
+    N/df instead of ln(N/df): the ranking is order-isomorphic for fixed N
+    and the value avoids cross-engine libm ulp drift (exact integer ops +
+    one double multiply/divide). Term stats are ONE explode + partial-agg
+    pass; the scalar N is a broadcast one-row join; top-k is TakeOrdered."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    terms = docs.select("doc_id", F.explode("toks").alias("term")).filter(
+        ~F.col("term").isin(*EN_STOPWORDS)
+    )
+    stats = terms.groupBy("term").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    score = (F.col("tf").cast("double") * F.col("n_docs")) / F.col("df")
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .select("term", "tf", "df", score.alias("tfidf_score"))
+        .orderBy(F.desc("tfidf_score"), "term")
+        .limit(TOPK_TERMS)
+    )
+
+
+TEXT_TOPK_TERMS_SQL = f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+t AS (
+  SELECT doc_id, UNNEST(toks) AS term FROM tok
+),
+f AS (SELECT doc_id, term FROM t WHERE term NOT IN ({_STOP_SQL})),
+stats AS (
+  SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM f GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT term, tf, df, CAST(tf AS DOUBLE) * n_docs / df AS tfidf_score
+FROM stats, n
+ORDER BY tfidf_score DESC, term
+LIMIT {TOPK_TERMS}
+"""
+
+
+def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-capacity token bins by
+    running-sum chunking within each source (concatenate-then-chunk — how
+    LLM pretraining actually fills context windows). The running sum is an
+    integer window aggregate per source: ONE shuffle on the source key,
+    then a linear per-key pass; no global ordering bottleneck."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens_expr()).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.withColumn(
+            "pack_id", (cum_before / PACK_CAPACITY).cast("int")
+        )
+        .select("doc_id", "source", "n_tokens", "pack_id")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_PACK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len({TOKENS_SQL}) AS INTEGER) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM tok
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum_before // {PACK_CAPACITY} AS INTEGER) AS pack_id
+FROM c ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "corpus_sample_hash": corpus_sample_hash,
+    "corpus_split_stats": corpus_split_stats,
+    "text_decontaminate": text_decontaminate,
+    "text_topk_terms": text_topk_terms,
+    "corpus_pack_greedy": corpus_pack_greedy,
+}
+
+ORACLES = {
+    "corpus_sample_hash": CORPUS_SAMPLE_SQL,
+    "corpus_split_stats": CORPUS_SPLIT_SQL,
+    "text_decontaminate": TEXT_DECONTAMINATE_SQL,
+    "text_topk_terms": TEXT_TOPK_TERMS_SQL,
+    "corpus_pack_greedy": CORPUS_PACK_SQL,
+}

@@ -74,3 +74,25 @@ def read_csv(spark: SparkSession, paths: list[str] | str, schema: StructType) ->
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV sink with header (reference O10, consumer.py:61-67)."""
     df.write.option("header", True).mode(mode).csv(path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, num_buckets: int = 32
+) -> None:
+    """Persist a table hash-bucketed (and per-file sorted) on its join key.
+
+    This is the shuffle-elimination primitive for repeated fact-fact joins
+    at 100 TB: two tables bucketed on the same key with the same bucket
+    count join WITHOUT an Exchange on either side (Catalyst recognizes the
+    co-partitioning from the catalog), turning the usual
+    shuffle-sort-merge into a zero-movement per-bucket merge. Worth it for
+    any join key used more than once — e.g. lineitem⋈orders on the order
+    key, which every TPC-H-shaped query in plans/ hits.
+    """
+    (
+        df.write.bucketBy(num_buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )

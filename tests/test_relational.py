@@ -32,3 +32,31 @@ def test_registry_consistency():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 17
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must join with NO Exchange on
+    either side (the co-located join path write_bucketed exists for)."""
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table, write_bucketed
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    sf = "/root/testdata/sf0.001"
+    write_bucketed(load_table(spark, sf, "orders"), "b_orders", "o_orderkey", 8)
+    write_bucketed(
+        load_table(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        "o_orderkey",
+        8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (a broadcast would hide the bucketing)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_lineitem").join(spark.table("b_orders"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
