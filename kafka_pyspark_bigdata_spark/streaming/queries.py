@@ -19,10 +19,27 @@ from pyspark.sql.types import LongType
 
 from ..functions.numeric import dsum_sql
 from .batcher import run_count_batched_stream
-from .windows import tumbling_agg
+from .windows import session_agg, sliding_agg, tumbling_agg
 
 BATCH_SIZE = 2000
 MAX_BATCHES = 3
+
+# Microsecond-precision events CTE for the oracles (parquet stores nanos;
+# the stream path truncates to micros — same note as plans.advanced).
+_EV_US = "ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)"
+
+
+def _run_to_memory(agg, name_prefix: str, output_mode: str = "complete"):
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,6 +84,154 @@ FROM events GROUP BY 1 ORDER BY window_start
 """
 
 
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2h-wide / 1h-slide event-time window over a streamed replay: every
+    event lands in exactly two windows. The oracle expands each event into
+    its two slide-aligned window starts — value-identical to the streaming
+    state machine on a bounded replay."""
+    stream = _events_stream(spark, sf_dir)
+    agg = sliding_agg(stream, ts_col="ts", width="2 hours", slide="1 hour")
+    name = _run_to_memory(agg, "sliding")
+    return spark.table(name).orderBy("window_start")
+
+
+STREAMING_SLIDING_SQL = f"""
+WITH {_EV_US},
+expanded AS (
+  SELECT UNNEST([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                 date_trunc('hour', ts)]) AS ws,
+         value
+  FROM ev
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
+FROM expanded GROUP BY ws ORDER BY window_start
+"""
+
+
+STREAM_SESSION_GAP_MIN = 30
+
+
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows closed by a 30-minute idle gap — the
+    dynamic-window stateful operator (`session_window`). The oracle
+    reproduces the semantics batch-side with the lag → gap-flag → running
+    sum sessionization; session end = last event + gap (Spark's window.end
+    contract)."""
+    stream = _events_stream(spark, sf_dir)
+    agg = session_agg(
+        stream, ts_col="ts", gap=f"{STREAM_SESSION_GAP_MIN} minutes", key="user_id"
+    )
+    name = _run_to_memory(agg, "session")
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
+STREAMING_SESSION_SQL = f"""
+WITH {_EV_US},
+g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                      > {STREAM_SESSION_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL {STREAM_SESSION_GAP_MIN} MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: `dropDuplicates` on (user_id, event_type)
+    keeps the first arrival per key in the dedup state store, then a
+    running aggregate counts survivors per type — i.e. distinct users per
+    event type, which is what the oracle checks (WHICH row survives is
+    arrival-order-dependent; the keyed count is not)."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_distinct_users"))
+    )
+    name = _run_to_memory(agg, "dedup")
+    return spark.table(name).orderBy("event_type")
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+STREAM_JOIN_WINDOW_MIN = 30
+
+
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases within 30 minutes AFTER a click
+    by the same user — two independent streaming sources joined on the
+    user key plus an event-time interval bound. The watermarks bound the
+    join state (each side holds only 1h of events at steady state); on a
+    bounded availableNow replay the emitted matches equal the batch join,
+    which is exactly what the oracle runs."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("c_ts") + F.expr(f"INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTES")
+        ),
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+    name = _run_to_memory(joined, "ssjoin", output_mode="append")
+    return spark.table(name).orderBy("click_id", "purchase_id")
+
+
+STREAMING_JOIN_SQL = f"""
+WITH {_EV_US}
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+FROM ev c JOIN ev p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+ORDER BY click_id, purchase_id
+"""
+
+
 def streaming_count_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The count-based micro-batcher end to end (O9/O10): stream events →
     exact-size batch files (cap + remainder-flush semantics) → per-file row
@@ -91,9 +256,17 @@ def streaming_count_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "streaming_hourly_window": streaming_hourly_window,
+    "streaming_sliding_window": streaming_sliding_window,
+    "streaming_session_window": streaming_session_window,
+    "streaming_dedup_counts": streaming_dedup_counts,
+    "streaming_stream_join": streaming_stream_join,
     "streaming_count_batcher": streaming_count_batcher,
 }
 
 ORACLES = {
     "streaming_hourly_window": STREAMING_HOURLY_SQL,
+    "streaming_sliding_window": STREAMING_SLIDING_SQL,
+    "streaming_session_window": STREAMING_SESSION_SQL,
+    "streaming_dedup_counts": STREAMING_DEDUP_SQL,
+    "streaming_stream_join": STREAMING_JOIN_SQL,
 }
