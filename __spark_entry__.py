@@ -36,6 +36,7 @@ def _modules():
         "kafka_pyspark_bigdata_spark.operators.text",
         "kafka_pyspark_bigdata_spark.operators.multimodal",
         "kafka_pyspark_bigdata_spark.operators.pipeline",
+        "kafka_pyspark_bigdata_spark.sources.queries",
         "kafka_pyspark_bigdata_spark.ml.queries",
         "kafka_pyspark_bigdata_spark.streaming.queries",
     ):

@@ -232,6 +232,37 @@ ORDER BY click_id, purchase_id
 """
 
 
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    running totals updated across micro-batches. The memory sink holds one
+    row per (user, update); the FINAL state per user is the row with the
+    maximal (monotonically growing) event count — selected with ``max_by``
+    — and must equal the batch aggregate the oracle computes, however the
+    replay was split into batches."""
+    from .stateful import running_user_totals
+
+    stream = _events_stream(spark, sf_dir)
+    name = _run_to_memory(
+        running_user_totals(stream), "stateful", output_mode="update"
+    )
+    updates = spark.table(name)
+    return (
+        updates.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.expr("max_by(sum_cents, n_events)").alias("sum_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAMING_STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def streaming_count_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The count-based micro-batcher end to end (O9/O10): stream events →
     exact-size batch files (cap + remainder-flush semantics) → per-file row
@@ -260,6 +291,7 @@ QUERIES = {
     "streaming_session_window": streaming_session_window,
     "streaming_dedup_counts": streaming_dedup_counts,
     "streaming_stream_join": streaming_stream_join,
+    "streaming_stateful_totals": streaming_stateful_totals,
     "streaming_count_batcher": streaming_count_batcher,
 }
 
@@ -269,4 +301,5 @@ ORACLES = {
     "streaming_session_window": STREAMING_SESSION_SQL,
     "streaming_dedup_counts": STREAMING_DEDUP_SQL,
     "streaming_stream_join": STREAMING_JOIN_SQL,
+    "streaming_stateful_totals": STREAMING_STATEFUL_SQL,
 }

@@ -1,0 +1,104 @@
+"""Corpus-pipeline operator invariants + property tests (hypothesis) for
+the pure-Python serving coercion."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kafka_pyspark_bigdata_spark.ml.serving import coerce_features
+from kafka_pyspark_bigdata_spark.operators import pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.one_of(
+            st.integers(-10**6, 10**6),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            st.integers(-10**6, 10**6).map(str),
+        ),
+    )
+)
+def test_coerce_features_property(payload):
+    """Any numeric or numeric-string payload coerces losslessly; missing
+    keys default to 0.0 and land in the warning list (api.py:49-73)."""
+    cols = ["a", "b", "c"]
+    values, missing = coerce_features(payload, cols)
+    assert len(values) == 3
+    for c, v in zip(cols, values):
+        if c in payload:
+            assert v == float(payload[c])
+            assert c not in missing
+        else:
+            assert v == 0.0
+            assert c in missing
+
+
+def test_pack_greedy_invariants(spark):
+    """Packing is contiguous chunking per source: pack ids start at 0,
+    are non-decreasing in doc order, and every doc STARTS inside its pack
+    (cum_before < (pack_id + 1) * capacity)."""
+    rows = pipeline.corpus_pack_greedy(spark, SF).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, docs in by_source.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        prev_pack = 0
+        for r in docs:
+            assert r["pack_id"] == cum // pipeline.PACK_CAPACITY
+            assert r["pack_id"] >= prev_pack
+            prev_pack = r["pack_id"]
+            cum += r["n_tokens"]
+        assert docs[0]["pack_id"] == 0
+
+
+def test_split_and_sample_are_consistent(spark):
+    """The sample (bucket 0) must be a subset of the split's train side
+    (buckets 0-7) — both derive from the same hash."""
+    sample_ids = {
+        r["doc_id"] for r in pipeline.corpus_sample_hash(spark, SF).collect()
+    }
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF, "documents").withColumn(
+        "bucket", pipeline.hash_bucket_expr()
+    )
+    train_ids = {
+        r["doc_id"]
+        for r in docs.filter(F.col("bucket") < pipeline.TRAIN_BUCKETS).collect()
+    }
+    assert sample_ids and sample_ids <= train_ids
+
+
+def test_stateful_totals_match_batch(spark):
+    """applyInPandasWithState running totals must equal the batch
+    aggregate regardless of micro-batch splits."""
+    from kafka_pyspark_bigdata_spark.streaming.queries import (
+        streaming_stateful_totals,
+    )
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_cents"])
+        for r in streaming_stateful_totals(spark, SF).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")).alias(
+                "cents"
+            ),
+        )
+        .collect()
+    }
+    assert got == want

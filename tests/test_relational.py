@@ -60,3 +60,20 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must be result-identical to the plain equi-join while
+    spreading each key over the salt space."""
+    from kafka_pyspark_bigdata_spark.functions.joins import salted_join
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "okey")
+    orders = load_table(spark, sf, "orders").withColumnRenamed("o_orderkey", "okey")
+    plain = li.join(orders, "okey").select("okey", "l_linenumber", "o_custkey")
+    salted = salted_join(li, orders, "okey", salts=4).select(
+        "okey", "l_linenumber", "o_custkey"
+    )
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).isEmpty() and plain.exceptAll(salted).isEmpty()
