@@ -183,12 +183,153 @@ FROM documents ORDER BY doc_id
 """
 
 
+RESIZE_TARGET = 224  # fit-inside bounding box (the standard vision-model side)
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("target_w", IntegerType()),
+        StructField("target_h", IntegerType()),
+        StructField("scale", DoubleType()),
+    ]
+)
+
+
+def resize_image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the resize stub: compute the fit-inside
+    target geometry (what PIL's thumbnail() would use); the pixel resample
+    itself would live here in a real deployment."""
+    for pdf in batches:
+        n = pdf["payload"].map(len)
+        width = (64 + n % 512).astype("int64")
+        height = (64 + (n * 7) % 384).astype("int64")
+        longest = width.where(width >= height, height)
+        scale = (RESIZE_TARGET / longest).clip(upper=1.0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": width.astype("int32"),
+                "height": height.astype("int32"),
+                "target_w": (width * scale).astype("int64").astype("int32"),
+                "target_h": (height * scale).astype("int64").astype("int32"),
+                "scale": scale.astype("float64"),
+            }
+        )
+
+
+def mm_resize_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing: fit-inside-224 target geometry per image
+    (downscale only), over the same decode-dimension fakes. The arithmetic
+    is integer + one double divide/multiply with floor — bit-identical in
+    the SQL oracle."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.select("doc_id", "payload")
+        .mapInPandas(resize_image_batches, RESIZE_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+MM_RESIZE_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         64 + octet_length(encode(text)) % 512 AS w,
+         64 + (octet_length(encode(text)) * 7) % 384 AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id, w, h,
+         least(1.0, {RESIZE_TARGET} / CAST(greatest(w, h) AS DOUBLE)) AS scale
+  FROM dims
+)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(FLOOR(w * scale) AS INTEGER) AS target_w,
+       CAST(FLOOR(h * scale) AS INTEGER) AS target_h,
+       scale
+FROM s ORDER BY doc_id
+"""
+
+
+# PCM-stand-in framing constants (25 ms window / 10 ms hop at 16 kHz).
+AUDIO_WINDOW = 400
+AUDIO_HOP = 160
+AUDIO_RATE = 16_000
+ENERGY_PREFIX = 64
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_s", DoubleType()),
+        StructField("n_windows", IntegerType()),
+        StructField("energy_prefix", IntegerType()),
+    ]
+)
+
+
+def audio_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the audio stub: payload bytes as 8-bit PCM —
+    frame count from window/hop framing, energy from the byte prefix (an
+    exact integer, proving the bytes reached the UDF)."""
+    for pdf in batches:
+        n = pdf["payload"].map(len).astype("int64")
+        n_windows = (1 + (n - AUDIO_WINDOW).clip(lower=0) // AUDIO_HOP).where(
+            n >= AUDIO_WINDOW, 0
+        )
+        energy = pdf["payload"].map(lambda b: int(sum(b[:ENERGY_PREFIX])))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_samples": n.astype("int32"),
+                "duration_s": (n / AUDIO_RATE).astype("float64"),
+                "n_windows": n_windows.astype("int32"),
+                "energy_prefix": energy.astype("int32"),
+            }
+        )
+
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction stub: 25 ms / 10 ms framing stats and a
+    prefix energy over binary payloads — the librosa/torchaudio slot in a
+    real pipeline, with the Spark plumbing (binary column → Arrow batches
+    → typed feature rows) fully real."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.select("doc_id", "payload")
+        .mapInPandas(audio_feature_batches, AUDIO_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+MM_AUDIO_SQL = f"""
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n, text FROM documents
+)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS n_samples,
+       CAST(n AS DOUBLE) / {AUDIO_RATE} AS duration_s,
+       CAST(CASE WHEN n >= {AUDIO_WINDOW}
+                 THEN 1 + (n - {AUDIO_WINDOW}) // {AUDIO_HOP} ELSE 0 END
+            AS INTEGER) AS n_windows,
+       CAST(list_sum(list_transform(range(1, least({ENERGY_PREFIX}, n) + 1),
+                                    i -> ascii(substr(text, i, 1)))) AS INTEGER)
+         AS energy_prefix
+FROM b ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_decode_image": mm_decode_image,
     "mm_frame_sample": mm_frame_sample,
+    "mm_resize_image": mm_resize_image,
+    "mm_audio_features": mm_audio_features,
 }
 
 ORACLES = {
     "mm_decode_image": MM_DECODE_SQL,
     "mm_frame_sample": MM_FRAME_SQL,
+    "mm_resize_image": MM_RESIZE_SQL,
+    "mm_audio_features": MM_AUDIO_SQL,
 }
