@@ -93,12 +93,170 @@ ORDER BY o_orderpriority, quartile
 """
 
 
+def _shipped_parts(spark, sf_dir: str, year: int):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(f"{year}-01-01 00:00:00").cast("timestamp"))
+            & (
+                F.col("l_shipdate")
+                < F.lit(f"{year + 1}-01-01 00:00:00").cast("timestamp")
+            )
+        )
+        .select("l_partkey")
+    )
+
+
+def q_intersect_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set operator (absent from the reference — SURVEY.md §2
+    "set ops"): parts shipped in BOTH 1997 and 1998. Spark plans it as a
+    left-semi over deduped sides — one shuffle per side on the key."""
+    return (
+        _shipped_parts(spark, sf_dir, 1997)
+        .intersect(_shipped_parts(spark, sf_dir, 1998))
+        .orderBy("l_partkey")
+    )
+
+
+Q_INTERSECT_SQL = """
+SELECT l_partkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+INTERSECT
+SELECT l_partkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+ORDER BY l_partkey
+"""
+
+
+def q_except_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set operator: parts shipped in 1997 but NOT in 1998 (the
+    churn query). ``subtract`` is SQL EXCEPT [DISTINCT] — set semantics
+    (any 1998 appearance removes the key), planned as a left-anti over
+    deduped sides."""
+    return (
+        _shipped_parts(spark, sf_dir, 1997)
+        .subtract(_shipped_parts(spark, sf_dir, 1998))
+        .orderBy("l_partkey")
+    )
+
+
+Q_EXCEPT_SQL = """
+SELECT l_partkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+EXCEPT
+SELECT l_partkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+ORDER BY l_partkey
+"""
+
+
+def q_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD-based inter-event gaps per user, aggregated to exact stats —
+    the forward-looking window twin of the lag-based sessionizer. Gaps are
+    integer microseconds, so the sum/avg are engine-exact without decimal
+    help."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    gaps = ev.select("user_id", gap.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.max("gap_us").alias("max_gap_us"),
+            (F.sum("gap_us").cast("double") / F.count("*")).alias("avg_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_LEAD_GAP_SQL = f"""
+WITH {_EV_US},
+g AS (
+  SELECT user_id,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS gap_us
+  FROM ev
+)
+SELECT user_id, COUNT(*) AS n_gaps, MAX(gap_us) AS max_gap_us,
+       CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function library breadth in one projection: string ops
+    (substring/upper/concat/length/replace), date parts and interval
+    arithmetic, math (abs/sqrt/greatest/least), conditional CASE — every
+    expression chosen for bit-identical cross-engine semantics (sqrt is
+    IEEE-exact; no libm transcendentals)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.upper(F.substring("o_orderpriority", 3, 20)).alias("priority_word"),
+            F.length("o_orderstatus").alias("status_len"),
+            F.concat_ws("-", "o_orderstatus", F.col("o_custkey").cast("string")).alias(
+                "status_cust"
+            ),
+            F.replace(
+                F.col("o_orderpriority"), F.lit("-"), F.lit("_")
+            ).alias("priority_snake"),
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+            F.dayofmonth("o_orderdate").alias("o_day"),
+            F.date_format(
+                F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+                "yyyy-MM-dd",
+            ).alias("due_date"),
+            F.abs(F.col("o_totalprice") - F.lit(100000.0)).alias("price_dev"),
+            F.sqrt("o_totalprice").alias("price_sqrt"),
+            F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("price_floor"),
+            F.when(F.col("o_orderstatus") == "F", F.lit("finished"))
+            .when(F.col("o_orderstatus") == "O", F.lit("open"))
+            .otherwise(F.lit("pending"))
+            .alias("status_name"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+Q_SCALAR_SQL = """
+SELECT o_orderkey,
+       upper(substr(o_orderpriority, 3, 20)) AS priority_word,
+       CAST(length(o_orderstatus) AS INTEGER) AS status_len,
+       o_orderstatus || '-' || CAST(o_custkey AS VARCHAR) AS status_cust,
+       replace(o_orderpriority, '-', '_') AS priority_snake,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS o_month,
+       CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS o_day,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+       abs(o_totalprice - 100000.0) AS price_dev,
+       sqrt(o_totalprice) AS price_sqrt,
+       greatest(o_totalprice, 50000.0) AS price_floor,
+       CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
+            ELSE 'pending' END AS status_name
+FROM orders ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "q_moving_avg": q_moving_avg,
     "q_ntile_quartiles": q_ntile_quartiles,
+    "q_intersect_parts": q_intersect_parts,
+    "q_except_parts": q_except_parts,
+    "q_lead_gap": q_lead_gap,
+    "q_scalar_functions": q_scalar_functions,
 }
 
 ORACLES = {
     "q_moving_avg": Q_MOVING_AVG_SQL,
     "q_ntile_quartiles": Q_NTILE_SQL,
+    "q_intersect_parts": Q_INTERSECT_SQL,
+    "q_except_parts": Q_EXCEPT_SQL,
+    "q_lead_gap": Q_LEAD_GAP_SQL,
+    "q_scalar_functions": Q_SCALAR_SQL,
 }
