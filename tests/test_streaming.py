@@ -170,3 +170,37 @@ def test_kafka_roundtrip_against_real_broker(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.table(name).select("event_id").distinct().count() == 1000
+
+
+def test_count_batcher_across_micro_batches(spark, tmp_path):
+    """The remainder-carry path must hold when the stream arrives as MANY
+    micro-batches (maxFilesPerTrigger=1): 4 files × 250 rows with
+    batch_size=300 forces a carry into every batch; final flush lands the
+    100-row tail. Total rows preserved exactly."""
+    src_dir = str(tmp_path / "src")
+    ev = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    ev.repartition(4).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    b = run_count_batched_stream(
+        stream,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        batch_size=300,
+        max_batches=10,
+    )
+    sizes = {
+        r.batch_id: r.n_rows
+        for r in b.result(spark)
+        .groupBy("batch_id")
+        .agg(F.count("*").alias("n_rows"))
+        .collect()
+    }
+    assert sum(sizes.values()) == 1000
+    full = {k: v for k, v in sizes.items() if v == 300}
+    assert len(full) == 3 and sizes[max(sizes)] == 100
+    assert b.result(spark).select("event_id").distinct().count() == 1000
