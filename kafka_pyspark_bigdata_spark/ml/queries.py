@@ -198,8 +198,34 @@ def ml_incremental_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("version", "feature")
 
 
+def ml_eval_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval loop closure: hash-deterministic 80/20 split of lineitem
+    (same content-addressed bucketing as operators.pipeline), train on the
+    train side only, score RMSE/MAE on the held-out side — one aggregate
+    over the transformed eval frame, computed distributed (no collect of
+    predictions)."""
+    from ..operators.pipeline import TRAIN_BUCKETS, hash_bucket_expr
+
+    df = load_table(spark, sf_dir, "lineitem").withColumn(
+        "bucket", hash_bucket_expr("l_orderkey")
+    )
+    train_df = df.filter(F.col("bucket") < TRAIN_BUCKETS)
+    eval_df = df.filter(F.col("bucket") >= TRAIN_BUCKETS)
+    model = trainer.train(train_df, LINEITEM_FEATURES, LINEITEM_LABEL)
+    prepared = trainer.cast_prune(eval_df, LINEITEM_FEATURES, LINEITEM_LABEL)
+    scored = model.transform(prepared).select(
+        (F.col("prediction") - F.col(LINEITEM_LABEL)).alias("err")
+    )
+    return scored.agg(
+        F.count("*").alias("n_eval"),
+        F.sqrt(F.avg(F.col("err") * F.col("err"))).alias("rmse"),
+        F.avg(F.abs("err")).alias("mae"),
+    )
+
+
 QUERIES = {
     "ml_feature_importances": ml_feature_importances,
+    "ml_eval_rmse": ml_eval_rmse,
     "ml_predict_grid": ml_predict_grid,
     "ml_sensitivity_quantity": ml_sensitivity_quantity,
     "ml_optimal_hour": ml_optimal_hour,

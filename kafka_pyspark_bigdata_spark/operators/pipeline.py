@@ -220,7 +220,47 @@ FROM c ORDER BY doc_id
 """
 
 
+def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: keep a source-specific fraction of each
+    source's documents (bucket < rate), deterministically. The per-source
+    rate is the mixture recipe — here derived from the fixture's source id
+    (``srcN`` → rate 1 + N mod 9 out of 10; a real pipeline supplies a
+    rate table the same way, broadcast or inlined). The mixing decision is
+    computable row-locally, so remixing 100 TB is a single map-side scan
+    and the kept set is stable across runs (a re-run adds/removes
+    nothing). Returns per-source kept/total/rate."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "bucket", hash_bucket_expr()
+    )
+    rate = (
+        F.lit(1)
+        + F.pmod(F.substring("source", 4, 10).try_cast("int"), F.lit(9))
+    ).cast("int")
+    return (
+        docs.withColumn("rate", rate)
+        .groupBy("source", "rate")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(F.col("bucket") < F.col("rate"), 1)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIX_RATE_SQL = "CAST(1 + CAST(substr(source, 4) AS INTEGER) % 9 AS INTEGER)"
+
+CORPUS_MIX_SQL = f"""
+SELECT source, {_MIX_RATE_SQL} AS rate,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE {_bucket_sql()} < {_MIX_RATE_SQL}) AS n_kept
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "corpus_mix_weighted": corpus_mix_weighted,
     "corpus_sample_hash": corpus_sample_hash,
     "corpus_split_stats": corpus_split_stats,
     "text_decontaminate": text_decontaminate,
@@ -229,6 +269,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_mix_weighted": CORPUS_MIX_SQL,
     "corpus_sample_hash": CORPUS_SAMPLE_SQL,
     "corpus_split_stats": CORPUS_SPLIT_SQL,
     "text_decontaminate": TEXT_DECONTAMINATE_SQL,
