@@ -126,7 +126,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
-    with_df = inv.join(inv.groupBy("s").agg(F.count("*").alias("df")), "s")
+    # doc frequency via an unordered window over the shingle key: ONE
+    # shuffle of the inverted index instead of the groupBy + join-back
+    # pair (same df values, two fewer exchanges).
+    with_df = inv.withColumn(
+        "df", F.count("*").over(Window.partitionBy("s"))
+    )
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
     prefix_len = F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + F.lit(1)
     prefix = with_df.withColumn("rk", F.row_number().over(w)).filter(

@@ -77,3 +77,23 @@ def test_salted_join_matches_plain_join(spark):
     )
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).isEmpty() and plain.exceptAll(salted).isEmpty()
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned layout + a partition-column filter must plan
+    partition pruning (the scan lists ONE directory, not five) — the
+    storage-layout half of predicate pushdown."""
+    from pyspark.sql import functions as F
+
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    out = str(tmp_path / "events_by_type")
+    load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "value", "event_type"
+    ).write.partitionBy("event_type").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+    n_click = df.count()
+    assert 0 < n_click < 1000
