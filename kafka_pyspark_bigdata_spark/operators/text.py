@@ -181,8 +181,61 @@ FROM documents ORDER BY doc_id
 """
 
 
+# BPE-ish pre-tokenizer: the GPT-2-style pre-split reduced to three
+# portable character classes (letter runs / digit runs / single
+# non-alphanumeric marks). Class-based, no lookarounds → identical
+# semantics under Java regex (Spark) and RE2 (DuckDB).
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish regex variant (complements the whitespace
+    tokenizer in ``text_token_stats``): piece counts per class — the
+    pre-tokenization statistics a tokenizer-training pipeline collects.
+    Still a pure expression tree: regexp_extract_all + filters, no UDF."""
+    docs = load_documents(spark, sf_dir)
+    pieces = F.expr(
+        f"regexp_extract_all(regexp_replace(lower(text), '\\\\s+', ' '), '{BPE_PATTERN}', 0)"
+    )
+    alpha = F.size(F.filter("pieces", lambda p: p.rlike("^[a-z]+$")))
+    num = F.size(F.filter("pieces", lambda p: p.rlike("^[0-9]+$")))
+    return (
+        docs.withColumn("pieces", pieces)
+        .select(
+            "doc_id",
+            F.size("pieces").alias("n_pieces"),
+            alpha.alias("n_word_pieces"),
+            num.alias("n_number_pieces"),
+            (F.size("pieces") - alpha - num).alias("n_punct_pieces"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_TOKEN_BPE_SQL = rf"""
+WITH p AS (
+  SELECT doc_id,
+         regexp_extract_all(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                            '{BPE_PATTERN}') AS pieces
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(pieces) AS INTEGER) AS n_pieces,
+       CAST(len(list_filter(pieces, x -> regexp_full_match(x, '[a-z]+'))) AS INTEGER)
+         AS n_word_pieces,
+       CAST(len(list_filter(pieces, x -> regexp_full_match(x, '[0-9]+'))) AS INTEGER)
+         AS n_number_pieces,
+       CAST(len(pieces)
+            - len(list_filter(pieces, x -> regexp_full_match(x, '[a-z]+')))
+            - len(list_filter(pieces, x -> regexp_full_match(x, '[0-9]+')))
+            AS INTEGER) AS n_punct_pieces
+FROM p ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_token_bpe": text_token_bpe,
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
@@ -190,6 +243,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_token_bpe": TEXT_TOKEN_BPE_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

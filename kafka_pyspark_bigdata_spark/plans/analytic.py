@@ -243,9 +243,103 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+KMV_K = 256
+_HASH_SPACE = float(1 << 60)  # 15 hex chars
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch over l_partkey — a
+    DETERMINISTIC sketch (public Bar-Yossef et al. estimator): hash every
+    distinct key to [0,1), keep the k smallest hashes, estimate
+    (k−1)/h_(k). Unlike HLL's engine-specific registers, the md5-based
+    hash makes the estimate bit-reproducible, so the oracle verifies the
+    SKETCH itself, not just the answer. Scale shape: the k-smallest
+    selection is orderBy+limit → per-partition top-k heaps + driver merge
+    of k rows (never a global sort), i.e. the same mergeable-summary
+    pattern a distributed sketch library uses. The exact count rides
+    along for the error check."""
+    d = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .distinct()
+    )
+    hv = (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.col("l_partkey").cast("string"), "UTF-8")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(_HASH_SPACE)
+    )
+    mink = d.select(hv.alias("hv")).orderBy("hv").limit(KMV_K)
+    kth = mink.agg(F.max("hv").alias("kth_hash"))
+    exact = d.agg(F.count("*").alias("exact_distinct"))
+    return (
+        kth.crossJoin(exact)
+        .select(
+            F.lit(KMV_K).alias("k"),
+            "kth_hash",
+            (F.lit(KMV_K - 1) / F.col("kth_hash")).alias("est_distinct"),
+            "exact_distinct",
+        )
+    )
+
+
+SKETCH_KMV_SQL = f"""
+WITH d AS (SELECT DISTINCT l_partkey FROM lineitem),
+h AS (
+  SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+           / CAST({int(_HASH_SPACE)} AS DOUBLE) AS hv
+  FROM d
+),
+mink AS (SELECT hv FROM h ORDER BY hv LIMIT {KMV_K})
+SELECT {KMV_K} AS k, MAX(hv) AS kth_hash,
+       ({KMV_K} - 1) / MAX(hv) AS est_distinct,
+       (SELECT COUNT(*) FROM d) AS exact_distinct
+FROM mink
+"""
+
+
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the spark.sql entry point (every other query
+    uses the DataFrame API; this proves the SQL front door plans the same
+    one-shuffle expand). Three explicit sets — per segment, per status,
+    and the cross — in one pass."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus),
+                                (c_mktsegment, o_orderstatus))
+        ORDER BY segment, status
+        """
+    )
+
+
+Q_SQL_GROUPING_SETS_SQL = """
+SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus),
+                        (c_mktsegment, o_orderstatus))
+ORDER BY segment, status
+"""
+
+
 QUERIES = {
     "q_moving_avg": q_moving_avg,
     "q_ntile_quartiles": q_ntile_quartiles,
+    "sketch_kmv_distinct": sketch_kmv_distinct,
+    "q_sql_grouping_sets": q_sql_grouping_sets,
     "q_intersect_parts": q_intersect_parts,
     "q_except_parts": q_except_parts,
     "q_lead_gap": q_lead_gap,
@@ -255,6 +349,8 @@ QUERIES = {
 ORACLES = {
     "q_moving_avg": Q_MOVING_AVG_SQL,
     "q_ntile_quartiles": Q_NTILE_SQL,
+    "sketch_kmv_distinct": SKETCH_KMV_SQL,
+    "q_sql_grouping_sets": Q_SQL_GROUPING_SETS_SQL,
     "q_intersect_parts": Q_INTERSECT_SQL,
     "q_except_parts": Q_EXCEPT_SQL,
     "q_lead_gap": Q_LEAD_GAP_SQL,
