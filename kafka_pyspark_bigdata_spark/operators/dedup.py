@@ -266,7 +266,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes() -> str:
+    """The shared CTE chain ending in ``verified`` (doc_a, doc_b, jaccard)
+    — used by the pair query and by the connected-components oracle."""
     sig_exprs = ",\n         ".join(
         f"MIN(md5('{i}:' || s)) AS sig{i}" for i in range(NUM_HASHES)
     )
@@ -284,8 +286,7 @@ def _minhash_sql() -> str:
         f" AND a.doc_id < b.doc_id"
         for b in range(NUM_BANDS)
     )
-    return f"""
-WITH {SHINGLES_CTE},
+    return f"""{SHINGLES_CTE},
 sigs AS (
   SELECT doc_id,
          {sig_exprs}
@@ -310,7 +311,12 @@ verified AS (
   FROM cand c
   JOIN sh x ON x.doc_id = c.doc_a
   JOIN sh y ON y.doc_id = c.doc_b
-)
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_minhash_ctes()}
 SELECT doc_a, doc_b, jaccard FROM verified
 WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
 ORDER BY doc_a, doc_b
@@ -435,8 +441,96 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs (pairs → clusters)
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 20
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the MinHash+LSH pairs: connected components
+    with the minimum doc_id as each cluster's canonical id — the step that
+    turns a pair list into an actual keep/drop decision (a doc near-dups
+    A and A near-dups B ⇒ one cluster, one survivor).
+
+    Iterative min-label propagation, the standard distributed CC: each
+    round every node takes the min of its own label and its neighbors'
+    labels (one join + one partial-agg shuffle per round), terminating
+    when a round changes nothing. Rounds needed = graph diameter — for
+    near-dup clusters, single digits; a 20-round cap guards pathological
+    chains. The only driver-side work per round is a count of changed
+    labels; labels/edges stay executor-side throughout (localCheckpoint
+    per round truncates the growing lineage)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.doc_a, reach.r FROM edges e JOIN reach ON e.doc_b = reach.doc_id
+)
+SELECT doc_id, MIN(r) AS cluster_id
+FROM reach GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_clusters": dedup_clusters,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -445,6 +539,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
