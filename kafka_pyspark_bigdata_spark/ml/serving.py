@@ -24,7 +24,7 @@ from __future__ import annotations
 from numbers import Number
 
 from pyspark.ml import PipelineModel
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import FloatType, StructField, StructType
 
