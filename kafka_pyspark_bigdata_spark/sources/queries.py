@@ -76,12 +76,31 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON-lines files → explicit-schema scan → aggregate: the
+    third file format (after parquet fixtures and CSV batches), same
+    losslessness contract."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="jsonl_rt_"), "events_jsonl")
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(_RT_SCHEMA).json(out)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n_rows"), dsum("value").alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q_csv_roundtrip": q_csv_roundtrip,
     "q_json_roundtrip": q_json_roundtrip,
+    "q_jsonl_roundtrip": q_jsonl_roundtrip,
 }
 
 ORACLES = {
     "q_csv_roundtrip": Q_CSV_ROUNDTRIP_SQL,
     "q_json_roundtrip": Q_CSV_ROUNDTRIP_SQL,
+    "q_jsonl_roundtrip": Q_CSV_ROUNDTRIP_SQL,
 }

@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the scale properties SCALE.md claims
+must stay in the PLANNED plan, not just in docstrings. Checked with AQE
+disabled so the pre-runtime plan is inspected deterministically."""
+
+from __future__ import annotations
+
+import contextlib
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+@contextlib.contextmanager
+def _conf(spark, **kv):
+    old = {k: spark.conf.get(k) for k in kv}
+    for k, v in kv.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_pushes_every_predicate_and_prunes_columns(spark):
+    from kafka_pyspark_bigdata_spark.plans.tpch_extra import q6_forecast_revenue
+
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        plan = _plan(q6_forecast_revenue(spark, SF))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for name in ("l_shipdate", "l_discount", "l_quantity"):
+        assert name in pushed, pushed
+    schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # only the three needed columns are read — no l_extendedprice-free scan
+    assert "l_extendedprice" in schema and "l_orderkey" not in schema, schema
+
+
+def test_q1_is_single_shuffle_partial_agg(spark):
+    from kafka_pyspark_bigdata_spark.plans.relational import q1_pricing_summary
+
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        plan = _plan(q1_pricing_summary(spark, SF))
+    # one partial + one final aggregate around exactly one hash exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_sum" in plan or "partial" in plan, plan
+
+
+def test_q3_broadcasts_customer_dimension(spark):
+    from kafka_pyspark_bigdata_spark.plans.relational import q3_shipping_priority
+
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        plan = _plan(q3_shipping_priority(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_top_customers_aggregates_before_join(spark):
+    """The shuffle must carry customer keys, not order rows: the hash
+    exchange for the aggregate sits BELOW the join in the plan tree."""
+    from kafka_pyspark_bigdata_spark.plans.relational import q_top_customers
+
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        plan = _plan(q_top_customers(spark, SF))
+    join_pos = plan.find("Join")
+    agg_exchange_pos = plan.find("Exchange hashpartitioning(o_custkey")
+    assert 0 <= join_pos < agg_exchange_pos, plan[:2000]
+
+
+def test_text_ops_have_no_python_stage(spark):
+    """Text operators must stay JVM-side: no BatchEvalPython / ArrowEval
+    (Python UDF) stages anywhere in the plan."""
+    from kafka_pyspark_bigdata_spark.operators.text import text_quality
+
+    plan = _plan(text_quality(spark, SF))
+    assert "EvalPython" not in plan and "PythonUDF" not in plan, plan
