@@ -41,20 +41,24 @@ def main() -> None:
         "q21_waiting_supplier",
         "q_asof_click_purchase",
         "q_sessionize",
-        # text / dedup / similarity / multimodal extensions
+        # text / similarity / multimodal / dedup extensions — ordered
+        # light→heavy: the multi-shuffle dedup queries run LAST so their
+        # GC/memory pressure cannot inflate the timings of the queries
+        # after them (observed ~3x inflation when a heavy query precedes
+        # the ANN set).
         "text_quality",
         "text_fingerprint",
+        "ann_topk_bruteforce",
+        "ann_lsh_bucketed",
+        "ann_ivf",
+        "mm_decode_image",
         # dedup_embedding_lsh is correctness-gated but not a headline: at
         # the 0.45 cosine threshold its candidate set is ~2/3 of all pairs
         # (low-similarity LSH regime), so timing it just times the verify
         # cross-product, not the operator's scale path.
         "dedup_exact",
-        "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
-        "ann_topk_bruteforce",
-        "ann_lsh_bucketed",
-        "ann_ivf",
-        "mm_decode_image",
+        "dedup_ngram_jaccard",
     ]
     # Never let a stale name crash the bench (round-1 lesson): time only the
     # queries that are actually registered.
