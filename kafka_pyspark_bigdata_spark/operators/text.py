@@ -233,9 +233,90 @@ FROM p ORDER BY doc_id
 """
 
 
+# Winnowing parameters (Schleimer et al. "Winnowing: Local Algorithms for
+# Document Fingerprinting", public literature): k-gram rolling hashes,
+# window-of-w minima selected as the document's fingerprints.
+WINNOW_K = 8          # chars per k-gram
+WINNOW_W = 4          # window of consecutive k-gram hashes
+_WB = 31              # polynomial base
+_WM = 1_000_000_007   # modulus (sum of 8 terms stays < 2^63 pre-mod)
+_W_POWS = [pow(_WB, WINNOW_K - 1 - j) for j in range(WINNOW_K)]
+
+
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via ROLLING hash + winnowing: polynomial
+    k-gram hashes over the normalized text, then the minimum of every
+    w-window (ties → leftmost via position tiebreak is unnecessary since
+    plain min over values is taken identically in both engines) — the
+    classic local fingerprinting scheme whose guarantee is that any match
+    of length ≥ k+w−1 shares a fingerprint. Pure integer expression tree
+    (ascii codes × precomputed base powers, mod a 31-bit prime): no UDF,
+    engine-exact. Output is the per-doc fingerprint-set summary (count /
+    min / max / sum) — the joinable form; exploding (doc_id, fp) pairs for
+    cross-doc matching is one `explode` away."""
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id", normalized_text_expr().alias("norm")
+    )
+    gram_hash = " + ".join(
+        f"CAST(ascii(substr(norm, i + {j}, 1)) AS BIGINT) * {_W_POWS[j]}L"
+        for j in range(WINNOW_K)
+    )
+    hashes = F.expr(
+        f"transform(sequence(1, greatest(1, length(norm) - {WINNOW_K - 1})),"
+        f" i -> ({gram_hash}) % {_WM}L)"
+    )
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(1, size(hs) - {WINNOW_W - 1})),"
+        f" i -> array_min(slice(hs, i, {WINNOW_W}))))"
+    )
+    return (
+        docs.withColumn("hs", hashes)
+        .withColumn("fps", fps)
+        .select(
+            "doc_id",
+            F.size("fps").alias("n_fingerprints"),
+            F.array_min("fps").alias("min_fp"),
+            F.array_max("fps").alias("max_fp"),
+            F.aggregate(
+                "fps", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            ).alias("sum_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _winnow_sql() -> str:
+    gram_hash = " + ".join(
+        f"CAST(ascii(substr(norm, i + {j}, 1)) AS BIGINT) * {_W_POWS[j]}"
+        for j in range(WINNOW_K)
+    )
+    return f"""
+WITH n AS (SELECT doc_id, {NORMALIZED_SQL} AS norm FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(1, length(norm) - {WINNOW_K - 1}) + 1),
+                        i -> ({gram_hash}) % {_WM}) AS hs
+  FROM n
+),
+f AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(1, len(hs) - {WINNOW_W - 1}) + 1),
+                                      i -> list_min(hs[i:i+{WINNOW_W - 1}]))) AS fps
+  FROM h
+)
+SELECT doc_id,
+       CAST(len(fps) AS INTEGER) AS n_fingerprints,
+       list_min(fps) AS min_fp,
+       list_max(fps) AS max_fp,
+       CAST(list_sum(fps) AS BIGINT) AS sum_fp
+FROM f ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_token_bpe": text_token_bpe,
+    "text_winnow_fingerprint": text_winnow_fingerprint,
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
@@ -244,6 +325,7 @@ QUERIES = {
 ORACLES = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_token_bpe": TEXT_TOKEN_BPE_SQL,
+    "text_winnow_fingerprint": _winnow_sql(),
     "text_langid": TEXT_LANGID_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
