@@ -27,8 +27,15 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``key`` with the hot-key load spread
     over ``salts`` reducers. ``small`` is replicated ``salts``× (keep it
-    the dimension side). Output columns match ``big.join(small, key, how)``.
-    """
+    the dimension side). Output columns match ``big.join(small, key, how)``
+    for inner/left/semi/anti joins; right/full outer are rejected — an
+    unmatched small-side row exists once per salt replica, so outer-side
+    preservation would duplicate it."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, not {how!r}"
+        )
     big_salted = big.withColumn(
         _SALT,
         F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salts)).cast("int"),

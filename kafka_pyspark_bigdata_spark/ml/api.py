@@ -26,6 +26,7 @@ the app without Flask installed raises at ``create_app`` time.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import SparkSession
 
 from . import serving, trainer
@@ -112,6 +113,12 @@ def create_app(
         # Per-variation validation: failures become error rows, survivors go
         # through ONE exploded sweep plan (the order-based re-association of
         # api.py:166-210 is deleted — the varied value rides as a column).
+        # The sweep stores features as float32, so re-association keys must
+        # be the float32-ROUNDED value (float(0.1) would miss the rounded
+        # 0.10000000149... coming back from Spark).
+        def _f32(v) -> float:
+            return float(np.float32(float(v)))
+
         valid, row_err = [], {}
         for v in values:
             try:
@@ -140,7 +147,7 @@ def create_app(
                     {
                         "varied_feature": feat,
                         "value": v,
-                        "predicted_duration": predicted[float(v)],
+                        "predicted_duration": predicted[_f32(v)],
                         "base_features_snapshot": {**base, feat: v},
                     }
                 )
@@ -180,7 +187,7 @@ def create_app(
             t_max, t_min, minute = float(t_max), float(t_min), int(minute)
             if not (0 <= minute <= 59):
                 raise ValueError("minute_of_hour must be between 0 and 59.")
-        except ValueError as ve:
+        except (TypeError, ValueError) as ve:
             return (
                 jsonify({"error": f"Invalid type for target durations or minute: {ve}"}),
                 400,

@@ -9,14 +9,13 @@ share two trainings.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.ml import PipelineModel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
-from ..sources.batch import load_table
+from ..sources.batch import load_table, scratch_dir
 from . import serving, trainer
 
 LINEITEM_FEATURES = ["l_quantity", "l_discount", "l_tax", "l_linenumber"]
@@ -119,7 +118,7 @@ def ml_predict_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
     (spark_trainer.py:82-84 → api.py:24-37 handoff), and prove the loaded
     model reproduces the in-memory model's grid predictions bit-for-bit."""
     model = _lineitem_model(spark, sf_dir)
-    base_dir = tempfile.mkdtemp(prefix="kpbd_models_")
+    base_dir = scratch_dir("models", sf_dir)
     trainer.save_model(model, base_dir, 1, LINEITEM_FEATURES)
     loaded = trainer.load_model(base_dir, 1)
     grid = [
@@ -165,7 +164,7 @@ def ml_incremental_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("ts").cast("double").alias("dow"),
         "value",
     )
-    out_dir = tempfile.mkdtemp(prefix="incr_train_")
+    out_dir = scratch_dir("incr_train", sf_dir)
     batcher = run_count_batched_stream(
         stream,
         out_dir=out_dir,

@@ -40,7 +40,9 @@ def coerce_features(
     """missing→0.0 (collected in a warning list), non-numeric→ValueError
     (api.py:49-73). Numeric strings like "12.5" are accepted — the
     reference coerces with ``float(val)`` (api.py:61-65), which parses
-    strings; only values float() rejects are collected as bad."""
+    strings; only values float() rejects are collected as bad. NOTE this
+    deliberately also admits booleans as 1.0/0.0 (float(True) succeeds),
+    matching the reference's float(val) behavior for JSON true/false."""
     values, missing, bad = [], [], []
     for c in feature_cols:
         v = payload.get(c)

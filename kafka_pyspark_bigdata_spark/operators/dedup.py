@@ -477,6 +477,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(CC_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -502,6 +503,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Fail loudly rather than return split components: the oracle
+        # computes the exact transitive closure, and a silently-truncated
+        # propagation would produce wrong (and data-dependent) labels.
+        raise RuntimeError(
+            f"connected components did not converge in {CC_MAX_ITERS} rounds"
+        )
     return labels.select(
         "doc_id", F.col("label").alias("cluster_id")
     ).orderBy("doc_id")

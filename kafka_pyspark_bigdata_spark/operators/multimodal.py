@@ -138,8 +138,8 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
        CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
        CAST(64 + (octet_length(encode(text)) * 7) % 384 AS INTEGER) AS height,
-       CAST(list_sum(list_transform(range(1, least({CHECKSUM_PREFIX}, octet_length(encode(text))) + 1),
-                                    i -> ascii(substr(text, i, 1)))) % 65536 AS INTEGER)
+       CAST(COALESCE(list_sum(list_transform(range(1, least({CHECKSUM_PREFIX}, octet_length(encode(text))) + 1),
+                                    i -> ascii(substr(text, i, 1)))), 0) % 65536 AS INTEGER)
          AS checksum16,
        CAST(64 + octet_length(encode(text)) % 512 AS DOUBLE)
          / CAST(64 + (octet_length(encode(text)) * 7) % 384 AS DOUBLE) AS aspect_ratio
@@ -313,8 +313,8 @@ SELECT doc_id,
        CAST(CASE WHEN n >= {AUDIO_WINDOW}
                  THEN 1 + (n - {AUDIO_WINDOW}) // {AUDIO_HOP} ELSE 0 END
             AS INTEGER) AS n_windows,
-       CAST(list_sum(list_transform(range(1, least({ENERGY_PREFIX}, n) + 1),
-                                    i -> ascii(substr(text, i, 1)))) AS INTEGER)
+       CAST(COALESCE(list_sum(list_transform(range(1, least({ENERGY_PREFIX}, n) + 1),
+                                    i -> ascii(substr(text, i, 1)))), 0) AS INTEGER)
          AS energy_prefix
 FROM b ORDER BY doc_id
 """

@@ -12,9 +12,25 @@ full extra scan of the data).
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+
+def scratch_dir(tag: str, sf_dir: str) -> str:
+    """Fixed per-(tag, sf) scratch path, WIPED on each call: repeated
+    driver/bench/oracle runs reuse one directory instead of leaking a new
+    mkdtemp per invocation."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "kpbd_scratch",
+        f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    return base
 
 
 def table_path(sf_dir: str, name: str) -> str:

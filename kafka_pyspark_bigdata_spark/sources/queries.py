@@ -13,7 +13,6 @@ post-round-trip aggregate must hash-match the parquet-side oracle.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,7 +26,7 @@ from pyspark.sql.types import (
 
 from ..functions.numeric import dsum, dsum_sql
 from ..streaming.kafka import decode_json_stream, encode_json
-from .batch import load_table, read_csv, write_csv
+from .batch import load_table, read_csv, scratch_dir, write_csv
 
 _RT_SCHEMA = StructType(
     [
@@ -45,7 +44,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "events_csv")
+    out = os.path.join(scratch_dir("csv_rt", sf_dir), "events_csv")
     write_csv(ev, out)
     back = read_csv(spark, out, _RT_SCHEMA)
     return (
@@ -83,7 +82,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="jsonl_rt_"), "events_jsonl")
+    out = os.path.join(scratch_dir("jsonl_rt", sf_dir), "events_jsonl")
     ev.write.mode("overwrite").json(out)
     back = spark.read.schema(_RT_SCHEMA).json(out)
     return (

@@ -10,7 +10,6 @@ values, not just its row count.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from ..functions.numeric import dsum_sql
+from ..sources.batch import scratch_dir
 from .batcher import run_count_batched_stream
 from .windows import session_agg, sliding_agg, tumbling_agg
 
@@ -65,15 +65,7 @@ def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     landed in a memory sink — value-identical to the batch rollup."""
     stream = _events_stream(spark, sf_dir)
     agg = tumbling_agg(stream, ts_col="ts", width="1 hour")
-    name = f"hourly_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    name = _run_to_memory(agg, "hourly")
     return spark.table(name).orderBy("window_start")
 
 
@@ -130,7 +122,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAMING_SESSION_SQL = f"""
 WITH {_EV_US},
 g AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN LAG(ts) OVER w IS NULL
                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
                       > {STREAM_SESSION_GAP_MIN} * 60 * 1000000
@@ -140,7 +132,7 @@ g AS (
 ),
 s AS (
   SELECT user_id, ts, value,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM g
 )
@@ -268,7 +260,7 @@ def streaming_count_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-size batch files (cap + remainder-flush semantics) → per-file row
     counts. Rows-only check: file sizing is the operator's contract."""
     stream = _events_stream(spark, sf_dir)
-    out_dir = tempfile.mkdtemp(prefix="count_batcher_")
+    out_dir = scratch_dir("count_batcher", sf_dir)
     ckpt = os.path.join(out_dir, "_ckpt")
     batcher = run_count_batched_stream(
         stream,

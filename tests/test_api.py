@@ -143,3 +143,33 @@ def test_optimal_time_empty_grid_and_400s(client):
         ).status_code
         == 400
     )
+
+
+def test_sensitivity_handles_non_float32_representable_values(client):
+    """Regression: variation values like 0.1 are stored as float32 in the
+    sweep; re-association must key on the float32-rounded value or the
+    endpoint 500s."""
+    r = client.post(
+        "/analyze/sensitivity/1",
+        json={
+            "base_features": dict(FULL),
+            "variable_feature_name": "Distance",
+            "variation_values": [0.1, 0.3, 2.7],
+        },
+    )
+    assert r.status_code == 200
+    rows = r.get_json()["analysis_results"]
+    assert all(row["predicted_duration"] is not None for row in rows)
+
+
+def test_optimal_time_rejects_non_scalar_targets_with_400(client):
+    """Regression: TypeError from float([100]) must surface as 400, not 500."""
+    r = client.post(
+        "/suggest/optimal-time/1",
+        json={
+            "base_conditions": dict(FULL),
+            "target_duration_max": [100],
+            "hours_to_evaluate": [8],
+        },
+    )
+    assert r.status_code == 400
