@@ -150,6 +150,28 @@ ORDER BY l_partkey
 """
 
 
+def q_union_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION [DISTINCT] set operator (completes the set-op family next to
+    UNION ALL / INTERSECT / EXCEPT): parts shipped in either 1997 or 1998,
+    each once — plan is union + dedup aggregate, one shuffle on the key."""
+    return (
+        _shipped_parts(spark, sf_dir, 1997)
+        .union(_shipped_parts(spark, sf_dir, 1998))
+        .distinct()
+        .orderBy("l_partkey")
+    )
+
+
+Q_UNION_DISTINCT_SQL = """
+SELECT l_partkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+UNION
+SELECT l_partkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+ORDER BY l_partkey
+"""
+
+
 def q_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEAD-based inter-event gaps per user, aggregated to exact stats —
     the forward-looking window twin of the lag-based sessionizer. Gaps are
@@ -342,6 +364,7 @@ QUERIES = {
     "q_sql_grouping_sets": q_sql_grouping_sets,
     "q_intersect_parts": q_intersect_parts,
     "q_except_parts": q_except_parts,
+    "q_union_distinct_parts": q_union_distinct_parts,
     "q_lead_gap": q_lead_gap,
     "q_scalar_functions": q_scalar_functions,
 }
@@ -353,6 +376,7 @@ ORACLES = {
     "q_sql_grouping_sets": Q_SQL_GROUPING_SETS_SQL,
     "q_intersect_parts": Q_INTERSECT_SQL,
     "q_except_parts": Q_EXCEPT_SQL,
+    "q_union_distinct_parts": Q_UNION_DISTINCT_SQL,
     "q_lead_gap": Q_LEAD_GAP_SQL,
     "q_scalar_functions": Q_SCALAR_SQL,
 }
