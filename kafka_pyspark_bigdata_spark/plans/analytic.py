@@ -357,7 +357,178 @@ ORDER BY segment, status
 """
 
 
+HIST_BIN_WIDTH = 10.0
+HIST_N_BINS = 10
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per event type — integer
+    binning (floor division) so bin assignment is engine-exact; values
+    beyond the last bin clamp into it. One partial-agg shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_id = F.least(
+        F.floor(F.col("value") / HIST_BIN_WIDTH).cast("int"),
+        F.lit(HIST_N_BINS - 1),
+    )
+    return (
+        ev.groupBy("event_type", bin_id.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "bin")
+    )
+
+
+Q_HISTOGRAM_SQL = f"""
+SELECT event_type,
+       CAST(least(CAST(FLOOR(value / {HIST_BIN_WIDTH}) AS INTEGER),
+                  {HIST_N_BINS - 1}) AS INTEGER) AS bin,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, bin
+"""
+
+
+def q_corr_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + OLS slope/intercept of l_extendedprice on
+    l_quantity, from EXPLICIT decimal moment sums (Σx, Σy, Σxy, Σx², n)
+    rather than the built-in streaming estimators — the formula over
+    order-independent exact sums is bit-identical across engines, which
+    corr()/covar_samp() are not. Still one partial-agg pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    slope = cov / vx
+    return m.select(
+        (cov / F.sqrt(vx * vy)).alias("pearson_r"),
+        slope.alias("ols_slope"),
+        (F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n")).alias(
+            "ols_intercept"
+        ),
+        F.col("n").cast("long").alias("n_rows"),
+    )
+
+
+Q_CORR_OLS_SQL = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem
+)
+SELECT (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS pearson_r,
+       (sxy - sx * sy / n) / (sxx - sx * sx / n) AS ols_slope,
+       sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx / n AS ols_intercept,
+       CAST(n AS BIGINT) AS n_rows
+FROM m
+"""
+
+
+def q_rank_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK over genuinely tied keys (integer quantities per
+    return flag): rank gaps after ties and the dense variant without —
+    the tie-semantics counterpart to the row_number queries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_qty = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("int").alias("qty")
+    ).agg(F.count("*").alias("n_lines"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n_lines"), F.asc("qty"))
+    return (
+        per_qty.select(
+            "l_returnflag",
+            "qty",
+            "n_lines",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("dense_rnk"),
+        )
+        .filter(F.col("rnk") <= 10)
+        .orderBy("l_returnflag", "rnk", "qty")
+    )
+
+
+Q_RANK_TIES_SQL = """
+WITH per_qty AS (
+  SELECT l_returnflag, CAST(l_quantity AS INTEGER) AS qty, COUNT(*) AS n_lines
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, qty, n_lines,
+       CAST(RANK() OVER w AS INTEGER) AS rnk,
+       CAST(DENSE_RANK() OVER w AS INTEGER) AS dense_rnk
+FROM per_qty
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY n_lines DESC, qty)
+QUALIFY rnk <= 10
+ORDER BY l_returnflag, rnk, qty
+"""
+
+
+ZSCORE_THRESHOLD = 2.5
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier detection: group mean/std from exact
+    decimal moments (same determinism argument as q_corr_ols), then a
+    map-side flag pass over the broadcast per-group stats — the standard
+    two-pass anomaly scan, no per-row window needed."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(v).cast("double").alias("sv"),
+        F.sum(v * v).cast("double").alias("svv"),
+    )
+    mean = F.col("sv") / F.col("n")
+    std = F.sqrt((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / (F.col("n") - 1))
+    stats = stats.select("et", mean.alias("mean"), std.alias("std"))
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(stats), ev.event_type == F.col("et"))
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > ZSCORE_THRESHOLD)
+        .orderBy("event_id")
+    )
+
+
+Q_ZSCORE_SQL = f"""
+WITH stats AS (
+  SELECT event_type AS et,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS svv
+  FROM events GROUP BY event_type
+),
+s AS (
+  SELECT et, sv / n AS mean, sqrt((svv - sv * sv / n) / (n - 1)) AS std
+  FROM stats
+)
+SELECT event_id, event_type, value, (value - mean) / std AS zscore
+FROM events JOIN s ON event_type = et
+WHERE abs((value - mean) / std) > {ZSCORE_THRESHOLD}
+ORDER BY event_id
+"""
+
+
 QUERIES = {
+    "q_value_histogram": q_value_histogram,
+    "q_corr_ols": q_corr_ols,
+    "q_rank_with_ties": q_rank_with_ties,
+    "q_zscore_outliers": q_zscore_outliers,
     "q_moving_avg": q_moving_avg,
     "q_ntile_quartiles": q_ntile_quartiles,
     "sketch_kmv_distinct": sketch_kmv_distinct,
@@ -370,6 +541,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_value_histogram": Q_HISTOGRAM_SQL,
+    "q_corr_ols": Q_CORR_OLS_SQL,
+    "q_rank_with_ties": Q_RANK_TIES_SQL,
+    "q_zscore_outliers": Q_ZSCORE_SQL,
     "q_moving_avg": Q_MOVING_AVG_SQL,
     "q_ntile_quartiles": Q_NTILE_SQL,
     "sketch_kmv_distinct": SKETCH_KMV_SQL,
