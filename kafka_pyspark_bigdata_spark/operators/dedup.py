@@ -536,9 +536,44 @@ FROM reach GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the near-dup pair graph — the standard
+    distributed graph statistic (how CLIQUEY are the dup clusters: chains
+    come from drift, triangles from true copies). Canonical a<b<c ordered
+    3-way self-join, so each triangle is produced exactly once; both join
+    keys are node ids, shuffling only the (small) edge list."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    return tri.agg(
+        F.count("*").alias("n_triangles"),
+        F.coalesce(F.countDistinct("a"), F.lit(0)).alias("n_apex_docs"),
+    )
+
+
+GRAPH_TRIANGLES_SQL = f"""
+WITH {_minhash_ctes()},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+)
+SELECT COUNT(*) AS n_triangles,
+       COALESCE(COUNT(DISTINCT e1.doc_a), 0) AS n_apex_docs
+FROM pairs e1
+JOIN pairs e2 ON e1.doc_b = e2.doc_a
+JOIN pairs e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_clusters": dedup_clusters,
+    "graph_triangle_count": graph_triangle_count,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -548,6 +583,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "graph_triangle_count": GRAPH_TRIANGLES_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
