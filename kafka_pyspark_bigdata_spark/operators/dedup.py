@@ -10,10 +10,11 @@ Scale design (the whole point of these ops at 100 TB):
   that SHARE a shingle, never the n² cross join. Shuffle keys are shingles;
   AQE's skew-join handles hot shingles (a doc-frequency cap is the standard
   extra mitigation, applied identically in the oracle).
-- **MinHash+LSH**: per-doc signatures (min of md5 over shingles, k
-  independent salts — map-side only), banded into b buckets; docs sharing a
-  band bucket become candidates; exact Jaccard verifies. Work is
-  O(candidates), not O(n²) — this is the scale path for fuzzy dedup.
+- **MinHash+LSH**: per-doc signatures (ONE md5 per shingle, k affine
+  transforms of it — the one-hash minhash trick, map-side only), banded
+  into b buckets; docs sharing a band bucket become candidates; exact
+  Jaccard verifies. Work is O(candidates), not O(n²) — this is the scale
+  path for fuzzy dedup.
 - **SimHash**: 16-bit fingerprint from token-hash bit votes — map-side
   explode + partial-agg sums; near-dups collide on the fingerprint key.
 - **embedding cosine**: exact pairwise at small n (oracle-checkable);
@@ -26,6 +27,7 @@ DuckDB oracle built from the same md5/tokenization contract.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -35,9 +37,21 @@ from .text import NORMALIZED_SQL, TOKENS_SQL, normalized_text_expr, with_tokens
 
 # MinHash/LSH parameters: 16 hashes in 4 bands of 4 rows → catches
 # Jaccard >= ~0.7 with high probability; verified exactly afterwards.
+# The 16 hash functions are affine transforms (a·h + b mod p) of ONE
+# 32-bit md5-derived base hash — the standard one-permutation trick: each
+# shingle is md5'd once, not once per hash function (16× less hashing in
+# the signature pass, the hot loop of the whole dedup pipeline).
 NUM_HASHES = 16
 NUM_BANDS = 4
 ROWS_PER_BAND = 4
+_MH_P = (1 << 31) - 1  # Mersenne prime; a·h+b stays < 2^63 for h < 2^32
+_MH_PARAMS: list[tuple[int, int]] = [
+    (int(a), int(b))
+    for a, b in zip(
+        np.random.RandomState(11).randint(1, _MH_P, NUM_HASHES),
+        np.random.RandomState(12).randint(0, _MH_P, NUM_HASHES),
+    )
+]
 MINHASH_VERIFY_THRESHOLD = 0.7
 JACCARD_THRESHOLD = 0.8
 COSINE_DUP_THRESHOLD = 0.45
@@ -200,9 +214,11 @@ ORDER BY doc_a, doc_b
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard-verified at >= 0.7.
 
-    One pass computes all 16 signatures (explode shingles → 16 salted-md5
-    MINs as a partial aggregation — each shingle is hashed exactly once per
-    salt); band keys collapse to a long (doc_id, band_idx, key) table so
+    One pass computes all 16 signatures: explode shingles → ONE md5 per
+    shingle → 16 affine-transform MINs as a partial aggregation (the
+    one-hash minhash trick; integer mul-add-mod replaces 15 of the 16
+    md5 evaluations in the hot loop); band keys collapse to a long
+    (doc_id, band_idx, key) table so
     candidate generation is ONE self-equi-join on (band_idx, key) instead
     of b separate joins re-evaluating the signature plan. The exact verify
     touches only the deduplicated candidates. Shuffle volume is O(n·b)
@@ -213,13 +229,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shingles")
         .localCheckpoint()
     )
-    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.encode("s", "UTF-8")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
     sigs = exploded.groupBy("doc_id").agg(
         *[
-            F.min(
-                F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("s")), "UTF-8"))
-            ).alias(f"sig{i}")
-            for i in range(NUM_HASHES)
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_P)).alias(f"sig{i}")
+            for i, (a, b) in enumerate(_MH_PARAMS)
         ]
     )
     band_keys = [
@@ -270,12 +289,14 @@ def _minhash_ctes() -> str:
     """The shared CTE chain ending in ``verified`` (doc_a, doc_b, jaccard)
     — used by the pair query and by the connected-components oracle."""
     sig_exprs = ",\n         ".join(
-        f"MIN(md5('{i}:' || s)) AS sig{i}" for i in range(NUM_HASHES)
+        f"MIN(({a} * h + {b}) % {_MH_P}) AS sig{i}"
+        for i, (a, b) in enumerate(_MH_PARAMS)
     )
     band_exprs = ",\n         ".join(
         "md5("
         + " || '|' || ".join(
-            f"sig{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            f"CAST(sig{b * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
         )
         + f") AS band{b}"
         for b in range(NUM_BANDS)
@@ -290,7 +311,10 @@ def _minhash_ctes() -> str:
 sigs AS (
   SELECT doc_id,
          {sig_exprs}
-  FROM (SELECT doc_id, UNNEST(shingles) AS s FROM sh)
+  FROM (
+    SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+    FROM (SELECT doc_id, UNNEST(shingles) AS s FROM sh)
+  )
   GROUP BY doc_id
 ),
 bands AS (

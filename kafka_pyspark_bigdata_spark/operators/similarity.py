@@ -336,12 +336,18 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # argmax centroid per corpus vector: max struct orders by (sim, -cid),
     # i.e. highest similarity with ties toward the smallest centroid id —
     # the same ORDER BY sim DESC, cid contract as the SQL oracle.
+    # group key is the 8-byte vec_id only — the embedding rides through
+    # first() (all 16 rows of a group carry the identical array, so the
+    # pick is value-deterministic) instead of hashing 256-byte array keys.
     corpus = (
-        sims.groupBy("vec_id", "embedding")
-        .agg(F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias("m"))
+        sims.groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias("m"),
+            F.first("embedding").alias("cv"),
+        )
         .select(
             F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("cv"),
+            "cv",
             (-F.col("m.ncid")).cast("int").alias("list_id"),
         )
     )
