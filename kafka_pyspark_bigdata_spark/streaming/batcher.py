@@ -56,6 +56,23 @@ class CountBatcher:
             [d for d in os.listdir(self.data_dir) if d.startswith("batch_id=")]
         )
 
+    @property
+    def _marker_path(self) -> str:
+        return os.path.join(self.out_dir, "_last_stream_batch")
+
+    def _last_stream_batch(self) -> int:
+        try:
+            with open(self._marker_path) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def _record_stream_batch(self, batch_id: int) -> None:
+        tmp = self._marker_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, self._marker_path)
+
     def _spark(self, df: DataFrame):
         return df.sparkSession
 
@@ -100,7 +117,20 @@ class CountBatcher:
         return tagged.withColumn("_idx", base_map[F.col("_pid")] + F.col("_mid"))
 
     def process_batch(self, df: DataFrame, batch_id: int) -> None:
-        """foreachBatch callback."""
+        """foreachBatch callback.
+
+        Idempotent under micro-batch REDELIVERY: foreachBatch is
+        at-least-once, so a failed/restarted trigger replays the same
+        batch_id — without the marker check, the replay would re-union the
+        pending remainder and append duplicate rows into the batch
+        partitions. The marker is committed only after the pending swap,
+        so a crash mid-batch replays the whole batch against the OLD
+        pending state (the swap is the effective commit point; the append
+        of complete groups before it is the one non-atomic window, the
+        same trade Spark's own file sinks make without a transaction
+        log)."""
+        if batch_id <= self._last_stream_batch():
+            return  # duplicate delivery of an already-processed batch
         spark = self._spark(df)
         written = self.batches_written()
         if written >= self.max_batches:
@@ -141,6 +171,7 @@ class CountBatcher:
             if os.path.isdir(self.pending_dir):
                 shutil.rmtree(self.pending_dir)
             os.rename(tmp, self.pending_dir)
+            self._record_stream_batch(batch_id)
         finally:
             indexed.unpersist()
 

@@ -204,3 +204,19 @@ def test_count_batcher_across_micro_batches(spark, tmp_path):
     full = {k: v for k, v in sizes.items() if v == 300}
     assert len(full) == 3 and sizes[max(sizes)] == 100
     assert b.result(spark).select("event_id").distinct().count() == 1000
+
+
+def test_count_batcher_idempotent_on_batch_redelivery(spark, tmp_path):
+    """foreachBatch is at-least-once: redelivering the SAME batch_id must
+    be a no-op (no duplicate rows, no double-advanced pending state)."""
+    from kafka_pyspark_bigdata_spark.streaming.batcher import CountBatcher
+
+    df = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    b = CountBatcher(str(tmp_path / "out"), batch_size=300, max_batches=5)
+    b.process_batch(df, batch_id=0)
+    before = b.result(spark).count()
+    b.process_batch(df, batch_id=0)  # redelivery — must not re-append
+    assert b.result(spark).count() == before
+    b.process_batch(df, batch_id=1)  # a NEW batch still lands
+    assert b.result(spark).count() > before
+    assert b.result(spark).groupBy("event_id").count().filter("count > 2").isEmpty()
