@@ -31,9 +31,11 @@ def _modules():
         "kafka_pyspark_bigdata_spark.plans.advanced",
         "kafka_pyspark_bigdata_spark.plans.tpch_extra",
         "kafka_pyspark_bigdata_spark.plans.analytic",
+        "kafka_pyspark_bigdata_spark.plans.behavioral",
         "kafka_pyspark_bigdata_spark.operators.dedup",
         "kafka_pyspark_bigdata_spark.operators.similarity",
         "kafka_pyspark_bigdata_spark.operators.text",
+        "kafka_pyspark_bigdata_spark.operators.quality",
         "kafka_pyspark_bigdata_spark.operators.multimodal",
         "kafka_pyspark_bigdata_spark.operators.pipeline",
         "kafka_pyspark_bigdata_spark.sources.queries",

@@ -1,0 +1,326 @@
+"""Behavioral / time-series analytics over the events stream table.
+
+Four operator families a product-analytics engine layers on an event
+stream: ordered funnels, cohort retention, time-grid resampling with
+last-observation-carried-forward gap fill, and the TimescaleDB-style
+"continuous aggregate" (materialized rollup + raw tail merged at read
+time). The reference's scope stops at per-batch aggregation
+(consumer.py:37-60); these are the standard extensions its event
+pipeline would grow into, each expressed as one-or-two-shuffle
+DataFrame plans with engine-exact arithmetic (integer microseconds /
+day counts / decimal sums) so every query is DuckDB-hash-verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import dsum, dsum_sql
+from ..sources.batch import load_table, scratch_dir
+
+# Microsecond-precision events CTE (same rationale as plans.advanced:
+# the fixture stores TIMESTAMP(NANOS); both engines compare at micros).
+_EV_US = (
+    "ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,"
+    " event_type, value FROM events)"
+)
+
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (signup → click → purchase): users are
+    counted at a stage only if the stage event happened STRICTLY AFTER
+    their previous stage's first event — the sequencing distinguishes a
+    funnel from three independent counts.
+
+    Plan shape: one conditional-min aggregate per stage, each a
+    partial-agg shuffle on ``user_id``; the stage-to-stage joins are
+    user_id equi-joins over already-aggregated (one row per user)
+    sides, so the fact table is never re-shuffled wider than its key.
+    The conversion gap is integer microseconds — engine-exact."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    gap = p.join(s, "user_id").select(
+        (F.unix_micros("purchase_ts") - F.unix_micros("signup_ts")).alias("gap_us")
+    )
+    n_s = s.agg(F.count("*").alias("n_signup"))
+    n_c = c.agg(F.count("*").alias("n_click"))
+    n_p = gap.agg(
+        F.count("*").alias("n_purchase"),
+        (F.sum("gap_us").cast("double") / F.count("*")).alias("avg_convert_us"),
+    )
+    return n_s.crossJoin(n_c).crossJoin(n_p)
+
+
+Q_FUNNEL_SQL = f"""
+WITH {_EV_US},
+s AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM ev
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+),
+c AS (
+  SELECT ev.user_id, MIN(ts) AS click_ts FROM ev JOIN s USING (user_id)
+  WHERE event_type = '{FUNNEL_STAGES[1]}' AND ts > signup_ts GROUP BY ev.user_id
+),
+p AS (
+  SELECT ev.user_id, MIN(ts) AS purchase_ts FROM ev JOIN c USING (user_id)
+  WHERE event_type = '{FUNNEL_STAGES[2]}' AND ts > click_ts GROUP BY ev.user_id
+),
+g AS (
+  SELECT epoch_us(purchase_ts) - epoch_us(signup_ts) AS gap_us
+  FROM p JOIN s USING (user_id)
+)
+SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+       (SELECT COUNT(*) FROM c) AS n_click,
+       COUNT(*) AS n_purchase,
+       CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_convert_us
+FROM g
+"""
+
+
+COHORT_EPOCH = "2024-01-01"  # week index origin (fixture start)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    tracked by distinct-active count in each subsequent week offset.
+
+    All keys are small integers (week index from a fixed epoch, week
+    offset from the user's own cohort day), so grouping is engine-exact;
+    retention is a double ratio of two exact integers. Plan: first-day
+    aggregate (one user_id shuffle), distinct activity days (map-side
+    dedup + shuffle), join on user_id, then one partial-agg shuffle on
+    the (cohort_week, week_offset) pair + a broadcast-back of cohort
+    sizes."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    epoch = F.lit(COHORT_EPOCH).cast("date")
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    act = ev.distinct()
+    j = act.join(first, "user_id").select(
+        "user_id",
+        F.floor(F.datediff("cohort_d", epoch) / 7)
+        .cast("int")
+        .alias("cohort_week"),
+        F.floor(F.datediff("d", F.col("cohort_d")) / 7).cast("int").alias("week_offset"),
+    )
+    active = j.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    sizes = (
+        first.select(
+            F.floor(F.datediff("cohort_d", epoch) / 7)
+            .cast("int")
+            .alias("cohort_week")
+        )
+        .groupBy("cohort_week")
+        .agg(F.count("*").alias("cohort_size"))
+    )
+    return (
+        active.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+Q_COHORT_SQL = f"""
+WITH {_EV_US},
+ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM ev),
+first AS (SELECT user_id, MIN(d) AS cohort_d FROM ud GROUP BY user_id),
+j AS (
+  SELECT ud.user_id,
+         CAST(FLOOR(date_diff('day', DATE '{COHORT_EPOCH}', cohort_d) / 7) AS INTEGER)
+           AS cohort_week,
+         CAST(FLOOR(date_diff('day', cohort_d, d) / 7) AS INTEGER) AS week_offset
+  FROM ud JOIN first USING (user_id)
+),
+active AS (
+  SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_active
+  FROM j GROUP BY 1, 2
+),
+sizes AS (
+  SELECT CAST(FLOOR(date_diff('day', DATE '{COHORT_EPOCH}', cohort_d) / 7) AS INTEGER)
+           AS cohort_week,
+         COUNT(*) AS cohort_size
+  FROM first GROUP BY 1
+)
+SELECT cohort_week, week_offset, n_active, cohort_size,
+       CAST(n_active AS DOUBLE) / cohort_size AS retention
+FROM active JOIN sizes USING (cohort_week)
+ORDER BY cohort_week, week_offset
+"""
+
+
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample + LOCF gap fill: each user's event values are
+    down-sampled to one observation per day (the LAST event of the day,
+    deterministic ts+event_id tiebreak), re-gridded onto a dense
+    per-user daily calendar (``sequence`` + explode — the distributed
+    gap-filling idiom; no driver-side date loops), and gaps are filled
+    by carrying the last observation forward with a running
+    ``last(..., ignorenulls)`` window.
+
+    Values are carried verbatim (no arithmetic), so the output is
+    engine-exact by construction. Plan: one shuffle on (user, day) for
+    the per-day argmax, one on user for bounds + the carry window."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"), "ts", "event_id", "value"
+    )
+    w_day = Window.partitionBy("user_id", "d").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    dayv = (
+        ev.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "d", "value")
+    )
+    bounds = ev.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = bounds.select(
+        F.col("user_id").alias("g_user"),
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("grid_day"),
+    )
+    g = grid.join(
+        dayv,
+        (grid.g_user == dayv.user_id) & (grid.grid_day == dayv.d),
+        "left",
+    ).select(F.col("g_user").alias("user_id"), "grid_day", "value")
+    w_carry = (
+        Window.partitionBy("user_id")
+        .orderBy("grid_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "user_id",
+        F.date_format("grid_day", "yyyy-MM-dd").alias("grid_day"),
+        F.last("value", ignorenulls=True).over(w_carry).alias("value_locf"),
+    ).orderBy("user_id", "grid_day")
+
+
+Q_RESAMPLE_LOCF_SQL = f"""
+WITH {_EV_US},
+dayv AS (
+  SELECT user_id, d, value FROM (
+    SELECT user_id, CAST(ts AS DATE) AS d, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+),
+bounds AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM ev GROUP BY user_id
+),
+grid AS (
+  SELECT user_id,
+         UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS grid_day
+  FROM bounds
+),
+g AS (
+  SELECT grid.user_id, grid.grid_day, dayv.value
+  FROM grid LEFT JOIN dayv
+    ON grid.user_id = dayv.user_id AND grid.grid_day = dayv.d
+)
+SELECT user_id, strftime(grid_day, '%Y-%m-%d') AS grid_day,
+       LAST_VALUE(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY grid_day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+FROM g
+ORDER BY user_id, grid_day
+"""
+
+
+ROLLUP_CUTOFF = "2024-01-25"  # history < cutoff is materialized; tail is raw
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate read path (TimescaleDB-style hypertable
+    rollup): daily per-event-type aggregates for the closed history are
+    MATERIALIZED to parquet (the "continuous aggregate"), then a read
+    merges that rollup with a raw-tail aggregation of only the days
+    past the cutoff — so steady-state queries scan the tiny rollup plus
+    one day-ish of raw data instead of the full fact table.
+
+    At 100 TB the materialized side is date-partitioned parquet whose
+    scan prunes to the rollup rows; the tail scan prunes on the pushed
+    ``d >= cutoff`` predicate. Sums are decimal-accumulated, so the
+    materialize→read round trip is value-exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "event_type", "value"
+    )
+    daily = lambda df: df.groupBy("d", "event_type").agg(  # noqa: E731
+        F.count("*").alias("n_events"), dsum("value").alias("sum_value")
+    )
+    rollup_dir = scratch_dir("hypertable_rollup", sf_dir)
+    daily(ev.filter(F.col("d") < F.lit(ROLLUP_CUTOFF))).write.mode("overwrite").parquet(
+        rollup_dir
+    )
+    materialized = spark.read.parquet(rollup_dir)
+    tail = daily(ev.filter(F.col("d") >= F.lit(ROLLUP_CUTOFF)))
+    return (
+        materialized.unionByName(tail)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("d", "event_type")
+    )
+
+
+Q_HYPERTABLE_SQL = f"""
+WITH {_EV_US},
+daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n_events,
+         {dsum_sql('value')} AS sum_value
+  FROM ev GROUP BY 1, 2
+)
+SELECT strftime(d, '%Y-%m-%d') AS d, event_type, n_events, sum_value
+FROM daily
+ORDER BY d, event_type
+"""
+
+
+QUERIES = {
+    "q_funnel": q_funnel,
+    "q_cohort_retention": q_cohort_retention,
+    "q_resample_locf": q_resample_locf,
+    "q_hypertable_rollup": q_hypertable_rollup,
+}
+
+ORACLES = {
+    "q_funnel": Q_FUNNEL_SQL,
+    "q_cohort_retention": Q_COHORT_SQL,
+    "q_resample_locf": Q_RESAMPLE_LOCF_SQL,
+    "q_hypertable_rollup": Q_HYPERTABLE_SQL,
+}

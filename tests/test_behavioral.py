@@ -1,0 +1,73 @@
+"""Oracle smoke + invariants for the behavioral analytics module
+(funnel / cohort retention / LOCF resample / hypertable rollup)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_pyspark_bigdata_spark.plans import behavioral
+from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+from conftest import SF_SMOKE, assert_oracle_match
+
+
+@pytest.mark.parametrize("name", sorted(behavioral.QUERIES))
+def test_behavioral_oracle(spark, duck, name):
+    assert_oracle_match(spark, duck, behavioral.QUERIES[name], behavioral.ORACLES[name])
+
+
+def test_funnel_monotone(spark):
+    """Each funnel stage can only lose users (ordered-sequence contract)."""
+    row = behavioral.q_funnel(spark, SF_SMOKE).first()
+    assert row.n_signup >= row.n_click >= row.n_purchase
+    if row.n_purchase:
+        assert row.avg_convert_us > 0
+
+
+def test_cohort_week0_full(spark):
+    """Week offset 0 contains every cohort member (their first event)."""
+    df = behavioral.q_cohort_retention(spark, SF_SMOKE)
+    w0 = df.filter("week_offset = 0")
+    assert w0.filter("n_active != cohort_size").count() == 0
+    assert df.filter("retention > 1.0").count() == 0
+
+
+def test_locf_grid_dense_and_filled(spark):
+    """The resampled grid is dense per user and has no unfilled gaps
+    (the first grid day is each user's first observation day)."""
+    df = behavioral.q_resample_locf(spark, SF_SMOKE)
+    assert df.filter("value_locf IS NULL").count() == 0
+    per_user = df.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("grid_day").alias("nd"),
+        F.min("grid_day").alias("lo"),
+        F.max("grid_day").alias("hi"),
+    )
+    bad = per_user.filter(
+        (F.col("n") != F.col("nd"))
+        | (F.col("n") != F.datediff(F.col("hi").cast("date"), F.col("lo").cast("date")) + 1)
+    ).count()
+    assert bad == 0
+
+
+def test_hypertable_rollup_matches_direct(spark):
+    """Materialized-rollup + raw-tail merge == direct full aggregation."""
+    merged = behavioral.q_hypertable_rollup(spark, SF_SMOKE)
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        F.to_date("ts").alias("d"), "event_type", "value"
+    )
+    from kafka_pyspark_bigdata_spark.functions.numeric import dsum
+
+    direct = (
+        ev.groupBy("d", "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    assert merged.subtract(direct).count() == 0
+    assert direct.subtract(merged).count() == 0
