@@ -1,0 +1,227 @@
+"""Corpus-quality operators: repetition filtering and PII scrubbing.
+
+Two more LLM-training-data gates on top of operators/text.py's
+length/punctuation scoring:
+
+* ``text_repetition`` — the Gopher-style repetition signals (duplicate
+  word fraction, most-frequent unigram/bigram share) used to drop
+  boilerplate and degenerate generations before training.
+* ``text_pii_scrub`` — regex detection + redaction of contact-info
+  patterns (emails, phone-shaped numbers), the standard pre-training
+  scrub pass.
+
+Both stay engine-exact: counts are integers, ratios are single double
+divisions of integers, and redaction is pure regexp_replace — so the
+DuckDB oracle hash-verifies values, not just shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import TOKENS_SQL, load_documents, with_tokens
+
+# ---------------------------------------------------------------------------
+# text_repetition — Gopher-style repetition stats
+# ---------------------------------------------------------------------------
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition profile: duplicate-word fraction plus the
+    most frequent unigram and bigram and their share of the document —
+    the signals behind the published Gopher/MassiveText repetition
+    filters (high top-n-gram share ⇒ boilerplate or looped text).
+
+    Plan shape: the scalar stats are array expressions (scan-bound, no
+    shuffle); the top-n-gram argmaxes explode to (doc, token) and run
+    count → row_number, i.e. two partial-agg shuffles KEYED BY doc_id —
+    token counts never aggregate globally, so no token can become a hot
+    key across documents. The deterministic (count DESC, token DESC)
+    tiebreak makes the argmax engine-portable."""
+    docs = with_tokens(load_documents(spark, sf_dir))
+    base = docs.select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        "toks",
+    )
+    tok = base.select(
+        "doc_id", F.posexplode("toks").alias("pos", "w")
+    )
+
+    def argmax(counted: DataFrame, token_col: str, n_alias: str) -> DataFrame:
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("n"), F.desc(token_col)
+        )
+        return (
+            counted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", token_col, F.col("n").alias(n_alias))
+        )
+
+    uni = argmax(
+        tok.groupBy("doc_id", F.col("w").alias("top_unigram")).agg(
+            F.count("*").alias("n")
+        ),
+        "top_unigram",
+        "top_unigram_n",
+    )
+    w_next = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.withColumn("w2", F.lead("w").over(w_next))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w2").alias("top_bigram"))
+    )
+    bi = argmax(
+        bg.groupBy("doc_id", "top_bigram").agg(F.count("*").alias("n")),
+        "top_bigram",
+        "top_bigram_n",
+    )
+    return (
+        base.drop("toks")
+        .join(uni, "doc_id")
+        .join(bi, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            (
+                (F.col("n_words") - F.col("n_distinct")).cast("double")
+                / F.col("n_words")
+            ).alias("dup_word_frac"),
+            "top_unigram",
+            "top_unigram_n",
+            (F.col("top_unigram_n").cast("double") / F.col("n_words")).alias(
+                "top_unigram_frac"
+            ),
+            "top_bigram",
+            "top_bigram_n",
+            (F.col("top_bigram_n").cast("double") / (F.col("n_words") - 1)).alias(
+                "top_bigram_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+WITH docs AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_words,
+         CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct
+  FROM docs
+),
+tok AS (
+  SELECT doc_id, UNNEST(toks) AS w,
+         UNNEST(generate_series(1, len(toks))) AS pos
+  FROM docs
+),
+uni AS (
+  SELECT doc_id, top_unigram, top_unigram_n FROM (
+    SELECT doc_id, w AS top_unigram, COUNT(*) AS top_unigram_n,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY COUNT(*) DESC, w DESC) AS rn
+    FROM tok GROUP BY doc_id, w
+  ) WHERE rn = 1
+),
+bg AS (
+  SELECT doc_id, bigram FROM (
+    SELECT doc_id,
+           w || ' ' || LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+    FROM tok
+  ) WHERE bigram IS NOT NULL
+),
+bi AS (
+  SELECT doc_id, top_bigram, top_bigram_n FROM (
+    SELECT doc_id, bigram AS top_bigram, COUNT(*) AS top_bigram_n,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY COUNT(*) DESC, bigram DESC) AS rn
+    FROM bg GROUP BY doc_id, bigram
+  ) WHERE rn = 1
+)
+SELECT base.doc_id, n_words, n_distinct,
+       CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+       top_unigram, top_unigram_n,
+       CAST(top_unigram_n AS DOUBLE) / n_words AS top_unigram_frac,
+       top_bigram, top_bigram_n,
+       CAST(top_bigram_n AS DOUBLE) / (n_words - 1) AS top_bigram_frac
+FROM base JOIN uni USING (doc_id) JOIN bi USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_pii_scrub — regex contact-info detection + redaction
+# ---------------------------------------------------------------------------
+
+# RE2/Java-portable patterns: char classes + bounded quantifiers only.
+EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+"
+PHONE_RE = r"[0-9]{3}-[0-9]{4}"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contact-info scrub: count and redact email / phone-shaped spans.
+
+    The fixture corpus is synthetic word soup with no real PII, so each
+    document is prefixed with a DETERMINISTIC synthetic contact header
+    (derived from doc_id — same expression in the oracle) purely to give
+    the detector true positives; the operator itself — extract counts +
+    ordered regexp_replace redaction — is exactly the production scrub
+    pass and runs on whatever the column holds. Scan-bound projection,
+    no shuffle, no UDFs."""
+    docs = load_documents(spark, sf_dir)
+    contact = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") * 7919 % 10000).cast("string"), 4, "0"),
+        F.lit(" :: "),
+        F.col("text"),
+    )
+    with_contact = docs.select("doc_id", contact.alias("raw"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("raw", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return with_contact.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(PHONE_RE), 0)).alias("n_phones"),
+        F.length(redacted).alias("redacted_len"),
+        F.substring(redacted, 1, 72).alias("redacted_head"),
+    ).orderBy("doc_id")
+
+
+TEXT_PII_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-'
+           || lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR), 4, '0')
+           || ' :: ' || text AS raw
+  FROM documents
+),
+r AS (
+  SELECT doc_id, raw,
+         regexp_replace(regexp_replace(raw, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+  FROM c
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{PHONE_RE}')) AS INTEGER) AS n_phones,
+       CAST(length(redacted) AS INTEGER) AS redacted_len,
+       substr(redacted, 1, 72) AS redacted_head
+FROM r ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_repetition": text_repetition,
+    "text_pii_scrub": text_pii_scrub,
+}
+
+ORACLES = {
+    "text_repetition": TEXT_REPETITION_SQL,
+    "text_pii_scrub": TEXT_PII_SQL,
+}
