@@ -594,10 +594,99 @@ JOIN pairs e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b
 """
 
 
+PR_SCALE = 10**12  # fixed-point scale for integer PageRank
+PR_ITERS = 3       # fixed unroll depth (shared with the oracle SQL)
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup pair graph (which documents sit at the
+    center of a duplication cluster) — the canonical iterative
+    distributed algorithm, expressed as PR_ITERS rounds of
+    join + partial-agg on node ids.
+
+    All arithmetic is FIXED-POINT INTEGER (scale 10^12, truncating
+    division): contributions ``pr div deg``, damping ``(85*s) div 100``.
+    Integer sums are exact and associative, so the result is
+    bit-identical at any parallelism AND expressible as unrolled SQL —
+    an oracle-hash-verified iterative algorithm, where float PageRank
+    could only ever get a rows-only check. Truncation loses ≤1 unit of
+    10^-12 mass per edge per round — far below any ranking-relevant
+    difference. Scale shape per round: one shuffle of the (small) edge
+    list on doc_b + one partial-agg shuffle on doc_a; ranks never leave
+    the executors."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    nodes = edges.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count("*").alias("deg")
+    )
+    n_row = nodes.agg(F.count("*").alias("n"))
+    pr = (
+        nodes.crossJoin(F.broadcast(n_row))
+        .withColumn("pr", F.expr(f"{PR_SCALE}L div n"))
+    )
+    for _ in range(PR_ITERS):
+        contrib = pr.select(
+            F.col("doc_id").alias("src"), F.expr("pr div deg").alias("c")
+        )
+        nbr = (
+            edges.join(contrib, edges.doc_b == contrib.src)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            pr.drop("pr")
+            .join(nbr, "doc_id")
+            .withColumn(
+                "pr",
+                F.expr(f"(15L * ({PR_SCALE}L div n)) div 100 + (85L * s) div 100"),
+            )
+            .drop("s")
+        )
+    return pr.select("doc_id", F.col("pr").alias("pagerank_scaled")).orderBy("doc_id")
+
+
+def _pagerank_sql() -> str:
+    prev = "pr0"
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""
+pr{k} AS (
+  SELECT p.doc_id, p.deg, p.n,
+         (CAST(15 AS BIGINT) * (CAST({PR_SCALE} AS BIGINT) // p.n)) // 100
+           + (CAST(85 AS BIGINT) * s.s) // 100 AS pr
+  FROM {prev} p JOIN (
+    SELECT e.doc_a AS doc_id, CAST(SUM(q.pr // q.deg) AS BIGINT) AS s
+    FROM edges e JOIN {prev} q ON e.doc_b = q.doc_id
+    GROUP BY e.doc_a
+  ) s USING (doc_id)
+)""")
+        prev = f"pr{k}"
+    return f"""
+WITH {_minhash_ctes()},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT doc_a AS doc_id, COUNT(*) AS deg FROM edges GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+pr0 AS (
+  SELECT doc_id, deg, n, CAST({PR_SCALE} AS BIGINT) // n AS pr FROM deg, nn
+),{",".join(iters)}
+SELECT doc_id, pr AS pagerank_scaled FROM {prev} ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_clusters": dedup_clusters,
     "graph_triangle_count": graph_triangle_count,
+    "graph_pagerank": graph_pagerank,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -608,6 +697,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "graph_triangle_count": GRAPH_TRIANGLES_SQL,
+    "graph_pagerank": _pagerank_sql(),
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),

@@ -31,6 +31,21 @@ def test_ngram_jaccard_finds_planted_dups(spark):
     assert len(pa) > 0
 
 
+def test_pagerank_mass_bounds(spark):
+    """Fixed-point PageRank: ranks positive and total mass ≤ n·SCALE
+    (truncating division only LOSES mass, never creates it)."""
+    from pyspark.sql import functions as F
+
+    pr = dedup.graph_pagerank(spark, "/root/testdata/sf0.001")
+    rows = pr.agg(
+        F.count("*").alias("n"),
+        F.min("pagerank_scaled").alias("lo"),
+        F.sum("pagerank_scaled").alias("total"),
+    ).first()
+    assert rows.lo > 0
+    assert rows.total <= rows.n * dedup.PR_SCALE
+
+
 def test_multimodal_batch_plumbing(spark):
     """The mapInPandas decode must see real payload bytes (checksum match)."""
     rows = multimodal.mm_decode_image(spark, "/root/testdata/sf0.001").limit(3).collect()
