@@ -68,6 +68,43 @@ ORDER BY doc_id
 """
 
 
+STRATIFIED_K = 20  # docs kept per source stratum
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: exactly K documents PER SOURCE, selected by
+    hash order (md5 of doc_id) — the deterministic equivalent of a
+    per-stratum uniform draw, reproducible across engines and runs.
+
+    Plan: one shuffle on ``source`` + a per-group top-K window. K is
+    small and fixed, so even a hot stratum only streams through one
+    reducer heap; for huge K the two-phase per-partition pre-top-K
+    variant applies, but per-stratum sample sizes are sampling knobs,
+    not data-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    hkey = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    w = Window.partitionBy("source").orderBy(hkey.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATIFIED_K)
+        .select("doc_id", "source", F.col("rn").alias("sample_rank"))
+        .orderBy("source", "sample_rank")
+    )
+
+
+CORPUS_STRATIFIED_SQL = f"""
+SELECT doc_id, source, CAST(rn AS INTEGER) AS sample_rank
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= {STRATIFIED_K}
+ORDER BY source, sample_rank
+"""
+
+
 def corpus_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-based 80/20 train/eval split with per-(split, source) counts —
     the stratification report every dataset card needs. One partial-agg
@@ -262,6 +299,7 @@ ORDER BY source
 QUERIES = {
     "corpus_mix_weighted": corpus_mix_weighted,
     "corpus_sample_hash": corpus_sample_hash,
+    "corpus_sample_stratified": corpus_sample_stratified,
     "corpus_split_stats": corpus_split_stats,
     "text_decontaminate": text_decontaminate,
     "text_topk_terms": text_topk_terms,
@@ -271,6 +309,7 @@ QUERIES = {
 ORACLES = {
     "corpus_mix_weighted": CORPUS_MIX_SQL,
     "corpus_sample_hash": CORPUS_SAMPLE_SQL,
+    "corpus_sample_stratified": CORPUS_STRATIFIED_SQL,
     "corpus_split_stats": CORPUS_SPLIT_SQL,
     "text_decontaminate": TEXT_DECONTAMINATE_SQL,
     "text_topk_terms": TEXT_TOPK_TERMS_SQL,

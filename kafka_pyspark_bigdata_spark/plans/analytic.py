@@ -524,8 +524,83 @@ ORDER BY event_id
 """
 
 
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK + CUME_DIST — the two distribution-position window
+    functions (completing the ranking family next to rank/dense_rank/
+    ntile/row_number). Both are exact ratios of window-frame integers
+    ((rank-1)/(n-1), rows≤current/n), so the doubles are bit-identical
+    across engines. One shuffle on the partition key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume_dist"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+Q_PERCENT_RANK_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+def q_unpivot_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt): per-status order aggregates spread over
+    three measure columns, melted to (status, metric, value) rows with
+    ``stack`` — the inverse of q_pivot_user_events. The melt is a
+    map-side expand after one partial-agg shuffle; values unify to
+    double (counts are exact small ints, sums decimal-accumulated)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return (
+        wide.select(
+            "o_orderstatus",
+            F.expr(
+                "stack(3, 'n_orders', n_orders, 'sum_price', sum_price,"
+                " 'max_price', max_price) AS (metric, value)"
+            ),
+        )
+        .orderBy("o_orderstatus", "metric")
+    )
+
+
+Q_UNPIVOT_SQL = f"""
+WITH wide AS (
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         {dsum_sql('o_totalprice')} AS sum_price,
+         MAX(o_totalprice) AS max_price
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, metric, value FROM (
+  SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM wide
+  UNION ALL
+  SELECT o_orderstatus, 'sum_price', sum_price FROM wide
+  UNION ALL
+  SELECT o_orderstatus, 'max_price', max_price FROM wide
+)
+ORDER BY o_orderstatus, metric
+"""
+
+
 QUERIES = {
     "q_value_histogram": q_value_histogram,
+    "q_percent_rank": q_percent_rank,
+    "q_unpivot_order_stats": q_unpivot_order_stats,
     "q_corr_ols": q_corr_ols,
     "q_rank_with_ties": q_rank_with_ties,
     "q_zscore_outliers": q_zscore_outliers,
@@ -542,6 +617,8 @@ QUERIES = {
 
 ORACLES = {
     "q_value_histogram": Q_HISTOGRAM_SQL,
+    "q_percent_rank": Q_PERCENT_RANK_SQL,
+    "q_unpivot_order_stats": Q_UNPIVOT_SQL,
     "q_corr_ols": Q_CORR_OLS_SQL,
     "q_rank_with_ties": Q_RANK_TIES_SQL,
     "q_zscore_outliers": Q_ZSCORE_SQL,
