@@ -277,8 +277,100 @@ def streaming_count_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UPSERT_SRC_FILES = 3  # split the replay into N files → N micro-batches
+
+
+def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed UPSERT sink (foreachBatch MERGE): maintain "latest event per
+    user" as a persisted table while the stream replays in
+    ``UPSERT_SRC_FILES`` micro-batches (maxFilesPerTrigger=1 over a
+    pre-split copy of events, so the merge genuinely runs N times on
+    partial data).
+
+    Each batch: reduce the batch to its per-key argmax — by (ts,
+    event_id), an ASSOCIATIVE merge, so the final state is independent
+    of how the replay is split — then merge with the existing state and
+    atomically swap the state dir (write tmp → replace), the parquet
+    stand-in for MERGE INTO on a lakehouse table format; there, the
+    rewrite is bounded to the key-bucket partitions a batch touches
+    rather than the whole state. State size is O(distinct keys), never
+    O(events). The oracle is the batch argmax over all events — this
+    streaming operator gets a full value-hash check, not rows-only."""
+    import shutil
+
+    from ..sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src_dir = os.path.join(scratch_dir("upsert_src", sf_dir), "src")
+    ev.repartition(UPSERT_SRC_FILES).write.parquet(src_dir)
+    state_root = scratch_dir("upsert_state", sf_dir)
+    state_dir = os.path.join(state_root, "state")
+    tmp_dir = os.path.join(state_root, "state_tmp")
+    ckpt = os.path.join(state_root, "_ckpt")
+
+    def _latest(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("user_id")
+            .agg(
+                F.max(F.struct("ts", "event_id", "value")).alias("m")
+            )
+            .select("user_id", "m.ts", "m.event_id", "m.value")
+        )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        latest = _latest(batch_df)
+        if os.path.exists(state_dir):
+            old = batch_df.sparkSession.read.parquet(state_dir)
+            latest = _latest(old.unionByName(latest))
+        latest.write.mode("overwrite").parquet(tmp_dir)  # materializes the read
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.replace(tmp_dir, state_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(state_dir)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAMING_UPSERT_SQL = f"""
+WITH {_EV_US},
+r AS (
+  SELECT user_id, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev
+)
+SELECT user_id, event_id AS last_event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       value AS last_value
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
 QUERIES = {
     "streaming_hourly_window": streaming_hourly_window,
+    "streaming_upsert_latest": streaming_upsert_latest,
     "streaming_sliding_window": streaming_sliding_window,
     "streaming_session_window": streaming_session_window,
     "streaming_dedup_counts": streaming_dedup_counts,
@@ -289,6 +381,7 @@ QUERIES = {
 
 ORACLES = {
     "streaming_hourly_window": STREAMING_HOURLY_SQL,
+    "streaming_upsert_latest": STREAMING_UPSERT_SQL,
     "streaming_sliding_window": STREAMING_SLIDING_SQL,
     "streaming_session_window": STREAMING_SESSION_SQL,
     "streaming_dedup_counts": STREAMING_DEDUP_SQL,

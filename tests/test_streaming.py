@@ -220,3 +220,32 @@ def test_count_batcher_idempotent_on_batch_redelivery(spark, tmp_path):
     b.process_batch(df, batch_id=1)  # a NEW batch still lands
     assert b.result(spark).count() > before
     assert b.result(spark).groupBy("event_id").count().filter("count > 2").isEmpty()
+
+
+
+def test_upsert_latest_multibatch_and_state_size(spark):
+    """The upsert sink really runs multiple micro-batches (checkpoint
+    offsets) and its state holds exactly one row per distinct key."""
+    import glob
+    import tempfile
+
+    from kafka_pyspark_bigdata_spark.streaming.queries import (
+        UPSERT_SRC_FILES,
+        streaming_upsert_latest,
+    )
+
+    out = streaming_upsert_latest(spark, SF)
+    n_users = (
+        load_table(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert out.count() == n_users
+    assert out.groupBy("user_id").count().filter("count > 1").isEmpty()
+    ckpt = os.path.join(
+        tempfile.gettempdir(),
+        "kpbd_scratch",
+        f"upsert_state_{os.path.basename(SF)}",
+        "_ckpt",
+        "offsets",
+        "*",
+    )
+    assert len(glob.glob(ckpt)) >= UPSERT_SRC_FILES
