@@ -32,6 +32,7 @@ def _modules():
         "kafka_pyspark_bigdata_spark.plans.tpch_extra",
         "kafka_pyspark_bigdata_spark.plans.analytic",
         "kafka_pyspark_bigdata_spark.plans.behavioral",
+        "kafka_pyspark_bigdata_spark.plans.lakehouse",
         "kafka_pyspark_bigdata_spark.operators.dedup",
         "kafka_pyspark_bigdata_spark.operators.similarity",
         "kafka_pyspark_bigdata_spark.operators.text",

@@ -1,0 +1,316 @@
+"""Lakehouse / warehouse-maintenance operators: SCD Type 2 dimension
+builds, CDC snapshot diffs, and bloom-filter join pruning.
+
+The reference's pipeline lands micro-batched CSV and retrains
+(spark_trainer.py:38-109); a production lakehouse around that ingest
+needs table-maintenance operators the reference never grew: building
+slowly-changing-dimension history from a change stream, diffing two
+table snapshots into a change feed, and pruning a big probe side with a
+compact filter built from a small key set. Each is expressed as a one-
+or two-shuffle DataFrame plan with engine-exact arithmetic so the
+DuckDB oracle hash-verifies values, not just shapes.
+
+Scale notes (SCALE.md has the full audit):
+
+- SCD2 is two window passes and one aggregate, ALL partitioned on
+  ``user_id`` — Spark plans a single exchange and reuses its sort.
+- The CDC diff aggregates each snapshot on the diff key and then
+  full-outer-joins; both sides arrive at the join already hash-
+  partitioned on that key from their own aggregation, so the join adds
+  no third shuffle. (When both snapshots derive from one table, a
+  single conditional aggregation halves the scans; the two-sided form
+  here is the general operator — snapshots are usually two tables.)
+- Bloom pruning evaluates membership as a PROJECTION over the probe
+  side: the filter's set bits are collected once from the (tiny)
+  build side and inlined as a literal array, exactly how engines ship
+  runtime filters to scans — the 100 TB probe table is never shuffled
+  or joined to test membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import dsum, dsum_sql
+from ..sources.batch import load_table
+
+# Microsecond-precision events CTE (fixture stores TIMESTAMP(NANOS);
+# both engines compare at micros — same rationale as plans.behavioral).
+_EV_US = (
+    "ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,"
+    " event_type, value FROM events)"
+)
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_SQL = "%Y-%m-%d %H:%M:%S"
+_SCD2_OPEN_END = "9999-12-31 00:00:00"
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 history build: collapse each user's event_type change
+    stream into validity intervals [valid_from, valid_to), open-ended
+    for the current value.
+
+    Gaps-and-islands: a LAG over (user_id ORDER BY ts, event_id) flags
+    value changes, a running SUM of flags numbers the islands, one
+    aggregate per island yields the interval rows, and a LEAD closes
+    each interval with the next island's start. Every window and the
+    aggregate partition on ``user_id`` — one exchange, sort reused.
+    The (ts, event_id) ordering is a unique total order, so island
+    numbering is deterministic across engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = ev.withColumn(
+        "island", F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ivals = islands.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("vf"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("island")
+    return (
+        ivals.withColumn("vt", F.lead("vf").over(w2))
+        .select(
+            "user_id",
+            F.col("island").cast("long").alias("version"),
+            "event_type",
+            F.date_format("vf", _TS_FMT_SPARK).alias("valid_from"),
+            F.coalesce(
+                F.date_format("vt", _TS_FMT_SPARK), F.lit(_SCD2_OPEN_END)
+            ).alias("valid_to"),
+            "n_events",
+            F.col("vt").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+SCD2_SQL = f"""
+WITH {_EV_US},
+flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, ts, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+ivals AS (
+  SELECT user_id, island, MIN(event_type) AS event_type,
+         MIN(ts) AS vf, COUNT(*) AS n_events
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id, CAST(island AS BIGINT) AS version, event_type,
+       strftime(vf, '{_TS_FMT_SQL}') AS valid_from,
+       COALESCE(strftime(LEAD(vf) OVER w2, '{_TS_FMT_SQL}'),
+                '{_SCD2_OPEN_END}') AS valid_to,
+       n_events,
+       (LEAD(vf) OVER w2 IS NULL) AS is_current
+FROM ivals
+WINDOW w2 AS (PARTITION BY user_id ORDER BY island)
+ORDER BY user_id, version
+"""
+
+
+CDC_SNAP_A = "1995-06-01"
+CDC_SNAP_B = "1996-06-01"
+
+
+def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: compare per-order shipped-quantity rollups at
+    two ship-date cutoffs and emit the change feed (insert / update /
+    delete rows; unchanged rows are dropped).
+
+    Each snapshot is one partial-agg shuffle keyed on the diff key; the
+    full-outer join then reuses that partitioning — no extra exchange.
+    Quantity sums go through decimal accumulation (functions/numeric)
+    so the before/after equality test is engine-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+
+    def snap(cutoff: str, tag: str) -> DataFrame:
+        return (
+            li.filter(F.col("l_shipdate") < F.lit(cutoff))
+            .groupBy("l_orderkey")
+            .agg(
+                dsum("l_quantity").alias(f"qty_{tag}"),
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+            )
+        )
+
+    a = snap(CDC_SNAP_A, "before")
+    b = snap(CDC_SNAP_B, "after")
+    joined = a.join(b, "l_orderkey", "full_outer")
+    change = (
+        F.when(F.col("n_before").isNull(), F.lit("insert"))
+        .when(F.col("n_after").isNull(), F.lit("delete"))
+        .when(
+            (F.col("qty_before") != F.col("qty_after"))
+            | (F.col("n_before") != F.col("n_after")),
+            F.lit("update"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type") != "unchanged")
+        .select(
+            "l_orderkey", "change_type", "qty_before", "qty_after", "n_before", "n_after"
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+CDC_DIFF_SQL = f"""
+WITH a AS (
+  SELECT l_orderkey, {dsum_sql('l_quantity')} AS qty_before,
+         COUNT(*) AS n_before
+  FROM lineitem WHERE l_shipdate < DATE '{CDC_SNAP_A}' GROUP BY l_orderkey
+),
+b AS (
+  SELECT l_orderkey, {dsum_sql('l_quantity')} AS qty_after,
+         COUNT(*) AS n_after
+  FROM lineitem WHERE l_shipdate < DATE '{CDC_SNAP_B}' GROUP BY l_orderkey
+),
+j AS (
+  SELECT COALESCE(a.l_orderkey, b.l_orderkey) AS l_orderkey,
+         qty_before, qty_after, n_before, n_after,
+         CASE WHEN n_before IS NULL THEN 'insert'
+              WHEN n_after IS NULL THEN 'delete'
+              WHEN qty_before <> qty_after OR n_before <> n_after THEN 'update'
+              ELSE 'unchanged' END AS change_type
+  FROM a FULL OUTER JOIN b USING (l_orderkey)
+)
+SELECT l_orderkey, change_type, qty_before, qty_after, n_before, n_after
+FROM j WHERE change_type <> 'unchanged' ORDER BY l_orderkey
+"""
+
+
+# Bloom filter: m bits, k portable multiplicative hashes. m is chosen
+# SMALL on purpose so the sf0.01 fixture exhibits real false positives
+# (the operator's defining behavior); production sizes m for an FP rate,
+# not the other way round. The hash family is plain integer arithmetic
+# (((key*A + B) mod P) >> 16 mod m, P = 2^61-1) so both engines compute
+# identical positions; the >>16 matters — taking the LOW bits of a
+# multiplicative hash mod a power-of-two m is linear in (key mod m), so
+# every key congruent to a member mod m would be a guaranteed false
+# positive. The shifted bits carry multiplication carries and mix. A
+# production build would use xxhash64, which the oracle engine lacks.
+BLOOM_M = 512
+_BLOOM_HASHES = [(2654435761, 104729), (40503, 94907), (2246822519, 15485863)]
+_BLOOM_P = (1 << 61) - 1
+BLOOM_BAL_MIN = 9900.0
+
+
+def _bloom_pos(key: Column, a: int, b: int) -> Column:
+    h = (key.cast("long") * F.lit(a) + F.lit(b)) % F.lit(_BLOOM_P)
+    return F.shiftright(h, 16) % F.lit(BLOOM_M)
+
+
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning: orders whose customer MIGHT be in the
+    high-balance key set, per a 512-bit bloom built from that set, with
+    an exact membership flag so the false-positive rows are visible.
+
+    The build side (customers with acctbal > 9900) is aggregated to its
+    set of bloom bit positions and inlined into the probe plan as a
+    literal array — membership is then k array_contains calls, a pure
+    projection evaluated inside the probe scan's codegen stage, the way
+    engines push runtime filters. The probe table is never shuffled; the
+    only join left is the tiny broadcast that labels true members.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    keys = cust.filter(F.col("c_acctbal") > BLOOM_BAL_MIN).select("c_custkey")
+    positions = sorted(
+        {
+            r[0]
+            for r in keys.select(
+                F.explode(
+                    F.array(
+                        *[_bloom_pos(F.col("c_custkey"), a, b) for a, b in _BLOOM_HASHES]
+                    )
+                ).alias("p")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    pos_lit = F.array(*[F.lit(int(p)) for p in positions])
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    passes = None
+    for a, b in _BLOOM_HASHES:
+        hit = F.array_contains(pos_lit, _bloom_pos(F.col("o_custkey"), a, b))
+        passes = hit if passes is None else (passes & hit)
+    candidates = orders.filter(passes)
+    marked = candidates.join(
+        F.broadcast(keys.withColumn("is_member", F.lit(True))),
+        candidates.o_custkey == keys.c_custkey,
+        "left",
+    )
+    return marked.select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
+    ).orderBy("o_orderkey")
+
+
+def _bloom_pos_sql(key: str, a: int, b: int) -> str:
+    return (
+        f"(((CAST({key} AS BIGINT) * {a} + {b}) % {_BLOOM_P}) >> 16) % {BLOOM_M}"
+    )
+
+
+def _bloom_sql() -> str:
+    pos_union = "\n    UNION\n".join(
+        f"    SELECT {_bloom_pos_sql('c_custkey', a, b)} AS pos FROM keys"
+        for a, b in _BLOOM_HASHES
+    )
+    membership = " AND ".join(
+        f"{_bloom_pos_sql('o_custkey', a, b)} IN (SELECT pos FROM bloom)"
+        for a, b in _BLOOM_HASHES
+    )
+    return f"""
+WITH keys AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > {BLOOM_BAL_MIN}
+),
+bloom AS (
+{pos_union}
+)
+SELECT o_orderkey, o_custkey,
+       (o_custkey IN (SELECT c_custkey FROM keys)) AS is_member
+FROM orders
+WHERE {membership}
+ORDER BY o_orderkey
+"""
+
+
+QUERIES = {
+    "q_scd2_intervals": q_scd2_intervals,
+    "q_cdc_diff": q_cdc_diff,
+    "q_bloom_prune": q_bloom_prune,
+}
+
+ORACLES = {
+    "q_scd2_intervals": SCD2_SQL,
+    "q_cdc_diff": CDC_DIFF_SQL,
+    "q_bloom_prune": _bloom_sql(),
+}

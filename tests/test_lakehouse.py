@@ -1,0 +1,77 @@
+"""Oracle smoke + invariants for the lakehouse maintenance module
+(SCD Type 2 build / CDC snapshot diff / bloom-filter join pruning)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_pyspark_bigdata_spark.plans import lakehouse
+from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+from conftest import SF_SMOKE, assert_oracle_match
+
+
+@pytest.mark.parametrize("name", sorted(lakehouse.QUERIES))
+def test_lakehouse_oracle(spark, duck, name):
+    assert_oracle_match(spark, duck, lakehouse.QUERIES[name], lakehouse.ORACLES[name])
+
+
+def test_scd2_intervals_tile_history(spark):
+    """Per user: exactly one current row, intervals chain contiguously
+    (each valid_to equals the next valid_from), and interval event
+    counts sum back to the user's raw event count."""
+    df = lakehouse.q_scd2_intervals(spark, SF_SMOKE).cache()
+    cur = df.filter("is_current").groupBy("user_id").count()
+    assert cur.filter("count != 1").count() == 0
+    nxt = df.select(
+        "user_id",
+        "valid_to",
+        F.lead("valid_from")
+        .over(Window.partitionBy("user_id").orderBy("version"))
+        .alias("next_from"),
+    )
+    assert nxt.filter("next_from IS NOT NULL AND valid_to != next_from").count() == 0
+    per_user = df.groupBy("user_id").agg(F.sum("n_events").alias("n"))
+    raw = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("raw_n"))
+    )
+    assert per_user.join(raw, "user_id").filter("n != raw_n").count() == 0
+    df.unpersist()
+
+
+def test_cdc_diff_classes(spark):
+    """Inserts have no before-image, updates have both and differ; the
+    window cutoffs make deletes impossible (monotone snapshots)."""
+    df = lakehouse.q_cdc_diff(spark, SF_SMOKE).cache()
+    assert df.filter("change_type = 'delete'").count() == 0
+    assert df.filter("change_type = 'insert' AND n_before IS NOT NULL").count() == 0
+    bad_upd = df.filter(
+        "change_type = 'update' AND qty_before = qty_after AND n_before = n_after"
+    )
+    assert bad_upd.count() == 0
+    df.unpersist()
+
+
+def test_bloom_prune_superset_with_false_positives(spark):
+    """The bloom candidate set contains EVERY true member's orders (no
+    false negatives — the defining bloom guarantee) and, at this
+    deliberately small m, at least one false positive. Runs at sf0.01:
+    the sf0.001 key set is too sparse to populate 512 bits into FP
+    territory."""
+    sf = SF_SMOKE.replace("sf0.001", "sf0.01")
+    df = lakehouse.q_bloom_prune(spark, sf).cache()
+    cust = load_table(spark, sf, "customer")
+    keys = cust.filter(F.col("c_acctbal") > lakehouse.BLOOM_BAL_MIN).select("c_custkey")
+    true_orders = (
+        load_table(spark, sf, "orders")
+        .join(keys, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey")
+    )
+    missed = true_orders.join(df.select("o_orderkey"), "o_orderkey", "left_anti")
+    assert missed.count() == 0
+    assert df.filter("NOT is_member").count() > 0
+    df.unpersist()
