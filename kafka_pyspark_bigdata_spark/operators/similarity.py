@@ -418,14 +418,151 @@ WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Fixed-point Lloyd k-means (IVF coarse-quantizer training)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+_KM_SCALE = 1_000_000  # embedding floats → fixed-point BIGINT
+
+
+def _scaled_vec_expr(col: str) -> Column:
+    return F.transform(
+        F.col(col),
+        lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("long"),
+    )
+
+
+def cluster_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (K=8, 2 update iterations) over fixed-point scaled
+    embeddings — the training step that would produce ``ann_ivf``'s
+    coarse quantizer from a sample at 100 TB.
+
+    All arithmetic is integer (floor-scaled vectors, BIGINT squared-L2,
+    floor-division centroid updates), so the unrolled SQL oracle
+    reproduces assignments bit-exactly — no float reduction order in any
+    compared value. Plan shape per iteration: assignment is a pure
+    PROJECTION (centroids ride along as literal arrays; argmin via
+    ``array_min`` over (dist, cid) structs — no join, no shuffle of the
+    corpus), and the update is one partial-agg shuffle carrying 64
+    BIGINT sums + a count per cluster per partition. The K×64 centroid
+    matrix collected per iteration is model state, not data — the same
+    driver-side role as ``ml.trainer``'s fitted pipeline.
+
+    Determinism notes: ties in the argmin break toward the smaller
+    centroid id in both engines (struct ordering); the oracle's
+    ``FLOOR(CAST(s AS DOUBLE)/n)`` equals Python's exact ``s // n``
+    because |s| < 2^53 and the true quotient is never within a double
+    ulp of an integer it doesn't equal (denominator ≤ corpus size).
+    Empty clusters simply drop out of the next round's centroid list,
+    identically on both sides.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _scaled_vec_expr("embedding").alias("v"))
+
+    cents: list[tuple[int, list[int]]] = [
+        (int(r["vec_id"]), [int(x) for x in r["v"]])
+        for r in vecs.filter(F.col("vec_id") < KMEANS_K).collect()
+    ]
+
+    def assign(cents_: list[tuple[int, list[int]]]) -> DataFrame:
+        structs = []
+        for cid, cv in cents_:
+            lit_c = F.array(*[F.lit(x) for x in cv])
+            dist = F.aggregate(
+                F.zip_with("v", lit_c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            structs.append(F.struct(dist.alias("d"), F.lit(cid).alias("c")))
+        best = F.array_min(F.array(*structs))
+        return vecs.select(
+            "vec_id",
+            "v",
+            best.getField("c").alias("cluster"),
+            best.getField("d").alias("sq_dist"),
+        )
+
+    for _ in range(KMEANS_ITERS):
+        assigned = assign(cents)
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                    for i in range(EMB_DIM)
+                ],
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        cents = sorted(
+            (
+                int(r["cluster"]),
+                [int(r[f"s{i}"]) // int(r["n"]) for i in range(EMB_DIM)],
+            )
+            for r in rows
+        )
+
+    return assign(cents).select("vec_id", "cluster", "sq_dist").orderBy("vec_id")
+
+
+def _kmeans_sql() -> str:
+    dist = (
+        "list_sum(list_transform(list_zip(v, c),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    sql = f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < {KMEANS_K})"""
+    prev = "c0"
+    for it in range(1, KMEANS_ITERS + 1):
+        sql += f""",
+a{it} AS (
+  SELECT vec_id, v, cid AS cluster FROM (
+    SELECT vecs.vec_id, vecs.v, {prev}.cid,
+           ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                              ORDER BY {dist}, {prev}.cid) AS rn
+    FROM vecs CROSS JOIN {prev}
+  ) WHERE rn = 1
+),
+c{it} AS (
+  SELECT cluster AS cid,
+         list(CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS c
+  FROM (
+    SELECT cluster, dim, SUM(v[dim]) AS s, COUNT(*) AS n
+    FROM a{it} CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS dim) dims
+    GROUP BY cluster, dim
+  ) GROUP BY cluster
+)"""
+        prev = f"c{it}"
+    sql += f"""
+SELECT vec_id, CAST(cid AS INTEGER) AS cluster, CAST({dist} AS BIGINT) AS sq_dist FROM (
+  SELECT vecs.vec_id, vecs.v, {prev}.c, {prev}.cid,
+         ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                            ORDER BY {dist}, {prev}.cid) AS rn
+  FROM vecs CROSS JOIN {prev}
+) WHERE rn = 1 ORDER BY vec_id
+"""
+    return sql
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
+    "cluster_kmeans_fixed": cluster_kmeans_fixed,
     "dedup_embedding_lsh": dedup_embedding_lsh,
 }
 
 ORACLES = {
+    "cluster_kmeans_fixed": _kmeans_sql(),
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_lsh_bucketed": _ann_lsh_sql(),
     "ann_ivf": ANN_IVF_SQL,

@@ -59,3 +59,21 @@ def test_multimodal_batch_plumbing(spark):
         payload = docs[r.doc_id].encode()
         assert r.n_bytes == len(payload)
         assert r.checksum16 == sum(payload[: multimodal.CHECKSUM_PREFIX]) % 65536
+
+
+def test_kmeans_objective_nonincreasing(spark, monkeypatch):
+    """Lloyd's algorithm never increases the within-cluster squared
+    distance: the 2-iteration objective must be <= the 0-iteration
+    (initial centroids) objective, and assignments stay in the init id
+    range."""
+    from pyspark.sql import functions as F
+
+    obj = {}
+    for iters in (0, similarity.KMEANS_ITERS):
+        monkeypatch.setattr(similarity, "KMEANS_ITERS", iters)
+        df = similarity.cluster_kmeans_fixed(spark, "/root/testdata/sf0.001")
+        obj[iters] = df.agg(F.sum("sq_dist").alias("o")).first().o
+        assert df.filter(
+            (F.col("cluster") < 0) | (F.col("cluster") >= similarity.KMEANS_K)
+        ).count() == 0
+    assert obj[similarity.KMEANS_ITERS] <= obj[0]
