@@ -313,7 +313,115 @@ FROM f ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_D = 3  # hash rows
+CMS_W = 1024  # counters per row
+CMS_TOP = 20
+
+
+def _cms_col_expr(tok: str, row: int) -> Column:
+    # d independent-ish hashes from ONE md5: disjoint 8-hex-digit slices.
+    return (
+        F.conv(F.substring(F.md5(F.encode(tok, "UTF-8")), 1 + 8 * row, 8), 16, 10)
+        .cast("long")
+        % CMS_W
+    )
+
+
+def _cms_col_sql(tok: str, row: int) -> str:
+    return f"(('0x' || substr(md5({tok}), {1 + 8 * row}, 8))::BIGINT % {CMS_W})"
+
+
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, read back for the
+    exact top-20 terms: (term, true_count, cms_estimate). The estimate
+    over-counts, never under-counts — the CMS guarantee the test pins.
+
+    Scale structure: the sketch build is ONE explode + groupBy(row, col)
+    — a map-side-combinable aggregation whose shuffle carries at most
+    d×w = 3072 counters per map partition regardless of corpus size;
+    that fixed size is the whole point of a sketch at 100 TB (the exact
+    top-k here is the oracle's ground truth, only affordable at test
+    SF). Lookups broadcast the 3072-row sketch against the probe terms.
+    The d hashes are disjoint hex slices of one md5, so both engines
+    compute identical positions with one hash call per token.
+    """
+    toks = (
+        load_documents(spark, sf_dir)
+        .select(F.explode(tokens_expr()).alias("tok"))
+    )
+    sketch = (
+        toks.select(
+            F.posexplode(
+                F.array(*[_cms_col_expr("tok", r) for r in range(CMS_D)])
+            ).alias("row", "col")
+        )
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("tok"))
+        .limit(CMS_TOP)
+    )
+    probes = top.select(
+        "tok",
+        "true_count",
+        F.posexplode(
+            F.array(*[_cms_col_expr("tok", r) for r in range(CMS_D)])
+        ).alias("row", "col"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["row", "col"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            F.col("tok").alias("term"),
+            "true_count",
+            "cms_estimate",
+        )
+        .orderBy(F.desc("true_count"), F.asc("term"))
+    )
+
+
+def _cms_sql() -> str:
+    pos_union = "\n    UNION ALL\n".join(
+        f"    SELECT {r} AS row, {_cms_col_sql('tok', r)} AS col, tok FROM toks"
+        for r in range(CMS_D)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({TOKENS_SQL}) AS tok FROM documents
+),
+positions AS (
+{pos_union}
+),
+sketch AS (
+  SELECT row, col, COUNT(*) AS cnt FROM positions GROUP BY row, col
+),
+top AS (
+  SELECT tok, COUNT(*) AS true_count FROM toks GROUP BY tok
+  ORDER BY true_count DESC, tok LIMIT {CMS_TOP}
+),
+probe AS (
+{pos_union.replace('FROM toks', 'FROM top')}
+)
+SELECT p.tok AS term, t.true_count, MIN(s.cnt) AS cms_estimate
+FROM probe p
+JOIN top t USING (tok)
+JOIN sketch s USING (row, col)
+GROUP BY p.tok, t.true_count
+ORDER BY t.true_count DESC, term
+"""
+
+
 QUERIES = {
+    "text_cms_heavy_hitters": text_cms_heavy_hitters,
     "text_token_stats": text_token_stats,
     "text_token_bpe": text_token_bpe,
     "text_winnow_fingerprint": text_winnow_fingerprint,
@@ -323,6 +431,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_cms_heavy_hitters": _cms_sql(),
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_token_bpe": TEXT_TOKEN_BPE_SQL,
     "text_winnow_fingerprint": _winnow_sql(),

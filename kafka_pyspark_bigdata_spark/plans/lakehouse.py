@@ -303,14 +303,121 @@ ORDER BY o_orderkey
 """
 
 
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the dbt-test / Deequ pattern):
+    evaluate a rule catalog — uniqueness, referential integrity, range,
+    and not-null/not-empty checks — and emit one (table, rule,
+    n_violations) row per rule.
+
+    Each rule is a scan-aggregate or a broadcast/shuffle anti-join; the
+    per-rule results are single rows unioned driver-free. FK checks
+    anti-join the fact on the key with the dimension broadcast, so the
+    fact table is scanned once per rule and never widened. The acctbal
+    rule has real violations in the fixture (negative balances exist) so
+    the audit demonstrably trips, not just passes.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def rule(table: str, name: str, cnt: DataFrame) -> DataFrame:
+        return cnt.select(
+            F.lit(table).alias("table_name"),
+            F.lit(name).alias("rule"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    uniq = cust.groupBy("c_custkey").count().filter("count > 1")
+    checks = [
+        rule(
+            "customer",
+            "unique_c_custkey",
+            uniq.agg(F.count(F.lit(1)).alias("n")),
+        ),
+        rule(
+            "orders",
+            "fk_o_custkey_customer",
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                orders.o_custkey == cust.c_custkey,
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        rule(
+            "lineitem",
+            "fk_l_orderkey_orders",
+            li.join(
+                orders.select("o_orderkey"),
+                li.l_orderkey == orders.o_orderkey,
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        rule(
+            "lineitem",
+            "range_l_quantity_1_50",
+            li.filter(~F.col("l_quantity").between(1, 50)).agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        ),
+        rule(
+            "customer",
+            "nonnegative_c_acctbal",
+            cust.filter(F.col("c_acctbal") < 0).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        rule(
+            "documents",
+            "nonempty_text",
+            docs.filter(
+                F.col("text").isNull() | (F.length("text") == 0)
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("table_name", "rule")
+
+
+CONSTRAINT_AUDIT_SQL = """
+WITH rules AS (
+  SELECT 'customer' AS table_name, 'unique_c_custkey' AS rule,
+         (SELECT COUNT(*) FROM (
+            SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1
+         )) AS n_violations
+  UNION ALL
+  SELECT 'orders', 'fk_o_custkey_customer',
+         (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'lineitem', 'fk_l_orderkey_orders',
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'lineitem', 'range_l_quantity_1_50',
+         (SELECT COUNT(*) FROM lineitem WHERE l_quantity NOT BETWEEN 1 AND 50)
+  UNION ALL
+  SELECT 'customer', 'nonnegative_c_acctbal',
+         (SELECT COUNT(*) FROM customer WHERE c_acctbal < 0)
+  UNION ALL
+  SELECT 'documents', 'nonempty_text',
+         (SELECT COUNT(*) FROM documents WHERE text IS NULL OR length(text) = 0)
+)
+SELECT table_name, rule, CAST(n_violations AS BIGINT) AS n_violations
+FROM rules ORDER BY table_name, rule
+"""
+
+
 QUERIES = {
     "q_scd2_intervals": q_scd2_intervals,
     "q_cdc_diff": q_cdc_diff,
     "q_bloom_prune": q_bloom_prune,
+    "q_constraint_audit": q_constraint_audit,
 }
 
 ORACLES = {
     "q_scd2_intervals": SCD2_SQL,
     "q_cdc_diff": CDC_DIFF_SQL,
     "q_bloom_prune": _bloom_sql(),
+    "q_constraint_audit": CONSTRAINT_AUDIT_SQL,
 }

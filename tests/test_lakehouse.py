@@ -75,3 +75,14 @@ def test_bloom_prune_superset_with_false_positives(spark):
     assert missed.count() == 0
     assert df.filter("NOT is_member").count() > 0
     df.unpersist()
+
+
+def test_constraint_audit_trips_on_real_violations(spark):
+    """The audit returns one row per rule; the acctbal rule has real
+    violations in the fixture, the structural rules pass clean."""
+    df = lakehouse.q_constraint_audit(spark, SF_SMOKE)
+    rows = {r.rule: r.n_violations for r in df.collect()}
+    assert len(rows) == 6
+    assert rows["nonnegative_c_acctbal"] > 0
+    assert rows["unique_c_custkey"] == 0
+    assert rows["fk_l_orderkey_orders"] == 0

@@ -77,3 +77,10 @@ def test_kmeans_objective_nonincreasing(spark, monkeypatch):
             (F.col("cluster") < 0) | (F.col("cluster") >= similarity.KMEANS_K)
         ).count() == 0
     assert obj[similarity.KMEANS_ITERS] <= obj[0]
+
+
+def test_cms_never_undercounts(spark):
+    """Count-min estimates are >= true counts (one-sided error)."""
+    df = text.text_cms_heavy_hitters(spark, "/root/testdata/sf0.001")
+    assert df.filter("cms_estimate < true_count").count() == 0
+    assert df.count() == text.CMS_TOP
