@@ -41,6 +41,11 @@ def main() -> None:
         "q21_waiting_supplier",
         "q_asof_click_purchase",
         "q_sessionize",
+        # lakehouse maintenance
+        "q_constraint_audit",
+        "q_cdc_diff",
+        "q_scd2_intervals",
+        "q_bloom_prune",
         # text / similarity / multimodal / dedup extensions — ordered
         # light→heavy: the multi-shuffle dedup queries run LAST so their
         # GC/memory pressure cannot inflate the timings of the queries
@@ -48,6 +53,7 @@ def main() -> None:
         # the ANN set).
         "text_quality",
         "text_fingerprint",
+        "text_cms_heavy_hitters",
         "ann_topk_bruteforce",
         "ann_lsh_bucketed",
         "ann_ivf",
@@ -57,6 +63,7 @@ def main() -> None:
         # (low-similarity LSH regime), so timing it just times the verify
         # cross-product, not the operator's scale path.
         "dedup_exact",
+        "cluster_kmeans_fixed",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
     ]

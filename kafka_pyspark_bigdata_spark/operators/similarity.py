@@ -442,13 +442,13 @@ def cluster_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     All arithmetic is integer (floor-scaled vectors, BIGINT squared-L2,
     floor-division centroid updates), so the unrolled SQL oracle
     reproduces assignments bit-exactly — no float reduction order in any
-    compared value. Plan shape per iteration: assignment is a pure
-    PROJECTION (centroids ride along as literal arrays; argmin via
-    ``array_min`` over (dist, cid) structs — no join, no shuffle of the
-    corpus), and the update is one partial-agg shuffle carrying 64
-    BIGINT sums + a count per cluster per partition. The K×64 centroid
-    matrix collected per iteration is model state, not data — the same
-    driver-side role as ``ml.trainer``'s fitted pipeline.
+    compared value. Plan shape per iteration: assignment is a broadcast
+    cross join against the K-row centroid relation + a partial-agg
+    argmin (``min(struct(dist, cid))`` — one small struct per corpus
+    vector shuffled), and the update is one partial-agg shuffle carrying
+    64 BIGINT sums + a count per cluster per partition. The K×64
+    centroid matrix collected per iteration is model state, not data —
+    the same driver-side role as ``ml.trainer``'s fitted pipeline.
 
     Determinism notes: ties in the argmin break toward the smaller
     centroid id in both engines (struct ordering); the oracle's
@@ -459,7 +459,9 @@ def cluster_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically on both sides.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", _scaled_vec_expr("embedding").alias("v"))
+    # The scaled corpus is read by ITERS+1 assignment jobs; cache it once
+    # — dim longs per row, the working set every k-means pins in memory.
+    vecs = emb.select("vec_id", _scaled_vec_expr("embedding").alias("v")).cache()
 
     cents: list[tuple[int, list[int]]] = [
         (int(r["vec_id"]), [int(x) for x in r["v"]])
@@ -467,21 +469,33 @@ def cluster_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     def assign(cents_: list[tuple[int, list[int]]]) -> DataFrame:
-        structs = []
-        for cid, cv in cents_:
-            lit_c = F.array(*[F.lit(x) for x in cv])
-            dist = F.aggregate(
-                F.zip_with("v", lit_c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            structs.append(F.struct(dist.alias("d"), F.lit(cid).alias("c")))
-        best = F.array_min(F.array(*structs))
-        return vecs.select(
+        # Centroids travel as a broadcast RELATION, not as literals: the
+        # generated code is then identical across iterations, so Spark
+        # compiles the assignment stage once and reuses it (literal
+        # centroid arrays re-trigger whole-stage-codegen every round —
+        # measured 2× slower end-to-end at sf0.1). Argmin is a partial
+        # aggregation: the shuffle carries one (dist, cid) struct + the
+        # vector per row — the same one-struct-per-row exchange as
+        # ann_ivf's list assignment.
+        cents_df = spark.createDataFrame(
+            [(cid, cv) for cid, cv in cents_], "cid int, c array<bigint>"
+        )
+        dist = F.aggregate(
+            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = vecs.crossJoin(F.broadcast(cents_df)).select(
+            "vec_id", "v", "cid", dist.alias("d")
+        )
+        return scored.groupBy("vec_id").agg(
+            F.min(F.struct(F.col("d"), F.col("cid"))).alias("m"),
+            F.first("v").alias("v"),
+        ).select(
             "vec_id",
             "v",
-            best.getField("c").alias("cluster"),
-            best.getField("d").alias("sq_dist"),
+            F.col("m.cid").alias("cluster"),
+            F.col("m.d").alias("sq_dist"),
         )
 
     for _ in range(KMEANS_ITERS):
