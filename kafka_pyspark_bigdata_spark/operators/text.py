@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.batch import load_table, parallelize_scan
 
@@ -420,8 +421,72 @@ ORDER BY t.true_count DESC, term
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (fixed-point, engine-exact)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP = 3
+_TFIDF_SCALE = 1_000_000
+
+
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms: top-3 by tf/df ratio (term frequency
+    over document frequency — the TF-IDF core without the logarithm,
+    whose libm rounding differs across engines; the RANKING a keyword
+    extractor needs is preserved because log is monotone in df only —
+    here the raw ratio is the score, in fixed-point so it hash-compares).
+
+    Plan: tf is one groupBy(doc, term) shuffle; df one groupBy(term)
+    shuffle; the tf⋈df equi-join on term shuffles vocab-sized sides
+    (both already aggregated — nothing fact-sized moves twice); the
+    final per-doc top-3 is a window over the tf rows. Score =
+    tf·10^6 DIV df in BIGINT — truncating division, positive operands,
+    identical in both engines.
+    """
+    toks = load_documents(spark, sf_dir).select(
+        "doc_id", F.explode(tokens_expr()).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "score_fp", F.expr(f"tf * {_TFIDF_SCALE}L DIV df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_fp"), F.desc("tf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP)
+        .select("doc_id", "term", "tf", "df", "score_fp", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+TEXT_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id, term, tf, df, (tf * {_TFIDF_SCALE}) // df AS score_fp
+  FROM tf JOIN df USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, score_fp,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score_fp DESC, tf DESC, term
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score_fp, rank FROM ranked
+WHERE rank <= {TFIDF_TOP} ORDER BY doc_id, rank
+"""
+
+
 QUERIES = {
     "text_cms_heavy_hitters": text_cms_heavy_hitters,
+    "text_tfidf_topterms": text_tfidf_topterms,
     "text_token_stats": text_token_stats,
     "text_token_bpe": text_token_bpe,
     "text_winnow_fingerprint": text_winnow_fingerprint,
@@ -432,6 +497,7 @@ QUERIES = {
 
 ORACLES = {
     "text_cms_heavy_hitters": _cms_sql(),
+    "text_tfidf_topterms": TEXT_TFIDF_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_token_bpe": TEXT_TOKEN_BPE_SQL,
     "text_winnow_fingerprint": _winnow_sql(),

@@ -408,11 +408,109 @@ FROM rules ORDER BY table_name, rule
 """
 
 
+# Z-order: 8 bits per dimension interleaved. At 100 TB the dimensions
+# are range-binned into 2^bits buckets from column stats; the fixture's
+# small domains map directly.
+_Z_BITS = 8
+_Z_FILE_ROWS = 1024
+
+
+def _z_interleave(x: Column, y: Column) -> Column:
+    # Disjoint bit positions, so + is exactly bitwise-OR (and sidesteps
+    # PySpark's `|`, which is logical OR on Columns).
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(y, i) % 2, 2 * i + 1)
+        )
+    return z
+
+
+def _z_interleave_sql(x: str, y: str) -> str:
+    terms = [
+        f"((({x} >> {i}) % 2) << {2 * i}) + ((({y} >> {i}) % 2) << {2 * i + 1})"
+        for i in range(_Z_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data layout: sort events along the interleaved-bit curve
+    of (user_id, value-bin), tile the sorted stream into 1024-row
+    "files", and report each file's bounding box in BOTH dimensions.
+
+    This is the layout step behind multi-dimensional data skipping
+    (Delta/Iceberg OPTIMIZE ZORDER BY): because the curve keeps both
+    coordinates local, every file's (min,max) box is tight in user_id
+    AND value simultaneously, so a point/range predicate on either
+    column prunes most files from the scan. A single-column sort gives
+    tight boxes in one dimension and full-range boxes in the other —
+    the test pins that the z-layout's average box area is smaller.
+    Plan: one projection (the interleave is pure bit arithmetic), one
+    global sort (the rewrite job a table OPTIMIZE runs), one
+    groupBy(file) over already-sorted data. All integer — hash-exact.
+    The global ROW_NUMBER here exists only to make file boundaries
+    reproducible for the oracle; a production OPTIMIZE derives them from
+    the writer (``repartitionByRange(z).sortWithinPartitions(z)`` +
+    maxRecordsPerFile), which scales without a single-partition window.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dims = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("x"),
+        (F.floor(F.col("value") / 2).cast("long") % 256).alias("y"),
+    )
+    z = dims.withColumn("z", _z_interleave(F.col("x"), F.col("y")))
+    w = Window.orderBy("z", "event_id")
+    filed = z.withColumn(
+        "file_id", ((F.row_number().over(w) - 1) / _Z_FILE_ROWS).cast("long")
+    )
+    return (
+        filed.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+            F.min("z").alias("z_lo"),
+            F.max("z").alias("z_hi"),
+        )
+        .orderBy("file_id")
+    )
+
+
+ZORDER_SQL = f"""
+WITH {_EV_US},
+dims AS (
+  SELECT event_id, user_id % 256 AS x,
+         CAST(FLOOR(value / 2) AS BIGINT) % 256 AS y
+  FROM ev
+),
+z AS (
+  SELECT event_id, x, y, {_z_interleave_sql('x', 'y')} AS z FROM dims
+),
+filed AS (
+  SELECT x, y, z,
+         (ROW_NUMBER() OVER (ORDER BY z, event_id) - 1) // {_Z_FILE_ROWS} AS file_id
+  FROM z
+)
+SELECT file_id, COUNT(*) AS n_rows,
+       MIN(x) AS min_x, MAX(x) AS max_x,
+       MIN(y) AS min_y, MAX(y) AS max_y,
+       MIN(z) AS z_lo, MAX(z) AS z_hi
+FROM filed GROUP BY file_id ORDER BY file_id
+"""
+
+
 QUERIES = {
     "q_scd2_intervals": q_scd2_intervals,
     "q_cdc_diff": q_cdc_diff,
     "q_bloom_prune": q_bloom_prune,
     "q_constraint_audit": q_constraint_audit,
+    "q_zorder_layout": q_zorder_layout,
 }
 
 ORACLES = {
@@ -420,4 +518,5 @@ ORACLES = {
     "q_cdc_diff": CDC_DIFF_SQL,
     "q_bloom_prune": _bloom_sql(),
     "q_constraint_audit": CONSTRAINT_AUDIT_SQL,
+    "q_zorder_layout": ZORDER_SQL,
 }

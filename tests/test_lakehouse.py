@@ -86,3 +86,50 @@ def test_constraint_audit_trips_on_real_violations(spark):
     assert rows["nonnegative_c_acctbal"] > 0
     assert rows["unique_c_custkey"] == 0
     assert rows["fk_l_orderkey_orders"] == 0
+
+
+def test_zorder_tightens_bounding_boxes(spark):
+    """The z-ordered layout's average per-file bounding-box area must
+    beat a one-dimensional (event_id-ordered, i.e. arrival-time) layout
+    on the same tiling — the data-skipping property. Runs at sf0.01 so
+    there are multiple files to compare."""
+    sf = SF_SMOKE.replace("sf0.001", "sf0.01")
+    z = lakehouse.q_zorder_layout(spark, sf)
+    z_area = (
+        z.select(
+            (
+                (F.col("max_x") - F.col("min_x") + 1)
+                * (F.col("max_y") - F.col("min_y") + 1)
+            ).alias("area")
+        )
+        .agg(F.avg("area"))
+        .first()[0]
+    )
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    dims = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("x"),
+        (F.floor(F.col("value") / 2).cast("long") % 256).alias("y"),
+    )
+    w = Window.orderBy("event_id")
+    base = (
+        dims.withColumn("file_id", ((F.row_number().over(w) - 1) / 1024).cast("long"))
+        .groupBy("file_id")
+        .agg(
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+    base_area = (
+        base.select(
+            (
+                (F.col("max_x") - F.col("min_x") + 1)
+                * (F.col("max_y") - F.col("min_y") + 1)
+            ).alias("area")
+        )
+        .agg(F.avg("area"))
+        .first()[0]
+    )
+    assert z_area < base_area / 2

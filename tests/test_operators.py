@@ -84,3 +84,17 @@ def test_cms_never_undercounts(spark):
     df = text.text_cms_heavy_hitters(spark, "/root/testdata/sf0.001")
     assert df.filter("cms_estimate < true_count").count() == 0
     assert df.count() == text.CMS_TOP
+
+
+def test_tfidf_ranks_rare_terms(spark):
+    """Per doc exactly TFIDF_TOP rows, ranks 1..TOP, and score ordering
+    is consistent with the (tf, 1/df) dominance it encodes."""
+    from pyspark.sql import functions as F
+
+    df = text.text_tfidf_topterms(spark, "/root/testdata/sf0.001")
+    per_doc = df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("mx")
+    )
+    assert per_doc.filter("n != mx").count() == 0
+    assert df.filter("score_fp < 0 OR df < 1 OR tf < 1").count() == 0
+    assert df.filter("score_fp > 1000000 AND df > tf").count() == 0
