@@ -430,7 +430,9 @@ _TFIDF_SCALE = 1_000_000
 
 
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document salient terms: top-3 by tf/df ratio (term frequency
+    """Per-document salient terms (keyword extraction) — complements
+    ``pipeline.text_topk_terms``, which ranks the CORPUS vocabulary:
+    top-3 terms per doc by tf/df ratio (term frequency
     over document frequency — the TF-IDF core without the logarithm,
     whose libm rounding differs across engines; the RANKING a keyword
     extractor needs is preserved because log is monotone in df only —
