@@ -277,6 +277,135 @@ def streaming_count_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WM_DELAY_MS = 2 * 3600 * 1000  # 2-hour watermark
+WM_LATE_MOD = 3  # event_id % 3 == 0 rows arrive late (last batch)
+WM_MID_TS = "2024-01-16 00:00:00"  # fixture mid-point: splits on-time replay
+
+
+def streaming_watermark_lates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + append-mode emission semantics, value-exact, over a
+    THREE-batch replay: on-time first half (days 1-15), on-time second
+    half (advances the watermark far past the first half's windows and
+    EVICTS them), then every straggler (event_id % 3 == 0).
+
+    The oracle pins Structured Streaming's real contract, empirically
+    calibrated on this engine version and deterministic by construction:
+
+    - Batch 2's eviction emits first-half windows with ON-TIME-ONLY
+      counts (end ≤ wm1 = max(first-half ts) − 2h).
+    - Stragglers landing in windows still in state (end > wm1) merge
+      normally — the grace the watermark buys.
+    - Stragglers landing in ALREADY-EVICTED windows are DROPPED: the
+      input late-filter compares each row's window end against the
+      watermark carried over from the previous batch, so data behind an
+      eviction never resurfaces (no duplicate append emission).
+    - Windows whose end exceeds the final watermark stay in state,
+      unemitted.
+
+    Spark tracks event time in MILLISECONDS, so the SQL mirror does its
+    watermark arithmetic in epoch-ms BIGINTs — micros truncation
+    included. Batch order is forced by explicit file mtimes (the file
+    source orders by modification time). State is bounded by the
+    watermark — O(open windows) — which is the 100 TB property this
+    operator exists to keep.
+    """
+    import shutil
+
+    from ..functions.numeric import dsum
+    from ..sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value"
+    )
+    ontime = F.col("event_id") % WM_LATE_MOD != 0
+    mid = F.lit(WM_MID_TS).cast("timestamp")
+    root = scratch_dir("wm_lates", sf_dir)
+    src = os.path.join(root, "src")
+    os.makedirs(src, exist_ok=True)
+    for tag, pred, mtime in (
+        ("ontime_a", ontime & (F.col("ts") < mid), 1_000_000_000),
+        ("ontime_b", ontime & (F.col("ts") >= mid), 1_000_000_100),
+        ("late", F.col("event_id") % WM_LATE_MOD == 0, 1_000_000_200),
+    ):
+        tmp = os.path.join(root, f"tmp_{tag}")
+        ev.filter(pred).coalesce(1).write.parquet(tmp)
+        part = next(
+            p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"{tag}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "_ckpt")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "n_events")
+    )
+
+
+STREAMING_WM_SQL = f"""
+WITH {_EV_US},
+ontime AS (SELECT ts, value FROM ev WHERE event_id % {WM_LATE_MOD} <> 0),
+wm1 AS (
+  SELECT MAX(epoch_ms(ts)) - {WM_DELAY_MS} AS wm FROM ontime
+  WHERE ts < TIMESTAMP '{WM_MID_TS}'
+),
+wmf AS (SELECT MAX(epoch_ms(ts)) - {WM_DELAY_MS} AS wm FROM ev),
+emitted AS (
+  -- batch-2 eviction: first-half windows, on-time rows only
+  SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS n_events,
+         {dsum_sql('value')} AS sum_value
+  FROM ontime, wm1
+  GROUP BY 1, wm1.wm
+  HAVING epoch_ms(ws + INTERVAL 1 HOUR) <= wm1.wm
+  UNION ALL
+  -- windows still in state when the stragglers arrived: merged counts
+  -- (stragglers behind wm1 were dropped by the input late-filter)
+  SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS n_events,
+         {dsum_sql('value')} AS sum_value
+  FROM ev, wm1, wmf
+  GROUP BY 1, wm1.wm, wmf.wm
+  HAVING epoch_ms(ws + INTERVAL 1 HOUR) > wm1.wm
+     AND epoch_ms(ws + INTERVAL 1 HOUR) <= wmf.wm
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       n_events, sum_value
+FROM emitted
+ORDER BY window_start, n_events
+"""
+
+
 UPSERT_SRC_FILES = 3  # split the replay into N files → N micro-batches
 
 
@@ -371,6 +500,7 @@ FROM r WHERE rn = 1 ORDER BY user_id
 QUERIES = {
     "streaming_hourly_window": streaming_hourly_window,
     "streaming_upsert_latest": streaming_upsert_latest,
+    "streaming_watermark_lates": streaming_watermark_lates,
     "streaming_sliding_window": streaming_sliding_window,
     "streaming_session_window": streaming_session_window,
     "streaming_dedup_counts": streaming_dedup_counts,
@@ -382,6 +512,7 @@ QUERIES = {
 ORACLES = {
     "streaming_hourly_window": STREAMING_HOURLY_SQL,
     "streaming_upsert_latest": STREAMING_UPSERT_SQL,
+    "streaming_watermark_lates": STREAMING_WM_SQL,
     "streaming_sliding_window": STREAMING_SLIDING_SQL,
     "streaming_session_window": STREAMING_SESSION_SQL,
     "streaming_dedup_counts": STREAMING_DEDUP_SQL,

@@ -249,3 +249,36 @@ def test_upsert_latest_multibatch_and_state_size(spark):
         "*",
     )
     assert len(glob.glob(ckpt)) >= UPSERT_SRC_FILES
+
+
+def test_watermark_lates_drop_and_retention(spark):
+    """Windows finalized before the stragglers arrived hold on-time-only
+    counts (late rows dropped); windows past the final watermark are
+    never emitted; total emitted rows < full batch window count."""
+    from pyspark.sql import functions as F
+
+    from kafka_pyspark_bigdata_spark.streaming.queries import (
+        WM_LATE_MOD,
+        streaming_watermark_lates,
+    )
+
+    out = streaming_watermark_lates(spark, SF).cache()
+    ev = load_table(spark, SF, "events")
+    # every emitted window <= final watermark: max ts minus 2h
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    assert all(
+        r.window_end <= max_ts.strftime("%Y-%m-%d %H:%M:%S")
+        for r in out.select("window_end").collect()
+    )
+    # earliest emitted window: on-time rows only
+    first = out.orderBy("window_start").first()
+    ontime_n = (
+        ev.filter(F.col("event_id") % WM_LATE_MOD != 0)
+        .filter(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss") == first.window_start)
+        .count()
+    )
+    assert first.n_events == ontime_n
+    # and strictly fewer rows than the all-inclusive batch rollup
+    full = ev.groupBy(F.date_trunc("hour", "ts")).count().count()
+    assert out.count() < full
+    out.unpersist()
