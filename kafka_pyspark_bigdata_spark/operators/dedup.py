@@ -682,9 +682,75 @@ SELECT doc_id, pr AS pagerank_scaled FROM {prev} ORDER BY doc_id
 """
 
 
+KHOP_HOPS = 3
+
+
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop reachability (K=3) over the near-dup graph: for every node,
+    how many documents sit within 3 undirected hops — the "how far does
+    contamination spread if this doc is bad" query.
+
+    Unrolled BFS: each hop is one equi-join of the current frontier
+    against the edge list on the frontier node — never an all-pairs
+    product — followed by a distinct to collapse multi-paths. Edge list
+    and frontier shuffle on node ids only. K fixed at plan time keeps
+    the plan static (the iterative-until-convergence variant is
+    ``dedup_clusters``)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    reach = edges.select(F.col("src").alias("origin"), F.col("dst").alias("node"))
+    for _ in range(KHOP_HOPS - 1):
+        nxt = (
+            reach.join(edges, reach.node == edges.src)
+            .select("origin", F.col("dst").alias("node"))
+        )
+        reach = reach.union(nxt).distinct()
+    return (
+        reach.filter(F.col("origin") != F.col("node"))
+        .groupBy("origin")
+        .agg(F.count(F.lit(1)).alias("n_reachable"))
+        .select(F.col("origin").alias("doc_id"), "n_reachable")
+        .orderBy("doc_id")
+    )
+
+
+def _khop_sql() -> str:
+    hops = []
+    prev = "r1"
+    for i in range(2, KHOP_HOPS + 1):
+        hops.append(
+            f"""
+r{i} AS (
+  SELECT origin, node FROM {prev}
+  UNION
+  SELECT {prev}.origin, e.doc_b AS node
+  FROM {prev} JOIN edges e ON {prev}.node = e.doc_a
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH {_minhash_ctes()},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+r1 AS (SELECT doc_a AS origin, doc_b AS node FROM edges),{",".join(hops)}
+SELECT origin AS doc_id, COUNT(DISTINCT node) AS n_reachable
+FROM {prev} WHERE origin <> node
+GROUP BY origin ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_clusters": dedup_clusters,
+    "graph_khop_reach": graph_khop_reach,
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -696,6 +762,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "graph_khop_reach": _khop_sql(),
     "graph_triangle_count": GRAPH_TRIANGLES_SQL,
     "graph_pagerank": _pagerank_sql(),
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,

@@ -408,6 +408,73 @@ FROM rules ORDER BY table_name, rule
 """
 
 
+IVM_D1 = "1996-01-01"
+IVM_D2 = "1997-01-01"
+
+
+def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: roll the per-nation revenue view
+    (customer ⋈ orders, aggregated) forward from snapshot D1 to D2 by
+    the DELTA RULE — view(D2) = merge(view(D1), agg(customer ⋈ Δorders))
+    — instead of recomputing over all orders. The oracle IS the full
+    recomputation at D2, so the hash check proves incremental == direct.
+
+    At 100 TB this is the difference between scanning a day of new
+    orders and scanning years of history: the base view is a maintained
+    table; only Δ flows through the join (dimension broadcast) and the
+    merge is a full-outer join of two nation-sized aggregates.
+    Aggregates stay DECIMAL through the merge — adding two already-
+    rounded doubles would not equal the directly-computed total.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+    def snap(lo: str | None, hi: str) -> DataFrame:
+        o = orders.filter(F.col("o_orderdate") < F.lit(hi))
+        if lo is not None:
+            o = o.filter(F.col("o_orderdate") >= F.lit(lo))
+        return (
+            o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+            )
+        )
+
+    base = snap(None, IVM_D1).select(
+        "c_nationkey", F.col("n").alias("n_b"), F.col("rev").alias("rev_b")
+    )
+    delta = snap(IVM_D1, IVM_D2).select(
+        "c_nationkey", F.col("n").alias("n_d"), F.col("rev").alias("rev_d")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        base.join(delta, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias(
+                "n_orders"
+            ),
+            (F.coalesce(F.col("rev_b"), zero) + F.coalesce(F.col("rev_d"), zero))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+IVM_SQL = f"""
+SELECT c_nationkey, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate < DATE '{IVM_D2}'
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 # Z-order: 8 bits per dimension interleaved. At 100 TB the dimensions
 # are range-binned into 2^bits buckets from column stats; the fixture's
 # small domains map directly.
@@ -511,6 +578,7 @@ QUERIES = {
     "q_bloom_prune": q_bloom_prune,
     "q_constraint_audit": q_constraint_audit,
     "q_zorder_layout": q_zorder_layout,
+    "q_ivm_join_delta": q_ivm_join_delta,
 }
 
 ORACLES = {
@@ -519,4 +587,5 @@ ORACLES = {
     "q_bloom_prune": _bloom_sql(),
     "q_constraint_audit": CONSTRAINT_AUDIT_SQL,
     "q_zorder_layout": ZORDER_SQL,
+    "q_ivm_join_delta": IVM_SQL,
 }

@@ -133,3 +133,20 @@ def test_zorder_tightens_bounding_boxes(spark):
         .first()[0]
     )
     assert z_area < base_area / 2
+
+
+def test_ivm_matches_direct_recompute(spark):
+    """The delta-rule merge equals a from-scratch recompute at D2."""
+    inc = lakehouse.q_ivm_join_delta(spark, SF_SMOKE)
+    cust = load_table(spark, SF_SMOKE, "customer")
+    direct = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_orderdate") < lakehouse.IVM_D2)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+    assert inc.subtract(direct).count() == 0 and direct.subtract(inc).count() == 0

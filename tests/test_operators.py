@@ -98,3 +98,25 @@ def test_tfidf_ranks_rare_terms(spark):
     assert per_doc.filter("n != mx").count() == 0
     assert df.filter("score_fp < 0 OR df < 1 OR tf < 1").count() == 0
     assert df.filter("score_fp > 1000000 AND df > tf").count() == 0
+
+
+def test_khop_reach_monotone_in_k(spark, monkeypatch):
+    """Reachable-set size grows (weakly) with K, and 1-hop reach equals
+    each node's degree in the deduped undirected graph."""
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(dedup, "KHOP_HOPS", 1)
+    one = {r.doc_id: r.n_reachable for r in dedup.graph_khop_reach(spark, "/root/testdata/sf0.001").collect()}
+    monkeypatch.setattr(dedup, "KHOP_HOPS", 3)
+    three = {r.doc_id: r.n_reachable for r in dedup.graph_khop_reach(spark, "/root/testdata/sf0.001").collect()}
+    assert set(one) == set(three)
+    assert all(three[k] >= one[k] for k in one)
+    pairs = dedup.dedup_minhash_lsh(spark, "/root/testdata/sf0.001").select("doc_a", "doc_b")
+    deg = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .distinct()
+        .groupBy("doc_a")
+        .count()
+    )
+    degrees = {r.doc_a: r['count'] for r in deg.collect()}
+    assert one == degrees
