@@ -597,7 +597,191 @@ ORDER BY o_orderstatus, metric
 """
 
 
+QUANTILE_PCTS = (25, 50, 75, 95)
+
+
+def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank quantiles (p25/p50/p75/p95) of order value per
+    priority class — one sort-window plus one conditional aggregate.
+
+    Nearest-rank (type-1) quantiles use ONLY integer rank arithmetic
+    (rank_p = ceil(n·p) = (n·p + 99) div 100), sidestepping the
+    interpolation formulas whose floating rounding differs between
+    engines; the quantile VALUE is an actual data point, compared
+    bit-exactly. One shuffle on the group key; the window sort is
+    reused by the aggregate. At 100 TB the same plan holds — rank
+    selection is a filter, not a second sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("rn") == F.expr(f"(cnt * {p} + 99) div 100"), F.col("o_totalprice"))
+        ).alias(f"p{p}")
+        for p in QUANTILE_PCTS
+    ]
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(*aggs, F.max("cnt").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_QUANT_COLS = ",\n       ".join(
+    f"MIN(CASE WHEN rn = (cnt * {p} + 99) // 100 THEN o_totalprice END) AS p{p}"
+    for p in QUANTILE_PCTS
+)
+Q_QUANTILES_SQL = f"""
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM orders
+)
+SELECT o_orderpriority,
+       {_QUANT_COLS},
+       MAX(cnt) AS n_orders
+FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+MAD_K = 3.0
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute
+    deviation (MAD) instead of stddev — resistant to the very outliers
+    being hunted (unlike ``q_zscore_outliers``, its parametric sibling).
+
+    Two exact-median passes (rank arithmetic, engine-portable): median
+    of value per type, then median of |value − median|; a row is an
+    outlier when |value − median| > 3·MAD. Each pass is one shuffle on
+    the type key; medians join back as a broadcast (one row per type).
+    The comparison arithmetic is two IEEE ops on identical doubles —
+    deterministic across engines."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def med_of(df: DataFrame, col: str, out: str) -> DataFrame:
+        wo = Window.partitionBy("event_type").orderBy(col, "event_id")
+        wc = Window.partitionBy("event_type")
+        r = df.select(
+            "event_type",
+            col,
+            F.row_number().over(wo).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        )
+        return (
+            r.filter(
+                (F.col("rn") == F.expr("(cnt + 1) div 2"))
+                | (F.col("rn") == F.expr("(cnt + 2) div 2"))
+            )
+            .groupBy("event_type")
+            .agg(F.avg(col).alias(out))
+        )
+
+    med = med_of(ev, "value", "med")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = med_of(dev.select("event_type", "event_id", "adev"), "adev", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > MAD_K * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_MAD_SQL = f"""
+WITH {_EV_US},
+r1 AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM ev
+),
+med AS (
+  SELECT event_type, AVG(value) AS med FROM r1
+  WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY event_type
+),
+dev AS (
+  SELECT ev.event_type, ev.event_id, ev.value, med.med,
+         ABS(ev.value - med.med) AS adev
+  FROM ev JOIN med USING (event_type)
+),
+r2 AS (
+  SELECT event_type, adev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM dev
+),
+mad AS (
+  SELECT event_type, AVG(adev) AS mad FROM r2
+  WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY event_type
+)
+SELECT event_type, MAX(med) AS med, MAX(mad) AS mad,
+       CAST(SUM(CASE WHEN adev > {MAD_K} * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       COUNT(*) AS n
+FROM dev JOIN mad USING (event_type)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+RANGE_FRAME_US = 24 * 3600 * 1_000_000  # trailing 24h in microseconds
+
+
+def q_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-24-hour rolling sum via a RANGE window frame
+    over integer microseconds — the value-based frame (all rows within
+    the time interval), not the ROWS frame (fixed row count) that
+    ``q_moving_avg`` uses. Frame bounds are event-time values, so ties
+    are handled identically by definition in any engine. One shuffle on
+    user_id; decimal accumulation keeps the frame sums engine-exact."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-RANGE_FRAME_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("trail_24h"),
+    ).orderBy("event_id")
+
+
+Q_RANGE_FRAME_SQL = f"""
+WITH {_EV_US}
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN {RANGE_FRAME_US} PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trail_24h
+FROM ev ORDER BY event_id
+"""
+
+
 QUERIES = {
+    "q_quantiles_exact": q_quantiles_exact,
+    "q_mad_outliers": q_mad_outliers,
+    "q_range_frame_sum": q_range_frame_sum,
     "q_value_histogram": q_value_histogram,
     "q_percent_rank": q_percent_rank,
     "q_unpivot_order_stats": q_unpivot_order_stats,
@@ -616,6 +800,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_quantiles_exact": Q_QUANTILES_SQL,
+    "q_mad_outliers": Q_MAD_SQL,
+    "q_range_frame_sum": Q_RANGE_FRAME_SQL,
     "q_value_histogram": Q_HISTOGRAM_SQL,
     "q_percent_rank": Q_PERCENT_RANK_SQL,
     "q_unpivot_order_stats": Q_UNPIVOT_SQL,
