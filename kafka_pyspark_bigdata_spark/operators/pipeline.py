@@ -296,7 +296,90 @@ ORDER BY source
 """
 
 
+PREP_MIN_CHARS = 100
+PREP_MIN_TOKS = 20
+
+
+def corpus_preprocess_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard corpus-preprocessing chain as ONE composed plan —
+    quality gate → exact dedup (keep lowest doc_id) → per-(lang, source)
+    accounting — proving the operators compose without materialization
+    barriers between stages.
+
+    Stages stay in a single lineage: the quality gate is a projection
+    (flag, no shuffle), the dedup rank is one window over the
+    fingerprint (the md5 shuffle exact-dedup always pays), and the
+    accounting is one partial-agg shuffle on the tiny (lang, source)
+    key. Catalyst pipelines the flags through — a doc is scanned ONCE
+    end to end, which is the point: at 100 TB, every materialized
+    intermediate between pipeline stages is a full-corpus write."""
+    from .text import normalized_text_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(tokens_expr()).alias("n_toks"),
+        (
+            (F.col("n_chars") >= PREP_MIN_CHARS)
+            & (F.size(tokens_expr()) >= PREP_MIN_TOKS)
+        ).alias("pass_quality"),
+        F.md5(F.encode(normalized_text_expr(), "UTF-8")).alias("fp"),
+    )
+    # dedup ranks among quality SURVIVORS only, so pass_quality joins the
+    # window partition key — a failed doc must not shadow a passing dup.
+    w2 = Window.partitionBy("fp", "pass_quality").orderBy("doc_id")
+    ranked = flagged.withColumn("dup_rank", F.row_number().over(w2))
+    kept = F.col("pass_quality") & (F.col("dup_rank") == 1)
+    return (
+        ranked.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(~F.col("pass_quality"), 1).otherwise(0)).alias(
+                "n_quality_fail"
+            ),
+            F.sum(
+                F.when(F.col("pass_quality") & (F.col("dup_rank") > 1), 1).otherwise(0)
+            ).alias("n_dups_removed"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_toks")).otherwise(0)).alias("toks_kept"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+CORPUS_PREP_SQL = f"""
+WITH flagged AS (
+  SELECT doc_id, lang, source,
+         len({TOKENS_SQL}) AS n_toks,
+         (n_chars >= {PREP_MIN_CHARS}
+          AND len({TOKENS_SQL}) >= {PREP_MIN_TOKS}) AS pass_quality,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY fp, pass_quality ORDER BY doc_id
+  ) AS dup_rank
+  FROM flagged
+)
+SELECT lang, source,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN NOT pass_quality THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality_fail,
+       CAST(SUM(CASE WHEN pass_quality AND dup_rank > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dups_removed,
+       CAST(SUM(CASE WHEN pass_quality AND dup_rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN pass_quality AND dup_rank = 1 THEN n_toks ELSE 0 END) AS BIGINT)
+         AS toks_kept
+FROM ranked GROUP BY lang, source ORDER BY lang, source
+"""
+
+
 QUERIES = {
+    "corpus_preprocess_e2e": corpus_preprocess_e2e,
     "corpus_mix_weighted": corpus_mix_weighted,
     "corpus_sample_hash": corpus_sample_hash,
     "corpus_sample_stratified": corpus_sample_stratified,
@@ -314,4 +397,5 @@ ORACLES = {
     "text_decontaminate": TEXT_DECONTAMINATE_SQL,
     "text_topk_terms": TEXT_TOPK_TERMS_SQL,
     "corpus_pack_greedy": CORPUS_PACK_SQL,
+    "corpus_preprocess_e2e": CORPUS_PREP_SQL,
 }

@@ -408,6 +408,44 @@ FROM rules ORDER BY table_name, rule
 """
 
 
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join, driver-verified: orders ⋈ customer runs
+    through ``functions.joins.salted_join`` (hot keys spread over 8 salt
+    buckets, dimension replicated 8×), then aggregates revenue per
+    market segment. The oracle is the PLAIN join — the whole point is
+    that salting changes the shuffle layout, never the semantics.
+
+    At 100 TB this is the planning-time answer to a customer holding a
+    double-digit share of orders: each reducer sees at most 1/salts of
+    any hot key, where AQE's runtime skew-split (also enabled,
+    session.py) only helps after a skewed exchange materializes."""
+    from ..functions.joins import salted_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    joined = salted_join(orders, cust, key="custkey", salts=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SALTED_JOIN_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 IVM_D1 = "1996-01-01"
 IVM_D2 = "1997-01-01"
 
@@ -579,6 +617,7 @@ QUERIES = {
     "q_constraint_audit": q_constraint_audit,
     "q_zorder_layout": q_zorder_layout,
     "q_ivm_join_delta": q_ivm_join_delta,
+    "q_salted_join_agg": q_salted_join_agg,
 }
 
 ORACLES = {
@@ -588,4 +627,5 @@ ORACLES = {
     "q_constraint_audit": CONSTRAINT_AUDIT_SQL,
     "q_zorder_layout": ZORDER_SQL,
     "q_ivm_join_delta": IVM_SQL,
+    "q_salted_join_agg": SALTED_JOIN_SQL,
 }

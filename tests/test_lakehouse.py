@@ -150,3 +150,19 @@ def test_ivm_matches_direct_recompute(spark):
         )
     )
     assert inc.subtract(direct).count() == 0 and direct.subtract(inc).count() == 0
+
+
+def test_salted_join_matches_plain(spark):
+    """Salting redistributes the shuffle but never changes the result."""
+    sj = lakehouse.q_salted_join_agg(spark, SF_SMOKE)
+    cust = load_table(spark, SF_SMOKE, "customer")
+    plain = (
+        load_table(spark, SF_SMOKE, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+    assert sj.subtract(plain).count() == 0 and plain.subtract(sj).count() == 0

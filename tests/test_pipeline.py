@@ -102,3 +102,15 @@ def test_stateful_totals_match_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_preprocess_e2e_accounting_closes(spark):
+    """Every doc lands in exactly one bucket: fail + dup + kept = total."""
+    from kafka_pyspark_bigdata_spark.operators.pipeline import corpus_preprocess_e2e
+
+    df = corpus_preprocess_e2e(spark, "/root/testdata/sf0.001")
+    bad = df.filter(
+        "n_quality_fail + n_dups_removed + n_kept != n_total"
+    )
+    assert bad.count() == 0
+    assert df.agg({"n_kept": "sum"}).first()[0] > 0
