@@ -14,6 +14,7 @@ from pyspark.ml import PipelineModel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.window import Window
 
 from ..sources.batch import load_table, scratch_dir
 from . import serving, trainer
@@ -222,7 +223,59 @@ def ml_eval_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GRID_NUM_TREES = (5, 10)
+GRID_MAX_DEPTH = (3, 5)
+
+
+def ml_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperparameter grid search with a held-out split: train one
+    RandomForest per (numTrees, maxDepth) cell on the hash-deterministic
+    80% split, score RMSE on the held-out 20%, rank cells best-first.
+
+    The train/eval frames are cached once and reused by every cell —
+    the grid loop re-fits models, never re-reads data. Each cell's
+    evaluation is a distributed aggregate (no predictions collected);
+    only the 4-row score table reaches the driver. At scale this is the
+    embarrassingly parallel axis (cells are independent); the
+    sequential loop here matches single-tenant local execution."""
+    from ..operators.pipeline import TRAIN_BUCKETS, hash_bucket_expr
+
+    df = load_table(spark, sf_dir, "lineitem").withColumn(
+        "bucket", hash_bucket_expr("l_orderkey")
+    )
+    train_df = trainer.cast_prune(
+        df.filter(F.col("bucket") < TRAIN_BUCKETS), LINEITEM_FEATURES, LINEITEM_LABEL
+    ).cache()
+    eval_df = trainer.cast_prune(
+        df.filter(F.col("bucket") >= TRAIN_BUCKETS), LINEITEM_FEATURES, LINEITEM_LABEL
+    ).cache()
+    rows = []
+    for nt in GRID_NUM_TREES:
+        for md in GRID_MAX_DEPTH:
+            model = trainer.build_pipeline(
+                LINEITEM_FEATURES, LINEITEM_LABEL, num_trees=nt, max_depth=md
+            ).fit(train_df)
+            r = (
+                model.transform(eval_df)
+                .select((F.col("prediction") - F.col(LINEITEM_LABEL)).alias("err"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_eval"),
+                    F.sqrt(F.avg(F.col("err") * F.col("err"))).alias("rmse"),
+                )
+                .first()
+            )
+            rows.append((nt, md, r["n_eval"], float(r["rmse"])))
+    train_df.unpersist()
+    eval_df.unpersist()
+    out = spark.createDataFrame(
+        rows, "num_trees int, max_depth int, n_eval long, rmse double"
+    )
+    w = Window.orderBy(F.asc("rmse"), F.asc("num_trees"), F.asc("max_depth"))
+    return out.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
 QUERIES = {
+    "ml_grid_search": ml_grid_search,
     "ml_feature_importances": ml_feature_importances,
     "ml_eval_rmse": ml_eval_rmse,
     "ml_predict_grid": ml_predict_grid,

@@ -146,3 +146,13 @@ def test_model_save_load_roundtrip(spark, model, tmp_path):
     # missing version → None (api.py:35-37), never an exception
     assert trainer.load_model(base, 99) is None
     assert trainer.load_models(base, [2, 99])["99"] is None
+
+
+def test_grid_search_ranks_by_rmse(spark):
+    from kafka_pyspark_bigdata_spark.ml.queries import ml_grid_search
+
+    rows = ml_grid_search(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 4
+    rmses = [r.rmse for r in sorted(rows, key=lambda r: r.rank)]
+    assert rmses == sorted(rmses)
+    assert all(r.n_eval > 0 for r in rows)
