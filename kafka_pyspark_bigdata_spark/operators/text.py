@@ -486,7 +486,141 @@ WHERE rank <= {TFIDF_TOP} ORDER BY doc_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Bigram language-model counts (top next-token per frequent head)
+# ---------------------------------------------------------------------------
+
+BIGRAM_HEADS = 10
+BIGRAM_TOPNEXT = 3
+
+
+def text_bigram_topnext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional counts — the top-3 continuations for each of
+    the corpus's 10 most frequent tokens (the n-gram LM building block,
+    and the co-occurrence shape session-recommenders reuse).
+
+    Bigrams materialize per doc as an array transform (no position
+    self-join: ``transform(sequence(...))`` pairs adjacent tokens inside
+    the row), so the only shuffles are the two counting aggregations and
+    the final per-head top-k window over head-bucket counts. Token
+    strings contain no spaces (the tokenizer splits on them), so the
+    'head next' encoding round-trips exactly in both engines."""
+    tokd = (
+        load_documents(spark, sf_dir)
+        .select("doc_id", tokens_expr().alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    bgs = tokd.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("bg")
+    )
+    bg_counts = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("bg_count"))
+    toks = load_documents(spark, sf_dir).select(F.explode(tokens_expr()).alias("tok"))
+    heads = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("head_count"))
+        .orderBy(F.desc("head_count"), F.asc("tok"))
+        .limit(BIGRAM_HEADS)
+        .select(F.col("tok").alias("head"), "head_count")
+    )
+    split = F.split(F.col("bg"), " ", 2)
+    scored = bg_counts.select(
+        split.getItem(0).alias("head"), split.getItem(1).alias("next"), "bg_count"
+    ).join(F.broadcast(heads), "head")
+    w = Window.partitionBy("head").orderBy(F.desc("bg_count"), F.asc("next"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BIGRAM_TOPNEXT)
+        .select("head", "head_count", "next", "bg_count", "rank")
+        .orderBy(F.desc("head_count"), F.asc("head"), F.asc("rank"))
+    )
+
+
+TEXT_BIGRAM_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+bgs AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM tokd WHERE len(toks) >= 2
+),
+bg_counts AS (SELECT bg, COUNT(*) AS bg_count FROM bgs GROUP BY bg),
+toks AS (SELECT unnest({TOKENS_SQL}) AS tok FROM documents),
+heads AS (
+  SELECT tok AS head, COUNT(*) AS head_count FROM toks GROUP BY tok
+  ORDER BY head_count DESC, tok LIMIT {BIGRAM_HEADS}
+),
+scored AS (
+  SELECT split_part(bg, ' ', 1) AS head, split_part(bg, ' ', 2) AS next,
+         bg_count
+  FROM bg_counts
+),
+ranked AS (
+  SELECT s.head, h.head_count, s.next, s.bg_count,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY s.head ORDER BY s.bg_count DESC, s.next
+         ) AS INTEGER) AS rank
+  FROM scored s JOIN heads h ON s.head = h.head
+)
+SELECT head, head_count, next, bg_count, rank FROM ranked
+WHERE rank <= {BIGRAM_TOPNEXT}
+ORDER BY head_count DESC, head, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the HashingTF vectorizer, long format)
+# ---------------------------------------------------------------------------
+
+FH_DIM = 64
+FH_DOCS = 20  # vectorize the first N docs (bounded demo output)
+
+
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization (HashingTF): map each token to one of
+    64 buckets by md5 and count per (doc, bucket) — the fixed-width,
+    vocabulary-free featurization step between text and ML at scale (no
+    vocab dictionary to build, broadcast, or keep consistent across a
+    100 TB corpus). Long (doc_id, bucket, cnt) format IS the sparse
+    vector; one explode + one partial-agg shuffle."""
+    toks = (
+        load_documents(spark, sf_dir)
+        .filter(F.col("doc_id") < FH_DOCS)
+        .select("doc_id", F.explode(tokens_expr()).alias("tok"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.encode("tok", "UTF-8")), 1, 8), 16, 10)
+        .cast("long")
+        % FH_DIM
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("doc_id", "bucket")
+    )
+
+
+TEXT_FH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
+  WHERE doc_id < {FH_DOCS}
+)
+SELECT doc_id,
+       (('0x' || substr(md5(tok), 1, 8))::BIGINT % {FH_DIM}) AS bucket,
+       COUNT(*) AS cnt
+FROM toks GROUP BY doc_id, bucket ORDER BY doc_id, bucket
+"""
+
+
 QUERIES = {
+    "text_bigram_topnext": text_bigram_topnext,
+    "text_feature_hashing": text_feature_hashing,
     "text_cms_heavy_hitters": text_cms_heavy_hitters,
     "text_tfidf_topterms": text_tfidf_topterms,
     "text_token_stats": text_token_stats,
@@ -498,6 +632,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bigram_topnext": TEXT_BIGRAM_SQL,
+    "text_feature_hashing": TEXT_FH_SQL,
     "text_cms_heavy_hitters": _cms_sql(),
     "text_tfidf_topterms": TEXT_TFIDF_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
