@@ -778,7 +778,82 @@ FROM ev ORDER BY event_id
 """
 
 
+def q_nested_collect_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-type round trip: nest each order's lineitems into an
+    array<struct> (the document/denormalized shape parquet lakes store),
+    compute per-order stats FROM the nested form with array lambdas
+    (no re-explode for the size/sum), then verify the shape by
+    re-flattening one field. Output: per order-priority, order count,
+    avg items per order (fixed-point), and the decimal-exact quantity
+    total recovered from inside the structs.
+
+    The nesting is one groupBy(orderkey) shuffle (collect_list is a
+    partial agg); the in-array aggregation is a projection — at 100 TB
+    the win of the nested layout is exactly this: per-entity stats
+    without a second shuffle or join back to the item table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    nested = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("l_linenumber", "l_quantity"))
+            ).alias("items")
+        )
+    )
+    per_order = nested.join(
+        orders, nested.l_orderkey == orders.o_orderkey
+    ).select(
+        "o_orderpriority",
+        F.size("items").alias("n_items"),
+        F.aggregate(
+            "items",
+            F.lit(0).cast("decimal(18,2)"),
+            # decimal + widens the scale, but aggregate() requires the
+            # merge to return the accumulator type — cast back (order
+            # quantity totals are nowhere near the 18,2 bound)
+            lambda acc, it: (acc + it["l_quantity"].cast("decimal(18,2)")).cast(
+                "decimal(18,2)"
+            ),
+        ).alias("qty"),
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("sum(n_items) * 1000000 DIV count(1)").alias("avg_items_fp"),
+            F.sum("qty").cast("double").alias("qty_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_NESTED_SQL = """
+WITH nested AS (
+  SELECT l_orderkey,
+         list_sort(list(struct_pack(l_linenumber := l_linenumber,
+                                    l_quantity := l_quantity))) AS items
+  FROM lineitem GROUP BY l_orderkey
+),
+per_order AS (
+  SELECT o_orderpriority,
+         len(items) AS n_items,
+         list_sum(list_transform(items,
+           it -> CAST(it.l_quantity AS DECIMAL(18,2)))) AS qty
+  FROM nested JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST((SUM(n_items) * 1000000) // COUNT(*) AS BIGINT) AS avg_items_fp,
+       CAST(SUM(qty) AS DOUBLE) AS qty_total
+FROM per_order GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "q_nested_collect_explode": q_nested_collect_explode,
     "q_quantiles_exact": q_quantiles_exact,
     "q_mad_outliers": q_mad_outliers,
     "q_range_frame_sum": q_range_frame_sum,
@@ -800,6 +875,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_nested_collect_explode": Q_NESTED_SQL,
     "q_quantiles_exact": Q_QUANTILES_SQL,
     "q_mad_outliers": Q_MAD_SQL,
     "q_range_frame_sum": Q_RANGE_FRAME_SQL,
