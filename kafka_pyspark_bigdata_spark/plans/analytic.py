@@ -852,8 +852,127 @@ FROM per_order GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+CARD_SAMPLE_MOD = 8  # 1-in-8 key sample for the estimator
+
+
+def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation — what a cost-based planner needs before
+    committing to a join strategy. Ground truth: the events self-join on
+    user_id produces Σ cnt(u)² rows. Estimate: the same sum over a
+    deterministic 1-in-8 HASH sample of keys, scaled by 8 — key-level
+    sampling (not row-level, which breaks quadratic statistics).
+
+    One count aggregation feeds both figures; everything else is a
+    single-row fold. Integer arithmetic end to end, so even the
+    ESTIMATOR is engine-exact and hash-verified — the sampling error
+    (estimate vs exact, visible in the output) is the statistical story.
+    """
+    cnts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # content-addressed key sample (md5, the engine-portable hash used by
+    # every sampler in operators.pipeline — xxhash64 has no oracle twin)
+    in_sample = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % CARD_SAMPLE_MOD
+        == 0
+    )
+    return cnts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("exact_join_rows"),
+        F.sum(F.when(in_sample, 1).otherwise(0)).alias("sampled_keys"),
+        (
+            F.sum(F.when(in_sample, F.col("cnt") * F.col("cnt")).otherwise(0))
+            * CARD_SAMPLE_MOD
+        ).alias("estimated_join_rows"),
+    )
+
+
+SKETCH_JOIN_CARD_SQL = f"""
+WITH ev AS (SELECT user_id FROM events),
+cnts AS (SELECT user_id, COUNT(*) AS cnt FROM ev GROUP BY user_id)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(cnt * cnt) AS BIGINT) AS exact_join_rows,
+       CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                          % {CARD_SAMPLE_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS sampled_keys,
+       CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                          % {CARD_SAMPLE_MOD} = 0 THEN cnt * cnt ELSE 0 END)
+            * {CARD_SAMPLE_MOD} AS BIGINT) AS estimated_join_rows
+FROM cnts
+"""
+
+
+def q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics per fact table key — the numbers that
+    decide between plain shuffle, AQE skew split, and salting: max and
+    p99/p50 key-frequency ratio (fixed-point), plus the share of rows
+    held by the single hottest key (per-million). Orders per customer.
+
+    One count aggregation + one rank window over the (small) key-count
+    table; all integer arithmetic."""
+    cnts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.asc("cnt"), F.asc("o_custkey"))
+    ranked = cnts.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    picks = ranked.filter(
+        (F.col("rn") == F.expr("(n * 50 + 99) div 100"))
+        | (F.col("rn") == F.expr("(n * 99 + 99) div 100"))
+        | (F.col("rn") == F.col("n"))
+    )
+    return picks.agg(
+        F.max("n").alias("n_keys"),
+        F.max(F.when(F.col("rn") == F.expr("(n * 50 + 99) div 100"), F.col("cnt"))).alias("p50_cnt"),
+        F.max(F.when(F.col("rn") == F.expr("(n * 99 + 99) div 100"), F.col("cnt"))).alias("p99_cnt"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("cnt"))).alias("max_cnt"),
+    ).select(
+        "n_keys",
+        "p50_cnt",
+        "p99_cnt",
+        "max_cnt",
+        F.expr("p99_cnt * 1000000 DIV p50_cnt").alias("p99_over_p50_fp"),
+    )
+
+
+Q_KEY_SKEW_SQL = """
+WITH cnts AS (
+  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, o_custkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM cnts
+),
+picks AS (
+  SELECT * FROM ranked
+  WHERE rn = (n * 50 + 99) // 100 OR rn = (n * 99 + 99) // 100 OR rn = n
+),
+agg AS (
+  SELECT MAX(n) AS n_keys,
+         MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN cnt END) AS p50_cnt,
+         MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN cnt END) AS p99_cnt,
+         MAX(CASE WHEN rn = n THEN cnt END) AS max_cnt
+  FROM picks
+)
+SELECT n_keys, p50_cnt, p99_cnt, max_cnt,
+       (p99_cnt * 1000000) // p50_cnt AS p99_over_p50_fp
+FROM agg
+"""
+
+
 QUERIES = {
     "q_nested_collect_explode": q_nested_collect_explode,
+    "sketch_join_cardinality": sketch_join_cardinality,
+    "q_key_skew_stats": q_key_skew_stats,
     "q_quantiles_exact": q_quantiles_exact,
     "q_mad_outliers": q_mad_outliers,
     "q_range_frame_sum": q_range_frame_sum,
@@ -876,6 +995,8 @@ QUERIES = {
 
 ORACLES = {
     "q_nested_collect_explode": Q_NESTED_SQL,
+    "sketch_join_cardinality": SKETCH_JOIN_CARD_SQL,
+    "q_key_skew_stats": Q_KEY_SKEW_SQL,
     "q_quantiles_exact": Q_QUANTILES_SQL,
     "q_mad_outliers": Q_MAD_SQL,
     "q_range_frame_sum": Q_RANGE_FRAME_SQL,
