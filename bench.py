@@ -46,6 +46,8 @@ def main() -> None:
         "q_cdc_diff",
         "q_scd2_intervals",
         "q_bloom_prune",
+        "q_ivm_join_delta",
+        "q_quantiles_exact",
         # text / similarity / multimodal / dedup extensions — ordered
         # light→heavy: the multi-shuffle dedup queries run LAST so their
         # GC/memory pressure cannot inflate the timings of the queries
@@ -54,6 +56,8 @@ def main() -> None:
         "text_quality",
         "text_fingerprint",
         "text_cms_heavy_hitters",
+        "text_tfidf_topterms",
+        "text_bigram_topnext",
         "ann_topk_bruteforce",
         "ann_lsh_bucketed",
         "ann_ivf",
