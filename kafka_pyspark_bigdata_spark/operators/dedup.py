@@ -151,11 +151,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = with_df.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= prefix_len
     )
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "s")
-    b = prefix.select(F.col("doc_id").alias("doc_b"), "s")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "s")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "s")
     cand = (
         a.join(b, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        # PPJoin length filter: J >= 0.8 forces t·|A| <= |B| <= |A|/t,
+        # i.e. 4·max(na,nb) <= 5·min(na,nb) — integer-exact, prunes
+        # size-mismatched candidates before the (expensive) verify join.
+        .filter(
+            (4 * F.greatest("na", "nb")) <= (5 * F.least("na", "nb"))
+        )
         .select("doc_a", "doc_b")
         .dropDuplicates()
     )
