@@ -92,13 +92,94 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRUNE_MONTH = "2024-01"
+
+
+def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + partition-pruned read: events land
+    partitioned by (event_date=...) directories, then a single-day
+    predicate reads back ONLY that day's directory — the layout that
+    makes time-bounded scans at 100 TB touch 1/365th of the table. The
+    pruning itself is asserted by the physical-plan test
+    (tests/test_plans.py); this driver entry hash-verifies that the
+    partitioned codec is lossless: per-hour aggregates of one day match
+    the oracle computed on the unpartitioned fixture."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    out = os.path.join(scratch_dir("part_scan", sf_dir), "events_part")
+    (
+        ev.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("event_date") == f"{PRUNE_MONTH}-15")
+    return (
+        back.groupBy(F.hour("ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("value").alias("sum_value"))
+        .orderBy("hour")
+    )
+
+
+Q_PARTITIONED_SQL = f"""
+WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+       COUNT(*) AS n_rows, {dsum_sql('value')} AS sum_value
+FROM ev
+WHERE strftime(ts, '%Y-%m-%d') = '{PRUNE_MONTH}-15'
+GROUP BY hour ORDER BY hour
+"""
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: an early batch without
+    the ``value`` column and a later batch with it, read as one table
+    via ``mergeSchema`` — the add-a-column migration every long-lived
+    lakehouse table goes through. Old rows surface NULL for the new
+    column (count vs value-count split per type proves the backfill);
+    the oracle replays the same evolution relationally."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    root = scratch_dir("schema_evo", sf_dir)
+    old = F.col("event_id") % 2 == 0
+    ev.filter(old).drop("value").write.parquet(os.path.join(root, "batch=0"))
+    ev.filter(~old).write.parquet(os.path.join(root, "batch=1"))
+    back = spark.read.option("mergeSchema", "true").parquet(root)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("value").alias("n_with_value"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_SCHEMA_EVO_SQL = f"""
+WITH unioned AS (
+  SELECT event_id, event_type, NULL::DOUBLE AS value FROM events
+  WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_id, event_type, value FROM events WHERE event_id % 2 <> 0
+)
+SELECT event_type, COUNT(*) AS n_rows, COUNT(value) AS n_with_value,
+       {dsum_sql('value')} AS sum_value
+FROM unioned GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "q_partitioned_scan": q_partitioned_scan,
+    "q_schema_evolution": q_schema_evolution,
     "q_csv_roundtrip": q_csv_roundtrip,
     "q_json_roundtrip": q_json_roundtrip,
     "q_jsonl_roundtrip": q_jsonl_roundtrip,
 }
 
 ORACLES = {
+    "q_partitioned_scan": Q_PARTITIONED_SQL,
+    "q_schema_evolution": Q_SCHEMA_EVO_SQL,
     "q_csv_roundtrip": Q_CSV_ROUNDTRIP_SQL,
     "q_json_roundtrip": Q_CSV_ROUNDTRIP_SQL,
     "q_jsonl_roundtrip": Q_CSV_ROUNDTRIP_SQL,
