@@ -77,3 +77,47 @@ def test_text_ops_have_no_python_stage(spark):
 
     plan = _plan(text_quality(spark, SF))
     assert "EvalPython" not in plan and "PythonUDF" not in plan, plan
+
+
+def test_scd2_single_hash_exchange(spark):
+    """All three SCD2 windows + the aggregate reuse ONE user_id exchange
+    (the trailing rangepartitioning is the presentation orderBy)."""
+    from kafka_pyspark_bigdata_spark.plans.lakehouse import q_scd2_intervals
+
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        plan = _plan(q_scd2_intervals(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cdc_diff_join_reuses_agg_partitioning(spark):
+    """Two snapshot-aggregate exchanges; the full-outer join adds NONE
+    (plus one rangepartitioning for the output sort)."""
+    from kafka_pyspark_bigdata_spark.plans.lakehouse import q_cdc_diff
+
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        plan = _plan(q_cdc_diff(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_bloom_prune_filter_is_projection(spark):
+    """The bloom membership test must compile into the probe-side scan
+    stage as a filter — no join/exchange between scan and filter; the
+    only join in the plan is the tiny is_member broadcast label."""
+    from kafka_pyspark_bigdata_spark.plans.lakehouse import q_bloom_prune
+
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        plan = _plan(q_bloom_prune(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "array_contains" in plan, plan
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    """The event_date predicate must prune at the source: the scan reads
+    one partition directory, visible as PartitionFilters in the plan."""
+    from kafka_pyspark_bigdata_spark.sources.queries import q_partitioned_scan
+
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        plan = _plan(q_partitioned_scan(spark, SF))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "event_date" in pf[0], plan
