@@ -567,7 +567,58 @@ SELECT vec_id, CAST(cid AS INTEGER) AS cluster, CAST({dist} AS BIGINT) AS sq_dis
     return sql
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN against exact brute force, per
+    query — measure, don't guess: the approximate path's quality is a
+    query result, not a claim. recall_fp = |LSH∩BF| · 10^6 DIV k
+    (fixed-point, engine-exact).
+
+    Both paths reuse the operators above; the comparison is a left join
+    of the exact top-k against the approximate result on (query,
+    neighbor) — |Q|·k rows, driver-free."""
+    bf = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = ann_lsh_bucketed(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_found"),
+        )
+        .select(
+            "query_id",
+            "k",
+            F.col("n_found").cast("long").alias("n_found"),
+            F.expr("n_found * 1000000 DIV k").alias("recall_fp"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ann_recall_sql() -> str:
+    bf = ANN_TOPK_SQL.strip().rstrip()
+    lsh = _ann_lsh_sql().strip()
+    return f"""
+WITH bf AS ({bf}),
+lsh AS ({lsh})
+SELECT bf.query_id,
+       COUNT(*) AS k,
+       CAST(SUM(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_found,
+       CAST((SUM(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS recall_fp
+FROM bf LEFT JOIN lsh
+  ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+GROUP BY bf.query_id ORDER BY bf.query_id
+"""
+
+
 QUERIES = {
+    "ann_recall_eval": ann_recall_eval,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
@@ -576,6 +627,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_recall_eval": _ann_recall_sql(),
     "cluster_kmeans_fixed": _kmeans_sql(),
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_lsh_bucketed": _ann_lsh_sql(),

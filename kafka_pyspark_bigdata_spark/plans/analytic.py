@@ -969,8 +969,90 @@ FROM agg
 """
 
 
+DRIFT_SPLIT_TS = "2024-01-16 00:00:00"  # fixture mid-point
+DRIFT_BINS = 10
+DRIFT_BIN_WIDTH = 50.0  # covers the 0..490 value range
+
+
+def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection between two time periods — the data
+    monitoring an ML pipeline runs before retraining. Per event_type:
+    value histograms of the first vs second half-month, compared by L1
+    distance over NORMALIZED bin shares in parts-per-million (the PSI
+    idea without its logarithm, which is libm and not oracle-exact).
+
+    One scan, one groupBy(type, bin) with conditional period counts, one
+    groupBy(type) fold — shares and the L1 sum are pure integer
+    arithmetic (ppm DIV), so the drift scores hash-match the oracle."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    mid = F.lit(DRIFT_SPLIT_TS).cast("timestamp")
+    binned = ev.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / DRIFT_BIN_WIDTH).cast("int"),
+            F.lit(DRIFT_BINS - 1),
+        ).alias("bin"),
+        (F.col("ts") < mid).alias("is_a"),
+    )
+    per_bin = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("b"),
+    )
+    tot = per_bin.groupBy("event_type").agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    shares = per_bin.join(tot, "event_type").select(
+        "event_type",
+        "bin",
+        F.expr("a * 1000000 DIV ta").alias("share_a_ppm"),
+        F.expr("b * 1000000 DIV tb").alias("share_b_ppm"),
+    )
+    return (
+        shares.groupBy("event_type")
+        .agg(
+            F.sum(F.abs(F.col("share_a_ppm") - F.col("share_b_ppm"))).alias(
+                "l1_drift_ppm"
+            ),
+            F.count(F.lit(1)).alias("n_bins"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_DRIFT_SQL = f"""
+WITH {_EV_US},
+binned AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR(value / {DRIFT_BIN_WIDTH}) AS INTEGER), {DRIFT_BINS - 1})
+           AS bin,
+         (ts < TIMESTAMP '{DRIFT_SPLIT_TS}') AS is_a
+  FROM ev
+),
+per_bin AS (
+  SELECT event_type, bin,
+         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM binned GROUP BY event_type, bin
+),
+tot AS (
+  SELECT event_type, SUM(a) AS ta, SUM(b) AS tb FROM per_bin GROUP BY event_type
+),
+shares AS (
+  SELECT per_bin.event_type, bin,
+         CAST((a * 1000000) // ta AS BIGINT) AS share_a_ppm,
+         CAST((b * 1000000) // tb AS BIGINT) AS share_b_ppm
+  FROM per_bin JOIN tot USING (event_type)
+)
+SELECT event_type,
+       CAST(SUM(ABS(share_a_ppm - share_b_ppm)) AS BIGINT) AS l1_drift_ppm,
+       COUNT(*) AS n_bins
+FROM shares GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q_nested_collect_explode": q_nested_collect_explode,
+    "q_histogram_drift": q_histogram_drift,
     "sketch_join_cardinality": sketch_join_cardinality,
     "q_key_skew_stats": q_key_skew_stats,
     "q_quantiles_exact": q_quantiles_exact,
@@ -995,6 +1077,7 @@ QUERIES = {
 
 ORACLES = {
     "q_nested_collect_explode": Q_NESTED_SQL,
+    "q_histogram_drift": Q_DRIFT_SQL,
     "sketch_join_cardinality": SKETCH_JOIN_CARD_SQL,
     "q_key_skew_stats": Q_KEY_SKEW_SQL,
     "q_quantiles_exact": Q_QUANTILES_SQL,
