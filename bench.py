@@ -58,6 +58,7 @@ def main() -> None:
         "text_cms_heavy_hitters",
         "text_tfidf_topterms",
         "text_bigram_topnext",
+        "text_cooccurrence_pairs",
         "ann_topk_bruteforce",
         "ann_lsh_bucketed",
         "ann_ivf",

@@ -315,6 +315,92 @@ FROM f ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Token co-occurrence pairs (the PMI / market-basket building block)
+# ---------------------------------------------------------------------------
+
+COOC_DF_MIN_PCT = 10  # vocabulary band: tokens in 10%..90% of docs
+COOC_DF_MAX_PCT = 90
+COOC_TOP = 25
+
+
+def text_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 co-occurring token pairs over a MID-FREQUENCY vocabulary
+    band (10%–90% document frequency; the bounds are per-corpus tuning —
+    the fixture's generated vocabulary is small and common, a web corpus
+    would band much lower) — the co-occurrence statistic under
+    PMI, word embeddings, and market-basket association rules. The lift
+    proxy is integer fixed-point: co·n_docs·10^6 DIV (df_a·df_b), no
+    logarithm.
+
+    The df band is the scale guard: universal tokens (stopwords) would
+    make the per-doc pair product quadratic in document LENGTH corpus-
+    wide; banding bounds pairs per doc by the (small) count of mid-
+    frequency terms it contains. Plan: df aggregation, band filter,
+    per-doc self-join on doc_id (the bounded explode), pair count, top-k.
+    """
+    toks = load_documents(spark, sf_dir).select(
+        "doc_id", F.explode(tokens_expr()).alias("tok")
+    ).distinct()
+    n_docs = load_documents(spark, sf_dir).count()
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    band = df.filter(
+        (F.col("df") * 100 >= COOC_DF_MIN_PCT * n_docs)
+        & (F.col("df") * 100 <= COOC_DF_MAX_PCT * n_docs)
+    )
+    banded = toks.join(F.broadcast(band), "tok")
+    a = banded.select("doc_id", F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    b = banded.select("doc_id", F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).alias("co_count"))
+    )
+    return (
+        pairs.select(
+            "tok_a",
+            "tok_b",
+            "co_count",
+            "df_a",
+            "df_b",
+            F.expr(
+                f"co_count * CAST({n_docs} AS BIGINT) * 1000000"
+                " DIV (df_a * df_b)"
+            ).alias("lift_fp"),
+        )
+        .orderBy(F.desc("co_count"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(COOC_TOP)
+    )
+
+
+def _cooc_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
+),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+band AS (
+  SELECT tok, df FROM df, nd
+  WHERE df * 100 >= {COOC_DF_MIN_PCT} * n_docs
+    AND df * 100 <= {COOC_DF_MAX_PCT} * n_docs
+),
+banded AS (SELECT doc_id, toks.tok, df FROM toks JOIN band USING (tok)),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS df_a, b.df AS df_b,
+         COUNT(*) AS co_count
+  FROM banded a JOIN banded b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok, a.df, b.df
+)
+SELECT tok_a, tok_b, co_count, df_a, df_b,
+       CAST(co_count * (SELECT n_docs FROM nd) * 1000000 // (df_a * df_b)
+            AS BIGINT) AS lift_fp
+FROM pairs
+ORDER BY co_count DESC, tok_a, tok_b LIMIT {COOC_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch heavy hitters
 # ---------------------------------------------------------------------------
 
@@ -620,6 +706,7 @@ FROM toks GROUP BY doc_id, bucket ORDER BY doc_id, bucket
 
 QUERIES = {
     "text_bigram_topnext": text_bigram_topnext,
+    "text_cooccurrence_pairs": text_cooccurrence_pairs,
     "text_feature_hashing": text_feature_hashing,
     "text_cms_heavy_hitters": text_cms_heavy_hitters,
     "text_tfidf_topterms": text_tfidf_topterms,
@@ -633,6 +720,7 @@ QUERIES = {
 
 ORACLES = {
     "text_bigram_topnext": TEXT_BIGRAM_SQL,
+    "text_cooccurrence_pairs": _cooc_sql(),
     "text_feature_hashing": TEXT_FH_SQL,
     "text_cms_heavy_hitters": _cms_sql(),
     "text_tfidf_topterms": TEXT_TFIDF_SQL,

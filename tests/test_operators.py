@@ -120,3 +120,21 @@ def test_khop_reach_monotone_in_k(spark, monkeypatch):
     )
     degrees = {r.doc_a: r['count'] for r in deg.collect()}
     assert one == degrees
+
+
+def test_cooccurrence_band_and_symmetry(spark):
+    """Pairs are canonicalized (tok_a < tok_b), co_count never exceeds
+    either marginal df, and every token sits inside the df band."""
+    df = text.text_cooccurrence_pairs(spark, "/root/testdata/sf0.001").cache()
+    try:
+        assert df.count() == text.COOC_TOP
+        assert df.filter("tok_a >= tok_b").count() == 0
+        assert df.filter("co_count > df_a OR co_count > df_b").count() == 0
+        n_docs = text.load_documents(spark, "/root/testdata/sf0.001").count()
+        lo, hi = text.COOC_DF_MIN_PCT * n_docs, text.COOC_DF_MAX_PCT * n_docs
+        bad = df.filter(
+            f"df_a*100 < {lo} OR df_a*100 > {hi} OR df_b*100 < {lo} OR df_b*100 > {hi}"
+        )
+        assert bad.count() == 0
+    finally:
+        df.unpersist()
