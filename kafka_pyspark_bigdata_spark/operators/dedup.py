@@ -753,8 +753,84 @@ GROUP BY origin ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Blocked edit-distance dedup (record-linkage blocking)
+# ---------------------------------------------------------------------------
+
+ED_MAX = 8  # max edit distance for a near-dup pair
+ED_BLOCK = 32  # length-bucket width; must be > ED_MAX for completeness
+
+
+def dedup_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by edit distance <= 8, found with record-linkage
+    length BLOCKING instead of an all-pairs join.
+
+    Completeness argument: ``levenshtein(a,b) <= ED_MAX`` implies
+    ``|len(a)-len(b)| <= ED_MAX < ED_BLOCK``, so a qualifying pair's
+    length buckets differ by at most 1. The probe side explodes each doc
+    into buckets {k-1, k, k+1} while the build side keeps only k, so every
+    qualifying pair meets on exactly ONE bucket (the build doc's own) —
+    no post-join dedup needed, and the equi-join shuffles on the bucket
+    key. At 100 TB the cost is 3x probe-side fan-out plus within-bucket
+    pairs, not n^2; the bounded ``levenshtein(_, _, threshold)`` verify
+    (Ukkonen band, Spark 3.5+) caps per-pair work at O(len * ED_MAX).
+    The oracle is the equivalent all-pairs query — equal by the argument
+    above, which the driver's value-hash comparison re-proves per run.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("len")
+    )
+    probe = docs.select(
+        F.col("doc_id").alias("id_l"),
+        F.col("text").alias("text_l"),
+        F.col("len").alias("len_l"),
+        F.explode(
+            F.expr(
+                f"array(len DIV {ED_BLOCK} - 1, len DIV {ED_BLOCK},"
+                f" len DIV {ED_BLOCK} + 1)"
+            )
+        ).alias("bk"),
+    )
+    build = docs.select(
+        F.col("doc_id").alias("id_r"),
+        F.col("text").alias("text_r"),
+        F.col("len").alias("len_r"),
+        F.expr(f"len DIV {ED_BLOCK}").alias("bk"),
+    )
+    return (
+        probe.join(build, "bk")
+        .filter(
+            (F.col("id_l") < F.col("id_r"))
+            & (F.abs(F.col("len_l") - F.col("len_r")) <= ED_MAX)
+        )
+        .withColumn("edit_dist", F.expr(f"levenshtein(text_l, text_r, {ED_MAX})"))
+        .filter(F.col("edit_dist") >= 0)
+        .select(
+            F.col("id_l").alias("id_a"),
+            F.col("id_r").alias("id_b"),
+            F.col("edit_dist").cast("long").alias("edit_dist"),
+            F.col("len_l").cast("long").alias("len_a"),
+            F.col("len_r").cast("long").alias("len_b"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_LEVENSHTEIN_SQL = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       CAST(a.len AS BIGINT) AS len_a, CAST(b.len AS BIGINT) AS len_b
+FROM d a JOIN d b
+  ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= {ED_MAX}
+WHERE levenshtein(a.text, b.text) <= {ED_MAX}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_blocked_levenshtein": dedup_blocked_levenshtein,
     "dedup_clusters": dedup_clusters,
     "graph_khop_reach": graph_khop_reach,
     "graph_triangle_count": graph_triangle_count,
@@ -767,6 +843,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_blocked_levenshtein": DEDUP_LEVENSHTEIN_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "graph_khop_reach": _khop_sql(),
     "graph_triangle_count": GRAPH_TRIANGLES_SQL,

@@ -617,8 +617,103 @@ GROUP BY bf.query_id ORDER BY bf.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (decimal-exact distributed vector mean)
+# ---------------------------------------------------------------------------
+
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column plus the centroid's L2
+    norm — the class-prototype computation under nearest-centroid
+    classification, IVF quantizer seeding, and embedding-drift monitoring.
+
+    Distributed mean of a vector column: ``posexplode`` to (label, dim,
+    val) rows, then one partial aggregation keyed by (label, dim). The
+    key space is tiny (labels x 64 dims), so at 100 TB virtually all
+    reduction happens map-side and the shuffle moves only
+    |labels| * dim * n_partitions accumulators. All reductions run in
+    exact integer fixed-point (val * 2^40 is integral for the corpus'
+    float32 range), so they are order-independent and engine-exact with
+    no rounding anywhere; sqrt applies to a final double (IEEE-exact,
+    portable).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+    # val * 2^40 is an exact integer for every float32 in the corpus'
+    # exponent range (double multiply by a power of two is exact), so the
+    # DECIMAL(38,0) accumulation never rounds — base-10 tie-rounding of a
+    # double->decimal cast is where cross-engine drift creeps in.
+    per_dim = vals.groupBy("label", "dim").agg(
+        F.sum(
+            F.expr(f"CAST(CAST(val AS DOUBLE) * {_FP_SCALE} AS DECIMAL(38,0))")
+        ).alias("s_fp"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    per_dim = per_dim.select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        (F.col("s_fp").cast("double") / F.lit(float(_FP_SCALE)) / F.col("n")).alias(
+            "centroid"
+        ),
+        "n",
+    )
+    # Norm of the 1e-6-quantized centroid: quantizing to an integer first
+    # keeps the sum of squares in exact BIGINT arithmetic (m < 1e7, 64
+    # terms < 1e16), so the reduction is order-independent by construction.
+    quant = per_dim.withColumn(
+        "m", F.round(F.col("centroid") * 1000000, 0).cast("long")
+    )
+    norms = quant.groupBy("label").agg(
+        (F.sqrt(F.sum(F.col("m") * F.col("m")).cast("double")) / 1000000.0).alias(
+            "centroid_norm"
+        ),
+        F.max("n").cast("long").alias("n_vecs"),
+    )
+    return (
+        per_dim.join(F.broadcast(norms), "label")
+        .select("label", "dim", "centroid", "centroid_norm", "n_vecs")
+        .orderBy("label", "dim")
+    )
+
+
+_FP_SCALE = 2**40
+
+
+EMB_CENTROIDS_SQL = f"""
+WITH v AS (
+  SELECT label,
+         unnest(generate_series(1, len(embedding))) - 1 AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+per_dim AS (
+  SELECT label, CAST(dim AS BIGINT) AS dim,
+         SUM(CAST(CAST(val AS DOUBLE) * {_FP_SCALE} AS DECIMAL(38,0))) AS s_fp,
+         COUNT(*) AS n
+  FROM v GROUP BY label, dim
+),
+cent AS (
+  SELECT label, dim,
+         CAST(s_fp AS DOUBLE) / {float(_FP_SCALE)!r} / n AS centroid, n
+  FROM per_dim
+),
+norms AS (
+  SELECT label,
+         sqrt(CAST(SUM(CAST(round(centroid * 1000000, 0) AS BIGINT)
+                       * CAST(round(centroid * 1000000, 0) AS BIGINT)) AS DOUBLE))
+           / 1000000.0 AS centroid_norm,
+         CAST(MAX(n) AS BIGINT) AS n_vecs
+  FROM cent GROUP BY label
+)
+SELECT c.label, c.dim, c.centroid, n.centroid_norm, n.n_vecs
+FROM cent c JOIN norms n USING (label)
+ORDER BY label, dim
+"""
+
+
 QUERIES = {
     "ann_recall_eval": ann_recall_eval,
+    "emb_label_centroids": emb_label_centroids,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
@@ -628,6 +723,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_recall_eval": _ann_recall_sql(),
+    "emb_label_centroids": EMB_CENTROIDS_SQL,
     "cluster_kmeans_fixed": _kmeans_sql(),
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_lsh_bucketed": _ann_lsh_sql(),

