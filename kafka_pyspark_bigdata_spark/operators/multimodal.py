@@ -320,14 +320,118 @@ FROM b ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate image pairs (banded Hamming blocking)
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 60  # fingerprint width (< 63: stays positive in BIGINT)
+PHASH_BANDS = 6  # bands of PHASH_BITS / PHASH_BANDS bits each
+BAND_WIDTH = PHASH_BITS // PHASH_BANDS  # 10 bits -> 1024 buckets per band
+HAM_MAX = 5  # near-dup threshold; < PHASH_BANDS so banding is COMPLETE
+
+PHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("phash", LongType())]
+)
+
+
+def _fake_phash(payload: bytes) -> int:
+    """STUB for a real perceptual hash (DCT-based pHash over decoded
+    pixels). Deterministic fake: 60 interleaved byte-parity stripes, so a
+    byte substitution flips at most one bit — near-identical payloads get
+    near-identical hashes, which is the property a real pHash provides."""
+    h = 0
+    for i, b in enumerate(payload):
+        h ^= (b & 1) << (i % PHASH_BITS)
+    return h
+
+
+def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "phash": pdf["payload"].map(_fake_phash).astype("int64"),
+            }
+        )
+
+
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance
+    <= 5, found with BANDED blocking instead of an all-pairs join.
+
+    The hash runs in `mapInPandas` over Arrow batches of the binary
+    payloads (the pHash/DCT slot of a real dedup pipeline); pairing then
+    never touches bytes again: each 60-bit hash splits into 6 bands of 10
+    bits, candidates must agree exactly on >= 1 band (pigeonhole: <= 5
+    differing bits among 6 bands forces one clean band, so recall is 100%
+    by construction, same argument as MinHash banding in dedup.py), and
+    the verify is a 2-instruction bit_count(xor). At 100 TB the plan is:
+    narrow hash pass -> 6x band fan-out -> equi-join on (band, value)
+    over 1024 buckets/band -> distinct pair -> cheap verify; never n^2.
+    The oracle is the equivalent all-pairs query, equal by completeness.
+    """
+    media = media_table(spark, sf_dir)
+    sig = media.select("doc_id", "payload").mapInPandas(phash_batches, PHASH_SCHEMA)
+    bands = sig.select(
+        "doc_id",
+        "phash",
+        F.explode(F.expr(f"sequence(0, {PHASH_BANDS - 1})")).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(phash, band * {BAND_WIDTH}) & {2 ** BAND_WIDTH - 1}"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"), "band", "band_val"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b"), "band", "band_val"
+    )
+    pairs = (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.expr("CAST(bit_count(ph_a ^ ph_b) AS INTEGER)"),
+        )
+        .filter(F.col("hamming") <= HAM_MAX)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+    return pairs
+
+
+# ASCII fixture => byte == char; empty docs guarded by the 0 prepend.
+_PHASH_SQL_EXPR = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(range(1, length(text) + 1),"
+    f" i -> ((ascii(substr(text, i, 1)) & 1)::BIGINT << ((i - 1) % {PHASH_BITS})))),"
+    " (a, b) -> xor(a, b))"
+)
+
+MM_PHASH_SQL = f"""
+WITH ph AS (
+  SELECT doc_id, {_PHASH_SQL_EXPR} AS phash FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {HAM_MAX}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "mm_decode_image": mm_decode_image,
     "mm_frame_sample": mm_frame_sample,
     "mm_resize_image": mm_resize_image,
     "mm_audio_features": mm_audio_features,
+    "mm_phash_dedup": mm_phash_dedup,
 }
 
 ORACLES = {
+    "mm_phash_dedup": MM_PHASH_SQL,
     "mm_decode_image": MM_DECODE_SQL,
     "mm_frame_sample": MM_FRAME_SQL,
     "mm_resize_image": MM_RESIZE_SQL,

@@ -711,6 +711,181 @@ ORDER BY label, dim
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-wide kNN graph (LSH-blocked)
+# ---------------------------------------------------------------------------
+
+KNN_K = 3
+
+
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole corpus: each
+    vector's top-3 cosine neighbors among its own LSH bucket — the
+    index-construction primitive behind graph-based retrieval (NSW/HNSW
+    bootstrap), dedup clustering, and label propagation.
+
+    Unlike ann_* (a small query set vs the corpus), both sides here are
+    the full corpus, so the all-pairs form is O(n^2) and unusable. The
+    bucket equi-join bounds candidates to within-bucket (~n/2^bits per
+    probe); the shuffle key is the 6-bit bucket id, hot buckets are
+    handled by AQE skew-join splitting, and the per-source top-k is a
+    bounded window over candidate rows only. For higher recall at scale,
+    add banded multi-probe exactly as dedup_embedding_lsh does — same
+    plan shape, B band keys instead of 1.
+    """
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    wb = emb.select("vec_id", "embedding", bucket_expr("embedding").alias("bucket"))
+    left = wb.select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("sv"), "bucket"
+    )
+    right = wb.select(
+        F.col("vec_id").alias("dst_id"), F.col("embedding").alias("dv"), "bucket"
+    )
+    scored = (
+        left.join(right, "bucket")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id", cosine_expr("sv", "dv").alias("cosine"))
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("dst_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= KNN_K)
+        .orderBy("src_id", "rank")
+    )
+
+
+def _knn_graph_sql() -> str:
+    return f"""
+WITH wb AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+  FROM wb a JOIN wb b USING (bucket)
+  WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT src_id, dst_id, cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY src_id ORDER BY cosine DESC, dst_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT src_id, dst_id, cosine, rank FROM ranked
+WHERE rank <= {KNN_K} ORDER BY src_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8-style) embedding quantization with reconstruction error
+# ---------------------------------------------------------------------------
+
+_Q_SCALE = 2**20  # float -> fixed-point BIGINT pre-scale
+Q_LEVELS = 255  # quantization levels (int8-style codebook)
+
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min/max scalar quantization of the embedding column
+    to 255 levels (the int8 compression every 100 TB vector store applies
+    before ANN indexing), plus exact per-vector reconstruction error.
+
+    Phase 1 computes the 64-row per-dim (min, max) stats: posexplode +
+    partial agg — the shuffle moves only dim-keyed accumulators. The
+    stats are collected (64 tiny rows, the same driver-literal pattern as
+    the k-means centroids) and re-enter the plan as literal arrays, so
+    phase 2 is a single NARROW map pass: zip_with against the literal
+    arrays computes codes and errors per vector with no explode, no
+    re-shuffle, no UDF — at 100 TB this pipelines straight into the sink.
+
+    All arithmetic is integer after one deterministic round(v * 2^20)
+    fixed-pointing: codes use (d * 255) DIV range, reconstruction uses
+    (q * range) DIV 255, errors are BIGINT — order-independent and
+    engine-exact; the only doubles are final exact divisions.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v_int = "CAST(round(CAST(val AS DOUBLE) * {s}, 0) AS BIGINT)".format(s=_Q_SCALE)
+    stats = (
+        emb.select(F.posexplode("embedding").alias("dim", "val"))
+        .select("dim", F.expr(v_int).alias("v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .orderBy("dim")
+        .collect()
+    )
+    lo_arr = "array(%s)" % ", ".join(str(r.lo) + "L" for r in stats)
+    rng_arr = "array(%s)" % ", ".join(
+        str(max(r.hi - r.lo, 1)) + "L" for r in stats
+    )
+    expr = f"""
+    transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_Q_SCALE}, 0) AS BIGINT))
+    """
+    vals = F.expr(expr).alias("v_int")
+    out = (
+        emb.select("vec_id", "label", vals)
+        .withColumn("d", F.expr(f"zip_with(v_int, {lo_arr}, (a, b) -> a - b)"))
+        .withColumn(
+            "q", F.expr(f"zip_with(d, {rng_arr}, (a, r) -> (a * {Q_LEVELS}) DIV r)")
+        )
+        .withColumn(
+            "err",
+            F.expr(
+                f"zip_with(d, zip_with(q, {rng_arr}, (a, r) -> (a * r) DIV {Q_LEVELS}),"
+                " (a, b) -> abs(a - b))"
+            ),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.expr(
+                "aggregate(zip_with(q, sequence(1, size(q)), (a, i) -> a * i),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("code_checksum"),
+            F.expr("aggregate(err, 0L, (acc, x) -> acc + x)").alias("total_abs_err"),
+            F.expr("array_max(err)").alias("max_abs_err"),
+            (
+                F.expr("aggregate(err, 0L, (acc, x) -> acc + x)").cast("double")
+                / F.expr("size(err)").cast("double")
+                / F.lit(float(_Q_SCALE))
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("vec_id")
+    )
+    return out
+
+
+EMB_QUANTIZE_SQL = f"""
+WITH v AS (
+  SELECT vec_id, label,
+         unnest(generate_series(1, len(embedding))) AS dim1,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {_Q_SCALE}, 0) AS BIGINT) AS v
+  FROM embeddings
+),
+stats AS (
+  SELECT dim1, MIN(v) AS lo, GREATEST(MAX(v) - MIN(v), 1) AS rng
+  FROM v GROUP BY dim1
+),
+coded AS (
+  SELECT vec_id, label, v.dim1,
+         (v - lo) AS d,
+         ((v - lo) * {Q_LEVELS}) // rng AS q, rng
+  FROM v JOIN stats USING (dim1)
+),
+errs AS (
+  SELECT vec_id, label, dim1, q,
+         abs(d - (q * rng) // {Q_LEVELS}) AS err
+  FROM coded
+)
+SELECT vec_id, MIN(label) AS label,
+       CAST(SUM(q * dim1) AS BIGINT) AS code_checksum,
+       CAST(SUM(err) AS BIGINT) AS total_abs_err,
+       MAX(err) AS max_abs_err,
+       CAST(SUM(err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / {float(_Q_SCALE)!r}
+         AS mean_abs_err
+FROM errs GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "ann_recall_eval": ann_recall_eval,
     "emb_label_centroids": emb_label_centroids,
@@ -719,9 +894,13 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "cluster_kmeans_fixed": cluster_kmeans_fixed,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "knn_graph_lsh": knn_graph_lsh,
+    "emb_quantize_int8": emb_quantize_int8,
 }
 
 ORACLES = {
+    "knn_graph_lsh": _knn_graph_sql(),
+    "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "ann_recall_eval": _ann_recall_sql(),
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "cluster_kmeans_fixed": _kmeans_sql(),

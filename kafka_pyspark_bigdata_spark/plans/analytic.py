@@ -1050,7 +1050,68 @@ FROM shares GROUP BY event_type ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier (sort-based, no quadratic dominance join)
+# ---------------------------------------------------------------------------
+
+
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline of orders: the Pareto frontier of (earliest
+    o_orderdate, highest o_totalprice) — no other order is both at least
+    as early AND at least as expensive with one strict.
+
+    The naive form is a quadratic NOT EXISTS dominance join (which IS the
+    oracle). The distributed form exploits the bounded DATE domain: a
+    map-side partial `groupBy(date).max(price)` collapses 100 TB of rows
+    to one row per distinct date (a few thousand), the strictly-earlier
+    running max is a window over THAT tiny relation (single partition of
+    ~10^3 rows — deliberate and cheap, never the raw data), and the
+    frontier joins back as a broadcast. The big table sees one partial
+    agg and one broadcast hash join — no global sort, no self-join. Raw
+    value comparisons only (no float arithmetic), so cross-engine exact.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "d"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "o_totalprice",
+    )
+    per_date = o.groupBy("d").agg(F.max("o_totalprice").alias("date_max"))
+    w_strict = Window.orderBy("d").rangeBetween(Window.unboundedPreceding, -1)
+    frontier = per_date.withColumn(
+        "max_earlier", F.max("date_max").over(w_strict)
+    ).filter(F.col("max_earlier").isNull() | (F.col("max_earlier") < F.col("date_max")))
+    return (
+        o.join(F.broadcast(frontier), "d")
+        .filter(F.col("o_totalprice") == F.col("date_max"))
+        .select("o_orderkey", "order_date", "o_totalprice", "d")
+        .orderBy("d", F.desc("o_totalprice"), "o_orderkey")
+        .drop("d")
+    )
+
+
+Q_SKYLINE_SQL = """
+WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dte,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+         o_totalprice
+  FROM orders
+)
+SELECT a.o_orderkey, a.order_date, a.o_totalprice
+FROM o a
+WHERE NOT EXISTS (
+  SELECT 1 FROM o b
+  WHERE b.dte <= a.dte AND b.o_totalprice >= a.o_totalprice
+    AND (b.dte < a.dte OR b.o_totalprice > a.o_totalprice)
+)
+ORDER BY a.dte, a.o_totalprice DESC, a.o_orderkey
+"""
+
+
 QUERIES = {
+    "q_skyline_pareto": q_skyline_pareto,
     "q_nested_collect_explode": q_nested_collect_explode,
     "q_histogram_drift": q_histogram_drift,
     "sketch_join_cardinality": sketch_join_cardinality,
@@ -1076,6 +1137,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_skyline_pareto": Q_SKYLINE_SQL,
     "q_nested_collect_explode": Q_NESTED_SQL,
     "q_histogram_drift": Q_DRIFT_SQL,
     "sketch_join_cardinality": SKETCH_JOIN_CARD_SQL,

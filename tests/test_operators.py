@@ -194,3 +194,72 @@ def test_label_centroids_shape_and_norm(spark):
         assert len(rs) == 64
         norm = math.sqrt(sum(round(r.centroid * 1e6) ** 2 for r in rs)) / 1e6
         assert abs(norm - rs[0].centroid_norm) < 1e-9
+
+
+def test_knn_graph_rank_contract(spark):
+    """<=3 neighbors per source, ranks contiguous from 1, cosine
+    non-increasing within a source."""
+    rows = similarity.knn_graph_lsh(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src_id, []).append(r)
+    for src, rs in by_src.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= similarity.KNN_K
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.dst_id != src for r in rs)
+
+
+def test_quantize_error_bound(spark):
+    """Floor quantization error is bounded by rng/255 + 1 fixed-point
+    units in every dimension; codes stay in [0, 255]."""
+    sf = "/root/testdata/sf0.001"
+    rows = similarity.emb_quantize_int8(spark, sf).collect()
+    assert rows
+    emb = similarity.load_table(spark, sf, "embeddings")
+    from pyspark.sql import functions as F
+
+    stats = (
+        emb.select(F.posexplode("embedding").alias("dim", "val"))
+        .select(
+            F.expr(
+                f"CAST(round(CAST(val AS DOUBLE) * {similarity._Q_SCALE}, 0) AS BIGINT)"
+            ).alias("v")
+        )
+        .agg(F.max("v").alias("hi"), F.min("v").alias("lo"))
+        .collect()[0]
+    )
+    worst_rng = stats.hi - stats.lo
+    bound = worst_rng // similarity.Q_LEVELS + 2
+    max_checksum = similarity.Q_LEVELS * sum(range(1, 65))
+    for r in rows:
+        assert 0 <= r.max_abs_err <= bound
+        assert 0 <= r.code_checksum <= max_checksum
+        assert abs(r.mean_abs_err - r.total_abs_err / 64 / similarity._Q_SCALE) < 1e-12
+
+
+def test_phash_exact_dups_at_zero_distance(spark):
+    """Docs with byte-identical payloads must pair at hamming 0, and every
+    reported pair respects the threshold and canonical order."""
+    sf = "/root/testdata/sf0.001"
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.mm_phash_dedup(spark, sf).collect()
+    }
+    assert pairs
+    docs = text.load_documents(spark, sf).select("doc_id", "text").collect()
+    by_text = {}
+    for r in docs:
+        by_text.setdefault(r.text, []).append(r.doc_id)
+    exact = {
+        (a, b)
+        for ids in by_text.values()
+        for i, a in enumerate(sorted(ids))
+        for b in sorted(ids)[i + 1 :]
+    }
+    for p in exact:
+        assert pairs.get(p) == 0
+    for (a, b), h in pairs.items():
+        assert a < b and 0 <= h <= multimodal.HAM_MAX
