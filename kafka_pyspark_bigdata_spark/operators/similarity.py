@@ -34,6 +34,7 @@ rounded to 6 decimals (reduction error over 64 terms ~1e-14).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -886,8 +887,86 @@ FROM errs GROUP BY vec_id ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Arrow-vectorized pandas_udf batch scoring (the sanctioned UDF fallback)
+# ---------------------------------------------------------------------------
+
+PUDF_TOP = 20
+_PUDF_SEED = 11
+# Deterministic literal query vector, shared verbatim with the oracle.
+_PUDF_QUERY: list[float] = [
+    float(x) for x in np.random.RandomState(_PUDF_SEED).standard_normal(EMB_DIM)
+]
+
+
+def ann_dot_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus vectors by fixed-point dot product with a literal
+    query vector, scored inside a SCALAR `@pandas_udf` — the repo's one
+    deliberate demonstration of the Arrow-vectorized UDF fallback (the
+    slot a real pipeline fills with a model-forward pass or a compiled
+    scorer that genuinely can't be expressed as built-ins).
+
+    Exactness across the Python/JVM boundary: floats are fixed-pointed to
+    int64 (round-half-away, matching SQL `round`) and the dot product is
+    an integer accumulation — no float-summation-order dependence, so the
+    numpy result hash-matches DuckDB exactly. Plan shape: ArrowEvalPython
+    over corpus batches (embarrassingly parallel, no shuffle) followed by
+    a global top-k (TakeOrdered — only k rows cross the exchange).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    q_fp = np.array(
+        [int(_away_round(x * _Q_SCALE)) for x in _PUDF_QUERY], dtype=np.int64
+    )
+
+    @pandas_udf("bigint")
+    def dot_fp(emb: pd.Series) -> pd.Series:
+        def one(v) -> int:
+            a = np.asarray(v, dtype=np.float64) * _Q_SCALE
+            a_fp = (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64)
+            return int(np.dot(a_fp, q_fp))
+
+        return emb.map(one)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id",
+        "label",
+        (dot_fp("embedding").cast("double") / F.lit(float(_Q_SCALE) ** 2)).alias(
+            "dot"
+        ),
+    )
+    return scored.orderBy(F.desc("dot"), F.asc("vec_id")).limit(PUDF_TOP)
+
+
+def _away_round(x: float) -> float:
+    import math
+
+    return math.copysign(math.floor(abs(x) + 0.5), x)
+
+
+def _pudf_sql() -> str:
+    q_fp_sql = "[" + ", ".join(
+        str(int(_away_round(x * _Q_SCALE))) for x in _PUDF_QUERY
+    ) + "]::BIGINT[]"
+    return f"""
+WITH scored AS (
+  SELECT vec_id, label,
+         CAST(list_sum(list_transform(
+                 list_zip(embedding, {q_fp_sql}),
+                 p -> CAST(round(CAST(p[1] AS DOUBLE) * {_Q_SCALE}, 0) AS BIGINT)
+                      * p[2])) AS DOUBLE)
+           / {float(_Q_SCALE) ** 2!r} AS dot
+  FROM embeddings
+)
+SELECT vec_id, label, dot FROM scored
+ORDER BY dot DESC, vec_id LIMIT {PUDF_TOP}
+"""
+
+
 QUERIES = {
     "ann_recall_eval": ann_recall_eval,
+    "ann_dot_pandas_udf": ann_dot_pandas_udf,
     "emb_label_centroids": emb_label_centroids,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -899,6 +978,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_dot_pandas_udf": _pudf_sql(),
     "knn_graph_lsh": _knn_graph_sql(),
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "ann_recall_eval": _ann_recall_sql(),

@@ -311,8 +311,190 @@ ORDER BY d, event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Interval max-concurrency (endpoint sweep)
+# ---------------------------------------------------------------------------
+
+_DUR_MOD = 3540  # synthetic interval length: 60 + event_id % 3540 seconds
+
+
+def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent intervals per event type — the classic endpoint
+    sweep (room-scheduling / max-concurrent-sessions): each interval
+    contributes a +1 at its start and a -1 at its end, and the running
+    sum over the time-ordered endpoint stream is the instantaneous
+    concurrency. Intervals are half-open [s, e): at equal timestamps the
+    -1 sorts first, so a session ending exactly when another starts never
+    double-counts.
+
+    Plan shape: a 2x endpoint fan-out (narrow), one shuffle on
+    event_type, and a linear running-sum window per type. Everything is
+    integer microseconds — engine-exact. At 100 TB with few types the
+    sort key becomes (type, day-bucket) and per-bucket sweeps are
+    stitched with per-bucket net-delta prefix offsets — the standard
+    distributed prefix-sum decomposition; the plan shape is unchanged.
+    Interval lengths here are synthesized deterministically from
+    event_id (60 + id % 3540 s) since the fixture has no duration column.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + (F.lit(60) + F.col("event_id") % _DUR_MOD) * F.lit(1_000_000)
+        ).alias("e_us"),
+    )
+    starts = ev.select(
+        "event_type", F.col("s_us").alias("t_us"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = ev.select(
+        "event_type", F.col("e_us").alias("t_us"), F.lit(-1).alias("delta"), "event_id"
+    )
+    deltas = starts.unionAll(ends)
+    w = Window.partitionBy("event_type").orderBy("t_us", "delta", "event_id")
+    running = deltas.withColumn(
+        "conc", F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    peaks = running.groupBy("event_type").agg(F.max("conc").alias("mc"))
+    return (
+        running.join(F.broadcast(peaks), "event_type")
+        .groupBy("event_type", "mc")
+        .agg(
+            F.min(F.when(F.col("conc") == F.col("mc"), F.col("t_us"))).alias(
+                "first_peak_us"
+            ),
+            F.count(F.lit(1)).alias("n_endpoints"),
+        )
+        .withColumn("max_concurrent", F.col("mc").cast("long"))
+        .select(
+            "event_type",
+            "max_concurrent",
+            F.date_format(
+                F.timestamp_micros(F.col("first_peak_us")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("first_peak_at"),
+            "n_endpoints",
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_INTERVAL_CONC_SQL = f"""
+WITH {_EV_US},
+iv AS (
+  SELECT event_id, event_type, epoch_us(ts) AS s_us,
+         epoch_us(ts) + (60 + event_id % {_DUR_MOD}) * 1000000 AS e_us
+  FROM ev
+),
+deltas AS (
+  SELECT event_type, s_us AS t_us, 1 AS delta, event_id FROM iv
+  UNION ALL
+  SELECT event_type, e_us AS t_us, -1 AS delta, event_id FROM iv
+),
+running AS (
+  SELECT event_type, t_us,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY t_us, delta, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM deltas
+),
+peaks AS (
+  SELECT event_type, MAX(conc) AS mc FROM running GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(p.mc AS BIGINT) AS max_concurrent,
+       strftime(make_timestamp(MIN(CASE WHEN r.conc = p.mc THEN r.t_us END)),
+                '%Y-%m-%d %H:%M:%S') AS first_peak_at,
+       COUNT(*) AS n_endpoints
+FROM running r JOIN peaks p USING (event_type)
+GROUP BY r.event_type, p.mc
+ORDER BY r.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average (exact fixed-point, bounded lag)
+# ---------------------------------------------------------------------------
+
+EWMA_LAGS = 16  # window depth: weights 2^-0 .. 2^-(15) (halving decay)
+_EWMA_FP = 2**20  # value fixed-point scale
+
+
+def q_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (decay 1/2,
+    truncated at 16 lags) over the event stream — the smoothing operator
+    behind rate limiting, anomaly baselines, and feature decay.
+
+    Float EWMAs drift across engines (repeated multiply accumulates
+    rounding), so this is EXACT: values fixed-point at 2^20, the weight
+    of an event d steps back is the integer 2^(15-d), and both the
+    weighted sum and the weight sum are BIGINT — the final ratio is one
+    double division of exact integers, identical everywhere. Spark-side
+    it is a single window pass: collect_list over a 16-row frame +
+    aggregate (no self-join); the oracle spells the same math as a
+    bounded rn-distance self-join. One shuffle on user_id, linear per
+    user — the at-scale plan for bounded-memory decay.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(f"CAST(round(value * {_EWMA_FP}, 0) AS BIGINT)").alias("v_int"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_LAGS - 1), 0)
+    )
+    rn_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("vals", F.collect_list("v_int").over(w))
+        .withColumn("rn", F.row_number().over(rn_w).cast("long"))
+        .select(
+            "user_id",
+            "rn",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            (
+                F.expr(
+                    "aggregate(transform(vals, (x, j) -> x * shiftleft(CAST(1 AS"
+                    f" BIGINT), {EWMA_LAGS} - size(vals) + j)), CAST(0 AS BIGINT),"
+                    " (a, b) -> a + b)"
+                ).cast("double")
+                / F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {EWMA_LAGS})"
+                    f" - shiftleft(CAST(1 AS BIGINT), {EWMA_LAGS} - size(vals))"
+                ).cast("double")
+                / F.lit(float(_EWMA_FP))
+            ).alias("ewma"),
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
+Q_EWMA_SQL = f"""
+WITH {_EV_US},
+r AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * {_EWMA_FP}, 0) AS BIGINT) AS v_int,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM ev
+)
+SELECT a.user_id, CAST(a.rn AS BIGINT) AS rn,
+       strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(CAST(SUM(b.v_int << ({EWMA_LAGS - 1} - (a.rn - b.rn))) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(CAST(1 AS BIGINT) << ({EWMA_LAGS - 1} - (a.rn - b.rn)))
+                AS BIGINT) AS DOUBLE)
+         / {float(_EWMA_FP)!r} AS ewma
+FROM r a JOIN r b
+  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - {EWMA_LAGS - 1} AND a.rn
+GROUP BY a.user_id, a.rn, a.ts
+ORDER BY a.user_id, a.rn
+"""
+
+
 QUERIES = {
     "q_funnel": q_funnel,
+    "q_interval_concurrency": q_interval_concurrency,
+    "q_ewma_decay": q_ewma_decay,
     "q_cohort_retention": q_cohort_retention,
     "q_resample_locf": q_resample_locf,
     "q_hypertable_rollup": q_hypertable_rollup,
@@ -320,6 +502,8 @@ QUERIES = {
 
 ORACLES = {
     "q_funnel": Q_FUNNEL_SQL,
+    "q_interval_concurrency": Q_INTERVAL_CONC_SQL,
+    "q_ewma_decay": Q_EWMA_SQL,
     "q_cohort_retention": Q_COHORT_SQL,
     "q_resample_locf": Q_RESAMPLE_LOCF_SQL,
     "q_hypertable_rollup": Q_HYPERTABLE_SQL,

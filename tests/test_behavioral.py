@@ -71,3 +71,54 @@ def test_hypertable_rollup_matches_direct(spark):
     )
     assert merged.subtract(direct).count() == 0
     assert direct.subtract(merged).count() == 0
+
+
+def test_interval_concurrency_bounds(spark):
+    from kafka_pyspark_bigdata_spark.plans import behavioral
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = behavioral.q_interval_concurrency(spark, sf).collect()
+    assert rows
+    per_type = {
+        r.event_type: r.cnt
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in rows:
+        assert 1 <= r.max_concurrent <= per_type[r.event_type]
+        assert r.n_endpoints == 2 * per_type[r.event_type]
+
+
+def test_ewma_is_convex_combination(spark):
+    """EWMA with normalized weights must lie within [min, max] of the
+    contributing window values."""
+    from kafka_pyspark_bigdata_spark.plans import behavioral
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ew = {
+        (r.user_id, r.rn): r.ewma
+        for r in behavioral.q_ewma_decay(spark, sf).collect()
+    }
+    ev = sorted(
+        load_table(spark, sf, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r.value)
+    checked = 0
+    for uid, vals in by_user.items():
+        for i in range(len(vals)):
+            lo = min(vals[max(0, i - 15) : i + 1])
+            hi = max(vals[max(0, i - 15) : i + 1])
+            e = ew[(uid, i + 1)]
+            assert lo - 1e-5 <= e <= hi + 1e-5
+            checked += 1
+    assert checked == len(ew)

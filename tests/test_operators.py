@@ -263,3 +263,17 @@ def test_phash_exact_dups_at_zero_distance(spark):
         assert pairs.get(p) == 0
     for (a, b), h in pairs.items():
         assert a < b and 0 <= h <= multimodal.HAM_MAX
+
+
+def test_pandas_udf_scorer_uses_arrow_and_is_sorted(spark):
+    """The UDF must plan as ArrowEvalPython (vectorized), not BatchEval
+    (row-at-a-time); scores are descending with vec_id tiebreak."""
+    df = similarity.ann_dot_pandas_udf(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    rows = df.collect()
+    assert len(rows) == similarity.PUDF_TOP
+    assert all(
+        (a.dot, -a.vec_id) >= (b.dot, -b.vec_id) for a, b in zip(rows, rows[1:])
+    )
