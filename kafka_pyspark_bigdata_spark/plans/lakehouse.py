@@ -237,6 +237,18 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection evaluated inside the probe scan's codegen stage, the way
     engines push runtime filters. The probe table is never shuffled; the
     only join left is the tiny broadcast that labels true members.
+
+    Why not Spark's native ``bloom_filter_agg``/``might_contain``: in
+    Spark 4.x those expressions are internal-only (used by the
+    InjectRuntimeFilter optimizer rule) and are NOT in the SQL function
+    registry — ``SELECT might_contain(...)`` fails with
+    UNRESOLVED_ROUTINE, verified on this engine build. The supported
+    native path is ``spark.sql.optimizer.runtime.bloomFilter.enabled``
+    (on in session.py), under which Catalyst injects exactly this
+    build-bloom-then-probe shape into shuffle joins automatically, with
+    real bitset semantics and O(k) probes. This hand-rolled variant
+    stays as the portable, oracle-checkable teaching build whose FP
+    behavior is deterministic across engines.
     """
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     keys = cust.filter(F.col("c_acctbal") > BLOOM_BAL_MIN).select("c_custkey")

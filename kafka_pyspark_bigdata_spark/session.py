@@ -53,6 +53,12 @@ def get_spark(
         # parquet fact tables.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Runtime row-level filtering: Catalyst injects a BloomFilterAggregate
+        # on the small side of a shuffle join and pushes might_contain into
+        # the big side's scan — the engine-native version of q_bloom_prune's
+        # portable bloom (the SQL functions themselves are internal-only and
+        # unregistered, so this conf IS the supported native bloom path).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -48,7 +48,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = table_path(sf_dir, name)
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -56,6 +56,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, TimestampNTZType):
+            # Fixture may land as TIMESTAMP_NTZ; event-time functions
+            # (unix_micros, withWatermark) demand TIMESTAMP. The session
+            # timezone is pinned to UTC (session.py), so the cast is
+            # value-identical — and it matches the DuckDB oracles, which
+            # normalize via CAST(ts AS TIMESTAMP).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -14,7 +14,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from ..functions.numeric import dsum_sql
 from ..sources.batch import scratch_dir
@@ -57,6 +57,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream = stream.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif field.name == "ts" and isinstance(field.dataType, TimestampNTZType):
+            # NTZ fixture → TIMESTAMP, value-identical under the UTC session
+            # zone; withWatermark/window demand TIMESTAMP (see sources.batch).
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

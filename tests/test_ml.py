@@ -151,8 +151,10 @@ def test_model_save_load_roundtrip(spark, model, tmp_path):
 def test_grid_search_ranks_by_rmse(spark):
     from kafka_pyspark_bigdata_spark.ml.queries import ml_grid_search
 
+    from kafka_pyspark_bigdata_spark.ml.queries import GRID_MAX_DEPTH, GRID_NUM_TREES
+
     rows = ml_grid_search(spark, "/root/testdata/sf0.001").collect()
-    assert len(rows) == 4
+    assert len(rows) == len(GRID_NUM_TREES) * len(GRID_MAX_DEPTH)
     rmses = [r.rmse for r in sorted(rows, key=lambda r: r.rank)]
     assert rmses == sorted(rmses)
     assert all(r.n_eval > 0 for r in rows)
