@@ -445,12 +445,28 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+ALLPAIRS_MAX_ROWS = 100_000  # refuse O(n²) beyond ~5e9 candidate pairs
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= 0.45 over all pairs (exact at
     oracle scale; the LSH-bucketed variant in operators/similarity is the
     100 TB path — same verify expression, candidates from hyperplane
-    buckets instead of the cross join)."""
+    buckets instead of the cross join).
+
+    Guarded: this operator is the all-pairs ORACLE BASELINE and is
+    deliberately unusable on a real corpus — it raises if the input
+    exceeds ``ALLPAIRS_MAX_ROWS`` so no one can point an O(n²) plan at
+    100 TB by accident. Use ``dedup_embedding_lsh`` there.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > ALLPAIRS_MAX_ROWS:
+        raise ValueError(
+            f"dedup_embedding_cosine is an all-pairs O(n^2) baseline capped at "
+            f"{ALLPAIRS_MAX_ROWS} rows (got {n}); use dedup_embedding_lsh "
+            f"(operators/similarity.py) for the bucketed scale path"
+        )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (
@@ -828,7 +844,181 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# MinHash estimator quality (sketch-vs-exact eval, the recall@k analog)
+# ---------------------------------------------------------------------------
+
+def sketch_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATE quality on the LSH candidate pairs: per pair, the
+    fraction of the 16 signature slots that agree (the unbiased Jaccard
+    estimator) against the exact shingle Jaccard, with the absolute
+    error — the eval that tells you whether 16 hashes suffice before you
+    commit a 100 TB corpus to a signature width. Candidates and
+    signatures are the exact plans `dedup_minhash_lsh` runs; the only
+    additions are the slot-agreement count (a 16-term integer sum, an
+    in-codegen projection) and the error arithmetic. n/16 and the exact
+    Jaccard are both IEEE-exact doubles, so the oracle hash-matches
+    bit-for-bit."""
+    sh = (
+        with_shingles(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "shingles")
+        .localCheckpoint()
+    )
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.encode("s", "UTF-8")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_P)).alias(f"sig{i}")
+            for i, (a, b) in enumerate(_MH_PARAMS)
+        ]
+    ).localCheckpoint()
+    band_keys = [
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    "|",
+                    *[f"sig{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)],
+                ),
+                "UTF-8",
+            )
+        ).alias(f"band{b}")
+        for b in range(NUM_BANDS)
+    ]
+    bands_long = sigs.select("doc_id", *band_keys).select(
+        "doc_id",
+        F.posexplode(F.array(*[f"band{b}" for b in range(NUM_BANDS)])).alias(
+            "band_idx", "bk"
+        ),
+    )
+    cand = (
+        bands_long.select(F.col("doc_id").alias("doc_a"), "band_idx", "bk")
+        .join(
+            bands_long.select(F.col("doc_id").alias("doc_b"), "band_idx", "bk"),
+            ["band_idx", "bk"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    est = cand.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", matches.alias("n_sig_match")
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    exact = n_common.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - n_common
+    )
+    return (
+        est.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_sig_match",
+            (F.col("n_sig_match").cast("double") / NUM_HASHES).alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.round(
+                F.abs(F.col("n_sig_match").cast("double") / NUM_HASHES - exact), 6
+            ).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_error_sql() -> str:
+    match_sum = " + ".join(
+        f"CASE WHEN x.sig{i} = y.sig{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH {_minhash_ctes()},
+est AS (
+  SELECT c.doc_a, c.doc_b, {match_sum} AS n_sig_match
+  FROM cand c JOIN sigs x ON x.doc_id = c.doc_a
+              JOIN sigs y ON y.doc_id = c.doc_b
+)
+SELECT v.doc_a, v.doc_b,
+       CAST(e.n_sig_match AS INTEGER) AS n_sig_match,
+       CAST(e.n_sig_match AS DOUBLE) / {NUM_HASHES} AS est_jaccard,
+       v.jaccard AS exact_jaccard,
+       round(abs(CAST(e.n_sig_match AS DOUBLE) / {NUM_HASHES} - v.jaccard), 6)
+         AS abs_err
+FROM verified v JOIN est e ON v.doc_a = e.doc_a AND v.doc_b = e.doc_b
+ORDER BY v.doc_a, v.doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-n-gram coverage (corpus contamination diagnostic)
+# ---------------------------------------------------------------------------
+
+def dedup_shingle_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-shingle coverage: what fraction of a doc's
+    distinct 3-gram shingles also occur in at least one OTHER document —
+    the corpus-level duplication diagnostic behind "dedup before
+    training" decisions (cf. Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — theirs counts duplicated
+    50-grams; same statistic, shorter n for the fixture's short docs).
+
+    Plan: inverted index → per-shingle doc frequency via ONE window over
+    the shingle key → per-doc aggregate. Two shuffles total (shingle key,
+    then doc_id), both on small keys; the fraction is integer fixed-point
+    (×10^6 DIV) so both engines agree exactly."""
+    sh = with_shingles(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    with_df = sh.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+    return (
+        with_df.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup_shingles",
+            F.expr("n_dup_shingles * 1000000 DIV n_shingles").alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_COVERAGE_SQL = f"""
+WITH {SHINGLES_CTE},
+inv AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+with_df AS (
+  SELECT inv.doc_id, inv.s, d.df
+  FROM inv JOIN (SELECT s, COUNT(*) AS df FROM inv GROUP BY s) d USING (s)
+)
+SELECT doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS dup_ppm
+FROM with_df GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "sketch_minhash_error": sketch_minhash_error,
+    "dedup_shingle_coverage": dedup_shingle_coverage,
     "dedup_exact": dedup_exact,
     "dedup_blocked_levenshtein": dedup_blocked_levenshtein,
     "dedup_clusters": dedup_clusters,
@@ -842,6 +1032,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sketch_minhash_error": _minhash_error_sql(),
+    "dedup_shingle_coverage": DEDUP_COVERAGE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_blocked_levenshtein": DEDUP_LEVENSHTEIN_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,

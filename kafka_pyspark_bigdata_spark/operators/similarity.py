@@ -964,7 +964,84 @@ ORDER BY dot DESC, vec_id LIMIT {PUDF_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic dedup (keep/drop decision per item)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = COSINE_DUP_THRESHOLD
+
+
+def semdedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (cluster → within-cluster cosine →
+    keep/drop), the corpus-curation step that removes semantically
+    redundant training examples (public method: Abbas et al. 2023,
+    "SemDeDup"; the paper clusters with k-means — here the cluster
+    assignment is the deterministic 6-bit SRP bucket shared with
+    ``ann_lsh_bucketed`` so both engines agree bit-wise).
+
+    Decision rule, exact and order-free: an item is DROPPED iff some
+    LOWER-id item in its bucket has cosine >= threshold (min-id is the
+    kept representative). Unlike the pair lists (`dedup_embedding_*`),
+    the output is the actionable per-item verdict: (vec_id, cluster,
+    n_dup_lower, keep).
+
+    Scale shape: bucket assignment is a map-side projection; the only
+    join is the within-bucket self-join — O(Σ per-bucket²) bounded by
+    bucket granularity, never corpus², and the final left join against
+    the drop list shuffles one small boolean per id. More buckets (or a
+    k-means quantizer feeding the same shape) tightens the bound at
+    higher corpus sizes.
+    """
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", bucket_expr("embedding").alias("cluster")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cluster"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "cluster"
+    )
+    drops = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_expr("va", "vb") >= SEMDEDUP_THRESHOLD)
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_dup_lower"))
+    )
+    return (
+        emb.join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("n_dup_lower", F.lit(0)).alias("n_dup_lower"),
+            (F.coalesce("n_dup_lower", F.lit(0)) == 0).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS cluster
+  FROM embeddings
+),
+drops AS (
+  SELECT b.vec_id, COUNT(*) AS n_dup_lower
+  FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {SEMDEDUP_THRESHOLD}
+  GROUP BY b.vec_id
+)
+SELECT e.vec_id, e.cluster,
+       COALESCE(d.n_dup_lower, 0) AS n_dup_lower,
+       (COALESCE(d.n_dup_lower, 0) = 0) AS keep
+FROM e LEFT JOIN drops d ON e.vec_id = d.vec_id
+ORDER BY e.vec_id
+"""
+
+
 QUERIES = {
+    "semdedup_bucketed": semdedup_bucketed,
     "ann_recall_eval": ann_recall_eval,
     "ann_dot_pandas_udf": ann_dot_pandas_udf,
     "emb_label_centroids": emb_label_centroids,
@@ -978,6 +1055,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "semdedup_bucketed": _semdedup_sql(),
     "ann_dot_pandas_udf": _pudf_sql(),
     "knn_graph_lsh": _knn_graph_sql(),
     "emb_quantize_int8": EMB_QUANTIZE_SQL,

@@ -491,7 +491,129 @@ ORDER BY a.user_id, a.rn
 """
 
 
+def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample + LINEAR-interpolation gap fill — the other half of
+    the timeseries gap-fill pair (`q_resample_locf` carries forward;
+    this one draws the line between the surrounding observations, the
+    TimescaleDB ``interpolate()`` / pandas ``interpolate('linear')``
+    semantics).
+
+    Exactness: per-day observations are decimal-exact cent sums
+    (BIGINT); an interior missing day at distance s of a gap of length d
+    fills with the weighted mean (prev*(d-s) + next*s) DIV d — all
+    inputs nonnegative, so Spark's truncating DIV and DuckDB's flooring
+    // agree. The per-user grid's endpoints are always observed (bounds
+    come from the events themselves), so every gap is interior and no
+    fill is NULL.
+
+    Plan: one (user, day) partial-agg shuffle, one user-keyed shuffle
+    shared by the bounds aggregate and the four carry windows (prev/next
+    value and day); the dense grid comes from ``sequence`` + explode —
+    no driver-side calendar loops, and per-user state is bounded by the
+    date span, not the event count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    dayv = ev.groupBy("user_id", "d").agg(F.sum("cents").alias("v_fp"))
+    bounds = ev.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = bounds.select(
+        F.col("user_id").alias("g_user"),
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("grid_day"),
+    )
+    g = grid.join(
+        dayv,
+        (grid.g_user == dayv.user_id) & (grid.grid_day == dayv.d),
+        "left",
+    ).select(F.col("g_user").alias("user_id"), "grid_day", "v_fp")
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("grid_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("grid_day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v_fp").isNotNull(), F.col("grid_day"))
+    carried = g.select(
+        "user_id",
+        "grid_day",
+        "v_fp",
+        F.last("v_fp", ignorenulls=True).over(w_back).alias("prev_fp"),
+        F.last(obs_day, ignorenulls=True).over(w_back).alias("prev_d"),
+        F.first("v_fp", ignorenulls=True).over(w_fwd).alias("next_fp"),
+        F.first(obs_day, ignorenulls=True).over(w_fwd).alias("next_d"),
+    )
+    s = F.datediff("grid_day", "prev_d")
+    d_len = F.datediff("next_d", "prev_d")
+    interp = F.expr(
+        "(prev_fp * (datediff(next_d, prev_d) - datediff(grid_day, prev_d))"
+        " + next_fp * datediff(grid_day, prev_d))"
+        " DIV datediff(next_d, prev_d)"
+    )
+    return carried.select(
+        "user_id",
+        F.date_format("grid_day", "yyyy-MM-dd").alias("grid_day"),
+        F.coalesce("v_fp", interp).alias("value_fp"),
+        F.col("v_fp").isNotNull().alias("observed"),
+    ).orderBy("user_id", "grid_day")
+
+
+Q_GAPFILL_SQL = f"""
+WITH {_EV_US},
+cents AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM ev
+),
+dayv AS (
+  SELECT user_id, d, SUM(cents) AS v_fp FROM cents GROUP BY user_id, d
+),
+bounds AS (
+  SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM cents GROUP BY user_id
+),
+grid AS (
+  SELECT user_id,
+         UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS grid_day
+  FROM bounds
+),
+g AS (
+  SELECT grid.user_id, grid.grid_day, dayv.v_fp
+  FROM grid LEFT JOIN dayv
+    ON grid.user_id = dayv.user_id AND grid.grid_day = dayv.d
+),
+carried AS (
+  SELECT user_id, grid_day, v_fp,
+         LAST_VALUE(v_fp IGNORE NULLS) OVER w_back AS prev_fp,
+         LAST_VALUE(CASE WHEN v_fp IS NOT NULL THEN grid_day END IGNORE NULLS)
+           OVER w_back AS prev_d,
+         FIRST_VALUE(v_fp IGNORE NULLS) OVER w_fwd AS next_fp,
+         FIRST_VALUE(CASE WHEN v_fp IS NOT NULL THEN grid_day END IGNORE NULLS)
+           OVER w_fwd AS next_d
+  FROM g
+  WINDOW
+    w_back AS (PARTITION BY user_id ORDER BY grid_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY user_id ORDER BY grid_day
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, strftime(grid_day, '%Y-%m-%d') AS grid_day,
+       CAST(COALESCE(v_fp,
+                (prev_fp * (date_diff('day', prev_d, next_d)
+                            - date_diff('day', prev_d, grid_day))
+                 + next_fp * date_diff('day', prev_d, grid_day))
+                // date_diff('day', prev_d, next_d)) AS BIGINT) AS value_fp,
+       (v_fp IS NOT NULL) AS observed
+FROM carried
+ORDER BY user_id, grid_day
+"""
+
+
 QUERIES = {
+    "q_gapfill_interpolate": q_gapfill_interpolate,
     "q_funnel": q_funnel,
     "q_interval_concurrency": q_interval_concurrency,
     "q_ewma_decay": q_ewma_decay,
@@ -501,6 +623,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_gapfill_interpolate": Q_GAPFILL_SQL,
     "q_funnel": Q_FUNNEL_SQL,
     "q_interval_concurrency": Q_INTERVAL_CONC_SQL,
     "q_ewma_decay": Q_EWMA_SQL,

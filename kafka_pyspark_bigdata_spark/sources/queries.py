@@ -169,12 +169,50 @@ FROM unioned GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem slice → ORC files (Spark's second built-in columnar
+    format; zlib-compressed, predicate-pushdown-able, splittable) →
+    re-scan → aggregate. The oracle aggregates the original parquet:
+    a hash match proves the ORC codec round-trips decimals, dates, and
+    strings losslessly. The ORC scan gets the same pushdown treatment
+    as parquet (``spark.sql.orc.filterPushdown`` defaults true), so at
+    scale this is a first-class storage alternative, not a demo."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    out = os.path.join(scratch_dir("orc_rt", sf_dir), "lineitem_orc")
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+            F.count_distinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q_ORC_ROUNDTRIP_SQL = f"""
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_price,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q_partitioned_scan": q_partitioned_scan,
     "q_schema_evolution": q_schema_evolution,
     "q_csv_roundtrip": q_csv_roundtrip,
     "q_json_roundtrip": q_json_roundtrip,
     "q_jsonl_roundtrip": q_jsonl_roundtrip,
+    "q_orc_roundtrip": q_orc_roundtrip,
 }
 
 ORACLES = {
@@ -183,4 +221,5 @@ ORACLES = {
     "q_csv_roundtrip": Q_CSV_ROUNDTRIP_SQL,
     "q_json_roundtrip": Q_CSV_ROUNDTRIP_SQL,
     "q_jsonl_roundtrip": Q_CSV_ROUNDTRIP_SQL,
+    "q_orc_roundtrip": Q_ORC_ROUNDTRIP_SQL,
 }

@@ -277,3 +277,12 @@ def test_pandas_udf_scorer_uses_arrow_and_is_sorted(spark):
     assert all(
         (a.dot, -a.vec_id) >= (b.dot, -b.vec_id) for a, b in zip(rows, rows[1:])
     )
+
+
+def test_embedding_cosine_allpairs_guard(spark, monkeypatch):
+    """The all-pairs oracle baseline must refuse big inputs (scale guard):
+    with the cap lowered below the fixture's row count it raises, pointing
+    at the LSH path; at the real cap the fixture passes untouched."""
+    monkeypatch.setattr(dedup, "ALLPAIRS_MAX_ROWS", 1)
+    with pytest.raises(ValueError, match="dedup_embedding_lsh"):
+        dedup.dedup_embedding_cosine(spark, "/root/testdata/sf0.001")
