@@ -48,6 +48,7 @@ def main() -> None:
         "q_bloom_prune",
         "q_ivm_join_delta",
         "q_quantiles_exact",
+        "q_gapfill_interpolate",
         # text / similarity / multimodal / dedup extensions — ordered
         # light→heavy: the multi-shuffle dedup queries run LAST so their
         # GC/memory pressure cannot inflate the timings of the queries
@@ -62,12 +63,15 @@ def main() -> None:
         "ann_topk_bruteforce",
         "ann_lsh_bucketed",
         "ann_ivf",
+        "emb_mrl_recall",
+        "semdedup_bucketed",
         "mm_decode_image",
         # dedup_embedding_lsh is correctness-gated but not a headline: at
         # the 0.45 cosine threshold its candidate set is ~2/3 of all pairs
         # (low-similarity LSH regime), so timing it just times the verify
         # cross-product, not the operator's scale path.
         "dedup_exact",
+        "dedup_shingle_coverage",
         "cluster_kmeans_fixed",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",

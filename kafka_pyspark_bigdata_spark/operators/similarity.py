@@ -619,6 +619,95 @@ GROUP BY bf.query_id ORDER BY bf.query_id
 
 
 # ---------------------------------------------------------------------------
+# Matryoshka truncation recall (dimension-reduction quality eval)
+# ---------------------------------------------------------------------------
+
+MRL_DIM = 16  # truncated prefix length (of EMB_DIM=64)
+
+
+def emb_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of TRUNCATED-dimension retrieval against full-dimension
+    retrieval: rank neighbors by cosine over only the first 16 of 64
+    embedding dims and measure how much of the true (full-dim) top-5 the
+    prefix recovers, per query — the evaluation behind
+    Matryoshka-representation (MRL) deployments, where a prefix of the
+    vector serves cheap first-stage retrieval (public method:
+    Kusupati et al. 2022). A 4x dim cut means 4x less ANN-index memory
+    and bandwidth at 100 TB; this query tells you what recall that buys.
+
+    Plan shape: two broadcast-query scans of the corpus (one per dim
+    width — same map-side top-k shape as ann_topk_bruteforce) joined on
+    (query, neighbor); |Q|·k rows reach the final aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+
+    def topk(qcol, ccol):
+        scored = (
+            F.broadcast(q)
+            .join(c, F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", cosine_expr(qcol, ccol).alias("cosine"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = topk("qv", "cv")
+    qt = F.slice("qv", 1, MRL_DIM)
+    ct = F.slice("cv", 1, MRL_DIM)
+    trunc = topk(qt, ct).withColumn("hit", F.lit(1))
+    return (
+        full.join(trunc, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_found"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_found",
+            F.expr("n_found * 1000000 DIV k").alias("recall_fp"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _mrl_sql() -> str:
+    def topk_sql(avec: str, bvec: str) -> str:
+        return f"""
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, cvs.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_cos_sql(avec, bvec)} DESC, cvs.vec_id
+           ) AS rank
+    FROM embeddings q JOIN embeddings cvs ON q.vec_id <> cvs.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {TOP_K}"""
+
+    return f"""
+WITH fullk AS ({topk_sql('q.embedding', 'cvs.embedding')}),
+trunc AS ({topk_sql(f'q.embedding[1:{MRL_DIM}]', f'cvs.embedding[1:{MRL_DIM}]')})
+SELECT f.query_id, COUNT(*) AS k,
+       CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_found,
+       CAST((SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS recall_fp
+FROM fullk f LEFT JOIN trunc t
+  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+GROUP BY f.query_id ORDER BY f.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-label embedding centroids (decimal-exact distributed vector mean)
 # ---------------------------------------------------------------------------
 
@@ -1042,6 +1131,7 @@ ORDER BY e.vec_id
 
 QUERIES = {
     "semdedup_bucketed": semdedup_bucketed,
+    "emb_mrl_recall": emb_mrl_recall,
     "ann_recall_eval": ann_recall_eval,
     "ann_dot_pandas_udf": ann_dot_pandas_udf,
     "emb_label_centroids": emb_label_centroids,
@@ -1056,6 +1146,7 @@ QUERIES = {
 
 ORACLES = {
     "semdedup_bucketed": _semdedup_sql(),
+    "emb_mrl_recall": _mrl_sql(),
     "ann_dot_pandas_udf": _pudf_sql(),
     "knn_graph_lsh": _knn_graph_sql(),
     "emb_quantize_int8": EMB_QUANTIZE_SQL,

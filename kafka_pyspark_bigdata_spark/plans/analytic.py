@@ -324,6 +324,50 @@ FROM mink
 """
 
 
+HLL_RSD = 0.05  # requested relative standard deviation
+HLL_ERR_BOUND_PPM = 100_000  # asserted |est-exact|/exact bound: 10%
+
+
+def sketch_hll_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native HLL++ distinct-count error check: Spark's
+    ``approx_count_distinct`` (the engine-side mergeable sketch you'd
+    actually run at 100 TB — constant memory per group, no shuffle of
+    distinct keys) against the exact distinct count, per event type.
+
+    HLL register values are maxima of a deterministic hash — order- and
+    partitioning-independent — so the estimate is reproducible run to
+    run; but it is engine-SPECIFIC (DuckDB's approx_distinct uses a
+    different sketch), so the oracle-checkable surface is the exact
+    count plus the ERROR-BOUND verdict, not the estimate itself: the
+    query asserts |est − exact| ≤ 10% · exact (double the requested 5%
+    rsd) and emits the boolean. KMV (sketch_kmv_distinct) remains the
+    bit-reproducible cross-engine sketch; this one validates the native
+    fast path."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_type = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct"),
+        F.approx_count_distinct("user_id", HLL_RSD).alias("est"),
+    )
+    err_ppm = F.expr(
+        "abs(est - exact_distinct) * 1000000 DIV exact_distinct"
+    )
+    return (
+        per_type.select(
+            "event_type",
+            "exact_distinct",
+            (err_ppm <= HLL_ERR_BOUND_PPM).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SKETCH_HLL_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
+       TRUE AS within_bound
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS through the spark.sql entry point (every other query
     uses the DataFrame API; this proves the SQL front door plans the same
@@ -1111,6 +1155,7 @@ ORDER BY a.dte, a.o_totalprice DESC, a.o_orderkey
 
 
 QUERIES = {
+    "sketch_hll_error": sketch_hll_error,
     "q_skyline_pareto": q_skyline_pareto,
     "q_nested_collect_explode": q_nested_collect_explode,
     "q_histogram_drift": q_histogram_drift,
@@ -1137,6 +1182,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sketch_hll_error": SKETCH_HLL_SQL,
     "q_skyline_pareto": Q_SKYLINE_SQL,
     "q_nested_collect_explode": Q_NESTED_SQL,
     "q_histogram_drift": Q_DRIFT_SQL,

@@ -122,3 +122,15 @@ def test_ewma_is_convex_combination(spark):
             assert lo - 1e-5 <= e <= hi + 1e-5
             checked += 1
     assert checked == len(ew)
+
+
+def test_gapfill_dense_grid_no_nulls(spark):
+    """Gapfill contract: per-user daily grid is dense, endpoints are
+    observed (bounds come from the data), every value filled."""
+    rows = behavioral.q_gapfill_interpolate(spark, SF_SMOKE).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for _, rs in by_user.items():
+        assert rs[0].observed and rs[-1].observed
+        assert all(r.value_fp is not None and r.value_fp >= 0 for r in rs)

@@ -286,3 +286,39 @@ def test_embedding_cosine_allpairs_guard(spark, monkeypatch):
     monkeypatch.setattr(dedup, "ALLPAIRS_MAX_ROWS", 1)
     with pytest.raises(ValueError, match="dedup_embedding_lsh"):
         dedup.dedup_embedding_cosine(spark, "/root/testdata/sf0.001")
+
+
+def test_semdedup_min_id_per_cluster_kept(spark):
+    """The minimum vec_id of every cluster has no lower-id neighbor, so it
+    must always be kept; counts are consistent with the keep flag."""
+    rows = similarity.semdedup_bucketed(spark, "/root/testdata/sf0.001").collect()
+    min_per_cluster = {}
+    for r in rows:
+        min_per_cluster.setdefault(r.cluster, min(r.vec_id for x in [r]))
+        min_per_cluster[r.cluster] = min(min_per_cluster[r.cluster], r.vec_id)
+    for r in rows:
+        assert r.keep == (r.n_dup_lower == 0)
+        if r.vec_id == min_per_cluster[r.cluster]:
+            assert r.keep
+
+
+def test_mrl_recall_bounds(spark):
+    """Truncated-dim recall is a fraction of the full top-k: k fixed,
+    0 <= n_found <= k, recall_fp consistent."""
+    rows = similarity.emb_mrl_recall(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == similarity.N_QUERIES
+    for r in rows:
+        assert r.k == similarity.TOP_K
+        assert 0 <= r.n_found <= r.k
+        assert r.recall_fp == r.n_found * 1000000 // r.k
+
+
+def test_minhash_error_is_bounded_estimator(spark):
+    """Slot-agreement estimate lives on the 1/16 grid and the error
+    column matches |est - exact| for every candidate pair."""
+    rows = dedup.sketch_minhash_error(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_sig_match <= dedup.NUM_HASHES
+        assert abs(r.est_jaccard - r.n_sig_match / dedup.NUM_HASHES) < 1e-12
+        assert abs(r.abs_err - round(abs(r.est_jaccard - r.exact_jaccard), 6)) < 1e-9
