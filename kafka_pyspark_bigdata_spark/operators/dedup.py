@@ -1031,9 +1031,60 @@ FROM with_df GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix (where is the contamination coming from?)
+# ---------------------------------------------------------------------------
+
+def corpus_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pair counts AGGREGATED BY SOURCE PAIR: how many
+    MinHash-verified near-dups land within each source and across each
+    source pair — the diagnostic that turns a pair list into a curation
+    decision (mirror-heavy source? one crawl embedded in another? drop
+    or down-weight at the source level, not per doc).
+
+    Reuses the dedup_minhash_lsh plan verbatim for pairs; the additions
+    are two doc_id equi-joins to attach sources (dimension-narrow:
+    doc_id + source only) and one partial-agg shuffle on the tiny
+    (source, source) key. Source pairs are emitted unordered
+    (least/greatest) so A-B and B-A collapse."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .orderBy("source_lo", "source_hi")
+    )
+
+
+def _dup_source_matrix_sql() -> str:
+    return f"""
+WITH {_minhash_ctes()},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified
+  WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+)
+SELECT least(da.source, db.source) AS source_lo,
+       greatest(da.source, db.source) AS source_hi,
+       COUNT(*) AS n_dup_pairs
+FROM pairs
+JOIN documents da ON da.doc_id = pairs.doc_a
+JOIN documents db ON db.doc_id = pairs.doc_b
+GROUP BY 1, 2 ORDER BY source_lo, source_hi
+"""
+
+
 QUERIES = {
     "sketch_minhash_error": sketch_minhash_error,
     "dedup_shingle_coverage": dedup_shingle_coverage,
+    "corpus_dup_source_matrix": corpus_dup_source_matrix,
     "dedup_exact": dedup_exact,
     "dedup_blocked_levenshtein": dedup_blocked_levenshtein,
     "dedup_clusters": dedup_clusters,
@@ -1049,6 +1100,7 @@ QUERIES = {
 ORACLES = {
     "sketch_minhash_error": _minhash_error_sql(),
     "dedup_shingle_coverage": DEDUP_COVERAGE_SQL,
+    "corpus_dup_source_matrix": _dup_source_matrix_sql(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_blocked_levenshtein": DEDUP_LEVENSHTEIN_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,

@@ -622,7 +622,70 @@ FROM filed GROUP BY file_id ORDER BY file_id
 """
 
 
+COMPACT_SMALL_FILES = 64
+COMPACT_TARGET_FILES = 4
+
+
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lakehouse maintenance job every
+    streaming ingest needs: a micro-batched writer lands N tiny files
+    (here 64, forced with round-robin repartition), and the compactor
+    rewrites them into a few scan-efficient files (4) with row-for-row
+    fidelity. At 100 TB the same job runs per partition with a target
+    of ~1 GiB per output file; the metric that matters is files-per-
+    scan-task, which is why q_partitioned_scan-style readers degrade
+    badly on uncompacted tables (one task per tiny file, pure
+    scheduling overhead).
+
+    Output is the audit row pair (phase, n_files, n_rows, sum check):
+    rows and the decimal-exact value sum must be IDENTICAL before and
+    after — compaction may only change layout. File counts are
+    deterministic: round-robin repartition(N) writes exactly N
+    non-empty files for N ≪ rows."""
+    import os as _os
+
+    from ..sources.batch import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    root = scratch_dir("compact", sf_dir)
+    small = _os.path.join(root, "small")
+    compacted = _os.path.join(root, "compacted")
+    ev.repartition(COMPACT_SMALL_FILES).write.parquet(small)
+    spark.read.parquet(small).repartition(COMPACT_TARGET_FILES).write.parquet(
+        compacted
+    )
+
+    def audit(path: str, phase: str) -> DataFrame:
+        df = spark.read.parquet(path)
+        n_files = df.select(F.input_file_name().alias("f")).distinct().count()
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.lit(n_files).cast("long").alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value").alias("sum_value"),
+        )
+
+    return (
+        audit(small, "before")
+        .unionByName(audit(compacted, "after"))
+        .orderBy("phase")
+    )
+
+
+COMPACT_SQL = f"""
+SELECT 'after' AS phase, CAST({COMPACT_TARGET_FILES} AS BIGINT) AS n_files,
+       COUNT(*) AS n_rows, {dsum_sql('value')} AS sum_value
+FROM events
+UNION ALL
+SELECT 'before', CAST({COMPACT_SMALL_FILES} AS BIGINT),
+       COUNT(*), {dsum_sql('value')}
+FROM events
+ORDER BY phase
+"""
+
+
 QUERIES = {
+    "q_compact_small_files": q_compact_small_files,
     "q_scd2_intervals": q_scd2_intervals,
     "q_cdc_diff": q_cdc_diff,
     "q_bloom_prune": q_bloom_prune,
@@ -633,6 +696,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_compact_small_files": COMPACT_SQL,
     "q_scd2_intervals": SCD2_SQL,
     "q_cdc_diff": CDC_DIFF_SQL,
     "q_bloom_prune": _bloom_sql(),
