@@ -612,8 +612,133 @@ ORDER BY user_id, grid_day
 """
 
 
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (the Markov-chain view of
+    user journeys): for every consecutive event pair within a user's
+    timeline, count (event_type → next_event_type) and express the row-
+    conditional probability in integer ppm — the behavioral-analytics
+    primitive behind journey maps, next-action prediction baselines,
+    and funnel discovery (vs q_funnel's FIXED stage order).
+
+    One window shuffle on user_id (lead over the per-user timeline,
+    deterministic ts+event_id ordering), one partial-agg shuffle on the
+    tiny (from, to) key; ppm is integer DIV — engine-exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn("n_from", F.sum("n").over(w_from))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("n * 1000000 DIV n_from").alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+Q_TRANSITION_SQL = f"""
+WITH {_EV_US},
+seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM ev
+),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS p_ppm
+FROM pairs ORDER BY from_type, to_type
+"""
+
+
+RFM_ASOF = "2024-02-01"  # analysis date (fixture ends late January)
+RFM_BUCKETS = 4
+
+
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over the purchase stream: per user,
+    Recency (days since last purchase at a fixed analysis date),
+    Frequency (purchase count), Monetary (decimal-exact cent sum), each
+    quartiled with ``ntile(4)`` into 1..4 scores — the classic
+    marketing segmentation, here as three exact integers plus three
+    deterministic ntile windows (ties broken by user_id so both engines
+    rank identically).
+
+    One user_id partial-agg shuffle builds the base; the three ntile
+    windows are global but over ONE ROW PER USER — at 100 TB that's the
+    aggregated user dimension, orders of magnitude smaller than the
+    event stream (and the standard place a single-partition window is
+    acceptable; a percentile-bucket join replaces it if users alone
+    exceed a task)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.lit(RFM_ASOF).cast("date"), F.max(F.to_date("ts"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)")
+            ).alias("monetary_cents"),
+        )
+    )
+    # Lower recency is better — rank ascending so bucket 1 = most recent.
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    m_w = Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
+    return (
+        base.withColumn("r_score", F.ntile(RFM_BUCKETS).over(r_w))
+        .withColumn("f_score", F.ntile(RFM_BUCKETS).over(f_w))
+        .withColumn("m_score", F.ntile(RFM_BUCKETS).over(m_w))
+        .orderBy("user_id")
+    )
+
+
+Q_RFM_SQL = f"""
+WITH {_EV_US},
+base AS (
+  SELECT user_id,
+         date_diff('day', MAX(CAST(ts AS DATE)), DATE '{RFM_ASOF}')
+           AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM ev WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       CAST(NTILE({RFM_BUCKETS}) OVER (ORDER BY recency_days, user_id)
+            AS INTEGER) AS r_score,
+       CAST(NTILE({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, user_id)
+            AS INTEGER) AS f_score,
+       CAST(NTILE({RFM_BUCKETS}) OVER (ORDER BY monetary_cents DESC, user_id)
+            AS INTEGER) AS m_score
+FROM base ORDER BY user_id
+"""
+
+
 QUERIES = {
     "q_gapfill_interpolate": q_gapfill_interpolate,
+    "q_event_transition_matrix": q_event_transition_matrix,
+    "q_rfm_segmentation": q_rfm_segmentation,
     "q_funnel": q_funnel,
     "q_interval_concurrency": q_interval_concurrency,
     "q_ewma_decay": q_ewma_decay,
@@ -624,6 +749,8 @@ QUERIES = {
 
 ORACLES = {
     "q_gapfill_interpolate": Q_GAPFILL_SQL,
+    "q_event_transition_matrix": Q_TRANSITION_SQL,
+    "q_rfm_segmentation": Q_RFM_SQL,
     "q_funnel": Q_FUNNEL_SQL,
     "q_interval_concurrency": Q_INTERVAL_CONC_SQL,
     "q_ewma_decay": Q_EWMA_SQL,
