@@ -223,6 +223,52 @@ def ml_eval_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LIFT_DECILES = 10
+
+
+def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / calibration table on the held-out split: score the
+    eval frame, rank by prediction into 10 ntile buckets (deterministic
+    l_orderkey+l_linenumber tie-break), and per decile report count,
+    mean prediction, and mean actual — the regression analog of the
+    lift chart (is the model's top decile actually the biggest, and is
+    it calibrated?).
+
+    The ntile window is global but over PREDICTIONS of the 20% eval
+    slice; at 100 TB replace with an approx-quantile bucket join — the
+    aggregate per decile stays a one-shuffle partial agg. All compute
+    is distributed; only the 10-row table reaches the driver."""
+    from pyspark.sql.window import Window
+
+    from ..operators.pipeline import TRAIN_BUCKETS, hash_bucket_expr
+
+    df = load_table(spark, sf_dir, "lineitem").withColumn(
+        "bucket", hash_bucket_expr("l_orderkey")
+    )
+    train_df = df.filter(F.col("bucket") < TRAIN_BUCKETS)
+    eval_df = df.filter(F.col("bucket") >= TRAIN_BUCKETS)
+    model = trainer.train(train_df, LINEITEM_FEATURES, LINEITEM_LABEL)
+    prepared = trainer.cast_prune(
+        eval_df.withColumn("tie", F.expr("l_orderkey * 10 + l_linenumber")),
+        LINEITEM_FEATURES,
+        LINEITEM_LABEL,
+        keep=["tie"],
+    )
+    w = Window.orderBy(F.desc("prediction"), F.asc("tie"))
+    scored = model.transform(prepared).withColumn(
+        "decile", F.ntile(LIFT_DECILES).over(w)
+    )
+    return (
+        scored.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("prediction").alias("avg_pred"),
+            F.avg(LINEITEM_LABEL).alias("avg_actual"),
+        )
+        .orderBy("decile")
+    )
+
+
 # 2 cells, not 4: each cell is a full RF fit, and this query's sf0.01
 # runtime (6.6s at 2x2) was the single largest consumer of the driver's
 # correctness-sweep budget. Two cells still exercise the search + rank
@@ -279,6 +325,7 @@ def ml_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "ml_lift_deciles": ml_lift_deciles,
     "ml_grid_search": ml_grid_search,
     "ml_feature_importances": ml_feature_importances,
     "ml_eval_rmse": ml_eval_rmse,

@@ -40,11 +40,18 @@ BIKE_LABEL = "Duration"
 SEED = 42
 
 
-def cast_prune(df: DataFrame, feature_cols: list[str], label_col: str) -> DataFrame:
+def cast_prune(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    keep: list[str] | None = None,
+) -> DataFrame:
     """Float-cast + null-label-drop + canonical-order prune, as ONE select
     (O12/O13/O14). try_cast keeps the reference's unparseable→null
-    semantics under ANSI mode."""
+    semantics under ANSI mode. ``keep`` passes extra columns through
+    untouched (e.g. a deterministic tie-break key for ranking evals)."""
     cols = [F.col(c).try_cast("float").alias(c) for c in [*feature_cols, label_col]]
+    cols += [F.col(c) for c in (keep or [])]
     return df.select(*cols).na.drop(subset=[label_col])
 
 

@@ -158,3 +158,15 @@ def test_grid_search_ranks_by_rmse(spark):
     rmses = [r.rmse for r in sorted(rows, key=lambda r: r.rank)]
     assert rmses == sorted(rmses)
     assert all(r.n_eval > 0 for r in rows)
+
+
+def test_lift_deciles_structure_and_pred_monotone(spark):
+    """10 deciles covering the whole eval slice; mean prediction must be
+    non-increasing across deciles (they are ranked by prediction)."""
+    from kafka_pyspark_bigdata_spark.ml.queries import LIFT_DECILES, ml_lift_deciles
+
+    rows = ml_lift_deciles(spark, "/root/testdata/sf0.001").collect()
+    assert [r.decile for r in rows] == list(range(1, LIFT_DECILES + 1))
+    preds = [r.avg_pred for r in rows]
+    assert all(a >= b for a, b in zip(preds, preds[1:]))
+    assert all(r.n > 0 for r in rows)

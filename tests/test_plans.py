@@ -121,3 +121,33 @@ def test_partitioned_scan_prunes_directories(spark):
         plan = _plan(q_partitioned_scan(spark, SF))
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "event_date" in pf[0], plan
+
+
+def test_shingle_coverage_has_no_window_stage(spark):
+    """Perf regression guard: dup-coverage must plan as two partial
+    aggregations + a join, never a Window over the exploded shingle key
+    (the formulation that was 5x slower at sf0.1)."""
+    from kafka_pyspark_bigdata_spark.operators.dedup import dedup_shingle_coverage
+
+    plan = _plan(dedup_shingle_coverage(spark, SF))
+    assert "Window" not in plan, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_semdedup_is_bucket_join_not_cartesian(spark):
+    """SemDeDup candidates must come from the bucket equi-join; an
+    all-pairs cartesian product anywhere in the plan is a scale bug."""
+    from kafka_pyspark_bigdata_spark.operators.similarity import semdedup_bucketed
+
+    plan = _plan(semdedup_bucketed(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mrl_recall_broadcasts_queries_never_shuffles_corpus(spark):
+    """Both dim-width scans broadcast the 10-query side against the
+    corpus; the corpus itself must not hash-exchange before scoring."""
+    from kafka_pyspark_bigdata_spark.operators.similarity import emb_mrl_recall
+
+    plan = _plan(emb_mrl_recall(spark, SF))
+    assert "Broadcast" in plan, plan
+    assert "CartesianProduct" not in plan, plan
