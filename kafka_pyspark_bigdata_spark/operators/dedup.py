@@ -217,36 +217,29 @@ ORDER BY doc_a, doc_b
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, exact-Jaccard-verified at >= 0.7.
-
-    One pass computes all 16 signatures: explode shingles → ONE md5 per
-    shingle → 16 affine-transform MINs as a partial aggregation (the
-    one-hash minhash trick; integer mul-add-mod replaces 15 of the 16
-    md5 evaluations in the hot loop); band keys collapse to a long
-    (doc_id, band_idx, key) table so
-    candidate generation is ONE self-equi-join on (band_idx, key) instead
-    of b separate joins re-evaluating the signature plan. The exact verify
-    touches only the deduplicated candidates. Shuffle volume is O(n·b)
-    16-byte keys — never O(n²).
-    """
-    sh = (
-        with_shingles(load_table(spark, sf_dir, "documents"))
-        .select("doc_id", "shingles")
-        .localCheckpoint()
-    )
+def minhash_sigs(sh: DataFrame) -> DataFrame:
+    """(doc_id, sig0..sig15) from a (doc_id, shingles) frame: explode →
+    ONE md5 per shingle → 16 affine-transform MINs as a partial
+    aggregation (the one-hash minhash trick; integer mul-add-mod
+    replaces 15 of the 16 md5 evaluations in the hot loop)."""
     exploded = sh.select("doc_id", F.explode("shingles").alias("s")).select(
         "doc_id",
         F.conv(F.substring(F.md5(F.encode("s", "UTF-8")), 1, 8), 16, 10)
         .cast("bigint")
         .alias("h"),
     )
-    sigs = exploded.groupBy("doc_id").agg(
+    return exploded.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_P)).alias(f"sig{i}")
             for i, (a, b) in enumerate(_MH_PARAMS)
         ]
     )
+
+
+def minhash_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, bk) long-form band keys: signatures collapse to
+    one md5 key per band so candidate generation is ONE self-equi-join
+    on (band_idx, bk) instead of b separate joins."""
     band_keys = [
         F.md5(
             F.encode(
@@ -259,12 +252,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(NUM_BANDS)
     ]
-    bands_long = sigs.select("doc_id", *band_keys).select(
+    return sigs.select("doc_id", *band_keys).select(
         "doc_id",
         F.posexplode(F.array(*[f"band{b}" for b in range(NUM_BANDS)])).alias(
             "band_idx", "bk"
         ),
     )
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verify of (doc_a, doc_b) candidates against the
+    shingle sets; emits (doc_a, doc_b, jaccard) >= threshold."""
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = cand.join(x, "doc_a").join(y, "doc_b")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_common)
+    return (
+        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified at >= 0.7.
+
+    Signature pass, band collapse, and verify are the shared helpers
+    above; the exact verify touches only the deduplicated candidates.
+    Shuffle volume is O(n·b) 16-byte keys — never O(n²).
+    """
+    sh = (
+        with_shingles(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "shingles")
+        .localCheckpoint()
+    )
+    bands_long = minhash_bands(minhash_sigs(sh))
     lhs = bands_long.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "bk"
     )
@@ -277,17 +299,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .dropDuplicates()
     )
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    verified = cand.join(x, "doc_a").join(y, "doc_b")
-    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = n_common.cast("double") / (
-        F.size("sh_a") + F.size("sh_b") - n_common
-    )
-    return (
-        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
+    return _verify_jaccard(cand, sh, MINHASH_VERIFY_THRESHOLD).orderBy(
+        "doc_a", "doc_b"
     )
 
 
@@ -864,36 +877,8 @@ def sketch_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shingles")
         .localCheckpoint()
     )
-    exploded = sh.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id",
-        F.conv(F.substring(F.md5(F.encode("s", "UTF-8")), 1, 8), 16, 10)
-        .cast("bigint")
-        .alias("h"),
-    )
-    sigs = exploded.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_P)).alias(f"sig{i}")
-            for i, (a, b) in enumerate(_MH_PARAMS)
-        ]
-    ).localCheckpoint()
-    band_keys = [
-        F.md5(
-            F.encode(
-                F.concat_ws(
-                    "|",
-                    *[f"sig{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)],
-                ),
-                "UTF-8",
-            )
-        ).alias(f"band{b}")
-        for b in range(NUM_BANDS)
-    ]
-    bands_long = sigs.select("doc_id", *band_keys).select(
-        "doc_id",
-        F.posexplode(F.array(*[f"band{b}" for b in range(NUM_BANDS)])).alias(
-            "band_idx", "bk"
-        ),
-    )
+    sigs = minhash_sigs(sh).localCheckpoint()
+    bands_long = minhash_bands(sigs)
     cand = (
         bands_long.select(F.col("doc_id").alias("doc_a"), "band_idx", "bk")
         .join(
@@ -1032,6 +1017,161 @@ FROM with_df GROUP BY doc_id ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Incremental MinHash dedup (new batch probed against the corpus index)
+# ---------------------------------------------------------------------------
+
+INCR_NEW_MOD = 5  # doc_id % 5 == 4 plays the "newly ingested batch"
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: probe a NEW batch (doc_id % 5 == 4 stands in
+    for today's crawl) against the EXISTING corpus's band index and
+    report which new docs near-dup an old doc — the shape that actually
+    runs at 100 TB, where you never re-pair the whole corpus per batch:
+    the old side's signatures/bands are computed once at their own
+    ingest and persisted (here recomputed from the fixture; the plan
+    from the band join onward is identical), and each batch pays only
+    |batch|·b band rows probed into the index plus the verify joins.
+
+    Direction matters: output is per NEW doc, with its matched OLD docs
+    and the exact verified Jaccard — the keep/drop signal for the batch
+    (and nothing else changes state: old-old pairs were handled at
+    their own ingest, new-new pairs by the intra-batch run of
+    dedup_minhash_lsh)."""
+    sh = (
+        with_shingles(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "shingles")
+        .localCheckpoint()
+    )
+    is_new = F.col("doc_id") % INCR_NEW_MOD == INCR_NEW_MOD - 1
+    bands_long = minhash_bands(minhash_sigs(sh))
+    idx = bands_long.filter(~is_new).select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "bk"
+    )
+    probe = bands_long.filter(is_new).select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "bk"
+    )
+    cand = (
+        probe.join(idx, ["band_idx", "bk"])
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    return (
+        _verify_jaccard(cand, sh, MINHASH_VERIFY_THRESHOLD)
+        .select(
+            F.col("doc_b").alias("new_doc"),
+            F.col("doc_a").alias("dup_of_old"),
+            "jaccard",
+        )
+        .orderBy("new_doc", "dup_of_old")
+    )
+
+
+def _incremental_minhash_sql() -> str:
+    return f"""
+WITH {_minhash_ctes()}
+SELECT doc_b AS new_doc, doc_a AS dup_of_old, jaccard
+FROM verified
+WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+  AND doc_b % {INCR_NEW_MOD} = {INCR_NEW_MOD - 1}
+  AND doc_a % {INCR_NEW_MOD} <> {INCR_NEW_MOD - 1}
+UNION ALL
+SELECT doc_a AS new_doc, doc_b AS dup_of_old, jaccard
+FROM verified
+WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+  AND doc_a % {INCR_NEW_MOD} = {INCR_NEW_MOD - 1}
+  AND doc_b % {INCR_NEW_MOD} <> {INCR_NEW_MOD - 1}
+ORDER BY new_doc, dup_of_old
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment (subset-duplicate detection, Broder's C(A,B))
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+CONTAIN_RARE_DF_CAP = 10  # candidate index keeps only shingles in <= 10 docs
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs, C(A,B) = |A∩B| / |A| >= 0.8
+    — Broder's containment coefficient, the criterion that catches a
+    document EMBEDDED in a larger one (quote farms, boilerplate wraps,
+    page-in-page mirrors), which symmetric Jaccard structurally misses:
+    a 100-shingle doc inside a 10,000-shingle doc has J ≈ 0.01 but
+    C = 1.0.
+
+    Candidates come from a RARE-shingle inverted index (corpus df <=
+    10): a true containment pair shares ALL of the small doc's
+    shingles, so unless every one of them is corpus-common — vanishingly
+    unlikely for n-grams — the pair collides on a rare one. The df cap
+    bounds the index join's fanout to Σ df² over rare shingles only
+    (the df-banding guard text_cooccurrence_pairs also uses); the exact
+    verify then touches only deduplicated candidates. Emitted per
+    DIRECTION (A-in-B and B-in-A are different claims)."""
+    sh = (
+        with_shingles(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "shingles")
+        .localCheckpoint()
+    )
+    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
+    rare = (
+        inv.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAIN_RARE_DF_CAP)
+    )
+    rare_inv = inv.join(rare.select("s"), "s")
+    cand = (
+        rare_inv.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(rare_inv.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    containment = n_common.cast("double") / F.size("sh_a")
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.alias("n_common"),
+            F.size("sh_a").alias("n_sh_a"),
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH {SHINGLES_CTE},
+inv AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+rare AS (
+  SELECT s FROM (SELECT s, COUNT(*) AS df FROM inv GROUP BY s)
+  WHERE df <= {CONTAIN_RARE_DF_CAP}
+),
+rinv AS (SELECT doc_id, inv.s FROM inv JOIN rare USING (s)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rinv a JOIN rinv b ON a.s = b.s AND a.doc_id <> b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(x.shingles, y.shingles)) AS INTEGER) AS n_common,
+       CAST(len(x.shingles) AS INTEGER) AS n_sh_a,
+       CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         / len(x.shingles) AS containment
+FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        / len(x.shingles) >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Cross-source duplication matrix (where is the contamination coming from?)
 # ---------------------------------------------------------------------------
 
@@ -1085,6 +1225,8 @@ QUERIES = {
     "sketch_minhash_error": sketch_minhash_error,
     "dedup_shingle_coverage": dedup_shingle_coverage,
     "corpus_dup_source_matrix": corpus_dup_source_matrix,
+    "dedup_containment": dedup_containment,
+    "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_exact": dedup_exact,
     "dedup_blocked_levenshtein": dedup_blocked_levenshtein,
     "dedup_clusters": dedup_clusters,
@@ -1101,6 +1243,8 @@ ORACLES = {
     "sketch_minhash_error": _minhash_error_sql(),
     "dedup_shingle_coverage": DEDUP_COVERAGE_SQL,
     "corpus_dup_source_matrix": _dup_source_matrix_sql(),
+    "dedup_containment": DEDUP_CONTAINMENT_SQL,
+    "dedup_incremental_minhash": _incremental_minhash_sql(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_blocked_levenshtein": DEDUP_LEVENSHTEIN_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
