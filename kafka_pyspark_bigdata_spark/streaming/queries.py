@@ -259,6 +259,72 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+TWS_SPLIT_TS = "2024-01-16 00:00:00"  # two time-ordered micro-batches
+
+
+def streaming_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user SESSION COUNTS via ``transformWithStateInPandas`` (the
+    Spark 4 v2 stateful API, successor of applyInPandasWithState):
+    ValueState carries (last event time, session count) across a
+    genuinely multi-batch, time-split replay — a session spanning the
+    batch boundary must NOT be double-counted, which only works if the
+    state survives between batches. The oracle is the batch
+    sessionization (lag → 30-min-gap flags → sum) per user, so the
+    streaming state machine's final answer gets a full value check."""
+    import shutil
+
+    from ..sources.batch import load_table
+    from .stateful import session_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    mid = F.unix_micros(F.lit(TWS_SPLIT_TS).cast("timestamp"))
+    root = scratch_dir("tws_sessions", sf_dir)
+    src = os.path.join(root, "src")
+    os.makedirs(src, exist_ok=True)
+    for tag, pred, mtime in (
+        ("early", F.col("ts_us") < mid, 1_000_000_000),
+        ("late", F.col("ts_us") >= mid, 1_000_000_100),
+    ):
+        tmp = os.path.join(root, f"tmp_{tag}")
+        ev.filter(pred).coalesce(1).write.parquet(tmp)
+        part = next(p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"{tag}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = _run_to_memory(session_counts(stream), "tws", output_mode="update")
+    updates = spark.table(name)
+    # final state per user = the row with the maximal (monotone) last_us
+    return (
+        updates.groupBy("user_id")
+        .agg(F.expr("max_by(n_sessions, last_us)").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+STREAMING_TWS_SQL = f"""
+WITH {_EV_US},
+g AS (
+  SELECT user_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                      > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
 def streaming_count_batcher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The count-based micro-batcher end to end (O9/O10): stream events →
     exact-size batch files (cap + remainder-flush semantics) → per-file row
@@ -513,6 +579,24 @@ QUERIES = {
     "streaming_count_batcher": streaming_count_batcher,
 }
 
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas ships state over a protobuf channel;
+    the API exists on every Spark 4 install but EXECUTES only where
+    google.protobuf is importable (not the case in this sandbox — the
+    applyInPandasWithState path above has no such dependency and stays
+    the always-on stateful operator)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if _tws_available():
+    QUERIES["streaming_tws_sessions"] = streaming_tws_sessions
+
 ORACLES = {
     "streaming_hourly_window": STREAMING_HOURLY_SQL,
     "streaming_upsert_latest": STREAMING_UPSERT_SQL,
@@ -523,3 +607,6 @@ ORACLES = {
     "streaming_stream_join": STREAMING_JOIN_SQL,
     "streaming_stateful_totals": STREAMING_STATEFUL_SQL,
 }
+
+if _tws_available():
+    ORACLES["streaming_tws_sessions"] = STREAMING_TWS_SQL

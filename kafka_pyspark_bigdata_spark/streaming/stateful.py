@@ -80,3 +80,78 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (the v2 stateful API): per-user session counting
+# ---------------------------------------------------------------------------
+
+TWS_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, microseconds
+
+TWS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("n_sessions", LongType(), True),
+        StructField("last_us", LongType(), True),
+    ]
+)
+
+
+def _make_session_counter():
+    """Factory (deferred import: the v2 API only exists on Spark 4.x).
+
+    The processor keeps (last_us, n_sessions) in a ValueState per user
+    and counts a NEW session whenever an event arrives more than 30
+    minutes after the user's previous event — across micro-batch
+    boundaries, which is the part the built-in ``session_window``
+    aggregation hides and this API exposes: state must survive between
+    handleInputRows calls. Rows within a batch are sorted by (ts,
+    event_id) in the Arrow-backed pandas frame; correctness across
+    batches needs batch-monotone event time, which the time-split
+    replay guarantees (same contract a Kafka source provides per
+    partition with in-order producers)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "sess", "last_us LONG, n_sessions LONG"
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            last_us, n_sessions = (
+                self._state.get() if self._state.exists() else (None, 0)
+            )
+            pdf = pd.concat(list(rows)).sort_values(["ts_us", "event_id"])
+            for ts_us in pdf["ts_us"].to_numpy(dtype=np.int64):
+                if last_us is None or ts_us - last_us > TWS_GAP_US:
+                    n_sessions += 1
+                last_us = int(ts_us)
+            self._state.update((last_us, n_sessions))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_sessions": [n_sessions],
+                    "last_us": [last_us],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return SessionCounter()
+
+
+def session_counts(stream: DataFrame) -> DataFrame:
+    """Per-user session count over (user_id, ts_us, event_id) rows via
+    ``transformWithStateInPandas`` — one shuffle on the key per batch,
+    state size O(users) × 16 bytes."""
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_session_counter(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

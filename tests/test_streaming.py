@@ -282,3 +282,18 @@ def test_watermark_lates_drop_and_retention(spark):
     full = ev.groupBy(F.date_trunc("hour", "ts")).count().count()
     assert out.count() < full
     out.unpersist()
+
+
+def test_tws_sessions_oracle_or_env_skip(spark, duck):
+    """transformWithStateInPandas session counter vs the batch
+    sessionization oracle — runnable only where google.protobuf exists
+    (the v2 state channel's transport); skipped, not failed, elsewhere."""
+    from kafka_pyspark_bigdata_spark.streaming import queries as sq
+
+    if not sq._tws_available():
+        pytest.skip("google.protobuf unavailable: transformWithState cannot execute")
+    from conftest import assert_oracle_match
+
+    assert_oracle_match(
+        spark, duck, sq.streaming_tws_sessions, sq.STREAMING_TWS_SQL
+    )
