@@ -595,6 +595,61 @@ FROM reach GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def corpus_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup OUTCOME per source: run the full pair → cluster
+    chain, keep one canonical doc per cluster (min doc_id, the
+    dedup_clusters contract) plus every unclustered doc, and report per
+    source (n_docs, n_kept, kept_ppm) — the number a curation pipeline
+    actually reports upstream ("source X loses 12% to dedup").
+
+    Additions over dedup_clusters are one doc_id left join against the
+    (small) cluster labels and a per-source partial agg; integer ppm."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    clusters = dedup_clusters(spark, sf_dir)
+    keep = F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    return (
+        docs.join(clusters, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        )
+        .withColumn("kept_ppm", F.expr("n_kept * 1000000 DIV n_docs"))
+        .orderBy("source")
+    )
+
+
+def _survivorship_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.doc_a, reach.r FROM edges e JOIN reach ON e.doc_b = reach.doc_id
+),
+clusters AS (
+  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS kept_ppm
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the near-dup pair graph — the standard
     distributed graph statistic (how CLIQUEY are the dup clusters: chains
@@ -1227,6 +1282,7 @@ QUERIES = {
     "corpus_dup_source_matrix": corpus_dup_source_matrix,
     "dedup_containment": dedup_containment,
     "dedup_incremental_minhash": dedup_incremental_minhash,
+    "corpus_survivorship": corpus_survivorship,
     "dedup_exact": dedup_exact,
     "dedup_blocked_levenshtein": dedup_blocked_levenshtein,
     "dedup_clusters": dedup_clusters,
@@ -1245,6 +1301,7 @@ ORACLES = {
     "corpus_dup_source_matrix": _dup_source_matrix_sql(),
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_incremental_minhash": _incremental_minhash_sql(),
+    "corpus_survivorship": _survivorship_sql(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_blocked_levenshtein": DEDUP_LEVENSHTEIN_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,

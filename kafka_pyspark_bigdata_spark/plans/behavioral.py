@@ -735,8 +735,115 @@ FROM base ORDER BY user_id
 """
 
 
+def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth of event volume and exact-cents value per
+    event type: weekly rollup (ISO-agnostic integer week index from the
+    cohort epoch), lag within each type's timeline, growth in integer
+    ppm of the prior week — the period-over-period comparison every
+    product dashboard leads with. One (type, week) partial-agg shuffle
+    plus one tiny keyed window; growth numerators are kept nonnegative-
+    safe by splitting sign from magnitude (DIV vs // floor mismatch)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit(COHORT_EPOCH).cast("date")) / 7
+        ).cast("int").alias("week_idx"),
+        F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    weekly = ev.groupBy("event_type", "week_idx").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("sum_cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("week_idx")
+    prev = F.lag("n_events").over(w)
+    delta = F.col("n_events") - prev
+    growth = (
+        F.when(prev.isNull(), F.lit(None))
+        .otherwise(
+            F.when(delta >= 0, F.expr("1"))
+            .otherwise(F.expr("-1"))
+            * F.floor(F.abs(delta) * 1000000 / prev).cast("long")
+        )
+    )
+    return (
+        weekly.select(
+            "event_type",
+            "week_idx",
+            "n_events",
+            "sum_cents",
+            growth.alias("growth_ppm"),
+        )
+        .orderBy("event_type", "week_idx")
+    )
+
+
+Q_WOW_SQL = f"""
+WITH {_EV_US},
+weekly AS (
+  SELECT event_type,
+         CAST(FLOOR(date_diff('day', DATE '{COHORT_EPOCH}', CAST(ts AS DATE))
+                    / 7.0) AS INTEGER) AS week_idx,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+  FROM ev GROUP BY 1, 2
+)
+SELECT event_type, week_idx, n_events, sum_cents,
+       CASE WHEN LAG(n_events) OVER w IS NULL THEN NULL
+            ELSE (CASE WHEN n_events - LAG(n_events) OVER w >= 0
+                       THEN 1 ELSE -1 END)
+                 * CAST(FLOOR(abs(n_events - LAG(n_events) OVER w) * 1000000.0
+                              / LAG(n_events) OVER w) AS BIGINT)
+       END AS growth_ppm
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY week_idx)
+ORDER BY event_type, week_idx
+"""
+
+
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day (the DAU-reach curve) WITHOUT a
+    running COUNT(DISTINCT): each user contributes on exactly their
+    FIRST-seen day (a per-user min aggregate), daily first-seen counts
+    then cumulative-sum under an ordered window — turning an unbounded-
+    state distinct into one user-keyed partial agg, a tiny per-day agg,
+    and a linear pass over ~30 day rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    daily = first_seen.groupBy("first_d").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = (
+        Window.orderBy("first_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        F.date_format("first_d", "yyyy-MM-dd").alias("d"),
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("cum_users"),
+    ).orderBy("d")
+
+
+Q_CUM_USERS_SQL = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT first_d, COUNT(*) AS n_new_users FROM first_seen GROUP BY first_d
+)
+SELECT strftime(first_d, '%Y-%m-%d') AS d, n_new_users,
+       CAST(SUM(n_new_users) OVER (ORDER BY first_d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM daily ORDER BY d
+"""
+
+
 QUERIES = {
     "q_gapfill_interpolate": q_gapfill_interpolate,
+    "q_wow_growth": q_wow_growth,
+    "q_cumulative_distinct_users": q_cumulative_distinct_users,
     "q_event_transition_matrix": q_event_transition_matrix,
     "q_rfm_segmentation": q_rfm_segmentation,
     "q_funnel": q_funnel,
@@ -749,6 +856,8 @@ QUERIES = {
 
 ORACLES = {
     "q_gapfill_interpolate": Q_GAPFILL_SQL,
+    "q_wow_growth": Q_WOW_SQL,
+    "q_cumulative_distinct_users": Q_CUM_USERS_SQL,
     "q_event_transition_matrix": Q_TRANSITION_SQL,
     "q_rfm_segmentation": Q_RFM_SQL,
     "q_funnel": Q_FUNNEL_SQL,
