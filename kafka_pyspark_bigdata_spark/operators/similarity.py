@@ -824,6 +824,59 @@ def _pca_sql() -> str:
     )
 
 
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gram matrix XᵀX of the embedding corpus (upper triangle,
+    integer fixed-point) — the 64×64 summary that covariance, PCA
+    whitening, and ridge-regression normal equations all start from,
+    and the canonical "big n, small d" distributed reduction: each row
+    contributes its 2,080 upper-triangle products map-side, the shuffle
+    carries only |dims|² accumulators per partition, and the result is
+    dimension-sized however big the corpus is.
+
+    Same quantization as emb_pca_power_iter (round(x·2^10) → BIGINT), so
+    every product and sum is exact integer arithmetic — order-free,
+    hash-checkable. Plan: one posexplode self-join per row bounded by
+    i <= j (in-row, no shuffle), one (i, j)-keyed partial agg."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode(
+            F.expr(
+                f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+                f" * {PCA_X_SCALE}, 0) AS BIGINT))"
+            )
+        ).alias("i", "xi"),
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+            f" * {PCA_X_SCALE}, 0) AS BIGINT))"
+        ).alias("xs"),
+    )
+    pairs = e.select(
+        "i",
+        "xi",
+        F.posexplode("xs").alias("j", "xj"),
+    ).filter(F.col("j") >= F.col("i"))
+    return (
+        pairs.groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("gram_fp"))
+        .orderBy("i", "j")
+    )
+
+
+def _gram_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) - 1 AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {PCA_X_SCALE}, 0)
+              AS BIGINT) AS xi
+  FROM embeddings
+)
+SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+       CAST(SUM(a.xi * b.xi) AS BIGINT) AS gram_fp
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY 1, 2 ORDER BY i, j
+"""
+
+
 # ---------------------------------------------------------------------------
 # Per-label embedding centroids (decimal-exact distributed vector mean)
 # ---------------------------------------------------------------------------
@@ -1250,6 +1303,7 @@ QUERIES = {
     "semdedup_bucketed": semdedup_bucketed,
     "emb_mrl_recall": emb_mrl_recall,
     "emb_pca_power_iter": emb_pca_power_iter,
+    "emb_gram_matrix": emb_gram_matrix,
     "ann_recall_eval": ann_recall_eval,
     "ann_dot_pandas_udf": ann_dot_pandas_udf,
     "emb_label_centroids": emb_label_centroids,
@@ -1266,6 +1320,7 @@ ORACLES = {
     "semdedup_bucketed": _semdedup_sql(),
     "emb_mrl_recall": _mrl_sql(),
     "emb_pca_power_iter": _pca_sql(),
+    "emb_gram_matrix": _gram_sql(),
     "ann_dot_pandas_udf": _pudf_sql(),
     "knn_graph_lsh": _knn_graph_sql(),
     "emb_quantize_int8": EMB_QUANTIZE_SQL,

@@ -840,10 +840,76 @@ FROM daily ORDER BY d
 """
 
 
+ABANDON_WINDOW_MIN = 60
+
+
+def q_click_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abandonment cohort: users whose LAST click was never followed by a
+    purchase within 60 minutes — the negative space of the funnel/as-of
+    joins (who fell out, not who converted), i.e. the retargeting-list
+    query. Semantics: per user, latest click; EXISTS-style anti check
+    against purchases in (click, click+60min]; emit the abandoned users
+    with their dangling click.
+
+    Plan: one user-keyed argmax for last clicks, then a LEFT ANTI join
+    against purchases on user_id with the time bound in the join
+    condition — the anti join never fans out and the purchase side is
+    pre-projected to (user_id, ts). Both shuffles key on user_id."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    last_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id")).alias("m"))
+        .select("user_id", F.col("m.ts").alias("click_ts"), F.col("m.event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    abandoned = last_click.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("click_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ABANDON_WINDOW_MIN} MINUTES")
+        ),
+        "left_anti",
+    )
+    return abandoned.select(
+        "user_id",
+        "click_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    ).orderBy("user_id")
+
+
+Q_ABANDON_SQL = f"""
+WITH {_EV_US},
+last_click AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id FROM (
+    SELECT user_id, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev WHERE event_type = 'click'
+  ) WHERE rn = 1
+)
+SELECT lc.user_id, lc.click_id,
+       strftime(lc.click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM last_click lc
+WHERE NOT EXISTS (
+  SELECT 1 FROM ev p
+  WHERE p.event_type = 'purchase' AND p.user_id = lc.user_id
+    AND p.ts > lc.click_ts
+    AND p.ts <= lc.click_ts + INTERVAL {ABANDON_WINDOW_MIN} MINUTE
+)
+ORDER BY lc.user_id
+"""
+
+
 QUERIES = {
     "q_gapfill_interpolate": q_gapfill_interpolate,
     "q_wow_growth": q_wow_growth,
     "q_cumulative_distinct_users": q_cumulative_distinct_users,
+    "q_click_no_purchase": q_click_no_purchase,
     "q_event_transition_matrix": q_event_transition_matrix,
     "q_rfm_segmentation": q_rfm_segmentation,
     "q_funnel": q_funnel,
@@ -858,6 +924,7 @@ ORACLES = {
     "q_gapfill_interpolate": Q_GAPFILL_SQL,
     "q_wow_growth": Q_WOW_SQL,
     "q_cumulative_distinct_users": Q_CUM_USERS_SQL,
+    "q_click_no_purchase": Q_ABANDON_SQL,
     "q_event_transition_matrix": Q_TRANSITION_SQL,
     "q_rfm_segmentation": Q_RFM_SQL,
     "q_funnel": Q_FUNNEL_SQL,
