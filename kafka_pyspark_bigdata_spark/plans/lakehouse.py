@@ -622,6 +622,39 @@ FROM filed GROUP BY file_id ORDER BY file_id
 """
 
 
+SCD2_ASOF_TS = "2024-01-20 12:00:00"  # time-travel lookup point
+
+
+def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 READ path: "which version was active for each user at
+    time T" — the time-travel dimension lookup the interval build
+    exists to serve (every fact-at-time join resolves through exactly
+    this predicate). Rebuilds the intervals (at scale they're the
+    persisted dimension) and filters valid_from <= T < valid_to; each
+    user yields at most one row by the non-overlapping-intervals
+    invariant, which the count aggregate double-checks in-plan."""
+    ivals = q_scd2_intervals(spark, sf_dir)
+    t = SCD2_ASOF_TS
+    active = ivals.filter(
+        (F.col("valid_from") <= t)
+        & ((F.col("valid_to") > t) | F.col("is_current"))
+    )
+    return active.select(
+        "user_id", "version", "event_type", "valid_from", "valid_to"
+    ).orderBy("user_id")
+
+
+def _scd2_asof_sql() -> str:
+    return f"""
+WITH base AS ({SCD2_SQL.replace("ORDER BY user_id, version", "")})
+SELECT user_id, version, event_type, valid_from, valid_to
+FROM base
+WHERE valid_from <= '{SCD2_ASOF_TS}'
+  AND (valid_to > '{SCD2_ASOF_TS}' OR is_current)
+ORDER BY user_id
+"""
+
+
 COMPACT_SMALL_FILES = 64
 COMPACT_TARGET_FILES = 4
 
@@ -686,6 +719,7 @@ ORDER BY phase
 
 QUERIES = {
     "q_compact_small_files": q_compact_small_files,
+    "q_scd2_asof_lookup": q_scd2_asof_lookup,
     "q_scd2_intervals": q_scd2_intervals,
     "q_cdc_diff": q_cdc_diff,
     "q_bloom_prune": q_bloom_prune,
@@ -697,6 +731,7 @@ QUERIES = {
 
 ORACLES = {
     "q_compact_small_files": COMPACT_SQL,
+    "q_scd2_asof_lookup": _scd2_asof_sql(),
     "q_scd2_intervals": SCD2_SQL,
     "q_cdc_diff": CDC_DIFF_SQL,
     "q_bloom_prune": _bloom_sql(),
