@@ -58,6 +58,8 @@ def _modules():
 
 # Round-3 regression fixes (TIMESTAMP_NTZ): these must land inside the
 # driver's verification prefix so CORRECTNESS_r03 records them green.
+# The second tier is every operator NEW in round 3 — the driver has never
+# verified any of them, so they outrank the twice-green families.
 _PRIORITY = [
     "q_asof_click_purchase",
     "q_sessionize",
@@ -67,6 +69,29 @@ _PRIORITY = [
     "q_interval_concurrency",
     "streaming_stream_join",
     "streaming_watermark_lates",
+    # --- new in round 3 ---
+    "semdedup_bucketed",
+    "emb_mrl_recall",
+    "emb_pca_power_iter",
+    "emb_gram_matrix",
+    "sketch_minhash_error",
+    "dedup_shingle_coverage",
+    "dedup_containment",
+    "dedup_incremental_minhash",
+    "corpus_dup_source_matrix",
+    "corpus_survivorship",
+    "sketch_hll_error",
+    "q_gapfill_interpolate",
+    "q_event_transition_matrix",
+    "q_rfm_segmentation",
+    "q_wow_growth",
+    "q_cumulative_distinct_users",
+    "q_click_no_purchase",
+    "q_compact_small_files",
+    "q_scd2_asof_lookup",
+    "q_orc_roundtrip",
+    "ml_lift_deciles",
+    "streaming_tws_sessions",
 ]
 
 
