@@ -32,9 +32,11 @@ def _modules():
     import importlib
 
     mods = []
+    # Never-driver-verified families first (CORRECTNESS_r01/r02 covered
+    # relational, advanced, tpch_extra, and the head of analytic): the
+    # LLM-pipeline operator modules, then lakehouse/sources/streaming/ml,
+    # then the already-twice-green families.
     for modpath in (
-        "kafka_pyspark_bigdata_spark.plans.advanced",
-        "kafka_pyspark_bigdata_spark.plans.analytic",
         "kafka_pyspark_bigdata_spark.plans.behavioral",
         "kafka_pyspark_bigdata_spark.operators.dedup",
         "kafka_pyspark_bigdata_spark.operators.similarity",
@@ -46,6 +48,8 @@ def _modules():
         "kafka_pyspark_bigdata_spark.sources.queries",
         "kafka_pyspark_bigdata_spark.streaming.queries",
         "kafka_pyspark_bigdata_spark.ml.queries",
+        "kafka_pyspark_bigdata_spark.plans.analytic",
+        "kafka_pyspark_bigdata_spark.plans.advanced",
         "kafka_pyspark_bigdata_spark.plans.relational",
         "kafka_pyspark_bigdata_spark.plans.tpch_extra",
     ):
