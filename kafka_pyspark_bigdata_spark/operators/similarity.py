@@ -824,6 +824,163 @@ def _pca_sql() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization + asymmetric distance (IVF-PQ's compression half)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64 dims → 8 × 8-dim subvectors)
+PQ_SUB = EMB_DIM // PQ_M
+PQ_SCALE = 1 << 10
+
+
+def _pq_cents(emb: DataFrame) -> DataFrame:
+    """Integer codebook: per-(label, dim) centroid, decimal-exact mean
+    quantized to round(c·2^10) — labels double as the per-subspace code
+    ids (a deterministic, SQL-replicable stand-in for the per-subspace
+    k-means a production PQ trains; same plan shape either way)."""
+    vals = emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+    per_dim = vals.groupBy("label", "dim").agg(
+        F.sum(
+            F.expr(f"CAST(CAST(val AS DOUBLE) * {_FP_SCALE} AS DECIMAL(38,0))")
+        ).alias("s_fp"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_dim.select(
+        F.col("label").alias("code"),
+        "dim",
+        F.round(
+            F.col("s_fp").cast("double") / F.lit(float(_FP_SCALE)) / F.col("n")
+            * PQ_SCALE,
+            0,
+        )
+        .cast("long")
+        .alias("c_fp"),
+    )
+
+
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation —
+    the compression half of IVF-PQ (Jégou et al. 2011, public method):
+    each corpus vector is ENCODED as 8 sub-codes (nearest codebook
+    entry per 8-dim subspace), and a query scores a corpus vector by
+    summing its per-subspace distances TO THE CODES, never touching the
+    original vector — at 100 TB the scan reads 8 small ints per vector
+    instead of 64 floats (16× less IO), and the per-query distance
+    table (|codes|·M entries) is computed once and broadcast.
+
+    All arithmetic is integer fixed-point (vectors and codebook
+    quantized at 2^10; distances are exact BIGINT sums of squares), so
+    encoding, distance tables, and the final ranking hash-match the
+    oracle. Plan: codebook broadcast → per-vector per-subspace argmin
+    (map-side fanout × |codes|, one (vec, subspace) partial agg) →
+    code join against the broadcast distance table → per-query top-k
+    window over |Q|·n small rows."""
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    cents = _pq_cents(emb).localCheckpoint()
+    xint = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+                f" * {PQ_SCALE}, 0) AS BIGINT))"
+            )
+        ).alias("dim", "x_fp"),
+    )
+    sub = F.expr(f"dim DIV {PQ_SUB}")
+    # encode: nearest code per (vector, subspace), min-code tie-break
+    enc = (
+        xint.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", sub.alias("m"), "code")
+        .agg(F.sum(
+            (F.col("x_fp") - F.col("c_fp")) * (F.col("x_fp") - F.col("c_fp"))
+        ).alias("d"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "code")).alias("best"))
+        .select("vec_id", "m", F.col("best.code").alias("code"))
+    )
+    # per-query distance table to every (subspace, code)
+    dtab = (
+        xint.filter(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cents), "dim")
+        .groupBy("query_id", sub.alias("m"), "code")
+        .agg(F.sum(
+            (F.col("x_fp") - F.col("c_fp")) * (F.col("x_fp") - F.col("c_fp"))
+        ).alias("d"))
+    )
+    scored = (
+        enc.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(dtab), ["m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_dist_fp"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist_fp"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _pq_sql() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, label,
+         unnest(generate_series(1, len(embedding))) - 1 AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+cents AS (
+  SELECT label AS code, dim,
+         CAST(round(CAST(SUM(CAST(CAST(val AS DOUBLE) * {_FP_SCALE}
+                               AS DECIMAL(38,0))) AS DOUBLE)
+                    / {float(_FP_SCALE)!r} / COUNT(*) * {PQ_SCALE}, 0)
+              AS BIGINT) AS c_fp
+  FROM v GROUP BY label, dim
+),
+xint AS (
+  SELECT vec_id, dim,
+         CAST(round(CAST(val AS DOUBLE) * {PQ_SCALE}, 0) AS BIGINT) AS x_fp
+  FROM v
+),
+enc_d AS (
+  SELECT x.vec_id, x.dim // {PQ_SUB} AS m, c.code,
+         SUM((x.x_fp - c.c_fp) * (x.x_fp - c.c_fp)) AS d
+  FROM xint x JOIN cents c USING (dim)
+  GROUP BY 1, 2, 3
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+    FROM enc_d
+  ) WHERE rn = 1
+),
+dtab AS (
+  SELECT vec_id AS query_id, m, code, d FROM enc_d
+  WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT t.query_id, e.vec_id AS neighbor_id,
+         CAST(SUM(t.d) AS BIGINT) AS adc_dist_fp
+  FROM enc e JOIN dtab t ON e.m = t.m AND e.code = t.code
+  WHERE e.vec_id <> t.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist_fp, rank FROM (
+  SELECT query_id, neighbor_id, adc_dist_fp,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc_dist_fp, neighbor_id
+         ) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Gram matrix XᵀX of the embedding corpus (upper triangle,
     integer fixed-point) — the 64×64 summary that covariance, PCA
@@ -1304,6 +1461,7 @@ QUERIES = {
     "emb_mrl_recall": emb_mrl_recall,
     "emb_pca_power_iter": emb_pca_power_iter,
     "emb_gram_matrix": emb_gram_matrix,
+    "ann_pq_adc": ann_pq_adc,
     "ann_recall_eval": ann_recall_eval,
     "ann_dot_pandas_udf": ann_dot_pandas_udf,
     "emb_label_centroids": emb_label_centroids,
@@ -1321,6 +1479,7 @@ ORACLES = {
     "emb_mrl_recall": _mrl_sql(),
     "emb_pca_power_iter": _pca_sql(),
     "emb_gram_matrix": _gram_sql(),
+    "ann_pq_adc": _pq_sql(),
     "ann_dot_pandas_udf": _pudf_sql(),
     "knn_graph_lsh": _knn_graph_sql(),
     "emb_quantize_int8": EMB_QUANTIZE_SQL,

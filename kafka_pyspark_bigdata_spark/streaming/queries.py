@@ -228,6 +228,46 @@ ORDER BY click_id, purchase_id
 """
 
 
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the enrichment pattern (stream of events
+    joined against a slowly-changing batch dimension) and the one
+    Structured Streaming join family the stream-stream interval join
+    doesn't cover. The static side here is a per-user profile derived
+    from the batch table (first-seen day + lifetime event count); Spark
+    re-plans the static side per micro-batch, so at scale it is a
+    broadcast dimension against each batch, with no streaming state at
+    all (unlike stream-stream, nothing is buffered).
+
+    The streamed aggregate per (profile cohort, event_type) is bounded
+    and batch-equivalent on an availableNow replay, which is exactly
+    what the oracle computes."""
+    from ..sources.batch import load_table
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    profile = ev_batch.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_d"),
+        F.count(F.lit(1)).alias("lifetime_events"),
+    )
+    cohort = (F.col("lifetime_events") >= 100).alias("is_heavy")
+    stream = _events_stream(spark, sf_dir).select("user_id", "event_type")
+    joined = stream.join(profile.select("user_id", cohort), "user_id")
+    agg = joined.groupBy("is_heavy", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    name = _run_to_memory(agg, "ssjoin_static")
+    return spark.table(name).orderBy("is_heavy", "event_type")
+
+
+STREAMING_STATIC_JOIN_SQL = """
+WITH profile AS (
+  SELECT user_id, COUNT(*) >= 100 AS is_heavy FROM events GROUP BY user_id
+)
+SELECT p.is_heavy, e.event_type, COUNT(*) AS n_events
+FROM events e JOIN profile p USING (user_id)
+GROUP BY 1, 2 ORDER BY is_heavy, event_type
+"""
+
+
 def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): per-user
     running totals updated across micro-batches. The memory sink holds one
@@ -575,6 +615,7 @@ QUERIES = {
     "streaming_session_window": streaming_session_window,
     "streaming_dedup_counts": streaming_dedup_counts,
     "streaming_stream_join": streaming_stream_join,
+    "streaming_static_join": streaming_static_join,
     "streaming_stateful_totals": streaming_stateful_totals,
     "streaming_count_batcher": streaming_count_batcher,
 }
@@ -605,6 +646,7 @@ ORACLES = {
     "streaming_session_window": STREAMING_SESSION_SQL,
     "streaming_dedup_counts": STREAMING_DEDUP_SQL,
     "streaming_stream_join": STREAMING_JOIN_SQL,
+    "streaming_static_join": STREAMING_STATIC_JOIN_SQL,
     "streaming_stateful_totals": STREAMING_STATEFUL_SQL,
 }
 
