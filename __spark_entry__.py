@@ -96,6 +96,8 @@ _PRIORITY = [
     "q_orc_roundtrip",
     "ml_lift_deciles",
     "streaming_tws_sessions",
+    "ann_pq_adc",
+    "streaming_static_join",
 ]
 
 
