@@ -981,6 +981,48 @@ ORDER BY query_id, rank
 """
 
 
+def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of PQ-ADC ranking against the exact brute force — the
+    measurement that justifies (or vetoes) the 16× scan compression:
+    per query, how much of the true top-5 the code-based ranking
+    recovers. Same join-of-two-rankings shape as ann_recall_eval; both
+    inputs reuse their operators' plans verbatim."""
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    pq = ann_pq_adc(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(pq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_found"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_found",
+            F.expr("n_found * 1000000 DIV k").alias("recall_fp"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _pq_recall_sql() -> str:
+    return f"""
+WITH bf AS ({ANN_TOPK_SQL.strip()}),
+pq AS ({_pq_sql().strip()})
+SELECT bf.query_id, COUNT(*) AS k,
+       CAST(SUM(CASE WHEN pq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_found,
+       CAST((SUM(CASE WHEN pq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1000000) // COUNT(*) AS BIGINT) AS recall_fp
+FROM bf LEFT JOIN pq
+  ON bf.query_id = pq.query_id AND bf.neighbor_id = pq.neighbor_id
+GROUP BY bf.query_id ORDER BY bf.query_id
+"""
+
+
 def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Gram matrix XᵀX of the embedding corpus (upper triangle,
     integer fixed-point) — the 64×64 summary that covariance, PCA
@@ -1462,6 +1504,7 @@ QUERIES = {
     "emb_pca_power_iter": emb_pca_power_iter,
     "emb_gram_matrix": emb_gram_matrix,
     "ann_pq_adc": ann_pq_adc,
+    "ann_pq_recall_eval": ann_pq_recall_eval,
     "ann_recall_eval": ann_recall_eval,
     "ann_dot_pandas_udf": ann_dot_pandas_udf,
     "emb_label_centroids": emb_label_centroids,
@@ -1480,6 +1523,7 @@ ORACLES = {
     "emb_pca_power_iter": _pca_sql(),
     "emb_gram_matrix": _gram_sql(),
     "ann_pq_adc": _pq_sql(),
+    "ann_pq_recall_eval": _pq_recall_sql(),
     "ann_dot_pandas_udf": _pudf_sql(),
     "knn_graph_lsh": _knn_graph_sql(),
     "emb_quantize_int8": EMB_QUANTIZE_SQL,

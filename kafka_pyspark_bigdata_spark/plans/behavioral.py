@@ -905,8 +905,65 @@ ORDER BY lc.user_id
 """
 
 
+WAU_WINDOW_DAYS = 7
+
+
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — EXACT, without a sliding
+    COUNT(DISTINCT) (whose window state is unbounded): each (user,
+    active-day) pair contributes to the 7 window-end days it falls in,
+    so explode the bounded 7-day fanout, dedup (user, window_day), and
+    count. Shuffle volume is 7× the distinct (user, day) pairs — fixed
+    fanout, not data-dependent state; the distinct + count pair is one
+    two-phase aggregation on small keys. Only window-ends with actual
+    activity anchor the output (trailing-edge semantics both engines
+    express identically)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    days = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("window_day")
+    ).distinct()
+    contrib = ev.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                "d", F.date_add("d", WAU_WINDOW_DAYS - 1), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("window_day"),
+    ).distinct()
+    return (
+        contrib.join(days, "window_day")
+        .groupBy("window_day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+        .select(
+            F.date_format("window_day", "yyyy-MM-dd").alias("window_day"), "wau"
+        )
+        .orderBy("window_day")
+    )
+
+
+Q_ROLLING_WAU_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS window_day FROM events),
+contrib AS (
+  SELECT DISTINCT user_id,
+         UNNEST(generate_series(d, d + INTERVAL {WAU_WINDOW_DAYS - 1} DAY,
+                                INTERVAL 1 DAY))::DATE AS window_day
+  FROM ud
+)
+SELECT strftime(c.window_day, '%Y-%m-%d') AS window_day,
+       COUNT(*) AS wau
+FROM contrib c JOIN days USING (window_day)
+GROUP BY c.window_day ORDER BY window_day
+"""
+
+
 QUERIES = {
     "q_gapfill_interpolate": q_gapfill_interpolate,
+    "q_rolling_wau": q_rolling_wau,
     "q_wow_growth": q_wow_growth,
     "q_cumulative_distinct_users": q_cumulative_distinct_users,
     "q_click_no_purchase": q_click_no_purchase,
@@ -922,6 +979,7 @@ QUERIES = {
 
 ORACLES = {
     "q_gapfill_interpolate": Q_GAPFILL_SQL,
+    "q_rolling_wau": Q_ROLLING_WAU_SQL,
     "q_wow_growth": Q_WOW_SQL,
     "q_cumulative_distinct_users": Q_CUM_USERS_SQL,
     "q_click_no_purchase": Q_ABANDON_SQL,
