@@ -97,7 +97,9 @@ _PRIORITY = [
     "ml_lift_deciles",
     "streaming_tws_sessions",
     "ann_pq_adc",
+    "ann_pq_recall_eval",
     "streaming_static_join",
+    "q_rolling_wau",
 ]
 
 
