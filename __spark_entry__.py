@@ -100,6 +100,7 @@ _PRIORITY = [
     "ann_pq_recall_eval",
     "streaming_static_join",
     "q_rolling_wau",
+    "corpus_filter_verdict",
 ]
 
 

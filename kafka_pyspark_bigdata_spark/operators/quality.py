@@ -216,12 +216,83 @@ FROM r ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_filter_verdict — the composite C4/Gopher-style keep/drop gate
+# ---------------------------------------------------------------------------
+
+FILTER_MIN_WORDS = 10
+FILTER_MAX_WORDS = 1000
+FILTER_MAX_DUP_PCT = 50  # duplicate-word fraction cap, percent
+FILTER_MIN_AVG_LEN = 2  # mean token length band
+FILTER_MAX_AVG_LEN = 12
+
+
+def corpus_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite keep/drop GATE a C4/Gopher-style cleaning pass
+    actually applies — one row per document with each rule's verdict and
+    the conjunction, so downstream can both filter (keep) and audit
+    (which rule fired, per source). Rules: word-count band, language
+    allow-list, duplicate-word cap, mean-token-length band.
+
+    Everything is a scan-bound expression over the token array — no
+    shuffle at all until a consumer aggregates — and every comparison is
+    integer cross-multiplied (dup% and mean length never divide), so the
+    verdicts are engine-exact booleans."""
+    docs = with_tokens(load_documents(spark, sf_dir))
+    n = F.size("toks")
+    n_dist = F.size(F.array_distinct("toks"))
+    sum_len = F.aggregate("toks", F.lit(0), lambda acc, t: acc + F.length(t))
+    r_len = (n >= FILTER_MIN_WORDS) & (n <= FILTER_MAX_WORDS)
+    r_lang = F.col("lang") == "en"
+    r_dup = (n - n_dist) * 100 <= F.lit(FILTER_MAX_DUP_PCT) * n
+    r_avg = (sum_len >= FILTER_MIN_AVG_LEN * n) & (
+        sum_len <= FILTER_MAX_AVG_LEN * n
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        r_len.alias("pass_length"),
+        r_lang.alias("pass_lang"),
+        r_dup.alias("pass_dup"),
+        r_avg.alias("pass_avg_len"),
+        (r_len & r_lang & r_dup & r_avg).alias("keep"),
+    ).orderBy("doc_id")
+
+
+CORPUS_FILTER_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, lang, {TOKENS_SQL} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, source, lang,
+         len(toks) AS n,
+         len(list_distinct(toks)) AS n_dist,
+         list_sum(list_transform(toks, t -> length(t))) AS sum_len
+  FROM tok
+)
+SELECT doc_id, source,
+       (n >= {FILTER_MIN_WORDS} AND n <= {FILTER_MAX_WORDS}) AS pass_length,
+       (lang = 'en') AS pass_lang,
+       ((n - n_dist) * 100 <= {FILTER_MAX_DUP_PCT} * n) AS pass_dup,
+       (sum_len >= {FILTER_MIN_AVG_LEN} * n
+        AND sum_len <= {FILTER_MAX_AVG_LEN} * n) AS pass_avg_len,
+       ((n >= {FILTER_MIN_WORDS} AND n <= {FILTER_MAX_WORDS})
+        AND lang = 'en'
+        AND (n - n_dist) * 100 <= {FILTER_MAX_DUP_PCT} * n
+        AND sum_len >= {FILTER_MIN_AVG_LEN} * n
+        AND sum_len <= {FILTER_MAX_AVG_LEN} * n) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "corpus_filter_verdict": corpus_filter_verdict,
     "text_repetition": text_repetition,
     "text_pii_scrub": text_pii_scrub,
 }
 
 ORACLES = {
+    "corpus_filter_verdict": CORPUS_FILTER_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "text_pii_scrub": TEXT_PII_SQL,
 }
