@@ -101,6 +101,7 @@ _PRIORITY = [
     "streaming_static_join",
     "q_rolling_wau",
     "corpus_filter_verdict",
+    "q_medallion_audit",
 ]
 
 

@@ -29,12 +29,14 @@ Scale notes (SCALE.md has the full audit):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.numeric import dsum, dsum_sql
-from ..sources.batch import load_table
+from ..sources.batch import load_table, scratch_dir
 
 # Microsecond-precision events CTE (fixture stores TIMESTAMP(NANOS);
 # both engines compare at micros — same rationale as plans.behavioral).
@@ -622,6 +624,93 @@ FROM filed GROUP BY file_id ORDER BY file_id
 """
 
 
+MEDALLION_DUP_EVERY = 10  # every 10th event is re-landed in bronze (at-least-once)
+
+
+def q_medallion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bronze → silver → gold medallion chain, materialized end to
+    end with a per-tier audit row: bronze lands the raw feed INCLUDING
+    the duplicates an at-least-once ingest produces (every 10th event
+    re-landed), silver is the typed, deduplicated-by-key, null-screened
+    table, gold the daily per-type rollup — each tier a parquet
+    materialization the next tier reads, which is exactly how the
+    layers decouple at scale (gold consumers never touch bronze).
+
+    The audit emits (tier, n_rows, n_distinct_keys) and proves the
+    invariants: bronze > silver (dupes removed), silver keys distinct,
+    gold row count = |day × type| groups. Dedup is a per-key argmax on
+    event_id — one shuffle on the natural key; the rollup is one
+    partial agg."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    root = scratch_dir("medallion", sf_dir)
+    bronze_dir = os.path.join(root, "bronze")
+    silver_dir = os.path.join(root, "silver")
+    gold_dir = os.path.join(root, "gold")
+    dupes = ev.filter(F.col("event_id") % MEDALLION_DUP_EVERY == 0)
+    ev.unionByName(dupes).write.parquet(bronze_dir)
+
+    bronze = spark.read.parquet(bronze_dir)
+    silver = (
+        bronze.filter(F.col("value").isNotNull())
+        .groupBy("event_id")
+        .agg(
+            F.max(F.struct("ts", "event_type", "value")).alias("m")
+        )
+        .select("event_id", "m.ts", "m.event_type", "m.value")
+    )
+    silver.write.parquet(silver_dir)
+
+    silver_t = spark.read.parquet(silver_dir)
+    gold = silver_t.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+    gold.write.parquet(gold_dir)
+
+    def audit(df: DataFrame, tier: str, key) -> DataFrame:
+        return df.agg(
+            F.lit(tier).alias("tier"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(*key).cast("long").alias("n_distinct_keys"),
+        )
+
+    return (
+        audit(spark.read.parquet(bronze_dir), "1_bronze", [F.col("event_id")])
+        .unionByName(audit(spark.read.parquet(silver_dir), "2_silver", [F.col("event_id")]))
+        .unionByName(
+            audit(spark.read.parquet(gold_dir), "3_gold", [F.col("d"), F.col("event_type")])
+        )
+        .orderBy("tier")
+    )
+
+
+MEDALLION_SQL = f"""
+WITH bronze AS (
+  SELECT event_id, ts, event_type, value FROM events
+  UNION ALL
+  SELECT event_id, ts, event_type, value FROM events
+  WHERE event_id % {MEDALLION_DUP_EVERY} = 0
+),
+silver AS (
+  SELECT DISTINCT event_id FROM bronze WHERE value IS NOT NULL
+),
+gold AS (
+  SELECT CAST(ts AS DATE) AS d, event_type FROM events
+  WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT '1_bronze' AS tier, COUNT(*) AS n_rows,
+       COUNT(DISTINCT event_id) AS n_distinct_keys
+FROM bronze
+UNION ALL
+SELECT '2_silver', (SELECT COUNT(*) FROM silver),
+       (SELECT COUNT(*) FROM silver)
+UNION ALL
+SELECT '3_gold', (SELECT COUNT(*) FROM gold), (SELECT COUNT(*) FROM gold)
+ORDER BY tier
+"""
+
+
 SCD2_ASOF_TS = "2024-01-20 12:00:00"  # time-travel lookup point
 
 
@@ -719,6 +808,7 @@ ORDER BY phase
 
 QUERIES = {
     "q_compact_small_files": q_compact_small_files,
+    "q_medallion_audit": q_medallion_audit,
     "q_scd2_asof_lookup": q_scd2_asof_lookup,
     "q_scd2_intervals": q_scd2_intervals,
     "q_cdc_diff": q_cdc_diff,
@@ -731,6 +821,7 @@ QUERIES = {
 
 ORACLES = {
     "q_compact_small_files": COMPACT_SQL,
+    "q_medallion_audit": MEDALLION_SQL,
     "q_scd2_asof_lookup": _scd2_asof_sql(),
     "q_scd2_intervals": SCD2_SQL,
     "q_cdc_diff": CDC_DIFF_SQL,
