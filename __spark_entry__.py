@@ -37,6 +37,7 @@ def _modules():
     # LLM-pipeline operator modules, then lakehouse/sources/streaming/ml,
     # then the already-twice-green families.
     for modpath in (
+        "kafka_pyspark_bigdata_spark.plans.mining",
         "kafka_pyspark_bigdata_spark.plans.behavioral",
         "kafka_pyspark_bigdata_spark.operators.dedup",
         "kafka_pyspark_bigdata_spark.operators.similarity",
@@ -102,6 +103,11 @@ _PRIORITY = [
     "q_rolling_wau",
     "corpus_filter_verdict",
     "q_medallion_audit",
+    "q_market_basket_pairs",
+    "q_attribution_last_touch",
+    "q_rolling_median",
+    "q_asof_forward",
+    "q_profile_columns",
 ]
 
 

@@ -1,0 +1,454 @@
+"""Pattern-mining / attribution / profiling analytics.
+
+Five operators a production analytics engine grows once the relational
+core (plans.relational / plans.tpch_extra) and the event-stream layer
+(plans.behavioral) are in place:
+
+- market-basket pair mining (co-purchase support + lift) over orders,
+- last-touch marketing attribution over the event stream (JSON props),
+- exact rolling median (order-statistic window) per user,
+- forward as-of join with tolerance (pandas ``merge_asof``
+  direction='forward' semantics) as a single-window plan,
+- one-pass column profiling (count / nulls / distinct / min / max).
+
+The reference's analytics surface stops at per-batch aggregates
+(consumer.py:37-60) and the RF feature pipeline (spark_trainer.py); these
+are the standard next-step analytics its event/ML pipeline would grow
+into, each expressed as one-or-two-shuffle DataFrame plans with integer /
+decimal-exact arithmetic so every query is DuckDB-hash-verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.batch import load_table
+
+# ---------------------------------------------------------------------------
+# Market-basket pair mining
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 2  # min co-occurrence count for a pair to be reported
+BASKET_TOP_N = 200
+
+_LIFT_DOC = """\
+lift_ppm = 1e6 * P(a,b) / (P(a) * P(b)) computed entirely in BIGINT:
+n_ab * n_orders * 1_000_000 DIV (n_a * n_b). All inputs nonnegative, so
+Spark's truncating DIV and DuckDB's flooring // agree. At sf0.01 the
+numerator tops out ~2e14 (BIGINT-safe); at true 100 TB scale swap the
+numerator to DECIMAL(38,0) — same plan shape."""
+
+
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase pair mining: for every unordered part pair bought in
+    the same order, support count and lift vs independence — the
+    frequent-itemset primitive (pairs-only A-Priori pass) behind
+    recommendations and cross-sell.
+
+    Plan shape: distinct (order, part) projection, then a self equi-join
+    on l_orderkey — the fan-out is sum over orders of C(k,2) where k is
+    the order's line count (TPC-H max 7), i.e. bounded per key, never
+    |lineitem|^2. Pair counts are one partial-agg shuffle on the (p1,p2)
+    key; per-part counts re-use the distinct projection and join back
+    broadcast (the part dimension is orders of magnitude smaller than
+    the fact table). The order count enters the plan as a broadcast
+    1-row aggregate (no eager driver-side .count()).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    part_n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    return (
+        pairs.join(
+            F.broadcast(part_n.withColumnRenamed("l_partkey", "p1")), "p1"
+        )
+        .withColumnRenamed("n_part", "n_a")
+        .join(F.broadcast(part_n.withColumnRenamed("l_partkey", "p2")), "p2")
+        .withColumnRenamed("n_part", "n_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("n_ab * n_orders * 1000000 DIV (n_a * n_b)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("n_ab"), "p1", "p2")
+        .limit(BASKET_TOP_N)
+    )
+
+
+Q_BASKET_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_o AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+),
+part_n AS (SELECT l_partkey, COUNT(*) AS n_part FROM li GROUP BY 1)
+SELECT p1, p2, n_ab, pa.n_part AS n_a, pb.n_part AS n_b,
+       CAST(n_ab * n_orders * 1000000 // (pa.n_part * pb.n_part) AS BIGINT)
+         AS lift_ppm
+FROM pairs
+JOIN part_n pa ON pairs.p1 = pa.l_partkey
+JOIN part_n pb ON pairs.p2 = pb.l_partkey
+CROSS JOIN n_o
+ORDER BY n_ab DESC, p1, p2
+LIMIT {BASKET_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution
+# ---------------------------------------------------------------------------
+
+TOUCH_TYPES = ("click", "view")
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the campaign (the ``k`` field of the touch event's JSON ``props``)
+    of the user's most recent click/view at-or-before the purchase;
+    purchases with no prior touch fall into campaign -1.
+
+    Plan shape: the scalable as-of idiom — union-tag touches and
+    purchases, ONE window shuffle on user_id with a running
+    ``last(campaign, ignorenulls)`` carry, then a tiny partial-agg
+    shuffle on campaign. No join fan-out, no per-purchase probe; state
+    per user is one carried value. JSON extraction is JVM-side
+    ``get_json_object`` (no Python UDF). Revenue is exact integer
+    cents."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value", "props"
+    )
+    touches = ev.filter(F.col("event_type").isin(*TOUCH_TYPES)).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("camp"),
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(0).alias("is_p"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("int").alias("camp"),
+        F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+        F.lit(1).alias("is_p"),
+    )
+    # At equal ts the touch (is_p=0) sorts first, so a same-instant touch
+    # is visible to the purchase — as-of "<=" semantics, documented.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = (
+        touches.unionByName(purchases)
+        .withColumn("last_camp", F.last("camp", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+    )
+    return (
+        attributed.groupBy(
+            F.coalesce(F.col("last_camp"), F.lit(-1)).alias("campaign")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("attributed_cents"),
+        )
+        .orderBy("campaign")
+    )
+
+
+Q_ATTRIBUTION_SQL = f"""
+WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   event_type, value, props FROM events),
+tagged AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS camp,
+         CAST(NULL AS BIGINT) AS cents, 0 AS is_p
+  FROM ev WHERE event_type IN {TOUCH_TYPES!r}
+  UNION ALL
+  SELECT user_id, ts, event_id, NULL,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT), 1
+  FROM ev WHERE event_type = 'purchase'
+),
+carried AS (
+  SELECT *, LAST_VALUE(camp IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_p, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_camp
+  FROM tagged
+)
+SELECT COALESCE(last_camp, -1) AS campaign,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(cents) AS BIGINT) AS attributed_cents
+FROM carried WHERE is_p = 1
+GROUP BY 1 ORDER BY campaign
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact rolling median
+# ---------------------------------------------------------------------------
+
+MEDIAN_WINDOW = 7  # current row + 6 preceding
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of event value (integer cents) per user over
+    the trailing {MEDIAN_WINDOW}-row frame — the robust-smoothing
+    counterpart to ``q_moving_avg`` / ``q_ewma_decay`` (order statistic,
+    not mean, so spikes don't drag the baseline).
+
+    Plan shape: one window shuffle on user_id; the frame is materialized
+    with ``collect_list`` over a BOUNDED {MEDIAN_WINDOW}-row frame (state
+    O(window), not O(partition)), sorted per-row with ``array_sort``
+    (JVM-side, no Python), and the median read out by index. Inputs are
+    integer cents, and the even-count midpoint (a+b)/2 divides two exact
+    integers — both engines produce bit-identical doubles.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w_frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(MEDIAN_WINDOW - 1), 0)
+    )
+    rn_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("vals", F.array_sort(F.collect_list("cents").over(w_frame)))
+        .withColumn("rn", F.row_number().over(rn_w).cast("long"))
+        .select(
+            "user_id",
+            "rn",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.expr(
+                "CASE WHEN size(vals) % 2 = 1"
+                " THEN CAST(element_at(vals, CAST((size(vals) + 1) DIV 2 AS INT))"
+                "      AS DOUBLE)"
+                " ELSE (CAST(element_at(vals, CAST(size(vals) DIV 2 AS INT))"
+                "       AS DOUBLE)"
+                "       + CAST(element_at(vals, CAST(size(vals) DIV 2 + 1 AS INT))"
+                "       AS DOUBLE))"
+                "      / 2.0 END"
+            ).alias("rolling_median_cents"),
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
+Q_ROLLING_MEDIAN_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w_ord AS BIGINT) AS rn,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(MEDIAN(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN {MEDIAN_WINDOW - 1} PRECEDING AND CURRENT ROW)
+         AS DOUBLE) AS rolling_median_cents
+FROM ev
+WINDOW w_ord AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join with tolerance
+# ---------------------------------------------------------------------------
+
+ASOF_FWD_TOL_MIN = 30
+
+
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance (pandas ``merge_asof``
+    direction='forward'): each click is matched to the user's NEXT
+    purchase at-or-after the click, and the match is kept only when the
+    gap is within {ASOF_FWD_TOL_MIN} minutes (else NULL) — the
+    time-to-convert measurement that complements the backward as-of
+    (`q_asof_click_purchase`) and the anti-join (`q_click_no_purchase`).
+
+    Plan shape: the single-window as-of idiom, mirrored forward —
+    union-tag clicks and purchases, ONE window shuffle on user_id with a
+    ``first(purchase_struct, ignorenulls)`` over the CURRENT ROW →
+    UNBOUNDED FOLLOWING frame, then filter to click rows and apply the
+    tolerance. No join fan-out: cost is one sort per user partition
+    regardless of how many purchases trail each click. At equal ts the
+    purchase (is_p=1) sorts after the click, so a same-instant purchase
+    matches with gap 0 (as-of ">=", documented)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None)
+        .cast("struct<p_us:bigint,p_id:bigint>")
+        .alias("p"),
+        F.lit(0).alias("is_p"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.struct(
+            F.unix_micros("ts").alias("p_us"), F.col("event_id").alias("p_id")
+        ).alias("p"),
+        F.lit(1).alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    tol_us = ASOF_FWD_TOL_MIN * 60 * 1_000_000
+    matched = (
+        clicks.unionByName(purchases)
+        .withColumn("next_p", F.first("p", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 0)
+        .withColumn("gap_us", F.col("next_p.p_us") - F.unix_micros("ts"))
+        .withColumn(
+            "ok", F.col("gap_us").isNotNull() & (F.col("gap_us") <= tol_us)
+        )
+    )
+    return matched.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.when(F.col("ok"), F.col("next_p.p_id")).alias("purchase_id"),
+        F.when(F.col("ok"), F.col("gap_us")).alias("gap_us"),
+    ).orderBy("user_id", "click_id")
+
+
+Q_ASOF_FWD_SQL = f"""
+WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+            FROM events),
+tagged AS (
+  SELECT user_id, ts, event_id,
+         CAST(NULL AS BIGINT) AS p_us, CAST(NULL AS BIGINT) AS p_id, 0 AS is_p
+  FROM ev WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, event_id, epoch_us(ts), event_id, 1
+  FROM ev WHERE event_type = 'purchase'
+),
+carried AS (
+  SELECT user_id, ts, event_id, is_p,
+         FIRST_VALUE(p_us IGNORE NULLS) OVER w AS next_us,
+         FIRST_VALUE(p_id IGNORE NULLS) OVER w AS next_id
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_p, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id AS click_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       CASE WHEN next_us - epoch_us(ts) <= {ASOF_FWD_TOL_MIN * 60 * 1_000_000}
+            THEN next_id END AS purchase_id,
+       CASE WHEN next_us - epoch_us(ts) <= {ASOF_FWD_TOL_MIN * 60 * 1_000_000}
+            THEN next_us - epoch_us(ts) END AS gap_us
+FROM carried WHERE is_p = 0
+ORDER BY user_id, click_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# One-pass column profiling
+# ---------------------------------------------------------------------------
+
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling summary of the lineitem measure columns:
+    per column, row count, null count, distinct count, min and max — the
+    table-stats primitive behind data-quality dashboards, NDV-based join
+    planning, and ingestion validation.
+
+    Plan shape: a SINGLE full-table aggregate computes every metric for
+    every column in one scan (count/min/max are partial-agg; distinct
+    counts are exact two-phase aggregates), then the one-row result is
+    exploded into the (column, metrics) long form driver-free. The
+    oracle spells the same numbers as a UNION ALL of per-column
+    aggregates — same values, |cols| scans; the Spark plan's one-scan
+    shape is the point at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLS)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    struct_items = ", ".join(
+        f"struct('{c}' AS col_name, n_rows, `{c}__nulls` AS n_null,"
+        f" `{c}__ndv` AS n_distinct, CAST(`{c}__min` AS DOUBLE) AS min_v,"
+        f" CAST(`{c}__max` AS DOUBLE) AS max_v)"
+        for c in PROFILE_COLS
+    )
+    return (
+        one.select(F.expr(f"inline(array({struct_items}))"))
+        .orderBy("col_name")
+    )
+
+
+Q_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_v, CAST(MAX({c}) AS DOUBLE) AS max_v
+FROM lineitem"""
+    for c in PROFILE_COLS
+) + "\nORDER BY col_name"
+
+
+QUERIES = {
+    "q_market_basket_pairs": q_market_basket_pairs,
+    "q_attribution_last_touch": q_attribution_last_touch,
+    "q_rolling_median": q_rolling_median,
+    "q_asof_forward": q_asof_forward,
+    "q_profile_columns": q_profile_columns,
+}
+
+ORACLES = {
+    "q_market_basket_pairs": Q_BASKET_SQL,
+    "q_attribution_last_touch": Q_ATTRIBUTION_SQL,
+    "q_rolling_median": Q_ROLLING_MEDIAN_SQL,
+    "q_asof_forward": Q_ASOF_FWD_SQL,
+    "q_profile_columns": Q_PROFILE_SQL,
+}

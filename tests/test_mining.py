@@ -1,0 +1,103 @@
+"""Oracle smoke + invariants for the pattern-mining / attribution /
+profiling module (market-basket pairs, last-touch attribution, rolling
+median, forward as-of, column profiling)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_pyspark_bigdata_spark.plans import mining
+from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+from conftest import SF_SMOKE, assert_oracle_match
+
+
+@pytest.mark.parametrize("name", sorted(mining.QUERIES))
+def test_mining_oracle(spark, duck, name):
+    assert_oracle_match(spark, duck, mining.QUERIES[name], mining.ORACLES[name])
+
+
+def test_basket_pair_invariants(spark):
+    """Pairs are canonical (p1 < p2), support-bounded by part counts, and
+    support never exceeds the smaller side's order count."""
+    df = mining.q_market_basket_pairs(spark, SF_SMOKE)
+    assert df.filter("p1 >= p2").count() == 0
+    assert df.filter(f"n_ab < {mining.BASKET_MIN_SUPPORT}").count() == 0
+    assert df.filter("n_ab > n_a OR n_ab > n_b").count() == 0
+
+
+def test_attribution_conserves_purchases(spark):
+    """Attribution partitions the purchase set: campaign counts sum to
+    the total number of purchases (nothing dropped or double-counted)."""
+    df = mining.q_attribution_last_touch(spark, SF_SMOKE)
+    total = df.agg(F.sum("n_purchases")).first()[0]
+    n_purch = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    assert total == n_purch
+
+
+def test_rolling_median_bounds(spark):
+    """The rolling median is always within the running min/max of the
+    same frame (order-statistic sanity)."""
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(mining.MEDIAN_WINDOW - 1), 0)
+    )
+    med = mining.q_rolling_median(spark, SF_SMOKE).select(
+        "user_id", "rn", "rolling_median_cents"
+    )
+    rn_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frames = ev.select(
+        "user_id",
+        F.row_number().over(rn_w).cast("long").alias("rn"),
+        F.min("cents").over(w).alias("lo"),
+        F.max("cents").over(w).alias("hi"),
+    )
+    joined = med.join(frames, ["user_id", "rn"])
+    assert (
+        joined.filter(
+            (F.col("rolling_median_cents") < F.col("lo"))
+            | (F.col("rolling_median_cents") > F.col("hi"))
+        ).count()
+        == 0
+    )
+
+
+def test_asof_forward_within_tolerance(spark):
+    """Every matched gap is within tolerance and nonnegative; every click
+    appears exactly once (left-join cardinality contract)."""
+    df = mining.q_asof_forward(spark, SF_SMOKE)
+    tol_us = mining.ASOF_FWD_TOL_MIN * 60 * 1_000_000
+    assert df.filter(f"gap_us < 0 OR gap_us > {tol_us}").count() == 0
+    n_clicks = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter("event_type = 'click'")
+        .count()
+    )
+    assert df.count() == n_clicks
+
+
+def test_profile_matches_direct(spark):
+    """Profile metrics agree with directly-computed per-column stats."""
+    df = mining.q_profile_columns(spark, SF_SMOKE).toPandas().set_index("col_name")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    n = li.count()
+    for c in mining.PROFILE_COLS:
+        row = df.loc[c]
+        assert row.n_rows == n
+        assert row.n_distinct == li.select(c).distinct().count()
+        lo, hi = li.agg(F.min(c), F.max(c)).first()
+        assert row.min_v == float(lo) and row.max_v == float(hi)
