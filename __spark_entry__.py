@@ -108,6 +108,10 @@ _PRIORITY = [
     "q_rolling_median",
     "q_asof_forward",
     "q_profile_columns",
+    "corpus_ngram_novelty",
+    "q_hist_equidepth",
+    "corpus_token_budget",
+    "q_session_window_native",
 ]
 
 

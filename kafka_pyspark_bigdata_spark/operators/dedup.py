@@ -1071,6 +1071,63 @@ FROM with_df GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    3-gram shingles whose first corpus occurrence (minimum doc_id — the
+    ingest-order proxy) is this document. The growth-curve diagnostic a
+    training-data pipeline tracks as it appends crawls: novelty trending
+    to zero means new data is re-treading old n-grams (diminishing
+    returns), and per-source novelty ranks which feeds still add signal.
+
+    Plan shape mirrors `dedup_shingle_coverage`'s partial-agg trick — no
+    join back onto the exploded index: first-occurrence is a min(doc_id)
+    aggregate per shingle (map-side combinable), novel counts per doc
+    are a COUNT over that already-aggregated table, and the final join
+    is per-doc counts only. Two partial-agg shuffles (shingle key, then
+    doc key) + one small join; fractions integer-fixed-point."""
+    docs = (
+        with_shingles(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "shingles")
+        .localCheckpoint()  # shingling feeds two aggregation branches
+    )
+    inv = docs.select("doc_id", F.explode("shingles").alias("s"))
+    totals = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    novel = (
+        inv.groupBy("s")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        totals.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        )
+        .withColumn("novelty_ppm", F.expr("n_novel * 1000000 DIV n_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_NOVELTY_SQL = f"""
+WITH {SHINGLES_CTE},
+inv AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM inv GROUP BY doc_id),
+novel AS (
+  SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+  FROM (SELECT s, MIN(doc_id) AS first_doc FROM inv GROUP BY s)
+  GROUP BY first_doc
+)
+SELECT t.doc_id, t.n_shingles,
+       COALESCE(n.n_novel, 0) AS n_novel,
+       CAST(COALESCE(n.n_novel, 0) * 1000000 // t.n_shingles AS BIGINT)
+         AS novelty_ppm
+FROM totals t LEFT JOIN novel n USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Incremental MinHash dedup (new batch probed against the corpus index)
 # ---------------------------------------------------------------------------
@@ -1279,6 +1336,7 @@ GROUP BY 1, 2 ORDER BY source_lo, source_hi
 QUERIES = {
     "sketch_minhash_error": sketch_minhash_error,
     "dedup_shingle_coverage": dedup_shingle_coverage,
+    "corpus_ngram_novelty": corpus_ngram_novelty,
     "corpus_dup_source_matrix": corpus_dup_source_matrix,
     "dedup_containment": dedup_containment,
     "dedup_incremental_minhash": dedup_incremental_minhash,
@@ -1298,6 +1356,7 @@ QUERIES = {
 ORACLES = {
     "sketch_minhash_error": _minhash_error_sql(),
     "dedup_shingle_coverage": DEDUP_COVERAGE_SQL,
+    "corpus_ngram_novelty": CORPUS_NOVELTY_SQL,
     "corpus_dup_source_matrix": _dup_source_matrix_sql(),
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_incremental_minhash": _incremental_minhash_sql(),

@@ -378,8 +378,76 @@ FROM ranked GROUP BY lang, source ORDER BY lang, source
 """
 
 
+TOKEN_BUDGET = 1_000_000  # target training-mix size in tokens
+
+
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning: given per-source token inventories
+    and mixture weights (the recipe — derived here from the source id the
+    same deterministic way `corpus_mix_weighted` does; a real pipeline
+    broadcasts a weight table), compute each source's token TARGET under
+    a fixed total budget and the repeat factor (epochs, ppm) needed to
+    hit it — the "how many passes over CC vs books vs code" planning step
+    every LLM data recipe starts from (cf. the sampling-proportion tables
+    in public LLM reports).
+
+    Plan: one partial-agg shuffle collapses the corpus to |sources| rows;
+    the weight total enters as a broadcast 1-row aggregate; everything
+    after is arithmetic on the tiny dimension. All integers (targets via
+    BIGINT DIV, epochs in ppm) — engine-exact."""
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    weight = (
+        F.lit(1)
+        + F.pmod(F.substring("source", 4, 10).try_cast("int"), F.lit(9))
+    ).cast("long")
+    per_src = (
+        docs.select("source", F.size("toks").alias("n_toks"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("toks_have"))
+        .withColumn("weight", weight)
+    )
+    wtot = per_src.agg(F.sum("weight").alias("w_total"))
+    return (
+        per_src.crossJoin(F.broadcast(wtot))
+        .select(
+            "source",
+            "n_docs",
+            "toks_have",
+            "weight",
+            F.expr(f"weight * {TOKEN_BUDGET} DIV w_total").alias("toks_target"),
+            F.expr(
+                f"(weight * {TOKEN_BUDGET} DIV w_total) * 1000000"
+                " DIV toks_have"
+            ).alias("epochs_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_TOKEN_BUDGET_SQL = f"""
+WITH tok AS (
+  SELECT source, len({TOKENS_SQL}) AS n_toks FROM documents
+),
+per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS toks_have,
+         CAST(1 + CAST(substr(source, 4, 10) AS INTEGER) % 9 AS BIGINT)
+           AS weight
+  FROM tok GROUP BY source
+),
+wtot AS (SELECT SUM(weight) AS w_total FROM per_src)
+SELECT source, n_docs, toks_have, weight,
+       CAST(weight * {TOKEN_BUDGET} // w_total AS BIGINT) AS toks_target,
+       CAST((weight * {TOKEN_BUDGET} // w_total) * 1000000 // toks_have
+            AS BIGINT) AS epochs_ppm
+FROM per_src CROSS JOIN wtot
+ORDER BY source
+"""
+
+
 QUERIES = {
     "corpus_preprocess_e2e": corpus_preprocess_e2e,
+    "corpus_token_budget": corpus_token_budget,
     "corpus_mix_weighted": corpus_mix_weighted,
     "corpus_sample_hash": corpus_sample_hash,
     "corpus_sample_stratified": corpus_sample_stratified,
@@ -390,6 +458,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_token_budget": CORPUS_TOKEN_BUDGET_SQL,
     "corpus_mix_weighted": CORPUS_MIX_SQL,
     "corpus_sample_hash": CORPUS_SAMPLE_SQL,
     "corpus_sample_stratified": CORPUS_STRATIFIED_SQL,

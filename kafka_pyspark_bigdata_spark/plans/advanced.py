@@ -519,6 +519,68 @@ ORDER BY user_id, session_id
 """
 
 
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` aggregate —
+    the same 4 h-gap semantics as `q_sessionize`, expressed as one
+    ``groupBy(user, session_window(ts))`` instead of lag/flag/running-sum
+    windows. Parity here proves the built-in operator against the portable
+    islands formulation: the oracle computes gap-islands in SQL and
+    reconstructs the session window's [start, end) bounds (end = last
+    event + gap, the merged-window invariant Spark maintains).
+
+    Plan shape: a single shuffle on user_id into Spark's session-merge
+    aggregation (SessionWindowStateStore-free in batch: sort + merge per
+    key) — one operator where `q_sessionize` needs two window passes plus
+    an aggregate, and the form that transfers unchanged to Structured
+    Streaming (`streaming_session_window`)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    gap_s = SESSION_GAP_US // 1_000_000
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_s} seconds").alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+Q_SESSION_WINDOW_NATIVE_SQL = f"""
+WITH {_EV_US},
+g AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(make_timestamp(epoch_us(MAX(ts)) + {SESSION_GAP_US}),
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
 def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median per group via rank arithmetic (portable across engines,
     unlike interpolating percentile built-ins whose rounding differs):
@@ -574,6 +636,7 @@ QUERIES = {
     "q_asof_click_purchase": q_asof_click_purchase,
     "q_range_join_error_context": q_range_join_error_context,
     "q_sessionize": q_sessionize,
+    "q_session_window_native": q_session_window_native,
     "q_exact_median": q_exact_median,
 }
 
@@ -590,5 +653,6 @@ ORACLES = {
     "q_asof_click_purchase": Q_ASOF_SQL,
     "q_range_join_error_context": Q_RANGE_JOIN_SQL,
     "q_sessionize": Q_SESSIONIZE_SQL,
+    "q_session_window_native": Q_SESSION_WINDOW_NATIVE_SQL,
     "q_exact_median": Q_EXACT_MEDIAN_SQL,
 }

@@ -1154,8 +1154,79 @@ ORDER BY a.dte, a.o_totalprice DESC, a.o_orderkey
 """
 
 
+EQUIDEPTH_BUCKETS = 32
+
+
+def q_hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of l_extendedprice — the
+    optimizer-statistics companion to `q_value_histogram`'s equi-width
+    bins: bucket boundaries adapt to the data so every bucket holds
+    ~n/B rows, which is what selectivity estimation actually wants on
+    skewed distributions.
+
+    Exact and scalable WITHOUT a global row sort: aggregate to distinct
+    values first (one partial-agg shuffle collapses 100 TB to NDV rows),
+    then a cumulative count over the value-ordered window assigns each
+    distinct value the bucket of its first row, (cum - n) * B DIV total
+    — a distinct value never splits across buckets (textbook equi-depth
+    tie semantics). The value-level window is a single range-partitioned
+    sort over NDV rows, not the fact table; the row count enters the
+    plan as a broadcast 1-row aggregate. All arithmetic is integer
+    cents — engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)").alias(
+            "cents"
+        )
+    )
+    vc = li.groupBy("cents").agg(F.count(F.lit(1)).alias("n"))
+    total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    w = (
+        Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bucketed = (
+        vc.withColumn("cum", F.sum("n").over(w))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "bucket",
+            F.expr(f"(cum - n) * {EQUIDEPTH_BUCKETS} DIV n_total").cast("int"),
+        )
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q_HIST_EQUIDEPTH_SQL = f"""
+WITH c AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+),
+vc AS (SELECT cents, COUNT(*) AS n FROM c GROUP BY cents),
+tot AS (SELECT COUNT(*) AS n_total FROM c),
+b AS (
+  SELECT cents, n,
+         CAST((SUM(n) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
+              * {EQUIDEPTH_BUCKETS} // n_total AS INTEGER) AS bucket
+  FROM vc CROSS JOIN tot
+)
+SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_distinct,
+       MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
 QUERIES = {
     "sketch_hll_error": sketch_hll_error,
+    "q_hist_equidepth": q_hist_equidepth,
     "q_skyline_pareto": q_skyline_pareto,
     "q_nested_collect_explode": q_nested_collect_explode,
     "q_histogram_drift": q_histogram_drift,
@@ -1183,6 +1254,7 @@ QUERIES = {
 
 ORACLES = {
     "sketch_hll_error": SKETCH_HLL_SQL,
+    "q_hist_equidepth": Q_HIST_EQUIDEPTH_SQL,
     "q_skyline_pareto": Q_SKYLINE_SQL,
     "q_nested_collect_explode": Q_NESTED_SQL,
     "q_histogram_drift": Q_DRIFT_SQL,

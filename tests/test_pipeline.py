@@ -3,6 +3,7 @@ the pure-Python serving coercion."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -10,7 +11,28 @@ from pyspark.sql import functions as F
 from kafka_pyspark_bigdata_spark.ml.serving import coerce_features
 from kafka_pyspark_bigdata_spark.operators import pipeline
 
+from conftest import assert_oracle_match
+
 SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", sorted(pipeline.ORACLES))
+def test_pipeline_oracle(spark, duck, name):
+    assert_oracle_match(spark, duck, pipeline.QUERIES[name], pipeline.ORACLES[name])
+
+
+def test_token_budget_partitions_budget(spark):
+    """Targets never exceed the budget in total, and every source's target
+    is proportional to its weight (floor division shortfall < |sources|)."""
+    rows = pipeline.corpus_token_budget(spark, SF).collect()
+    total_target = sum(r.toks_target for r in rows)
+    assert total_target <= pipeline.TOKEN_BUDGET
+    assert pipeline.TOKEN_BUDGET - total_target < len(rows) * max(
+        r.weight for r in rows
+    )
+    for r in rows:
+        assert 1 <= r.weight <= 9
+        assert r.epochs_ppm == r.toks_target * 1_000_000 // r.toks_have
 
 
 @settings(max_examples=200, deadline=None)
