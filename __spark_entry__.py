@@ -38,6 +38,7 @@ def _modules():
     # then the already-twice-green families.
     for modpath in (
         "kafka_pyspark_bigdata_spark.plans.mining",
+        "kafka_pyspark_bigdata_spark.operators.geo",
         "kafka_pyspark_bigdata_spark.plans.behavioral",
         "kafka_pyspark_bigdata_spark.operators.dedup",
         "kafka_pyspark_bigdata_spark.operators.similarity",
@@ -112,6 +113,9 @@ _PRIORITY = [
     "q_hist_equidepth",
     "corpus_token_budget",
     "q_session_window_native",
+    "sketch_bloom_fpr_eval",
+    "geo_cell_stats",
+    "geo_grid_pairs",
 ]
 
 

@@ -49,6 +49,13 @@ def main() -> None:
         "q_ivm_join_delta",
         "q_quantiles_exact",
         "q_gapfill_interpolate",
+        # mining / stats / geo (round-3 additions)
+        "q_profile_columns",
+        "q_hist_equidepth",
+        "q_session_window_native",
+        "q_attribution_last_touch",
+        "q_market_basket_pairs",
+        "geo_grid_pairs",
         # text / similarity / multimodal / dedup extensions — ordered
         # light→heavy: the multi-shuffle dedup queries run LAST so their
         # GC/memory pressure cannot inflate the timings of the queries
@@ -73,6 +80,7 @@ def main() -> None:
         # cross-product, not the operator's scale path.
         "dedup_exact",
         "dedup_shingle_coverage",
+        "corpus_ngram_novelty",
         "cluster_kmeans_fixed",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",

@@ -1,0 +1,192 @@
+"""Spatial grid operators: cell aggregation and grid-bucketed distance
+join — the geospatial analog of the LSH candidate-generation pattern the
+dedup/similarity modules use everywhere (bucket on a coarse key, verify
+exactly, never n²).
+
+The fixture has no geographic columns, so coordinates are synthesized
+DETERMINISTICALLY from the stable user_id (md5-derived integer
+microdegrees — same honestly-labeled-fake precedent as
+operators.multimodal): both engines derive identical coordinates, so
+every result is value-exact oracle-checkable, and the Spark-side plumbing
+(cell keys, neighbor expansion, integer distance verify) is the real
+production shape — a real pipeline swaps the synthesizer for its lat/lon
+columns and nothing else changes.
+
+All arithmetic is integer microdegrees (BIGINT squared distances): no
+floats, no trig — at city scale the flat-earth approximation is standard,
+and exactness is what makes the oracle hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+
+# Synthetic world: a 0.1° × 0.1° region (100_000 µdeg per axis).
+GEO_SPAN = 100_000
+# Grid cell edge, µdeg (~1.1 km). RADIUS ≤ CELL guarantees the 3×3
+# neighborhood contains every in-radius candidate (see geo_grid_pairs).
+GEO_CELL = 10_000
+GEO_RADIUS = 10_000  # pair radius, µdeg
+
+
+def _coords(user_col: str = "user_id") -> tuple[Column, Column]:
+    """Deterministic synthetic coordinates: 48 bits of md5(user_id),
+    split into lat/lon microdegree offsets inside the synthetic region.
+    Engine-portable (md5 + integer ops only)."""
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.col(user_col).cast("string"), "UTF-8")), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        (h % GEO_SPAN).alias("lat"),
+        ((h / GEO_SPAN).cast("bigint") % GEO_SPAN).alias("lon"),
+    )
+
+
+_COORDS_SQL = f"""
+u AS (SELECT DISTINCT user_id FROM events),
+pts AS (
+  SELECT user_id,
+         h % {GEO_SPAN} AS lat, (h // {GEO_SPAN}) % {GEO_SPAN} AS lon
+  FROM (SELECT user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        FROM u)
+)
+"""
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    lat, lon = _coords()
+    return users.select("user_id", lat, lon)
+
+
+def geo_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell density aggregation (the H3/S2-style rollup, square
+    cells): users bucketed into ~1.1 km cells with per-cell population
+    and bounding coordinates — the map-tile / heatmap primitive.
+
+    One partial-agg shuffle on the (cell_x, cell_y) key; cell ids are
+    integer floor-division of the coordinates, so the rollup composes
+    with coarser zoom levels by further division (hierarchical grids
+    for free). At 100 TB the cell key is low-cardinality and uniform —
+    the aggregation is pure map-side combine + tiny shuffle."""
+    pts = _points(spark, sf_dir)
+    return (
+        pts.groupBy(
+            (F.col("lat") / GEO_CELL).cast("long").alias("cell_x"),
+            (F.col("lon") / GEO_CELL).cast("long").alias("cell_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("lat").alias("lat_min"),
+            F.max("lat").alias("lat_max"),
+            F.min("lon").alias("lon_min"),
+            F.max("lon").alias("lon_max"),
+        )
+        .orderBy("cell_x", "cell_y")
+    )
+
+
+GEO_CELL_STATS_SQL = f"""
+WITH {_COORDS_SQL}
+SELECT CAST(lat // {GEO_CELL} AS BIGINT) AS cell_x,
+       CAST(lon // {GEO_CELL} AS BIGINT) AS cell_y,
+       COUNT(*) AS n_users,
+       MIN(lat) AS lat_min, MAX(lat) AS lat_max,
+       MIN(lon) AS lon_min, MAX(lon) AS lon_max
+FROM pts GROUP BY 1, 2 ORDER BY cell_x, cell_y
+"""
+
+
+def geo_grid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial self-join: all user pairs within GEO_RADIUS µdeg
+    (Euclidean), via grid-bucketed candidate generation — the classic
+    distributed spatial join and the exact shape of the LSH dedup path:
+    coarse bucket → equi-join → exact verify.
+
+    One side explodes to its 3×3 cell neighborhood (a FIXED 9× fanout,
+    not data-dependent), the other stays at its home cell, and the
+    equi-join on the cell key yields candidates that the integer
+    squared-distance filter verifies exactly. Because RADIUS ≤ CELL,
+    any in-radius pair is at most one cell apart per axis, so the
+    neighborhood is guaranteed complete AND each pair meets exactly once
+    (B's home cell occurs once in A's 3×3 block) — no post-dedup needed.
+    The canonical user_a < user_b ordering halves the output. Shuffle
+    keys are cells (uniform by construction of the hash coords; a skewed
+    real-world grid adds AQE skew-join or per-cell salting on top)."""
+    pts = _points(spark, sf_dir)
+    home = pts.select(
+        F.col("user_id").alias("user_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        (F.col("lat") / GEO_CELL).cast("long").alias("cx"),
+        (F.col("lon") / GEO_CELL).cast("long").alias("cy"),
+    )
+    probe = pts.select(
+        F.col("user_id").alias("user_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx ->"
+                " transform(sequence(-1, 1), dy ->"
+                f" struct(CAST(lat AS BIGINT) DIV {GEO_CELL} + dx AS cx,"
+                f" CAST(lon AS BIGINT) DIV {GEO_CELL} + dy AS cy))))"
+            )
+        ).alias("cell"),
+    ).select("user_a", "lat_a", "lon_a", F.col("cell.cx").alias("cx"), F.col("cell.cy").alias("cy"))
+    r2 = GEO_RADIUS * GEO_RADIUS
+    return (
+        probe.join(home, ["cx", "cy"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .withColumn(
+            "dist_sq",
+            (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b"))
+            + (F.col("lon_a") - F.col("lon_b"))
+            * (F.col("lon_a") - F.col("lon_b")),
+        )
+        .filter(F.col("dist_sq") <= r2)
+        .select("user_a", "user_b", "dist_sq")
+        .orderBy("user_a", "user_b")
+    )
+
+
+GEO_GRID_PAIRS_SQL = f"""
+WITH {_COORDS_SQL},
+home AS (
+  SELECT user_id AS user_b, lat AS lat_b, lon AS lon_b,
+         lat // {GEO_CELL} AS cx, lon // {GEO_CELL} AS cy
+  FROM pts
+),
+probe AS (
+  SELECT user_id AS user_a, lat AS lat_a, lon AS lon_a,
+         lat // {GEO_CELL} + dx.dx AS cx, lon // {GEO_CELL} + dy.dy AS cy
+  FROM pts
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dx(dx)
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dy(dy)
+)
+SELECT user_a, user_b,
+       (lat_a - lat_b) * (lat_a - lat_b)
+         + (lon_a - lon_b) * (lon_a - lon_b) AS dist_sq
+FROM probe JOIN home USING (cx, cy)
+WHERE user_a < user_b
+  AND (lat_a - lat_b) * (lat_a - lat_b)
+        + (lon_a - lon_b) * (lon_a - lon_b) <= {GEO_RADIUS * GEO_RADIUS}
+ORDER BY user_a, user_b
+"""
+
+
+QUERIES = {
+    "geo_cell_stats": geo_cell_stats,
+    "geo_grid_pairs": geo_grid_pairs,
+}
+
+ORACLES = {
+    "geo_cell_stats": GEO_CELL_STATS_SQL,
+    "geo_grid_pairs": GEO_GRID_PAIRS_SQL,
+}

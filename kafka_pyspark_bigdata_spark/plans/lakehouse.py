@@ -806,8 +806,127 @@ ORDER BY phase
 """
 
 
+def sketch_bloom_fpr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured false-positive rate of the q_bloom_prune filter — the
+    sketch-accuracy evaluation that closes the bloom story the way
+    `sketch_hll_error` / `sketch_minhash_error` close theirs: build the
+    512-bit / 3-hash bloom over the high-balance member keys, probe
+    EVERY customer, and report members, non-members, non-member passes
+    (the false positives), the measured FPR in ppm, and the filter's
+    fill (bits set) — the number that predicts FPR ≈ fill^k.
+
+    Unlike q_bloom_prune (bit positions collected to a literal array —
+    the portable teaching build), this build stays FULLY IN-PLAN: the
+    bit-position set is a distinct aggregate joined to the exploded
+    probe positions (broadcast — the position table is ≤ m rows), and a
+    probe passes when all k of its positions hit. No driver collect;
+    the shape survives any key-set size."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    member = F.col("c_acctbal") > BLOOM_BAL_MIN
+    bits = (
+        cust.filter(member)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        _bloom_pos(F.col("c_custkey"), a, b)
+                        for a, b in _BLOOM_HASHES
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probes = cust.select(
+        "c_custkey",
+        member.alias("is_member"),
+        F.explode(
+            F.array(
+                *[_bloom_pos(F.col("c_custkey"), a, b) for a, b in _BLOOM_HASHES]
+            )
+        ).alias("pos"),
+    )
+    per_probe = (
+        probes.join(F.broadcast(bits), "pos", "left")
+        .groupBy("c_custkey", "is_member")
+        .agg(
+            (F.sum(F.coalesce("hit", F.lit(0))) == len(_BLOOM_HASHES)).alias(
+                "bloom_pass"
+            )
+        )
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    return (
+        per_probe.agg(
+            F.sum(F.col("is_member").cast("long")).alias("n_members"),
+            F.sum((~F.col("is_member")).cast("long")).alias("n_nonmembers"),
+            F.sum((F.col("is_member") & ~F.col("bloom_pass")).cast("long")).alias(
+                "n_false_negatives"
+            ),
+            F.sum((~F.col("is_member") & F.col("bloom_pass")).cast("long")).alias(
+                "n_false_positives"
+            ),
+        )
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_members",
+            "n_nonmembers",
+            "n_false_negatives",
+            "n_false_positives",
+            F.expr("n_false_positives * 1000000 DIV n_nonmembers").alias(
+                "fpr_ppm"
+            ),
+            "n_bits_set",
+        )
+    )
+
+
+def _bloom_fpr_sql() -> str:
+    probe_union = "\n    UNION ALL\n".join(
+        f"    SELECT c_custkey, c_acctbal > {BLOOM_BAL_MIN} AS is_member,"
+        f" {_bloom_pos_sql('c_custkey', a, b)} AS pos FROM customer"
+        for a, b in _BLOOM_HASHES
+    )
+    pos_union = "\n    UNION\n".join(
+        f"    SELECT {_bloom_pos_sql('c_custkey', a, b)} AS pos FROM keys"
+        for a, b in _BLOOM_HASHES
+    )
+    return f"""
+WITH keys AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > {BLOOM_BAL_MIN}
+),
+bloom AS (
+{pos_union}
+),
+probes AS (
+{probe_union}
+),
+per_probe AS (
+  SELECT p.c_custkey, p.is_member,
+         (SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+          = {len(_BLOOM_HASHES)}) AS bloom_pass
+  FROM probes p LEFT JOIN bloom b USING (pos)
+  GROUP BY p.c_custkey, p.is_member
+)
+SELECT CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonmembers,
+       CAST(SUM(CASE WHEN is_member AND NOT bloom_pass THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_negatives,
+       CAST(SUM(CASE WHEN NOT is_member AND bloom_pass THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positives,
+       CAST(SUM(CASE WHEN NOT is_member AND bloom_pass THEN 1 ELSE 0 END)
+            * 1000000 // SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS fpr_ppm,
+       (SELECT COUNT(*) FROM bloom) AS n_bits_set
+FROM per_probe
+"""
+
+
 QUERIES = {
     "q_compact_small_files": q_compact_small_files,
+    "sketch_bloom_fpr_eval": sketch_bloom_fpr_eval,
     "q_medallion_audit": q_medallion_audit,
     "q_scd2_asof_lookup": q_scd2_asof_lookup,
     "q_scd2_intervals": q_scd2_intervals,
@@ -821,6 +940,7 @@ QUERIES = {
 
 ORACLES = {
     "q_compact_small_files": COMPACT_SQL,
+    "sketch_bloom_fpr_eval": _bloom_fpr_sql(),
     "q_medallion_audit": MEDALLION_SQL,
     "q_scd2_asof_lookup": _scd2_asof_sql(),
     "q_scd2_intervals": SCD2_SQL,

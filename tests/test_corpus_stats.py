@@ -46,6 +46,44 @@ def test_equidepth_buckets_balanced(spark):
     assert len(df) <= analytic.EQUIDEPTH_BUCKETS
 
 
+def test_geo_grid_pairs_matches_bruteforce(spark):
+    """The grid-bucketed spatial join finds EXACTLY the brute-force
+    all-pairs in-radius set (candidate completeness: RADIUS ≤ CELL ⇒
+    the 3×3 neighborhood covers every in-radius pair)."""
+    from kafka_pyspark_bigdata_spark.operators.geo import (
+        GEO_RADIUS,
+        _points,
+        geo_grid_pairs,
+    )
+
+    got = {
+        (r.user_a, r.user_b, r.dist_sq)
+        for r in geo_grid_pairs(spark, SF_SMOKE).collect()
+    }
+    pts = {(r.user_id, r.lat, r.lon) for r in _points(spark, SF_SMOKE).collect()}
+    want = set()
+    pl = sorted(pts)
+    for i, (ua, la, lo) in enumerate(pl):
+        for ub, lb, lo2 in pl[i + 1 :]:
+            d2 = (la - lb) ** 2 + (lo - lo2) ** 2
+            if d2 <= GEO_RADIUS * GEO_RADIUS:
+                want.add((ua, ub, d2))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_bloom_fpr_consistent_with_prune(spark):
+    """The bloom eval's confusion counts line up with q_bloom_prune's
+    member/candidate sets: zero false negatives (bloom invariant), and
+    fpr_ppm is the integer-ppm of the reported counts."""
+    from kafka_pyspark_bigdata_spark.plans.lakehouse import sketch_bloom_fpr_eval
+
+    r = sketch_bloom_fpr_eval(spark, SF_SMOKE).first()
+    assert r.n_false_negatives == 0
+    assert r.fpr_ppm == r.n_false_positives * 1_000_000 // r.n_nonmembers
+    assert 0 < r.n_bits_set <= 512
+
+
 def test_session_window_native_matches_islands(spark):
     """Native session_window conserves events and produces the same
     session count as the gap-island formulation at the same 4h gap

@@ -4,11 +4,17 @@ from __future__ import annotations
 
 import pytest
 
-from kafka_pyspark_bigdata_spark.operators import dedup, multimodal, similarity, text
+from kafka_pyspark_bigdata_spark.operators import (
+    dedup,
+    geo,
+    multimodal,
+    similarity,
+    text,
+)
 
 from conftest import assert_oracle_match
 
-MODULES = [text, dedup, similarity, multimodal]
+MODULES = [text, dedup, similarity, multimodal, geo]
 CASES = [(m, name) for m in MODULES for name in sorted(m.QUERIES)]
 
 
