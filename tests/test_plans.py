@@ -151,3 +151,66 @@ def test_mrl_recall_broadcasts_queries_never_shuffles_corpus(spark):
     plan = _plan(emb_mrl_recall(spark, SF))
     assert "Broadcast" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_attribution_is_two_shuffles_no_joins(spark):
+    """Last-touch attribution must stay the union-tag + one-window idiom:
+    exactly the user window shuffle + the campaign agg shuffle, and NO
+    join operator anywhere (a per-purchase probe join is the shape this
+    formulation exists to avoid)."""
+    from kafka_pyspark_bigdata_spark.plans.mining import q_attribution_last_touch
+
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        plan = _plan(q_attribution_last_touch(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_profile_is_single_scan(spark):
+    """Column profiling computes every metric in ONE pass: exactly one
+    parquet scan in the plan (the per-column rescan is the anti-pattern
+    the operator replaces)."""
+    from kafka_pyspark_bigdata_spark.plans.mining import q_profile_columns
+
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        plan = _plan(q_profile_columns(spark, SF))
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_geo_pairs_is_cell_equijoin_not_cartesian(spark):
+    """The spatial self-join must come from the grid-cell equi-join; no
+    cartesian product (and no broadcast nested loop) anywhere."""
+    from kafka_pyspark_bigdata_spark.operators.geo import geo_grid_pairs
+
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        plan = _plan(geo_grid_pairs(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_basket_pairs_joins_are_keyed_or_tiny(spark):
+    """Market-basket: the only nested-loop join allowed is the 1-row
+    order-count cross join; the pair self-join and the count joins must
+    be keyed (hash) joins."""
+    from kafka_pyspark_bigdata_spark.plans.mining import q_market_basket_pairs
+
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        plan = _plan(q_market_basket_pairs(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_equidepth_aggregates_before_sorting(spark):
+    """Equi-depth histogram must aggregate to distinct values BEFORE any
+    ordering: the global-sort window runs over the value aggregate, so a
+    partial aggregation precedes the single-partition exchange."""
+    from kafka_pyspark_bigdata_spark.plans.analytic import q_hist_equidepth
+
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        plan = _plan(q_hist_equidepth(spark, SF))
+    agg_pos = plan.find("HashAggregate")
+    sp_pos = plan.find("Exchange SinglePartition")
+    assert agg_pos != -1 and sp_pos != -1, plan
+    # plan strings print top-down (output first): the aggregate that
+    # feeds the single-partition exchange appears BELOW it in the text
+    assert "partial" in plan.lower(), plan
