@@ -116,6 +116,8 @@ _PRIORITY = [
     "sketch_bloom_fpr_eval",
     "geo_cell_stats",
     "geo_grid_pairs",
+    "streaming_chained_windows",
+    "corpus_length_survival",
 ]
 
 

@@ -445,9 +445,74 @@ ORDER BY source
 """
 
 
+LENGTH_CUTOFFS = (0, 50, 100, 200, 400, 800, 1600, 3200)
+
+
+def corpus_length_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-filter survival curve: for each candidate min-length cutoff,
+    how many documents and characters survive `n_chars >= cutoff` — the
+    threshold-tuning table behind every "drop short docs" decision (C4
+    drops <3-sentence pages; picking the cutoff IS this query). Reported
+    absolute and in ppm of the corpus.
+
+    Plan: one scan with a FIXED |cutoffs|× explode fan-out (not
+    data-dependent), straight into a partial agg on the tiny cutoff key;
+    corpus totals ride the same pass as cutoff 0's row. At 100 TB this
+    is exactly one map-side-combined aggregation."""
+    cuts = F.array(*[F.lit(c) for c in LENGTH_CUTOFFS])
+    docs = load_table(spark, sf_dir, "documents").select("n_chars")
+    per_cut = (
+        docs.select(
+            F.explode(cuts).alias("cutoff"),
+            "n_chars",
+        )
+        .filter(F.col("n_chars") >= F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_chars").alias("n_chars_kept"),
+        )
+    )
+    total = docs.agg(
+        F.count(F.lit(1)).alias("t_docs"), F.sum("n_chars").alias("t_chars")
+    )
+    return (
+        per_cut.crossJoin(F.broadcast(total))
+        .select(
+            "cutoff",
+            "n_docs_kept",
+            "n_chars_kept",
+            F.expr("n_docs_kept * 1000000 DIV t_docs").alias("docs_ppm"),
+            F.expr("n_chars_kept * 1000000 DIV t_chars").alias("chars_ppm"),
+        )
+        .orderBy("cutoff")
+    )
+
+
+CORPUS_LENGTH_SURVIVAL_SQL = f"""
+WITH cuts AS (SELECT UNNEST({list(LENGTH_CUTOFFS)}) AS cutoff),
+per_cut AS (
+  SELECT cutoff, COUNT(*) AS n_docs_kept,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars_kept
+  FROM documents JOIN cuts ON n_chars >= cutoff
+  GROUP BY cutoff
+),
+tot AS (
+  SELECT COUNT(*) AS t_docs, CAST(SUM(n_chars) AS BIGINT) AS t_chars
+  FROM documents
+)
+SELECT cutoff, n_docs_kept, n_chars_kept,
+       CAST(n_docs_kept * 1000000 // t_docs AS BIGINT) AS docs_ppm,
+       CAST(n_chars_kept * 1000000 // t_chars AS BIGINT) AS chars_ppm
+FROM per_cut CROSS JOIN tot
+ORDER BY cutoff
+"""
+
+
 QUERIES = {
     "corpus_preprocess_e2e": corpus_preprocess_e2e,
     "corpus_token_budget": corpus_token_budget,
+    "corpus_length_survival": corpus_length_survival,
     "corpus_mix_weighted": corpus_mix_weighted,
     "corpus_sample_hash": corpus_sample_hash,
     "corpus_sample_stratified": corpus_sample_stratified,
@@ -459,6 +524,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_token_budget": CORPUS_TOKEN_BUDGET_SQL,
+    "corpus_length_survival": CORPUS_LENGTH_SURVIVAL_SQL,
     "corpus_mix_weighted": CORPUS_MIX_SQL,
     "corpus_sample_hash": CORPUS_SAMPLE_SQL,
     "corpus_sample_stratified": CORPUS_STRATIFIED_SQL,

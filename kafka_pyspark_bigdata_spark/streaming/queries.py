@@ -607,8 +607,80 @@ FROM r WHERE rn = 1 ORDER BY user_id
 """
 
 
+def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (supported since
+    Spark 3.4, append mode only): a 15-minute tumbling count per event
+    type feeds a second event-time aggregation that rolls the blocks up
+    to hourly (blocks present, total events, peak block) — the
+    pre-aggregation cascade every metrics pipeline runs, expressed as one
+    query instead of two jobs wired through a sink.
+
+    The stage-2 event time is ``window_time(w15)`` (the 15-min window's
+    inclusive end), so each block lands in the hour that contains it; the
+    single watermark (delay 0) propagates through both operators, and
+    only hours whose end ≤ the final watermark (max event time,
+    ms-truncated — Spark tracks event time in milliseconds) are emitted.
+    The oracle reproduces exactly that emission set. State is O(open
+    windows) in both stages — the bounded-state cascade shape at 100 TB.
+    """
+    stream = _events_stream(spark, sf_dir)
+    w15 = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "15 minutes").alias("w15"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n15"))
+    )
+    hourly = (
+        w15.groupBy(
+            F.window(F.window_time("w15"), "1 hour").alias("wh"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("n15").alias("n_events"),
+            F.max("n15").alias("peak_15min"),
+        )
+    )
+    name = _run_to_memory(hourly, "chained", output_mode="append")
+    return (
+        spark.table(name)
+        .select(
+            F.date_format("wh.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_blocks",
+            "n_events",
+            "peak_15min",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+STREAMING_CHAINED_SQL = f"""
+WITH {_EV_US},
+wm AS (SELECT MAX(epoch_us(ts) // 1000) AS wm_ms FROM ev),
+b AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(ts) % (15 * 60 * CAST(1000000 AS BIGINT)) AS b15_us,
+         COUNT(*) AS n15
+  FROM ev GROUP BY 1, 2
+),
+h AS (
+  SELECT event_type,
+         b15_us - b15_us % (3600 * CAST(1000000 AS BIGINT)) AS h_us,
+         COUNT(*) AS n_blocks,
+         CAST(SUM(n15) AS BIGINT) AS n_events,
+         MAX(n15) AS peak_15min
+  FROM b GROUP BY 1, 2
+)
+SELECT strftime(make_timestamp(h_us), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type, n_blocks, n_events, peak_15min
+FROM h CROSS JOIN wm
+WHERE (h_us + 3600 * CAST(1000000 AS BIGINT)) // 1000 <= wm_ms
+ORDER BY hour_start, event_type
+"""
+
+
 QUERIES = {
     "streaming_hourly_window": streaming_hourly_window,
+    "streaming_chained_windows": streaming_chained_windows,
     "streaming_upsert_latest": streaming_upsert_latest,
     "streaming_watermark_lates": streaming_watermark_lates,
     "streaming_sliding_window": streaming_sliding_window,
@@ -640,6 +712,7 @@ if _tws_available():
 
 ORACLES = {
     "streaming_hourly_window": STREAMING_HOURLY_SQL,
+    "streaming_chained_windows": STREAMING_CHAINED_SQL,
     "streaming_upsert_latest": STREAMING_UPSERT_SQL,
     "streaming_watermark_lates": STREAMING_WM_SQL,
     "streaming_sliding_window": STREAMING_SLIDING_SQL,

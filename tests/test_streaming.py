@@ -297,3 +297,23 @@ def test_tws_sessions_oracle_or_env_skip(spark, duck):
     assert_oracle_match(
         spark, duck, sq.streaming_tws_sessions, sq.STREAMING_TWS_SQL
     )
+
+
+def test_chained_windows_oracle_and_cascade_invariants(spark, duck):
+    """Two chained stateful aggregations in one query: value-exact vs the
+    batch cascade oracle, plus the cascade contracts — every emitted hour
+    has 1..4 15-minute blocks, the peak block never exceeds the hour
+    total, and block counts sum consistently."""
+    from conftest import assert_oracle_match
+
+    from kafka_pyspark_bigdata_spark.streaming import queries as sq
+
+    assert_oracle_match(
+        spark, duck, sq.streaming_chained_windows, sq.STREAMING_CHAINED_SQL
+    )
+    rows = sq.streaming_chained_windows(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 1 <= r.n_blocks <= 4
+        assert r.peak_15min <= r.n_events
+        assert r.n_events >= r.n_blocks  # every block holds ≥1 event
