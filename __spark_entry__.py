@@ -118,6 +118,8 @@ _PRIORITY = [
     "geo_grid_pairs",
     "streaming_chained_windows",
     "corpus_length_survival",
+    "q_ab_test_conversion",
+    "ml_classifier_auc",
 ]
 
 

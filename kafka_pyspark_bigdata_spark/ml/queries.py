@@ -324,8 +324,85 @@ def ml_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 
+def ml_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification head + exact AUC evaluation: a RandomForest
+    CLASSIFIER (seed=42 — same determinism contract as the reference's
+    regressor, spark_trainer.py:76) predicts whether an event is a
+    purchase from (hour, dow, value), on a hash-deterministic 80/20
+    split; the held-out ROC-AUC is computed EXACTLY with the rank
+    statistic (Mann-Whitney U) as a pure DataFrame aggregation — per
+    distinct score: positives × (2·negatives-strictly-below + ties),
+    summed, over 2·n_pos·n_neg — integer arithmetic until one final
+    division, no collect of scores, ties handled by the standard
+    half-credit convention.
+
+    Plan: score-side groupBy (one partial-agg shuffle, |distinct scores|
+    rows — RF probabilities take few distinct values), one ordered
+    window over that small aggregate, one final row. Scales as an
+    aggregation, not a sort of all predictions."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    from ..operators.pipeline import TRAIN_BUCKETS, hash_bucket_expr
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.hour("ts").alias("hour"),
+        F.dayofweek("ts").alias("dow"),
+        "value",
+        (F.col("event_type") == "purchase").cast("double").alias("label"),
+        hash_bucket_expr("event_id").alias("bucket"),
+    )
+    assembler = VectorAssembler(
+        inputCols=["hour", "dow", "value"], outputCol="features"
+    )
+    train = assembler.transform(ev.filter(F.col("bucket") < TRAIN_BUCKETS))
+    evald = assembler.transform(ev.filter(F.col("bucket") >= TRAIN_BUCKETS))
+    clf = RandomForestClassifier(
+        featuresCol="features",
+        labelCol="label",
+        numTrees=20,
+        maxDepth=5,
+        seed=42,
+    )
+    model = clf.fit(train)
+    scored = model.transform(evald).select(
+        vector_to_array("probability").getItem(1).alias("score"), "label"
+    )
+    per_score = scored.groupBy("score").agg(
+        F.sum(F.col("label").cast("long")).alias("pos"),
+        F.sum((F.lit(1) - F.col("label")).cast("long")).alias("neg"),
+    )
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_score.withColumn(
+        "neg_below", F.sum("neg").over(w) - F.col("neg")
+    )
+    stats = ranked.agg(
+        F.sum(F.col("pos") * (2 * F.col("neg_below") + F.col("neg"))).alias(
+            "u2"
+        ),
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+    )
+    tcount = train.agg(F.count(F.lit(1)).alias("n_train"))
+    return stats.crossJoin(F.broadcast(tcount)).select(
+        "n_train",
+        (F.col("n_pos") + F.col("n_neg")).alias("n_eval"),
+        "n_pos",
+        "n_neg",
+        (
+            F.col("u2").cast("double")
+            / (2.0 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
 QUERIES = {
     "ml_lift_deciles": ml_lift_deciles,
+    "ml_classifier_auc": ml_classifier_auc,
     "ml_grid_search": ml_grid_search,
     "ml_feature_importances": ml_feature_importances,
     "ml_eval_rmse": ml_eval_rmse,

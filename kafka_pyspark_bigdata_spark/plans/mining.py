@@ -437,8 +437,113 @@ FROM lineitem"""
 ) + "\nORDER BY col_name"
 
 
+# ---------------------------------------------------------------------------
+# A/B test evaluation
+# ---------------------------------------------------------------------------
+
+
+AB_CONV_MIN_PURCHASES = 14  # "heavy buyer" conversion bar (~median count)
+
+
+def q_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm experiment readout: users hash-assigned to arms A/B (the
+    content-addressed assignment every experimentation platform uses —
+    stable across runs, no rand()), conversion = heavy buyer (≥14
+    purchases — roughly the fixture's median purchase count, so both
+    outcomes are populated; "any purchase" is degenerate here, every
+    user has one), with per-arm rates and the pooled two-proportion
+    z-statistic — the ship/no-ship number.
+
+    All counts are exact integers from two partial-agg shuffles on
+    user_id; the z-score is IEEE-deterministic (divisions and one
+    correctly-rounded sqrt over exact integers, mirrored op-for-op in
+    the oracle), with a NULLIF guard so a degenerate pooled rate (0 or
+    1) yields NULL instead of an ANSI divide-by-zero. Per VERIFY
+    guidance sqrt is engine-portable; log/exp/pow are not and are
+    avoided."""
+    from ..operators.pipeline import hash_bucket_expr
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    users = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("arm", hash_bucket_expr("user_id", 2))
+    )
+    converted = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purch"))
+        .filter(F.col("n_purch") >= AB_CONV_MIN_PURCHASES)
+        .select("user_id", F.lit(1).alias("conv"))
+    )
+    # Both arms pivot out of ONE conditional aggregate (no per-arm
+    # filter + self-join: a single partial-agg pass emits the 1-row
+    # readout, and the z-expression sees only that complete row).
+    stats = users.join(converted, "user_id", "left").agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum(
+            ((F.col("arm") == 0) & F.col("conv").isNotNull()).cast("long")
+        ).alias("conv_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+        F.sum(
+            ((F.col("arm") == 1) & F.col("conv").isNotNull()).cast("long")
+        ).alias("conv_b"),
+    )
+    z = F.expr(
+        "(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)"
+        " / nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+        "        * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE)"
+        "           / (n_a + n_b))"
+        "        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)),"
+        " CAST(0 AS DOUBLE))"
+    )
+    return stats.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr("conv_a * 1000000 DIV n_a").alias("cvr_a_ppm"),
+        F.expr("conv_b * 1000000 DIV n_b").alias("cvr_b_ppm"),
+        z.alias("z_score"),
+    )
+
+
+Q_AB_TEST_SQL = f"""
+WITH users AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2
+              AS INTEGER) AS arm
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+conv AS (
+  SELECT user_id, 1 AS conv FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id HAVING COUNT(*) >= {AB_CONV_MIN_PURCHASES}
+),
+stats AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 0 AND conv IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 1 AND conv IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv_b
+  FROM users LEFT JOIN conv USING (user_id)
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST(conv_a * 1000000 // n_a AS BIGINT) AS cvr_a_ppm,
+       CAST(conv_b * 1000000 // n_b AS BIGINT) AS cvr_b_ppm,
+       (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         / nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE)
+                   / (n_a + n_b))
+                * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)),
+                CAST(0 AS DOUBLE)) AS z_score
+FROM stats
+"""
+
+
 QUERIES = {
     "q_market_basket_pairs": q_market_basket_pairs,
+    "q_ab_test_conversion": q_ab_test_conversion,
     "q_attribution_last_touch": q_attribution_last_touch,
     "q_rolling_median": q_rolling_median,
     "q_asof_forward": q_asof_forward,
@@ -447,6 +552,7 @@ QUERIES = {
 
 ORACLES = {
     "q_market_basket_pairs": Q_BASKET_SQL,
+    "q_ab_test_conversion": Q_AB_TEST_SQL,
     "q_attribution_last_touch": Q_ATTRIBUTION_SQL,
     "q_rolling_median": Q_ROLLING_MEDIAN_SQL,
     "q_asof_forward": Q_ASOF_FWD_SQL,

