@@ -120,6 +120,8 @@ _PRIORITY = [
     "corpus_length_survival",
     "q_ab_test_conversion",
     "ml_classifier_auc",
+    "q_cusum_anomaly",
+    "dedup_simhash_pairs",
 ]
 
 

@@ -961,8 +961,98 @@ GROUP BY c.window_day ORDER BY window_day
 """
 
 
+CUSUM_THRESHOLD_DAYS = 1  # flag when cumulative excess > 1 day of average
+
+
+def q_cusum_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily event volume per type — the
+    drift detector behind data-quality monitors and on-call volume
+    alerts, computed EXACTLY with the prefix-min closed form: the
+    recursive s_t = max(0, s_{t-1} + x_t) (not directly expressible as a
+    window) equals P_t − min(0, min_{j≤t} P_j) where P is the prefix sum
+    of deviations — two ordered windows, no recursion, no UDF.
+
+    Deviations are kept integer by scaling: x'_d = c_d·n_days − total
+    (so the per-type mean is subtracted without division, and Σx' = 0).
+    The flag threshold is one average day's volume (scaled: total). One
+    (type, day) partial-agg shuffle, then one tiny type-keyed window
+    pass over ~30 day rows per type — linear, engine-exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("d")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaled = daily.select(
+        "event_type",
+        "d",
+        "c",
+        (F.col("c") * F.count(F.lit(1)).over(wt) - F.sum("c").over(wt)).alias(
+            "x"
+        ),
+        F.sum("c").over(wt).alias("total"),
+    )
+    cusum = scaled.select(
+        "event_type",
+        "d",
+        "c",
+        "total",
+        F.sum("x").over(wrun).alias("p"),
+    ).select(
+        "event_type",
+        "d",
+        "c",
+        (F.col("p") - F.least(F.min("p").over(wrun), F.lit(0))).alias(
+            "cusum_scaled"
+        ),
+        "total",
+    )
+    return cusum.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "c",
+        "cusum_scaled",
+        (F.col("cusum_scaled") > CUSUM_THRESHOLD_DAYS * F.col("total")).alias(
+            "flagged"
+        ),
+    ).orderBy("event_type", "d")
+
+
+Q_CUSUM_SQL = f"""
+WITH {_EV_US},
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+  FROM ev GROUP BY 1, 2
+),
+scaled AS (
+  SELECT event_type, d, c,
+         c * COUNT(*) OVER wt - SUM(c) OVER wt AS x,
+         SUM(c) OVER wt AS total
+  FROM daily
+  WINDOW wt AS (PARTITION BY event_type)
+),
+pre AS (
+  SELECT event_type, d, c, total,
+         SUM(x) OVER wrun AS p
+  FROM scaled
+  WINDOW wrun AS (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS d, c,
+       CAST(p - LEAST(MIN(p) OVER wrun, 0) AS BIGINT) AS cusum_scaled,
+       (p - LEAST(MIN(p) OVER wrun, 0))
+         > {CUSUM_THRESHOLD_DAYS} * total AS flagged
+FROM pre
+WINDOW wrun AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY event_type, d
+"""
+
+
 QUERIES = {
     "q_gapfill_interpolate": q_gapfill_interpolate,
+    "q_cusum_anomaly": q_cusum_anomaly,
     "q_rolling_wau": q_rolling_wau,
     "q_wow_growth": q_wow_growth,
     "q_cumulative_distinct_users": q_cumulative_distinct_users,
@@ -979,6 +1069,7 @@ QUERIES = {
 
 ORACLES = {
     "q_gapfill_interpolate": Q_GAPFILL_SQL,
+    "q_cusum_anomaly": Q_CUSUM_SQL,
     "q_rolling_wau": Q_ROLLING_WAU_SQL,
     "q_wow_growth": Q_WOW_SQL,
     "q_cumulative_distinct_users": Q_CUM_USERS_SQL,

@@ -97,3 +97,59 @@ def test_session_window_native_matches_islands(spark):
     assert agg.tot == ev_n
     islands = advanced.q_sessionize(spark, SF_SMOKE).count()
     assert agg.n_sessions == islands
+
+
+def test_simhash_pairs_match_bruteforce(spark):
+    """Hamming-band candidate generation is COMPLETE and exact: the pair
+    set equals brute-force hamming ≤ 3 over all wide-fingerprint pairs
+    (pigeonhole: 3 flipped bits cannot dirty all 4 bands)."""
+    from kafka_pyspark_bigdata_spark.operators.dedup import (
+        SIMHASH_HAM_MAX,
+        _wide_simhash,
+        dedup_simhash_pairs,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup_simhash_pairs(spark, SF_SMOKE).collect()
+    }
+    fps = sorted(
+        (r.doc_id, r.simhash) for r in _wide_simhash(spark, SF_SMOKE).collect()
+    )
+    want = set()
+    for i, (da, fa) in enumerate(fps):
+        for db, fb in fps[i + 1 :]:
+            hd = bin(fa ^ fb).count("1")
+            if hd <= SIMHASH_HAM_MAX:
+                want.add((da, db, hd))
+    assert got == want
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """The prefix-min closed form equals the textbook CUSUM recursion
+    s_t = max(0, s_{t-1} + x_t), replayed in the driver per type."""
+    from collections import defaultdict
+
+    from kafka_pyspark_bigdata_spark.plans.behavioral import q_cusum_anomaly
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    got = q_cusum_anomaly(spark, SF_SMOKE).collect()
+    daily = defaultdict(dict)
+    for r in (
+        load_table(spark, SF_SMOKE, "events")
+        .selectExpr("event_type", "CAST(ts AS DATE) AS d")
+        .groupBy("event_type", "d")
+        .count()
+        .collect()
+    ):
+        daily[r.event_type][str(r.d)] = r["count"]
+    for et, days in daily.items():
+        n, tot = len(days), sum(days.values())
+        s = 0
+        expect = {}
+        for d in sorted(days):
+            s = max(0, s + days[d] * n - tot)
+            expect[d] = s
+        for r in (x for x in got if x.event_type == et):
+            assert r.cusum_scaled == expect[r.d], (et, r.d)
+            assert r.cusum_scaled >= 0
