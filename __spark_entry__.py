@@ -122,6 +122,7 @@ _PRIORITY = [
     "ml_classifier_auc",
     "q_cusum_anomaly",
     "dedup_simhash_pairs",
+    "emb_jl_projection_eval",
 ]
 
 

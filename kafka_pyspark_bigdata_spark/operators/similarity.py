@@ -1498,8 +1498,106 @@ ORDER BY e.vec_id
 """
 
 
+# --- Johnson-Lindenstrauss random-projection distortion eval ---------------
+
+JL_OUT_DIM = 16
+_JL_SCALE = 2**10  # fixed-point scale: keeps proj_sq * 1e6 BIGINT-safe
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic ±1 projection matrix (md5-derived, engine-free:
+    generated once in Python and inlined as literals into BOTH the Spark
+    expression and the SQL oracle — the same literal-matrix pattern as
+    the LSH hyperplanes)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"jl_{j}_{i}".encode()).digest()[0] % 2 == 0
+            else -1
+            for i in range(EMB_DIM)
+        ]
+        for j in range(JL_OUT_DIM)
+    ]
+
+
+def emb_jl_projection_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketching eval: project the 64-dim embedding
+    onto {JL_OUT_DIM} deterministic ±1 directions and measure per-vector
+    norm distortion ||Px||² / (k·||x||²) — the JL lemma says this
+    concentrates near 1, and this query MEASURES it per vector (in ppm),
+    completing the embedding-compression family (PCA = data-dependent,
+    MRL = prefix truncation, PQ/int8 = quantization, JL = oblivious
+    projection — the one that needs no training pass).
+
+    Entirely narrow: fixed-point the vector once (scale 2^10), then each
+    output dim is an exact BIGINT dot product with a ±1 literal row via
+    ``zip_with``+``aggregate`` — no explode, no shuffle except the final
+    orderBy; distortion is integer-ppm DIV. At 100 TB this is a map-only
+    pass that pipelines into the sink."""
+    signs = _jl_signs()
+    emb = load_table(spark, sf_dir, "embeddings")
+    v_int = F.expr(
+        f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_JL_SCALE},"
+        " 0) AS BIGINT))"
+    ).alias("v")
+    dot_self = "aggregate(zip_with(v, v, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)"
+    proj_terms = " + ".join(
+        f"aggregate(zip_with(v, array({', '.join(str(s) + 'L' for s in row)}),"
+        " (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)"
+        f" * aggregate(zip_with(v, array({', '.join(str(s) + 'L' for s in row)}),"
+        " (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)"
+        for row in signs
+    )
+    return (
+        emb.select("vec_id", v_int)
+        .select(
+            "vec_id",
+            F.expr(dot_self).alias("x_sq"),
+            F.expr(proj_terms).alias("proj_sq"),
+        )
+        .select(
+            "vec_id",
+            "x_sq",
+            "proj_sq",
+            F.expr(f"proj_sq * 1000000 DIV ({JL_OUT_DIM} * x_sq)").alias(
+                "distortion_ppm"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _jl_sql() -> str:
+    signs = _jl_signs()
+    proj_terms = " + ".join(
+        f"list_dot_product(v, {row})::BIGINT * list_dot_product(v, {row})::BIGINT"
+        for row in signs
+    )
+    return f"""
+WITH vi AS (
+  SELECT vec_id,
+         [CAST(round(CAST(x AS DOUBLE) * {_JL_SCALE}, 0) AS BIGINT)
+          FOR x IN embedding] AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id,
+         list_dot_product(v, v)::BIGINT AS x_sq,
+         CAST({proj_terms} AS BIGINT) AS proj_sq
+  FROM vi
+)
+SELECT vec_id, x_sq, proj_sq,
+       CAST(proj_sq * 1000000 // ({JL_OUT_DIM} * x_sq) AS BIGINT)
+         AS distortion_ppm
+FROM s ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "semdedup_bucketed": semdedup_bucketed,
+    "emb_jl_projection_eval": emb_jl_projection_eval,
     "emb_mrl_recall": emb_mrl_recall,
     "emb_pca_power_iter": emb_pca_power_iter,
     "emb_gram_matrix": emb_gram_matrix,
@@ -1519,6 +1617,7 @@ QUERIES = {
 
 ORACLES = {
     "semdedup_bucketed": _semdedup_sql(),
+    "emb_jl_projection_eval": _jl_sql(),
     "emb_mrl_recall": _mrl_sql(),
     "emb_pca_power_iter": _pca_sql(),
     "emb_gram_matrix": _gram_sql(),

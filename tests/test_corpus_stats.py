@@ -153,3 +153,17 @@ def test_cusum_closed_form_matches_recursion(spark):
         for r in (x for x in got if x.event_type == et):
             assert r.cusum_scaled == expect[r.d], (et, r.d)
             assert r.cusum_scaled >= 0
+
+
+def test_jl_distortion_concentrates(spark):
+    """JL lemma sanity: per-vector norm distortion is positive and its
+    corpus mean sits near 1 (within 25% for 16 ±1 directions on 64-dim
+    inputs) — the property that makes oblivious projection usable."""
+    from kafka_pyspark_bigdata_spark.operators.similarity import (
+        emb_jl_projection_eval,
+    )
+
+    rows = emb_jl_projection_eval(spark, SF_SMOKE).collect()
+    assert all(r.distortion_ppm >= 0 for r in rows)
+    mean = sum(r.distortion_ppm for r in rows) / len(rows)
+    assert 750_000 < mean < 1_250_000, mean
