@@ -123,6 +123,8 @@ _PRIORITY = [
     "q_cusum_anomaly",
     "dedup_simhash_pairs",
     "emb_jl_projection_eval",
+    "q_time_weighted_avg",
+    "q_ohlc_bars",
 ]
 
 

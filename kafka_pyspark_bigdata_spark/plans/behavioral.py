@@ -1050,9 +1050,130 @@ ORDER BY event_type, d
 """
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP / TimescaleDB ``time_weight``) of event
+    value per user: each observation is weighted by how long it was the
+    CURRENT value (gap to the next event, last observation weightless) —
+    the correct average for irregularly-sampled state, where the
+    arithmetic mean over-weights bursts.
+
+    Exact: weights are integer microsecond gaps from one ``lead`` window,
+    values integer cents; twap = Σ(v·gap) DIV Σgap is one BIGINT division
+    (numerator ≤ ~1e16 for month-span fixtures — BIGINT-safe; DECIMAL(38)
+    at decade spans). One shuffle on user_id shared by the window and the
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "gap_us",
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gapped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("gap_us").alias("span_us"),
+            F.expr("SUM(cents * gap_us) DIV SUM(gap_us)").alias(
+                "twap_cents"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_TWAP_SQL = f"""
+WITH {_EV_US},
+g AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS gap_us
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, COUNT(*) AS n_obs,
+       CAST(SUM(gap_us) AS BIGINT) AS span_us,
+       CAST(SUM(cents * gap_us) // SUM(gap_us) AS BIGINT) AS twap_cents
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candlestick bars per event type: open/close are the
+    first/last value in the bar (deterministic (ts, event_id) argmin /
+    argmax via min/max over a packed struct — no window, no self-join),
+    high/low are plain min/max, plus volume — the canonical time-series
+    downsampling every metrics/trading store provides.
+
+    One partial-agg shuffle on the (type, hour) key; the struct-packed
+    argmin/argmax rides the same combine (Spark ``min(struct(ts, id,
+    v))`` ≡ DuckDB ``arg_min``-by-tuple, spelled portably on both
+    sides). All values integer cents — engine-exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return (
+        ev.groupBy("event_type", "bar")
+        .agg(
+            F.min(F.struct("us", "event_id", "cents")).alias("o"),
+            F.max(F.struct("us", "event_id", "cents")).alias("c"),
+            F.max("cents").alias("high"),
+            F.min("cents").alias("low"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.date_format("bar", "yyyy-MM-dd HH:mm:ss").alias("bar"),
+            F.col("o.cents").alias("open"),
+            "high",
+            "low",
+            F.col("c.cents").alias("close"),
+            "volume",
+        )
+        .orderBy("event_type", "bar")
+    )
+
+
+Q_OHLC_SQL = f"""
+WITH {_EV_US},
+c AS (
+  SELECT event_type, date_trunc('hour', ts) AS bar,
+         epoch_us(ts) AS us, event_id,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM ev
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bar
+                            ORDER BY us, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bar
+                            ORDER BY us DESC, event_id DESC) AS rn_d
+  FROM c
+)
+SELECT event_type, strftime(bar, '%Y-%m-%d %H:%M:%S') AS bar,
+       CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open,
+       MAX(cents) AS high, MIN(cents) AS low,
+       CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close,
+       COUNT(*) AS volume
+FROM ranked GROUP BY event_type, bar
+ORDER BY event_type, bar
+"""
+
+
 QUERIES = {
     "q_gapfill_interpolate": q_gapfill_interpolate,
     "q_cusum_anomaly": q_cusum_anomaly,
+    "q_time_weighted_avg": q_time_weighted_avg,
+    "q_ohlc_bars": q_ohlc_bars,
     "q_rolling_wau": q_rolling_wau,
     "q_wow_growth": q_wow_growth,
     "q_cumulative_distinct_users": q_cumulative_distinct_users,
@@ -1070,6 +1191,8 @@ QUERIES = {
 ORACLES = {
     "q_gapfill_interpolate": Q_GAPFILL_SQL,
     "q_cusum_anomaly": Q_CUSUM_SQL,
+    "q_time_weighted_avg": Q_TWAP_SQL,
+    "q_ohlc_bars": Q_OHLC_SQL,
     "q_rolling_wau": Q_ROLLING_WAU_SQL,
     "q_wow_growth": Q_WOW_SQL,
     "q_cumulative_distinct_users": Q_CUM_USERS_SQL,

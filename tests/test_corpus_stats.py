@@ -167,3 +167,29 @@ def test_jl_distortion_concentrates(spark):
     assert all(r.distortion_ppm >= 0 for r in rows)
     mean = sum(r.distortion_ppm for r in rows) / len(rows)
     assert 750_000 < mean < 1_250_000, mean
+
+
+def test_ohlc_and_twap_invariants(spark):
+    """OHLC bars: low ≤ open/close ≤ high, positive volume; TWAP sits
+    inside each user's [min, max] value range (weighted-mean bound)."""
+    from kafka_pyspark_bigdata_spark.plans.behavioral import (
+        q_ohlc_bars,
+        q_time_weighted_avg,
+    )
+
+    bars = q_ohlc_bars(spark, SF_SMOKE)
+    assert (
+        bars.filter(
+            "open < low OR open > high OR close < low OR close > high"
+            " OR volume < 1"
+        ).count()
+        == 0
+    )
+    ev = load_table(spark, SF_SMOKE, "events").selectExpr(
+        "user_id", "CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents"
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    joined = q_time_weighted_avg(spark, SF_SMOKE).join(bounds, "user_id")
+    assert joined.filter("twap_cents < lo OR twap_cents > hi").count() == 0
