@@ -125,6 +125,8 @@ _PRIORITY = [
     "emb_jl_projection_eval",
     "q_time_weighted_avg",
     "q_ohlc_bars",
+    "streaming_stream_outer_join",
+    "text_vocab_growth",
 ]
 
 

@@ -769,8 +769,66 @@ FROM toks GROUP BY doc_id, bucket ORDER BY doc_id, bucket
 """
 
 
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct vocabulary
+    size as the corpus accumulates in doc_id (ingest) order, paired with
+    the cumulative token count — the curve whose flattening tells a data
+    pipeline when new crawls stop adding lexical diversity (the
+    token-level sibling of `corpus_ngram_novelty`).
+
+    No running COUNT(DISTINCT): each type contributes at exactly its
+    first-seen doc (min doc_id per token — one partial-agg shuffle on
+    the token key), per-doc new-type counts are a second small agg, and
+    the two cumulative sums are one ordered window over |docs| rows.
+    Engine-exact integers throughout."""
+    docs = with_tokens(load_documents(spark, sf_dir)).select("doc_id", "toks")
+    tok = docs.select("doc_id", F.explode(F.array_distinct("toks")).alias("t"))
+    new_types = (
+        tok.groupBy("t")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_new_types"))
+    )
+    per_doc = docs.select("doc_id", F.size("toks").alias("n_toks"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_doc.join(new_types, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce("n_new_types", F.lit(0)).alias("n_new_types"),
+        )
+        .select(
+            "doc_id",
+            F.sum("n_toks").over(w).alias("cum_tokens"),
+            F.sum("n_new_types").over(w).alias("vocab_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_VOCAB_GROWTH_SQL = f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+t AS (SELECT DISTINCT doc_id, UNNEST(toks) AS tok FROM tok),
+new_types AS (
+  SELECT first_doc AS doc_id, COUNT(*) AS n_new_types
+  FROM (SELECT tok, MIN(doc_id) AS first_doc FROM t GROUP BY tok)
+  GROUP BY first_doc
+),
+per_doc AS (SELECT doc_id, len(toks) AS n_toks FROM tok)
+SELECT p.doc_id,
+       CAST(SUM(p.n_toks) OVER w AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(n.n_new_types, 0)) OVER w AS BIGINT) AS vocab_size
+FROM per_doc p LEFT JOIN new_types n USING (doc_id)
+WINDOW w AS (ORDER BY p.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY p.doc_id
+"""
+
+
 QUERIES = {
     "text_bigram_topnext": text_bigram_topnext,
+    "text_vocab_growth": text_vocab_growth,
     "text_cooccurrence_pairs": text_cooccurrence_pairs,
     "text_chunk_windows": text_chunk_windows,
     "text_feature_hashing": text_feature_hashing,
@@ -786,6 +844,7 @@ QUERIES = {
 
 ORACLES = {
     "text_bigram_topnext": TEXT_BIGRAM_SQL,
+    "text_vocab_growth": TEXT_VOCAB_GROWTH_SQL,
     "text_cooccurrence_pairs": _cooc_sql(),
     "text_chunk_windows": TEXT_CHUNK_SQL,
     "text_feature_hashing": TEXT_FH_SQL,

@@ -678,9 +678,94 @@ ORDER BY hour_start, event_type
 """
 
 
+def streaming_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the watermark feature inner joins
+    don't exercise: a click with no purchase in its 30-minute window must
+    still emit (purchase_id NULL), but only once the watermark proves no
+    match can arrive. On the bounded replay the emission contract is
+    deterministic: matched pairs emit as in the inner join; unmatched
+    clicks emit IFF their match window fully precedes the final GLOBAL
+    watermark — which is the MIN across the two input streams of (that
+    side's max event time − its delay), ms-truncated; Spark advances the
+    query watermark at the pace of the SLOWEST side, so the last click
+    itself never null-emits (its own side's watermark can't pass it).
+    Later unmatched clicks stay in state, unemitted. The oracle
+    reproduces exactly that set. State stays bounded by the same
+    watermark that drives the null emission — the property that makes
+    outer stream joins runnable at 100 TB."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("c_ts") + F.expr(f"INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTES")
+        ),
+        "left_outer",
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+    name = _run_to_memory(joined, "ssouter", output_mode="append")
+    return spark.table(name).orderBy("click_id", "purchase_id")
+
+
+STREAMING_OUTER_JOIN_SQL = f"""
+WITH {_EV_US},
+wm AS (
+  SELECT LEAST(
+           MAX(CASE WHEN event_type = 'click'
+                    THEN epoch_us(ts) // 1000 END),
+           MAX(CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) // 1000 END)
+         ) - 3600 * 1000 AS wm_ms
+  FROM ev
+),
+matched AS (
+  SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+  FROM ev c JOIN ev p
+    ON c.user_id = p.user_id
+   AND p.ts >= c.ts
+   AND p.ts <= c.ts + INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTE
+  WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+),
+expired_unmatched AS (
+  SELECT c.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id,
+         c.user_id
+  FROM ev c CROSS JOIN wm
+  WHERE c.event_type = 'click'
+    AND (epoch_us(c.ts) + {STREAM_JOIN_WINDOW_MIN} * 60 * CAST(1000000 AS BIGINT))
+        // 1000 < wm_ms
+    AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.event_id)
+)
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM expired_unmatched
+ORDER BY click_id, purchase_id
+"""
+
+
 QUERIES = {
     "streaming_hourly_window": streaming_hourly_window,
     "streaming_chained_windows": streaming_chained_windows,
+    "streaming_stream_outer_join": streaming_stream_outer_join,
     "streaming_upsert_latest": streaming_upsert_latest,
     "streaming_watermark_lates": streaming_watermark_lates,
     "streaming_sliding_window": streaming_sliding_window,
@@ -713,6 +798,7 @@ if _tws_available():
 ORACLES = {
     "streaming_hourly_window": STREAMING_HOURLY_SQL,
     "streaming_chained_windows": STREAMING_CHAINED_SQL,
+    "streaming_stream_outer_join": STREAMING_OUTER_JOIN_SQL,
     "streaming_upsert_latest": STREAMING_UPSERT_SQL,
     "streaming_watermark_lates": STREAMING_WM_SQL,
     "streaming_sliding_window": STREAMING_SLIDING_SQL,

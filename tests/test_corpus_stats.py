@@ -193,3 +193,26 @@ def test_ohlc_and_twap_invariants(spark):
     )
     joined = q_time_weighted_avg(spark, SF_SMOKE).join(bounds, "user_id")
     assert joined.filter("twap_cents < lo OR twap_cents > hi").count() == 0
+
+
+def test_vocab_growth_monotone_and_bounded(spark):
+    """Vocabulary growth: both curves are nondecreasing, vocab never
+    exceeds cumulative tokens, and the final vocab equals the corpus's
+    distinct token count."""
+    from kafka_pyspark_bigdata_spark.operators.text import (
+        load_documents,
+        text_vocab_growth,
+        with_tokens,
+    )
+
+    rows = text_vocab_growth(spark, SF_SMOKE).collect()
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_tokens >= a.cum_tokens and b.vocab_size >= a.vocab_size
+    assert all(r.vocab_size <= r.cum_tokens for r in rows)
+    n_types = (
+        with_tokens(load_documents(spark, SF_SMOKE))
+        .select(F.explode("toks").alias("t"))
+        .distinct()
+        .count()
+    )
+    assert rows[-1].vocab_size == n_types

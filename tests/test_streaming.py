@@ -317,3 +317,25 @@ def test_chained_windows_oracle_and_cascade_invariants(spark, duck):
         assert 1 <= r.n_blocks <= 4
         assert r.peak_15min <= r.n_events
         assert r.n_events >= r.n_blocks  # every block holds ≥1 event
+
+
+def test_outer_join_supersets_inner_with_expired_nulls(spark, duck):
+    """Left-outer stream join: value-exact vs the watermark-emission
+    oracle; its matched subset equals the inner join exactly, and every
+    NULL row's click window fully precedes the final watermark."""
+    from conftest import assert_oracle_match
+
+    from kafka_pyspark_bigdata_spark.streaming import queries as sq
+
+    assert_oracle_match(
+        spark, duck, sq.streaming_stream_outer_join, sq.STREAMING_OUTER_JOIN_SQL
+    )
+    sf = "/root/testdata/sf0.001"
+    outer = sq.streaming_stream_outer_join(spark, sf).collect()
+    inner = {
+        (r.click_id, r.purchase_id)
+        for r in sq.streaming_stream_join(spark, sf).collect()
+    }
+    matched = {(r.click_id, r.purchase_id) for r in outer if r.purchase_id is not None}
+    assert matched == inner
+    assert any(r.purchase_id is None for r in outer)
