@@ -127,6 +127,7 @@ _PRIORITY = [
     "q_ohlc_bars",
     "streaming_stream_outer_join",
     "text_vocab_growth",
+    "q_dau_mau_stickiness",
 ]
 
 

@@ -1169,11 +1169,87 @@ ORDER BY event_type, bar
 """
 
 
+MAU_WINDOW_DAYS = 30
+
+
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / MAU stickiness per day — the engagement ratio every product
+    dashboard leads with. DAU is the per-day distinct user count (one
+    exact two-phase aggregate); MAU is the trailing-30-day distinct,
+    computed WITHOUT sliding-distinct state via the same bounded-fanout
+    trick as `q_rolling_wau`: each (user, active-day) pair contributes
+    to the 30 window-end days it falls in, dedup, count. Shuffle volume
+    is a FIXED 30× of the distinct (user, day) pairs — data-independent
+    fanout, not unbounded window state. Stickiness is integer ppm —
+    engine-exact. Only days with actual activity anchor the output."""
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .localCheckpoint()  # feeds DAU, MAU fanout, and the day anchor
+    )
+    days = ud.select(F.col("d").alias("window_day")).distinct()
+    dau = ud.groupBy(F.col("d").alias("window_day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    mau = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    "d",
+                    F.date_add("d", MAU_WINDOW_DAYS - 1),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("window_day"),
+        )
+        .distinct()
+        .join(days, "window_day")
+        .groupBy("window_day")
+        .agg(F.count(F.lit(1)).alias("mau"))
+    )
+    return (
+        dau.join(mau, "window_day")
+        .select(
+            F.date_format("window_day", "yyyy-MM-dd").alias("window_day"),
+            "dau",
+            "mau",
+            F.expr("dau * 1000000 DIV mau").alias("stickiness_ppm"),
+        )
+        .orderBy("window_day")
+    )
+
+
+Q_DAU_MAU_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+days AS (SELECT DISTINCT d AS window_day FROM ud),
+dau AS (SELECT d AS window_day, COUNT(*) AS dau FROM ud GROUP BY d),
+contrib AS (
+  SELECT DISTINCT user_id,
+         UNNEST(generate_series(d, d + INTERVAL {MAU_WINDOW_DAYS - 1} DAY,
+                                INTERVAL 1 DAY))::DATE AS window_day
+  FROM ud
+),
+mau AS (
+  SELECT c.window_day, COUNT(*) AS mau
+  FROM contrib c JOIN days USING (window_day)
+  GROUP BY c.window_day
+)
+SELECT strftime(window_day, '%Y-%m-%d') AS window_day, dau, mau,
+       CAST(dau * 1000000 // mau AS BIGINT) AS stickiness_ppm
+FROM dau JOIN mau USING (window_day)
+ORDER BY window_day
+"""
+
+
 QUERIES = {
     "q_gapfill_interpolate": q_gapfill_interpolate,
     "q_cusum_anomaly": q_cusum_anomaly,
     "q_time_weighted_avg": q_time_weighted_avg,
     "q_ohlc_bars": q_ohlc_bars,
+    "q_dau_mau_stickiness": q_dau_mau_stickiness,
     "q_rolling_wau": q_rolling_wau,
     "q_wow_growth": q_wow_growth,
     "q_cumulative_distinct_users": q_cumulative_distinct_users,
@@ -1193,6 +1269,7 @@ ORACLES = {
     "q_cusum_anomaly": Q_CUSUM_SQL,
     "q_time_weighted_avg": Q_TWAP_SQL,
     "q_ohlc_bars": Q_OHLC_SQL,
+    "q_dau_mau_stickiness": Q_DAU_MAU_SQL,
     "q_rolling_wau": Q_ROLLING_WAU_SQL,
     "q_wow_growth": Q_WOW_SQL,
     "q_cumulative_distinct_users": Q_CUM_USERS_SQL,

@@ -216,3 +216,15 @@ def test_vocab_growth_monotone_and_bounded(spark):
         .count()
     )
     assert rows[-1].vocab_size == n_types
+
+
+def test_dau_mau_bounds(spark):
+    """DAU ≤ MAU on every day (30-day window contains the day), so
+    stickiness ≤ 1e6 ppm; all counts positive."""
+    from kafka_pyspark_bigdata_spark.plans.behavioral import q_dau_mau_stickiness
+
+    rows = q_dau_mau_stickiness(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 < r.dau <= r.mau
+        assert 0 < r.stickiness_ppm <= 1_000_000
