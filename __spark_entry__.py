@@ -128,6 +128,10 @@ _PRIORITY = [
     "streaming_stream_outer_join",
     "text_vocab_growth",
     "q_dau_mau_stickiness",
+    "dedup_threshold_sweep",
+    "corpus_quality_floor",
+    "sketch_kmv_setops",
+    "q_partial_agg_merge",
 ]
 
 

@@ -1456,7 +1456,99 @@ GROUP BY 1, 2 ORDER BY source_lo, source_hi
 """
 
 
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning curve: histogram of LSH candidate pairs by
+    estimated Jaccard (matching-signature count out of 16), with the
+    cumulative pair count at-or-above each level.
+
+    This is the operator a pipeline owner runs BEFORE committing to a
+    dedup threshold on a new corpus: it prices every candidate threshold
+    in one pass (how many pairs would each cut keep?) using only the
+    signatures — no exact verify join, so cost is the LSH candidate join
+    plus two narrow 16-column lookups, never a shingle-set intersection.
+    At 100 TB the histogram is 17 rows regardless of corpus size; the
+    cumulative window runs on those 17 rows, not on data.
+    """
+    n_sigs = NUM_BANDS * ROWS_PER_BAND
+    sh = (
+        with_shingles(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "shingles")
+        .localCheckpoint()
+    )
+    sigs = minhash_sigs(sh)
+    bands_long = minhash_bands(sigs)
+    cand = (
+        bands_long.select(F.col("doc_id").alias("doc_a"), "band_idx", "bk")
+        .join(
+            bands_long.select(F.col("doc_id").alias("doc_b"), "band_idx", "bk"),
+            ["band_idx", "bk"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig{i}").alias(f"a{i}") for i in range(n_sigs)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig{i}").alias(f"b{i}") for i in range(n_sigs)],
+    )
+    n_match = None
+    for i in range(n_sigs):
+        term = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        n_match = term if n_match is None else n_match + term
+    hist = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(n_match.alias("n_match"))
+        .groupBy("n_match")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    w = Window.orderBy(F.desc("n_match")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.withColumn(
+            "est_jaccard_pct", F.expr(f"(n_match * 100) div {n_sigs}")
+        )
+        .withColumn("n_pairs_at_least", F.sum("n_pairs").over(w))
+        .select(
+            "n_match", "est_jaccard_pct", "n_pairs", "n_pairs_at_least"
+        )
+        .orderBy(F.desc("n_match"))
+    )
+
+
+def _threshold_sweep_sql() -> str:
+    n_sigs = NUM_BANDS * ROWS_PER_BAND
+    match_sum = " + ".join(
+        f"CASE WHEN sa.sig{i} = sb.sig{i} THEN 1 ELSE 0 END"
+        for i in range(n_sigs)
+    )
+    return f"""
+WITH {_minhash_ctes()},
+hist AS (
+  SELECT ({match_sum}) AS n_match, COUNT(*) AS n_pairs
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+  GROUP BY 1
+)
+SELECT CAST(n_match AS INTEGER) AS n_match,
+       CAST((n_match * 100) // {n_sigs} AS INTEGER) AS est_jaccard_pct,
+       n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY n_match DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT)
+         AS n_pairs_at_least
+FROM hist ORDER BY n_match DESC
+"""
+
+
 QUERIES = {
+    "dedup_threshold_sweep": dedup_threshold_sweep,
     "sketch_minhash_error": sketch_minhash_error,
     "dedup_shingle_coverage": dedup_shingle_coverage,
     "corpus_ngram_novelty": corpus_ngram_novelty,
@@ -1478,6 +1570,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_threshold_sweep": _threshold_sweep_sql(),
     "sketch_minhash_error": _minhash_error_sql(),
     "dedup_shingle_coverage": DEDUP_COVERAGE_SQL,
     "corpus_ngram_novelty": CORPUS_NOVELTY_SQL,

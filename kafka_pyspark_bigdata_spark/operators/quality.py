@@ -285,13 +285,86 @@ FROM m ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_quality_floor — per-language percentile floor filter
+# ---------------------------------------------------------------------------
+
+
+def corpus_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language P10 length floor: within each language, find the
+    10th-percentile document length and report how many documents a
+    "drop the shortest decile" gate would keep/remove.
+
+    Percentile gates relative to a group (language, source, domain) are
+    how production corpus filters are actually tuned — absolute
+    thresholds misfire across languages with different script densities
+    (cf. the per-language thresholds in the published CCNet/ROOTS
+    pipelines). The percentile is INTEGER-EXACT: the k-th smallest value
+    with k = ceil(n/10) = (n+9) div 10, selected by row_number with a
+    deterministic (n_chars, doc_id) tiebreak — no interpolation, so both
+    engines agree bit-wise (the same trick as q_exact_median).
+
+    Scale shape: one window pass keyed by lang produces a THRESHOLD
+    TABLE of |langs| rows; the gate itself is a broadcast join of that
+    tiny table back to the corpus — the full data is never re-shuffled.
+    The per-lang window sort is the only big movement, and it is keyed
+    by the group column, exactly how a 1000-executor run wants it
+    (skewed langs split by AQE).
+    """
+    docs = load_documents(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    )
+    thr = ranked.filter(F.col("rk") == F.expr("(n + 9) div 10")).select(
+        "lang", F.col("n_chars").alias("floor_chars")
+    )
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .groupBy("lang", "floor_chars")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_chars") >= F.col("floor_chars")).cast("int")).alias(
+                "n_kept"
+            ),
+            F.sum((F.col("n_chars") < F.col("floor_chars")).cast("int")).alias(
+                "n_dropped"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+CORPUS_QUALITY_FLOOR_SQL = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+thr AS (
+  SELECT lang, n_chars AS floor_chars FROM ranked WHERE rk = (n + 9) // 10
+)
+SELECT d.lang, floor_chars,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN d.n_chars >= floor_chars THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN d.n_chars < floor_chars THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+FROM documents d JOIN thr USING (lang)
+GROUP BY 1, 2 ORDER BY lang
+"""
+
+
 QUERIES = {
+    "corpus_quality_floor": corpus_quality_floor,
     "corpus_filter_verdict": corpus_filter_verdict,
     "text_repetition": text_repetition,
     "text_pii_scrub": text_pii_scrub,
 }
 
 ORACLES = {
+    "corpus_quality_floor": CORPUS_QUALITY_FLOOR_SQL,
     "corpus_filter_verdict": CORPUS_FILTER_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "text_pii_scrub": TEXT_PII_SQL,

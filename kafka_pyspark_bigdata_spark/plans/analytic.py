@@ -324,6 +324,166 @@ FROM mink
 """
 
 
+KMV_SETOP_K = 64
+
+
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET OPERATIONS: estimate |A|, |B|, |A∪B| and |A∩B| for
+    the click vs purchase audiences from three k-minimum-value sketches
+    — the mergeable-summary algebra (Beyer et al., "On Synopses for
+    Distinct-Value Estimation Under Multiset Operations") that lets a
+    1000-executor audit answer overlap questions from kilobyte summaries
+    instead of re-shuffling distinct keys per question.
+
+    Union sketch = k smallest of the merged per-set sketches (KMV's
+    closure property); intersection via the Jaccard scale-up
+    ρ·est_union where ρ = fraction of union-sketch hashes present in
+    both input sketches. Small-set exactness: a sketch holding fewer
+    than k hashes IS its set, so the estimate switches to the sketch
+    size (both engines apply the same rule). md5-derived hashes make
+    every estimate bit-reproducible, so the oracle verifies estimates
+    AND exact counts. Exact counts ride along from one distinct pass.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    hv = (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.col("user_id").cast("string"), "UTF-8")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(_HASH_SPACE)
+    )
+    hashed = ev.select("event_type", hv.alias("hv")).localCheckpoint()
+    a = hashed.filter(F.col("event_type") == "click").select("hv").orderBy(
+        "hv"
+    ).limit(KMV_SETOP_K)
+    b = hashed.filter(F.col("event_type") == "purchase").select("hv").orderBy(
+        "hv"
+    ).limit(KMV_SETOP_K)
+    u = a.union(b).distinct().orderBy("hv").limit(KMV_SETOP_K)
+    flagged = (
+        u.join(a.withColumn("in_a", F.lit(1)), "hv", "left")
+        .join(b.withColumn("in_b", F.lit(1)), "hv", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_u"),
+            F.max("hv").alias("kth_u"),
+            F.sum(
+                (
+                    F.col("in_a").isNotNull() & F.col("in_b").isNotNull()
+                ).cast("int")
+            ).alias("n_both"),
+        )
+    )
+    a_stats = a.agg(F.count(F.lit(1)).alias("n_a"), F.max("hv").alias("kth_a"))
+    b_stats = b.agg(F.count(F.lit(1)).alias("n_b"), F.max("hv").alias("kth_b"))
+    per_user = ev.groupBy("user_id").agg(
+        F.count_distinct("event_type").alias("n_types")
+    )
+    exact = per_user.agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum((F.col("n_types") == 2).cast("int")).alias("exact_inter"),
+    )
+    exact_ab = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    exact_a = exact_ab.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("exact_a")
+    )
+    exact_b = exact_ab.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("exact_b")
+    )
+    k = KMV_SETOP_K
+    est = F.lit(float(k - 1))
+
+    def kmv_est(n_col: str, kth_col: str):
+        return F.when(
+            F.col(n_col) < k, F.col(n_col).cast("double")
+        ).otherwise(est / F.col(kth_col))
+
+    return (
+        flagged.crossJoin(a_stats)
+        .crossJoin(b_stats)
+        .crossJoin(exact)
+        .crossJoin(exact_a)
+        .crossJoin(exact_b)
+        .select(
+            F.lit(k).alias("k"),
+            kmv_est("n_a", "kth_a").alias("est_a"),
+            "exact_a",
+            kmv_est("n_b", "kth_b").alias("est_b"),
+            "exact_b",
+            kmv_est("n_u", "kth_u").alias("est_union"),
+            "exact_union",
+            (
+                F.col("n_both").cast("double")
+                * kmv_est("n_u", "kth_u")
+                / F.col("n_u")
+            ).alias("est_inter"),
+            "exact_inter",
+        )
+    )
+
+
+SKETCH_KMV_SETOPS_SQL = f"""
+WITH ev AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           / CAST({int(_HASH_SPACE)} AS DOUBLE) AS hv
+  FROM ev
+),
+a AS (SELECT hv FROM h WHERE event_type = 'click' ORDER BY hv LIMIT {KMV_SETOP_K}),
+b AS (SELECT hv FROM h WHERE event_type = 'purchase' ORDER BY hv LIMIT {KMV_SETOP_K}),
+u AS (
+  SELECT DISTINCT hv FROM (SELECT hv FROM a UNION ALL SELECT hv FROM b)
+  ORDER BY hv LIMIT {KMV_SETOP_K}
+),
+flagged AS (
+  SELECT COUNT(*) AS n_u, MAX(u.hv) AS kth_u,
+         SUM(CASE WHEN ia.hv IS NOT NULL AND ib.hv IS NOT NULL
+                  THEN 1 ELSE 0 END) AS n_both
+  FROM u
+  LEFT JOIN a ia ON ia.hv = u.hv
+  LEFT JOIN b ib ON ib.hv = u.hv
+),
+a_stats AS (SELECT COUNT(*) AS n_a, MAX(hv) AS kth_a FROM a),
+b_stats AS (SELECT COUNT(*) AS n_b, MAX(hv) AS kth_b FROM b),
+exact AS (
+  SELECT COUNT(*) AS exact_union,
+         CAST(SUM(CASE WHEN n_types = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_inter
+  FROM (SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+        FROM ev GROUP BY user_id)
+),
+ea AS (SELECT COUNT(*) AS exact_a FROM ev WHERE event_type = 'click'),
+eb AS (SELECT COUNT(*) AS exact_b FROM ev WHERE event_type = 'purchase')
+SELECT {KMV_SETOP_K} AS k,
+       CASE WHEN n_a < {KMV_SETOP_K} THEN CAST(n_a AS DOUBLE)
+            ELSE CAST({KMV_SETOP_K - 1} AS DOUBLE) / kth_a END AS est_a,
+       exact_a,
+       CASE WHEN n_b < {KMV_SETOP_K} THEN CAST(n_b AS DOUBLE)
+            ELSE CAST({KMV_SETOP_K - 1} AS DOUBLE) / kth_b END AS est_b,
+       exact_b,
+       CASE WHEN n_u < {KMV_SETOP_K} THEN CAST(n_u AS DOUBLE)
+            ELSE CAST({KMV_SETOP_K - 1} AS DOUBLE) / kth_u END AS est_union,
+       exact_union,
+       CAST(n_both AS DOUBLE)
+         * (CASE WHEN n_u < {KMV_SETOP_K} THEN CAST(n_u AS DOUBLE)
+                 ELSE CAST({KMV_SETOP_K - 1} AS DOUBLE) / kth_u END)
+         / n_u AS est_inter,
+       exact_inter
+FROM flagged, a_stats, b_stats, exact, ea, eb
+"""
+
+
 HLL_RSD = 0.05  # requested relative standard deviation
 HLL_ERR_BOUND_PPM = 100_000  # asserted |est-exact|/exact bound: 10%
 
@@ -1225,6 +1385,7 @@ FROM b GROUP BY bucket ORDER BY bucket
 
 
 QUERIES = {
+    "sketch_kmv_setops": sketch_kmv_setops,
     "sketch_hll_error": sketch_hll_error,
     "q_hist_equidepth": q_hist_equidepth,
     "q_skyline_pareto": q_skyline_pareto,
@@ -1253,6 +1414,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sketch_kmv_setops": SKETCH_KMV_SETOPS_SQL,
     "sketch_hll_error": SKETCH_HLL_SQL,
     "q_hist_equidepth": Q_HIST_EQUIDEPTH_SQL,
     "q_skyline_pareto": Q_SKYLINE_SQL,

@@ -924,7 +924,102 @@ FROM per_probe
 """
 
 
+def q_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-aggregate-state audit: pre-aggregate lineitem per
+    "shard" (hash of the order key, standing in for a partition/file of
+    a materialized rollup), MERGE the shard states, and prove the merged
+    result equals a direct global aggregation.
+
+    This is THE invariant behind every incremental warehouse structure —
+    partial shuffle-free rollups, cube materializations, streaming state
+    stores, datasketch unions: (count, sum, min, max) states merge by
+    (sum, sum, min, max). At 100 TB the pattern means a daily rollup
+    only aggregates the NEW partition and merges kilobytes of state,
+    never re-scanning history; this query verifies the algebra
+    end-to-end with the engine's decimal-exact sums so `all_match` is a
+    hash-checkable TRUE, not a float coincidence.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    shard = li.withColumn("shard", F.expr("l_orderkey % 4"))
+    partial = shard.groupBy("shard", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("qty_state"),
+        F.min("l_quantity").alias("mn"),
+        F.max("l_quantity").alias("mx"),
+    )
+    merged = partial.groupBy("l_returnflag").agg(
+        F.sum("cnt").alias("merged_count"),
+        F.sum("qty_state").cast("double").alias("merged_sum_qty"),
+        F.min("mn").alias("merged_min_qty"),
+        F.max("mx").alias("merged_max_qty"),
+        F.count(F.lit(1)).alias("n_shards"),
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("direct_count"),
+        dsum("l_quantity").alias("direct_sum_qty"),
+        F.min("l_quantity").alias("direct_min_qty"),
+        F.max("l_quantity").alias("direct_max_qty"),
+    )
+    return (
+        merged.join(direct, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_shards",
+            "merged_count",
+            "direct_count",
+            "merged_sum_qty",
+            "direct_sum_qty",
+            "merged_min_qty",
+            "merged_max_qty",
+            (
+                (F.col("merged_count") == F.col("direct_count"))
+                & (F.col("merged_sum_qty") == F.col("direct_sum_qty"))
+                & (F.col("merged_min_qty") == F.col("direct_min_qty"))
+                & (F.col("merged_max_qty") == F.col("direct_max_qty"))
+            ).alias("all_match"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PARTIAL_AGG_MERGE_SQL = f"""
+WITH partial AS (
+  SELECT l_orderkey % 4 AS shard, l_returnflag,
+         COUNT(*) AS cnt,
+         SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty_state,
+         MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
+  FROM lineitem GROUP BY 1, 2
+),
+merged AS (
+  SELECT l_returnflag,
+         CAST(SUM(cnt) AS BIGINT) AS merged_count,
+         CAST(SUM(qty_state) AS DOUBLE) AS merged_sum_qty,
+         MIN(mn) AS merged_min_qty, MAX(mx) AS merged_max_qty,
+         COUNT(*) AS n_shards
+  FROM partial GROUP BY 1
+),
+direct AS (
+  SELECT l_returnflag,
+         COUNT(*) AS direct_count,
+         {dsum_sql('l_quantity')} AS direct_sum_qty,
+         MIN(l_quantity) AS direct_min_qty,
+         MAX(l_quantity) AS direct_max_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT m.l_returnflag, n_shards, merged_count, direct_count,
+       merged_sum_qty, direct_sum_qty, merged_min_qty, merged_max_qty,
+       (merged_count = direct_count AND merged_sum_qty = direct_sum_qty
+        AND merged_min_qty = direct_min_qty
+        AND merged_max_qty = direct_max_qty) AS all_match
+FROM merged m JOIN direct d ON d.l_returnflag = m.l_returnflag
+ORDER BY m.l_returnflag
+"""
+
+
 QUERIES = {
+    "q_partial_agg_merge": q_partial_agg_merge,
     "q_compact_small_files": q_compact_small_files,
     "sketch_bloom_fpr_eval": sketch_bloom_fpr_eval,
     "q_medallion_audit": q_medallion_audit,
@@ -939,6 +1034,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_partial_agg_merge": PARTIAL_AGG_MERGE_SQL,
     "q_compact_small_files": COMPACT_SQL,
     "sketch_bloom_fpr_eval": _bloom_fpr_sql(),
     "q_medallion_audit": MEDALLION_SQL,

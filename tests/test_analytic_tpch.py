@@ -27,3 +27,15 @@ def test_quantiles_monotone_and_mad_bounds(spark):
     m = analytic.q_mad_outliers(spark, SF).collect()
     for r in m:
         assert 0 <= r.n_outliers <= r.n and r.mad >= 0
+
+
+def test_kmv_setops_exact_when_sketch_exhaustive(spark):
+    """At sf0.001 every audience is smaller than k, so each sketch IS its
+    set and all four estimates must equal the exact counts."""
+    from kafka_pyspark_bigdata_spark.plans import analytic
+
+    r = analytic.sketch_kmv_setops(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.est_a == float(r.exact_a)
+    assert r.est_b == float(r.exact_b)
+    assert r.est_union == float(r.exact_union)
+    assert r.est_inter == float(r.exact_inter)

@@ -166,3 +166,13 @@ def test_salted_join_matches_plain(spark):
         )
     )
     assert sj.subtract(plain).count() == 0 and plain.subtract(sj).count() == 0
+
+
+def test_partial_agg_merge_states_match(spark):
+    """Merged shard states must equal the direct aggregation bit-exactly —
+    the mergeability invariant the incremental rollup path relies on."""
+    from kafka_pyspark_bigdata_spark.plans import lakehouse
+
+    rows = lakehouse.q_partial_agg_merge(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r.all_match for r in rows)
+    assert all(r.n_shards <= 4 for r in rows)

@@ -352,3 +352,17 @@ def test_pca_power_iter_converges_to_dominant_direction(spark):
     # the synthetic fixture's top eigenvalues are close, so 3 rounds land
     # near, not on, the dominant direction — stability is what we pin
     assert cos > 0.95, cos
+
+
+def test_threshold_sweep_cumulative_invariants(spark):
+    """The sweep histogram's cumulative column must be a running total of
+    the per-level counts from the top, and the estimated-Jaccard percent
+    must be the integer scaling of the match count."""
+    rows = dedup.dedup_threshold_sweep(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "LSH candidates exist in the planted-dup fixture"
+    running = 0
+    for r in rows:  # already sorted n_match DESC
+        running += r.n_pairs
+        assert r.n_pairs_at_least == running
+        assert r.est_jaccard_pct == (r.n_match * 100) // 16
+        assert 0 <= r.n_match <= 16

@@ -31,3 +31,13 @@ def test_pii_scrub_redacts_all(spark):
     assert df.filter("n_emails < 1 OR n_phones < 1").count() == 0
     assert df.filter("redacted_head LIKE '%@example.com%'").count() == 0
     assert df.filter("redacted_head NOT LIKE '%<EMAIL>%'").count() == 0
+
+
+def test_quality_floor_decile_bound(spark):
+    """A P10 floor can drop at most ceil(n/10) documents per language, and
+    kept + dropped must tile the language exactly."""
+    from kafka_pyspark_bigdata_spark.operators import quality
+
+    for r in quality.corpus_quality_floor(spark, "/root/testdata/sf0.001").collect():
+        assert r.n_kept + r.n_dropped == r.n_docs
+        assert r.n_dropped <= (r.n_docs + 9) // 10
