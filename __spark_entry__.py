@@ -132,6 +132,7 @@ _PRIORITY = [
     "corpus_quality_floor",
     "sketch_kmv_setops",
     "q_partial_agg_merge",
+    "sketch_gk_quantile_eval",
 ]
 
 

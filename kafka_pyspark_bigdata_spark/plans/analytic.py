@@ -528,6 +528,99 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+GK_PCTS_PPM = [250_000, 500_000, 750_000, 950_000]
+GK_ACCURACY = 10_000  # percentile_approx accuracy ⇒ rank error ≤ n/accuracy
+
+
+def sketch_gk_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native quantile-sketch error check: Spark's ``percentile_approx``
+    (the Greenwald-Khanna mergeable sketch — constant memory per group,
+    ONE pass, no global sort; the only sane quantile at 100 TB) audited
+    against its published rank guarantee, per requested percentile over
+    ``l_extendedprice``.
+
+    Like ``sketch_hll_error``, the sketch internals are engine-specific,
+    so the oracle-checkable surface is the EXACT quantile (k-th smallest
+    via row_number — no interpolation, engine-portable) plus
+    ``within_bound``: the approx value's true rank interval must overlap
+    the target rank ± (n/accuracy + 1). Verifying the rank needs only a
+    broadcast of the 4 approx values against the column — one extra
+    aggregate, no second sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    pcts = [p / 1_000_000 for p in GK_PCTS_PPM]
+    approx = li.agg(
+        F.percentile_approx("v", pcts, GK_ACCURACY).alias("avs"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.posexplode(
+            F.arrays_zip(
+                F.array(*[F.lit(p) for p in GK_PCTS_PPM]).alias("pct_ppm"),
+                F.col("avs").alias("av"),
+            )
+        ).alias("pos", "z"),
+        "n",
+    ).select(
+        F.col("z.pct_ppm").alias("pct_ppm"), F.col("z.av").alias("av"), "n"
+    )
+    ranks = (
+        li.crossJoin(F.broadcast(approx))
+        .groupBy("pct_ppm", "av", "n")
+        .agg(
+            F.sum((F.col("v") < F.col("av")).cast("long")).alias("rank_lo"),
+            F.sum((F.col("v") <= F.col("av")).cast("long")).alias("rank_hi"),
+        )
+    )
+    w = Window.orderBy("v")
+    n_all = li.agg(F.count(F.lit(1)).alias("n_all"))
+    targets = (
+        spark.createDataFrame(
+            [(p,) for p in GK_PCTS_PPM], "pct_ppm bigint"
+        )
+        .crossJoin(F.broadcast(n_all))
+        .withColumn(
+            "k", F.expr("cast(ceil(n_all * pct_ppm / 1000000e0) as bigint)")
+        )
+    )
+    ranked = li.withColumn("rk", F.row_number().over(w))
+    exact_vals = (
+        ranked.join(
+            F.broadcast(targets), ranked["rk"] == targets["k"], "inner"
+        )
+        .select("pct_ppm", F.col("v").alias("exact_value"))
+    )
+    err_allow = F.expr(f"n div {GK_ACCURACY} + 1")
+    target = F.expr("cast(ceil(n * pct_ppm / 1000000e0) as bigint)")
+    checked = ranks.select(
+        "pct_ppm",
+        (
+            (F.col("rank_lo") <= target + err_allow)
+            & (F.col("rank_hi") >= target - err_allow)
+        ).alias("within_bound"),
+    )
+    return (
+        exact_vals.join(checked, "pct_ppm")
+        .select("pct_ppm", "exact_value", "within_bound")
+        .orderBy("pct_ppm")
+    )
+
+
+SKETCH_GK_SQL = f"""
+WITH ranked AS (
+  SELECT l_extendedprice AS v,
+         ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rk,
+         COUNT(*) OVER () AS n_all
+  FROM lineitem
+)
+SELECT p.pct_ppm, r.v AS exact_value, TRUE AS within_bound
+FROM (VALUES {', '.join(f'({p})' for p in GK_PCTS_PPM)}) p(pct_ppm)
+JOIN ranked r ON r.rk = CAST(CEIL(r.n_all * p.pct_ppm / 1000000.0) AS BIGINT)
+ORDER BY p.pct_ppm
+"""
+
+
 def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS through the spark.sql entry point (every other query
     uses the DataFrame API; this proves the SQL front door plans the same
@@ -1386,6 +1479,7 @@ FROM b GROUP BY bucket ORDER BY bucket
 
 QUERIES = {
     "sketch_kmv_setops": sketch_kmv_setops,
+    "sketch_gk_quantile_eval": sketch_gk_quantile_eval,
     "sketch_hll_error": sketch_hll_error,
     "q_hist_equidepth": q_hist_equidepth,
     "q_skyline_pareto": q_skyline_pareto,
@@ -1415,6 +1509,7 @@ QUERIES = {
 
 ORACLES = {
     "sketch_kmv_setops": SKETCH_KMV_SETOPS_SQL,
+    "sketch_gk_quantile_eval": SKETCH_GK_SQL,
     "sketch_hll_error": SKETCH_HLL_SQL,
     "q_hist_equidepth": Q_HIST_EQUIDEPTH_SQL,
     "q_skyline_pareto": Q_SKYLINE_SQL,

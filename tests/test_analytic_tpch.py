@@ -39,3 +39,15 @@ def test_kmv_setops_exact_when_sketch_exhaustive(spark):
     assert r.est_b == float(r.exact_b)
     assert r.est_union == float(r.exact_union)
     assert r.est_inter == float(r.exact_inter)
+
+
+def test_gk_quantile_bound_holds_and_is_monotone(spark):
+    """GK sketch must sit within its published rank guarantee at every
+    requested percentile, and exact quantiles must be nondecreasing."""
+    from kafka_pyspark_bigdata_spark.plans import analytic
+
+    rows = analytic.sketch_gk_quantile_eval(spark, "/root/testdata/sf0.01").collect()
+    assert [r.pct_ppm for r in rows] == analytic.GK_PCTS_PPM
+    assert all(r.within_bound for r in rows)
+    vals = [r.exact_value for r in rows]
+    assert vals == sorted(vals)
