@@ -133,6 +133,8 @@ _PRIORITY = [
     "sketch_kmv_setops",
     "q_partial_agg_merge",
     "sketch_gk_quantile_eval",
+    "q_text_lines_roundtrip",
+    "q_binaryfile_scan",
 ]
 
 

@@ -206,7 +206,98 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ``write.text`` (one document per line — the raw-corpus
+    interchange format every LLM data pipeline ingests) → ``read.text``
+    → per-language recount via a planted lang tag.
+
+    ``spark.read.text`` is the 100 TB corpus front door: splittable line
+    records, no schema pass, each 128 MiB split a task. Losslessness is
+    proven by hash-matching per-language line counts, character sums and
+    distinct-line counts against the parquet-side oracle. (The fixture's
+    documents are newline-free by construction, so line = document.)
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws("\t", "lang", "text").alias("value")
+    )
+    out = os.path.join(scratch_dir("text_rt", sf_dir), "docs_txt")
+    docs.write.mode("overwrite").text(out)
+    back = spark.read.text(out).select(
+        F.split_part("value", F.lit("\t"), F.lit(1)).alias("lang"),
+        F.split_part("value", F.lit("\t"), F.lit(2)).alias("text"),
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.length("text")).alias("sum_chars"),
+            F.count_distinct("text").alias("n_distinct"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q_TEXT_LINES_SQL = """
+SELECT lang, COUNT(*) AS n_lines,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       COUNT(DISTINCT text) AS n_distinct
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+BINARYFILE_N_DOCS = 24
+
+
+def q_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-blob ingestion via the ``binaryFile`` source — the path a
+    multimodal pipeline uses to land image/audio/video payloads as
+    ``binary`` columns with (path, length) metadata before the decode
+    UDFs in operators/multimodal.py take over.
+
+    A bounded set of scratch blobs (UTF-8 bytes of the first
+    {BINARYFILE_N_DOCS} documents — the fixture stands in for real
+    media files) is laid down once on the driver, then scanned
+    DECLARATIVELY: ``read.format("binaryFile")`` yields one row per
+    file with content bytes; length and md5 are computed engine-side
+    and hash-verified against the oracle's view of the same text. At
+    scale the layout step is the upstream system's job — the scan,
+    pruning (`pathGlobFilter`), and per-file parallelism are what this
+    operator exercises.
+    """
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BINARYFILE_N_DOCS)
+        .select("doc_id", "text")
+        .collect()
+    )
+    out = scratch_dir("binfile", sf_dir)
+    for r in rows:
+        with open(os.path.join(out, f"doc_{r.doc_id:06d}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    scanned = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+    )
+    return scanned.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    ).orderBy("fname")
+
+
+Q_BINARYFILE_SQL = f"""
+SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.bin' AS fname,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id < {BINARYFILE_N_DOCS}
+ORDER BY fname
+"""
+
+
 QUERIES = {
+    "q_text_lines_roundtrip": q_text_lines_roundtrip,
+    "q_binaryfile_scan": q_binaryfile_scan,
     "q_partitioned_scan": q_partitioned_scan,
     "q_schema_evolution": q_schema_evolution,
     "q_csv_roundtrip": q_csv_roundtrip,
@@ -216,6 +307,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_text_lines_roundtrip": Q_TEXT_LINES_SQL,
+    "q_binaryfile_scan": Q_BINARYFILE_SQL,
     "q_partitioned_scan": Q_PARTITIONED_SQL,
     "q_schema_evolution": Q_SCHEMA_EVO_SQL,
     "q_csv_roundtrip": Q_CSV_ROUNDTRIP_SQL,
