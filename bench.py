@@ -49,6 +49,11 @@ def main() -> None:
         "q_ivm_join_delta",
         "q_quantiles_exact",
         "q_gapfill_interpolate",
+        "q_partial_agg_merge",
+        "sketch_gk_quantile_eval",
+        "sketch_kmv_setops",
+        "q_text_lines_roundtrip",
+        "q_binaryfile_scan",
         # mining / stats / geo (round-3 additions)
         "q_profile_columns",
         "q_hist_equidepth",
@@ -61,6 +66,7 @@ def main() -> None:
         # GC/memory pressure cannot inflate the timings of the queries
         # after them (observed ~3x inflation when a heavy query precedes
         # the ANN set).
+        "corpus_quality_floor",
         "text_quality",
         "text_fingerprint",
         "text_cms_heavy_hitters",
@@ -82,6 +88,7 @@ def main() -> None:
         "dedup_shingle_coverage",
         "corpus_ngram_novelty",
         "cluster_kmeans_fixed",
+        "dedup_threshold_sweep",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
     ]
