@@ -135,6 +135,7 @@ _PRIORITY = [
     "sketch_gk_quantile_eval",
     "q_text_lines_roundtrip",
     "q_binaryfile_scan",
+    "q_tz_daily_rollup",
 ]
 
 

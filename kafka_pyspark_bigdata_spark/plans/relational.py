@@ -548,7 +548,41 @@ FROM events GROUP BY 1 ORDER BY hour_start
 """
 
 
+def q_tz_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-aware DAILY rollup: the UTC event stream re-bucketed by
+    America/New_York calendar days (``from_utc_timestamp`` — IANA rules,
+    DST-correct). Local-midnight boundaries sit mid-UTC-day, so every
+    bucket's membership differs from a naive UTC rollup — the classic
+    "why don't the dashboards match" bug this operator renders as a
+    first-class, oracle-verified query. Same one-shuffle shape as
+    ``q_events_hourly``; the tz conversion is a scan-side expression."""
+    ev = load_table(spark, sf_dir, "events")
+    local_day = F.date_format(
+        F.from_utc_timestamp("ts", "America/New_York"), "yyyy-MM-dd"
+    )
+    return (
+        ev.groupBy(local_day.alias("local_date"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("local_date")
+    )
+
+
+Q_TZ_DAILY_SQL = f"""
+SELECT strftime(timezone('America/New_York', timezone('UTC', ts)),
+                '%Y-%m-%d') AS local_date,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {dsum_sql('value')} AS sum_value
+FROM events GROUP BY 1 ORDER BY local_date
+"""
+
+
 QUERIES = {
+    "q_tz_daily_rollup": q_tz_daily_rollup,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -569,6 +603,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_tz_daily_rollup": Q_TZ_DAILY_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,
