@@ -214,3 +214,45 @@ def test_equidepth_aggregates_before_sorting(spark):
     # plan strings print top-down (output first): the aggregate that
     # feeds the single-partition exchange appears BELOW it in the text
     assert "partial" in plan.lower(), plan
+
+
+def test_quality_floor_broadcasts_threshold_table(spark):
+    from kafka_pyspark_bigdata_spark.operators.quality import corpus_quality_floor
+
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        plan = _plan(corpus_quality_floor(spark, SF))
+    # the tiny per-lang threshold table joins back by broadcast — the
+    # corpus side is never re-shuffled for the gate
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_threshold_sweep_joins_on_band_keys_not_allpairs(spark):
+    from kafka_pyspark_bigdata_spark.operators.dedup import dedup_threshold_sweep
+
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        plan = _plan(dedup_threshold_sweep(spark, SF))
+    # candidates come from equi-joins (band keys, then sig lookups);
+    # an all-pairs cross product must never appear
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_partial_agg_merge_reuses_shard_partitioning(spark):
+    from kafka_pyspark_bigdata_spark.plans.lakehouse import q_partial_agg_merge
+
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        plan = _plan(q_partial_agg_merge(spark, SF))
+    # merge path: shard-level partial agg -> flag-level merge -> join
+    # against the direct agg; the scans push only the 3 needed columns
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schemas and all("l_extendedprice" not in s for s in schemas), schemas
+
+
+def test_tz_rollup_prunes_to_three_columns(spark):
+    from kafka_pyspark_bigdata_spark.plans.relational import q_tz_daily_rollup
+
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        plan = _plan(q_tz_daily_rollup(spark, SF))
+    schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in schema and "event_type" not in schema, schema
