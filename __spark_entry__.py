@@ -136,6 +136,8 @@ _PRIORITY = [
     "q_text_lines_roundtrip",
     "q_binaryfile_scan",
     "q_tz_daily_rollup",
+    "ann_ivf_persisted",
+    "emb_norm_stats",
 ]
 
 

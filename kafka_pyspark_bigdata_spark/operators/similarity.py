@@ -1595,7 +1595,138 @@ FROM s ORDER BY vec_id
 """
 
 
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index LIFECYCLE: build the coarse-quantizer assignment once,
+    PERSIST it partitioned by list id, and answer queries from the
+    on-disk index — the "build once, query many" shape a production ANN
+    service runs (the in-plan ``ann_ivf`` rebuilds per query).
+
+    The index lands as parquet `partitionBy(list_id)`: each inverted
+    list is its own partition directory, so a probe that wants
+    IVF_NPROBE of IVF_NLIST lists reads exactly those directories —
+    partition pruning does the "inverted file" seek, and at 100 TB the
+    unprobed ~75% of the corpus is never opened. Results are identical
+    to ``ann_ivf`` by construction (same assignment argmax, same probe
+    ranking), so the same SQL oracle verifies the whole lifecycle.
+    """
+    import os
+
+    from ..sources.batch import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("centv")
+    )
+    sims = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine_expr("embedding", "centv").alias("sim"),
+    )
+    corpus = (
+        sims.groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias("m"),
+            F.first("embedding").alias("cv"),
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cv",
+            (-F.col("m.ncid")).cast("int").alias("list_id"),
+        )
+    )
+    idx_path = os.path.join(scratch_dir("ivf_index", sf_dir), "index")
+    corpus.write.mode("overwrite").partitionBy("list_id").parquet(idx_path)
+
+    # query time: rank centroid sims for the query set only, then read
+    # ONLY the probed lists from the persisted index
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probes = (
+        sims.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            "cid",
+            "sim",
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "qv", F.col("cid").alias("list_id"))
+    )
+    idx = spark.read.parquet(idx_path)
+    scored = (
+        F.broadcast(probes)
+        .join(idx, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine_expr("qv", "cv").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+NORM_BUCKET_SCALE = 10  # bucket = floor(norm * 10): 0.1-wide norm bands
+
+
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality gate: the L2-norm distribution of the corpus in
+    0.1-wide bands — the screen that catches degenerate vectors (zero or
+    near-zero norms from failed encodes, exploding norms from training
+    bugs) BEFORE they poison cosine-based dedup/ANN downstream.
+
+    Pure scan-side expression tree (zip-free: transform + aggregate per
+    row) followed by one partial-agg shuffle of |bands| keys. Norms are
+    rounded to 6 decimals (same engine-portable contract as
+    ``cosine_expr``) so the band edges are bit-identical in both engines.
+    """
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    "embedding", lambda u: u.cast("double") * u.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        6,
+    )
+    return (
+        emb.select(norm.alias("norm"))
+        .groupBy(
+            F.floor(F.col("norm") * NORM_BUCKET_SCALE).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+EMB_NORM_SQL = f"""
+WITH norms AS (
+  SELECT round(sqrt(list_sum(list_transform(
+           embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+           AS norm
+  FROM embeddings
+)
+SELECT CAST(floor(norm * {NORM_BUCKET_SCALE}) AS INTEGER) AS bucket,
+       COUNT(*) AS n_vecs,
+       MIN(norm) AS min_norm,
+       MAX(norm) AS max_norm
+FROM norms GROUP BY 1 ORDER BY bucket
+"""
+
+
 QUERIES = {
+    "ann_ivf_persisted": ann_ivf_persisted,
+    "emb_norm_stats": emb_norm_stats,
     "semdedup_bucketed": semdedup_bucketed,
     "emb_jl_projection_eval": emb_jl_projection_eval,
     "emb_mrl_recall": emb_mrl_recall,
@@ -1616,6 +1747,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_ivf_persisted": ANN_IVF_SQL,
+    "emb_norm_stats": EMB_NORM_SQL,
     "semdedup_bucketed": _semdedup_sql(),
     "emb_jl_projection_eval": _jl_sql(),
     "emb_mrl_recall": _mrl_sql(),

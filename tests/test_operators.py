@@ -366,3 +366,13 @@ def test_threshold_sweep_cumulative_invariants(spark):
         assert r.n_pairs_at_least == running
         assert r.est_jaccard_pct == (r.n_match * 100) // 16
         assert 0 <= r.n_match <= 16
+
+
+def test_ivf_persisted_equals_inplan(spark):
+    """The persisted-index lifecycle must return exactly the in-plan IVF
+    answer: same assignment argmax, same probes, same top-k."""
+    a = similarity.ann_ivf(spark, "/root/testdata/sf0.001").collect()
+    b = similarity.ann_ivf_persisted(spark, "/root/testdata/sf0.001").collect()
+    assert [(r.query_id, r.rank, r.neighbor_id) for r in a] == [
+        (r.query_id, r.rank, r.neighbor_id) for r in b
+    ]
