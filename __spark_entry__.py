@@ -138,6 +138,7 @@ _PRIORITY = [
     "q_tz_daily_rollup",
     "ann_ivf_persisted",
     "emb_norm_stats",
+    "text_source_divergence",
 ]
 
 

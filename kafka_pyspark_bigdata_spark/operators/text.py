@@ -826,7 +826,111 @@ ORDER BY p.doc_id
 """
 
 
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise TOTAL-VARIATION distance between every source's unigram
+    distribution — the corpus-mix diagnostic behind "is src7 the same
+    kind of text as src3?" decisions (domain weighting, dedup scoping,
+    contamination triage). TV = ½·Σ|p−q| is used instead of KL/JSD
+    because it needs NO logarithm: with integer token counts it reduces
+    to exact integer arithmetic, so all 190 pairs hash-verify.
+
+    One shuffle joins the per-source count vectors on the token; the
+    mass of tokens MISSING from the other source needs no outer join —
+    it is tb·(ta−Σ_common ca) + ta·(tb−Σ_common cb), derived from the
+    broadcast totals. Keys are (source_a, source_b): 190 groups, no
+    token ever aggregates globally. Fixed-point ppm output; at real
+    scale the products move to DECIMAL(38) with the same plan.
+    """
+    tok = with_tokens(load_documents(spark, sf_dir)).select(
+        "source", F.explode("toks").alias("tok")
+    )
+    counts = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = tok.groupBy("source").agg(F.count(F.lit(1)).alias("t"))
+    a = counts.select(
+        F.col("source").alias("source_a"), "tok", F.col("c").alias("ca")
+    )
+    b = counts.select(
+        F.col("source").alias("source_b"), "tok", F.col("c").alias("cb")
+    )
+    ta = totals.select(F.col("source").alias("source_a"), F.col("t").alias("ta"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("t").alias("tb"))
+    common = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .groupBy("source_a", "source_b", "ta", "tb")
+        .agg(
+            F.sum(F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta"))).alias(
+                "num_common"
+            ),
+            F.sum("ca").alias("ca_common"),
+            F.sum("cb").alias("cb_common"),
+        )
+    )
+    grid = (
+        ta.crossJoin(tb)
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(common.drop("ta", "tb"), ["source_a", "source_b"], "left")
+        .na.fill(0, ["num_common", "ca_common", "cb_common"])
+    )
+    num = (
+        F.col("num_common")
+        + F.col("tb") * (F.col("ta") - F.col("ca_common"))
+        + F.col("ta") * (F.col("tb") - F.col("cb_common"))
+    )
+    return (
+        grid.select(
+            "source_a",
+            "source_b",
+            (num * 1_000_000).cast("bigint").alias("tv_num_scaled"),
+            "ta",
+            "tb",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.expr("tv_num_scaled div (2 * ta * tb)").alias("tv_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+TEXT_SOURCE_DIVERGENCE_SQL = f"""
+WITH tok AS (
+  SELECT source, UNNEST({TOKENS_SQL}) AS tok FROM documents
+),
+counts AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+totals AS (SELECT source, COUNT(*) AS t FROM tok GROUP BY 1),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         ta.t AS ta, tb.t AS tb,
+         SUM(ABS(a.c * tb.t - b.c * ta.t)) AS num_common,
+         SUM(a.c) AS ca_common, SUM(b.c) AS cb_common
+  FROM counts a
+  JOIN counts b ON a.tok = b.tok AND a.source < b.source
+  JOIN totals ta ON ta.source = a.source
+  JOIN totals tb ON tb.source = b.source
+  GROUP BY 1, 2, 3, 4
+),
+grid AS (
+  SELECT ta.source AS source_a, tb.source AS source_b, ta.t AS ta, tb.t AS tb,
+         COALESCE(num_common, 0) AS num_common,
+         COALESCE(ca_common, 0) AS ca_common,
+         COALESCE(cb_common, 0) AS cb_common
+  FROM totals ta
+  JOIN totals tb ON ta.source < tb.source
+  LEFT JOIN common ON common.source_a = ta.source AND common.source_b = tb.source
+)
+SELECT source_a, source_b,
+       CAST((num_common + tb * (ta - ca_common) + ta * (tb - cb_common))
+            * 1000000 AS BIGINT) // (2 * ta * tb) AS tv_ppm
+FROM grid ORDER BY source_a, source_b
+"""
+
+
 QUERIES = {
+    "text_source_divergence": text_source_divergence,
     "text_bigram_topnext": text_bigram_topnext,
     "text_vocab_growth": text_vocab_growth,
     "text_cooccurrence_pairs": text_cooccurrence_pairs,
@@ -843,6 +947,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_source_divergence": TEXT_SOURCE_DIVERGENCE_SQL,
     "text_bigram_topnext": TEXT_BIGRAM_SQL,
     "text_vocab_growth": TEXT_VOCAB_GROWTH_SQL,
     "text_cooccurrence_pairs": _cooc_sql(),
