@@ -37,6 +37,7 @@ def _modules():
     # LLM-pipeline operator modules, then lakehouse/sources/streaming/ml,
     # then the already-twice-green families.
     for modpath in (
+        "kafka_pyspark_bigdata_spark.operators.timeseries",
         "kafka_pyspark_bigdata_spark.plans.mining",
         "kafka_pyspark_bigdata_spark.operators.geo",
         "kafka_pyspark_bigdata_spark.plans.behavioral",
@@ -139,6 +140,7 @@ _PRIORITY = [
     "ann_ivf_persisted",
     "emb_norm_stats",
     "text_source_divergence",
+    "ts_similarity_paa",
 ]
 
 

@@ -1,0 +1,191 @@
+"""Time-series similarity search over per-user activity series.
+
+The streaming/OLAP literature (e.g. "Time Series Similarity Search for
+Streaming Data in Distributed Systems", EDBT 2019) searches large series
+collections with a two-stage design: a cheap piecewise summary prunes the
+pair space, an exact distance verifies survivors. ``ts_similarity_paa``
+re-expresses that design Spark-first:
+
+1. Each user's 30-day activity series (daily value sums, missing days 0)
+   is summarized by PAA — Piecewise Aggregate Approximation: 8 segment
+   sums (Keogh et al., public).
+2. Segment sums quantize to coarse integer levels; 2 band keys of 4
+   levels each bucket the users (the same banding trick as MinHash-LSH:
+   near-identical series agree on at least one whole band).
+3. Candidates from the band self-join verify with the EXACT Euclidean
+   distance on the full dense series; the closest pairs win.
+
+Everything before the final sqrt is INTEGER: daily sums accumulate in
+cents (value has 2 decimals, so cents are exact), quantization is integer
+division, and the verify distance is a bigint sum of squared cent diffs —
+ranking happens on that integer, so pair order is engine-exact and the
+only double in the output is the display distance.
+
+Scale shape: daily aggregation is one (user, day)-keyed partial agg; the
+dense 30-vector build is a broadcast day-grid join + per-user
+collect/sort (state = series length per user); banding shuffles 2 short
+keys per user; the verify join touches candidates only — never the
+users² product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.batch import load_table
+
+TS_SEGMENTS = 4  # PAA segments per series
+TS_BANDS = 2  # band keys (TS_SEGMENTS/TS_BANDS quantized levels each)
+TS_QSTEP_CENTS = 60_000  # quantization step: 600.00 in value units
+TS_TOP_PAIRS = 20
+
+_SEG_PER_BAND = TS_SEGMENTS // TS_BANDS
+
+
+def _cents(col):
+    return (F.col(col).cast("decimal(18,2)") * 100).cast("bigint")
+
+
+def ts_similarity_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top closest user pairs by exact Euclidean distance on daily-sum
+    series, candidates from PAA band agreement (docstring above)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"), _cents("value").alias("cents")
+    )
+    bounds = ev.agg(
+        F.min("d").alias("d0"), (F.datediff(F.max("d"), F.min("d")) + 1).alias("nd")
+    )
+    daily = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.datediff("d", "d0").alias("di"),
+            "cents",
+            "nd",
+        )
+        .groupBy("user_id", "di", "nd")
+        .agg(F.sum("cents").alias("v"))
+    )
+    # dense series: day grid × users, missing days = 0
+    days = daily.select("di", "nd").distinct()
+    users = daily.select("user_id").distinct()
+    dense = (
+        users.crossJoin(F.broadcast(days))
+        .join(daily, ["user_id", "di", "nd"], "left")
+        .na.fill(0, ["v"])
+    )
+    series = dense.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("di", "v"))), lambda s: s["v"]
+        ).alias("vec")
+    )
+    # PAA segment sums -> quantized levels -> band keys
+    seg = (
+        dense.withColumn("seg", F.expr(f"di * {TS_SEGMENTS} div nd"))
+        .groupBy("user_id", "seg")
+        .agg(F.sum("v").alias("segsum"))
+        .withColumn("q", F.expr(f"segsum div {TS_QSTEP_CENTS}"))
+    )
+    bands = (
+        seg.withColumn("band", F.expr(f"seg div {_SEG_PER_BAND}"))
+        .groupBy("user_id", "band")
+        .agg(
+            F.concat_ws(
+                "|", F.array_sort(F.collect_list(F.struct("seg", "q"))).cast("string")
+            ).alias("bk")
+        )
+    )
+    cand = (
+        bands.select(F.col("user_id").alias("user_a"), "band", "bk")
+        .join(
+            bands.select(F.col("user_id").alias("user_b"), "band", "bk"),
+            ["band", "bk"],
+        )
+        .filter(F.col("user_a") < F.col("user_b"))
+        .select("user_a", "user_b")
+        .dropDuplicates()
+    )
+    va = series.select(F.col("user_id").alias("user_a"), F.col("vec").alias("va"))
+    vb = series.select(F.col("user_id").alias("user_b"), F.col("vec").alias("vb"))
+    sum_sq = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.orderBy("sum_sq", "user_a", "user_b")
+    return (
+        cand.join(va, "user_a")
+        .join(vb, "user_b")
+        .select("user_a", "user_b", sum_sq.alias("sum_sq"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TS_TOP_PAIRS)
+        .select(
+            "user_a",
+            "user_b",
+            "sum_sq",
+            F.round(F.sqrt(F.col("sum_sq")) / 100, 6).alias("dist"),
+        )
+        .orderBy("sum_sq", "user_a", "user_b")
+    )
+
+
+TS_SIMILARITY_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (
+  SELECT MIN(d) AS d0, datediff('day', MIN(d), MAX(d)) + 1 AS nd FROM ev
+),
+daily AS (
+  SELECT user_id, datediff('day', d0, d) AS di, nd, SUM(cents) AS v
+  FROM ev, bounds GROUP BY 1, 2, 3
+),
+days AS (SELECT DISTINCT di, nd FROM daily),
+users AS (SELECT DISTINCT user_id FROM daily),
+dense AS (
+  SELECT u.user_id, g.di, g.nd, COALESCE(daily.v, 0) AS v
+  FROM users u CROSS JOIN days g
+  LEFT JOIN daily ON daily.user_id = u.user_id AND daily.di = g.di
+),
+series AS (
+  SELECT user_id, list(v ORDER BY di) AS vec FROM dense GROUP BY 1
+),
+seg AS (
+  SELECT user_id, di * {TS_SEGMENTS} // nd AS seg, SUM(v) AS segsum
+  FROM dense GROUP BY 1, 2
+),
+quant AS (SELECT user_id, seg, segsum // {TS_QSTEP_CENTS} AS q FROM seg),
+bands AS (
+  SELECT user_id, seg // {_SEG_PER_BAND} AS band,
+         string_agg('{{' || seg || ', ' || q || '}}', '|' ORDER BY seg) AS bk
+  FROM quant GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bk = b.bk AND a.user_id < b.user_id
+),
+scored AS (
+  SELECT user_a, user_b,
+         list_sum(list_transform(list_zip(x.vec, y.vec),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS sum_sq
+  FROM cand JOIN series x ON x.user_id = user_a
+            JOIN series y ON y.user_id = user_b
+)
+SELECT user_a, user_b, CAST(sum_sq AS BIGINT) AS sum_sq,
+       round(sqrt(CAST(sum_sq AS DOUBLE)) / 100, 6) AS dist
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY sum_sq, user_a, user_b) AS rank
+  FROM scored
+) WHERE rank <= {TS_TOP_PAIRS}
+ORDER BY sum_sq, user_a, user_b
+"""
+
+
+QUERIES = {"ts_similarity_paa": ts_similarity_paa}
+
+ORACLES = {"ts_similarity_paa": TS_SIMILARITY_SQL}

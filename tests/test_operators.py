@@ -10,11 +10,12 @@ from kafka_pyspark_bigdata_spark.operators import (
     multimodal,
     similarity,
     text,
+    timeseries,
 )
 
 from conftest import assert_oracle_match
 
-MODULES = [text, dedup, similarity, multimodal, geo]
+MODULES = [text, dedup, similarity, multimodal, geo, timeseries]
 CASES = [(m, name) for m in MODULES for name in sorted(m.QUERIES)]
 
 
@@ -376,3 +377,17 @@ def test_ivf_persisted_equals_inplan(spark):
     assert [(r.query_id, r.rank, r.neighbor_id) for r in a] == [
         (r.query_id, r.rank, r.neighbor_id) for r in b
     ]
+
+
+def test_ts_similarity_ranks_by_integer_distance(spark):
+    """Pairs come out ordered by the exact integer squared distance and
+    the display distance must be sqrt(sum_sq)/100 rounded to 6."""
+    import math
+
+    rows = timeseries.ts_similarity_paa(spark, "/root/testdata/sf0.01").collect()
+    assert 0 < len(rows) <= timeseries.TS_TOP_PAIRS
+    sqs = [r.sum_sq for r in rows]
+    assert sqs == sorted(sqs)
+    for r in rows:
+        assert abs(r.dist - round(math.sqrt(r.sum_sq) / 100, 6)) < 1e-12
+        assert r.user_a < r.user_b
