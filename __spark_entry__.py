@@ -141,6 +141,7 @@ _PRIORITY = [
     "emb_norm_stats",
     "text_source_divergence",
     "ts_similarity_paa",
+    "ts_autocorr",
 ]
 
 

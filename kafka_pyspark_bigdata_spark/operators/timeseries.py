@@ -48,9 +48,9 @@ def _cents(col):
     return (F.col(col).cast("decimal(18,2)") * 100).cast("bigint")
 
 
-def ts_similarity_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top closest user pairs by exact Euclidean distance on daily-sum
-    series, candidates from PAA band agreement (docstring above)."""
+def _dense_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, di, nd, v): day-indexed DENSE daily cent sums per user —
+    day grid broadcast-joined so missing days are explicit zeros."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("d"), _cents("value").alias("cents")
     )
@@ -68,14 +68,19 @@ def ts_similarity_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "di", "nd")
         .agg(F.sum("cents").alias("v"))
     )
-    # dense series: day grid × users, missing days = 0
     days = daily.select("di", "nd").distinct()
     users = daily.select("user_id").distinct()
-    dense = (
+    return (
         users.crossJoin(F.broadcast(days))
         .join(daily, ["user_id", "di", "nd"], "left")
         .na.fill(0, ["v"])
     )
+
+
+def ts_similarity_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top closest user pairs by exact Euclidean distance on daily-sum
+    series, candidates from PAA band agreement (docstring above)."""
+    dense = _dense_daily(spark, sf_dir)
     series = dense.groupBy("user_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("di", "v"))), lambda s: s["v"]
@@ -186,6 +191,113 @@ ORDER BY sum_sq, user_a, user_b
 """
 
 
-QUERIES = {"ts_similarity_paa": ts_similarity_paa}
+TS_AC_LAGS = (1, 2, 3, 7)  # lag-7 = weekly periodicity on a daily series
 
-ORACLES = {"ts_similarity_paa": TS_SIMILARITY_SQL}
+
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag autocorrelation of the daily activity series — the
+    periodicity detector (lag-7 on daily data = weekly habit strength)
+    that decides which series get seasonal models downstream.
+
+    Exactness: with S = Σx and n fixed, r_L = Σ(n·xᵢ−S)(n·xᵢ₊L−S) /
+    Σ(n·xᵢ−S)² — numerator and denominator are EXACT bigints (cent
+    inputs), each < 2⁵³ so the final double division is correctly
+    rounded and engine-identical; no running float sums anywhere.
+    Plan: the dense-series build (one shuffle keyed by user) then pure
+    per-row array expressions — autocorrelation at any number of lags
+    adds zero shuffles.
+    """
+    dense = _dense_daily(spark, sf_dir)
+    series = dense.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("di", "v"))), lambda s: s["v"]
+        ).alias("vec")
+    )
+    n = F.size("vec")
+    s = F.aggregate("vec", F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    base = series.select(
+        "user_id",
+        n.alias("n"),
+        F.transform("vec", lambda x: x * n - s).alias("cvec"),
+    )
+    den = F.aggregate(
+        F.transform("cvec", lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+    def r_lag(lag: int):
+        num = F.aggregate(
+            F.zip_with(
+                F.slice("cvec", 1, F.col("n") - lag),
+                F.slice("cvec", 1 + lag, F.col("n") - lag),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        return F.round(
+            num.cast("double") / F.nullif(den, F.lit(0)).cast("double"), 6
+        ).alias(f"r{lag}")
+
+    return base.select(
+        "user_id", *[r_lag(lag) for lag in TS_AC_LAGS]
+    ).orderBy("user_id")
+
+
+def _autocorr_sql() -> str:
+    lag_exprs = ",\n       ".join(
+        f"""round(CAST(list_sum(list_transform(
+             list_zip(cvec[1:(n - {lag})], cvec[(1 + {lag}):n]),
+             p -> p[1] * p[2])) AS DOUBLE)
+           / nullif(CAST(den AS DOUBLE), 0), 6) AS r{lag}"""
+        for lag in TS_AC_LAGS
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (
+  SELECT MIN(d) AS d0, datediff('day', MIN(d), MAX(d)) + 1 AS nd FROM ev
+),
+daily AS (
+  SELECT user_id, datediff('day', d0, d) AS di, nd, SUM(cents) AS v
+  FROM ev, bounds GROUP BY 1, 2, 3
+),
+days AS (SELECT DISTINCT di, nd FROM daily),
+users AS (SELECT DISTINCT user_id FROM daily),
+dense AS (
+  SELECT u.user_id, g.di, g.nd, COALESCE(daily.v, 0) AS v
+  FROM users u CROSS JOIN days g
+  LEFT JOIN daily ON daily.user_id = u.user_id AND daily.di = g.di
+),
+series AS (
+  SELECT user_id, list(v ORDER BY di) AS vec FROM dense GROUP BY 1
+),
+base AS (
+  SELECT user_id, len(vec) AS n,
+         list_transform(vec, x -> x * len(vec) - list_sum(vec)) AS cvec
+  FROM series
+),
+withden AS (
+  SELECT user_id, n, cvec,
+         list_sum(list_transform(cvec, x -> x * x)) AS den
+  FROM base
+)
+SELECT user_id,
+       {lag_exprs}
+FROM withden ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "ts_similarity_paa": ts_similarity_paa,
+    "ts_autocorr": ts_autocorr,
+}
+
+ORACLES = {
+    "ts_similarity_paa": TS_SIMILARITY_SQL,
+    "ts_autocorr": _autocorr_sql(),
+}

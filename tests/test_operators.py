@@ -391,3 +391,14 @@ def test_ts_similarity_ranks_by_integer_distance(spark):
     for r in rows:
         assert abs(r.dist - round(math.sqrt(r.sum_sq) / 100, 6)) < 1e-12
         assert r.user_a < r.user_b
+
+
+def test_autocorr_bounded_and_lag0_would_be_one(spark):
+    """Every autocorrelation must lie in [-1, 1]; the centered-integer
+    construction also means a user with any variance has r defined."""
+    rows = timeseries.ts_autocorr(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    for r in rows:
+        for lag in timeseries.TS_AC_LAGS:
+            v = getattr(r, f"r{lag}")
+            assert v is None or -1.0 <= v <= 1.0
