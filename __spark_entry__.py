@@ -142,6 +142,7 @@ _PRIORITY = [
     "text_source_divergence",
     "ts_similarity_paa",
     "ts_autocorr",
+    "ts_stl_lite",
 ]
 
 

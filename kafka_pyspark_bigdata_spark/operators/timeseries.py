@@ -292,12 +292,113 @@ FROM withden ORDER BY user_id
 """
 
 
+def ts_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical trend/seasonal/remainder decomposition of the corpus-wide
+    daily activity series (the moving-average STL ancestor): trend =
+    centered 7-day mean, seasonal = per-weekday mean of the detrended
+    series, remainder = the rest.
+
+    Exactness without float accumulation: every component is carried as
+    an exact INTEGER numerator over a known denominator — detrended
+    numerator n7 = 7·T − Σ₇, seasonal numerator Σ_dow n7 — and each
+    output double is ONE division of exact sub-2⁵³ integers (correctly
+    rounded ⇒ engine-identical). Edge days without a full window are
+    null, as in the classical definition. The daily-total series is
+    |days| rows, so the window/seasonal passes are trivially small; the
+    only real work is the first (user-day → day) partial aggregation.
+    """
+    dense = _dense_daily(spark, sf_dir)
+    totals = dense.groupBy("di").agg(F.sum("v").alias("t")).withColumn(
+        "dow", F.expr("di % 7")
+    )
+    w7 = Window.orderBy("di").rowsBetween(-3, 3)
+    with7 = totals.withColumn("sum7", F.sum("t").over(w7)).withColumn(
+        "cnt7", F.count(F.lit(1)).over(w7)
+    )
+    # n7 = 7*T - sum7: the detrended value scaled by 7, exact bigint
+    n7 = with7.withColumn(
+        "n7", F.when(F.col("cnt7") == 7, 7 * F.col("t") - F.col("sum7"))
+    )
+    seas = (
+        n7.filter(F.col("n7").isNotNull())
+        .groupBy("dow")
+        .agg(F.sum("n7").alias("s_num"), F.count(F.lit(1)).alias("s_cnt"))
+    )
+    out = n7.join(F.broadcast(seas), "dow", "left")
+    trend = F.when(F.col("cnt7") == 7, F.col("sum7") / F.lit(7.0))
+    seasonal = F.when(
+        F.col("n7").isNotNull(),
+        F.col("s_num").cast("double") / (7.0 * F.col("s_cnt")),
+    )
+    remainder = F.when(
+        F.col("n7").isNotNull(),
+        (
+            7 * F.col("s_cnt") * F.col("t")
+            - F.col("s_cnt") * F.col("sum7")
+            - F.col("s_num")
+        ).cast("double")
+        / (7.0 * F.col("s_cnt")),
+    )
+    return out.select(
+        "di",
+        "dow",
+        F.col("t").alias("total_cents"),
+        F.round(trend, 6).alias("trend"),
+        F.round(seasonal, 6).alias("seasonal"),
+        F.round(remainder, 6).alias("remainder"),
+    ).orderBy("di")
+
+
+TS_STL_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (
+  SELECT MIN(d) AS d0 FROM ev
+),
+totals AS (
+  SELECT datediff('day', d0, d) AS di, datediff('day', d0, d) % 7 AS dow,
+         SUM(cents) AS t
+  FROM ev, bounds GROUP BY 1, 2
+),
+with7 AS (
+  SELECT di, dow, t,
+         SUM(t) OVER (ORDER BY di ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS sum7,
+         COUNT(*) OVER (ORDER BY di ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS cnt7
+  FROM totals
+),
+n7t AS (
+  SELECT *, CASE WHEN cnt7 = 7 THEN 7 * t - sum7 END AS n7 FROM with7
+),
+seas AS (
+  SELECT dow, CAST(SUM(n7) AS BIGINT) AS s_num, COUNT(*) AS s_cnt
+  FROM n7t WHERE n7 IS NOT NULL GROUP BY dow
+)
+SELECT di, CAST(n7t.dow AS BIGINT) AS dow, CAST(t AS BIGINT) AS total_cents,
+       round(CASE WHEN cnt7 = 7 THEN sum7 / 7.0 END, 6) AS trend,
+       round(CASE WHEN n7 IS NOT NULL
+                  THEN CAST(s_num AS DOUBLE) / (7.0 * s_cnt) END, 6)
+         AS seasonal,
+       round(CASE WHEN n7 IS NOT NULL
+                  THEN CAST(7 * s_cnt * t - s_cnt * sum7 - s_num AS DOUBLE)
+                       / (7.0 * s_cnt) END, 6) AS remainder
+FROM n7t LEFT JOIN seas ON seas.dow = n7t.dow
+ORDER BY di
+"""
+
+
 QUERIES = {
     "ts_similarity_paa": ts_similarity_paa,
     "ts_autocorr": ts_autocorr,
+    "ts_stl_lite": ts_stl_lite,
 }
 
 ORACLES = {
     "ts_similarity_paa": TS_SIMILARITY_SQL,
     "ts_autocorr": _autocorr_sql(),
+    "ts_stl_lite": TS_STL_SQL,
 }

@@ -402,3 +402,14 @@ def test_autocorr_bounded_and_lag0_would_be_one(spark):
         for lag in timeseries.TS_AC_LAGS:
             v = getattr(r, f"r{lag}")
             assert v is None or -1.0 <= v <= 1.0
+
+
+def test_stl_components_recompose_exactly(spark):
+    """trend + seasonal + remainder must equal the total (in cents) on
+    every full-window day, and edge days must be null."""
+    rows = timeseries.ts_stl_lite(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) >= 7
+    full = [r for r in rows if r.trend is not None]
+    assert len(full) == len(rows) - 6  # 3 edge days each side
+    for r in full:
+        assert abs((r.trend + r.seasonal + r.remainder) - r.total_cents) < 2e-6 * max(1, r.total_cents)
