@@ -413,3 +413,55 @@ def test_stl_components_recompose_exactly(spark):
     assert len(full) == len(rows) - 6  # 3 edge days each side
     for r in full:
         assert abs((r.trend + r.seasonal + r.remainder) - r.total_cents) < 2e-6 * max(1, r.total_cents)
+
+
+def _brute_jaccard_pairs(texts: list[str], threshold: float):
+    """Python reference: exact Jaccard over distinct word-3-gram shingles."""
+    sets = []
+    for t in texts:
+        toks = [w for w in t.lower().split() if w]
+        sets.append(
+            {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            if len(toks) >= 3
+            else None
+        )
+    out = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            if sets[i] and sets[j]:
+                inter = len(sets[i] & sets[j])
+                jac = inter / (len(sets[i]) + len(sets[j]) - inter)
+                if jac >= threshold:
+                    out.add((i, j))
+    return out
+
+
+def test_ppjoin_matches_bruteforce_on_random_corpora(spark, tmp_path):
+    """Property: the prefix-filtered PPJoin plan returns EXACTLY the pairs
+    a quadratic Python brute force finds — across random corpora with
+    planted near-duplicates (the prefix lemma loses nothing)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{k}" for k in range(30)]
+    for trial in range(3):
+        texts = []
+        for _ in range(12):
+            texts.append(" ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+        # plant near-dups: copy with small perturbations
+        for src in (0, 3, 5):
+            words = texts[src].split()
+            if len(words) > 4:
+                words[rng.randrange(len(words))] = rng.choice(vocab)
+            texts.append(" ".join(words))
+        d = str(tmp_path / f"corpus{trial}")
+        spark.createDataFrame(
+            [(i, t, "en", "srcX", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(d + "/documents.parquet")
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.dedup_ngram_jaccard(spark, d).collect()
+        }
+        want = _brute_jaccard_pairs(texts, dedup.JACCARD_THRESHOLD)
+        assert got == want, (trial, got ^ want)
