@@ -143,6 +143,7 @@ _PRIORITY = [
     "ts_similarity_paa",
     "ts_autocorr",
     "ts_stl_lite",
+    "mm_modality_router",
 ]
 
 

@@ -61,12 +61,16 @@ def main() -> None:
         "q_attribution_last_touch",
         "q_market_basket_pairs",
         "geo_grid_pairs",
+        "ts_similarity_paa",
+        "ts_autocorr",
+        "q_tz_daily_rollup",
         # text / similarity / multimodal / dedup extensions — ordered
         # light→heavy: the multi-shuffle dedup queries run LAST so their
         # GC/memory pressure cannot inflate the timings of the queries
         # after them (observed ~3x inflation when a heavy query precedes
         # the ANN set).
         "corpus_quality_floor",
+        "text_source_divergence",
         "text_quality",
         "text_fingerprint",
         "text_cms_heavy_hitters",

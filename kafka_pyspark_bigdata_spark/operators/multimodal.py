@@ -422,7 +422,83 @@ ORDER BY id_a, id_b
 """
 
 
+_MAGIC_HEX = {"png": "89504E470D0A1A0A", "jpeg": "FFD8FF", "wav": "52494646"}
+
+
+def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-SNIFFING modality router: classify binary payloads by their
+    real magic bytes (PNG/JPEG/RIFF signatures), never by the metadata
+    tag — the ingestion gate that catches mislabeled and truncated media
+    before a decoder segfaults on them. Payloads here are the fixture
+    blobs with genuine magic prefixes planted by doc_id (and a slice
+    deliberately left magic-less to exercise the quarantine class).
+
+    The sniff is a pure JVM expression — ``hex(substring(payload, 1,
+    8))`` prefix compare, no UDF — so at 100 TB routing is a scan-side
+    map: one pass, predicate-pushable, and each modality's rows can flow
+    straight to its own decoder/sink. Output is the per-modality audit
+    (file count, byte volume, id range).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    magic = F.element_at(
+        F.array(*[F.unhex(F.lit(h)) for h in _MAGIC_HEX.values()]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    # every 7th blob ships WITHOUT its magic: the corrupt/unknown class
+    payload = F.when(
+        F.col("doc_id") % 7 == 0, F.encode("text", "UTF-8")
+    ).otherwise(F.concat(magic, F.encode("text", "UTF-8")))
+    head = F.hex(F.substring(payload, 1, 8))
+    sniffed = (
+        F.when(F.substring(head, 1, 16) == _MAGIC_HEX["png"], "png")
+        .when(F.substring(head, 1, 6) == _MAGIC_HEX["jpeg"], "jpeg")
+        .when(F.substring(head, 1, 8) == _MAGIC_HEX["wav"], "wav")
+        .otherwise("unknown")
+    )
+    return (
+        docs.select(
+            "doc_id", sniffed.alias("modality"), F.octet_length(payload).alias("nb")
+        )
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("nb").alias("total_bytes"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("modality")
+    )
+
+
+MM_ROUTER_SQL = rf"""
+WITH blobs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN encode(text)
+              WHEN doc_id % 3 = 0
+                THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::BLOB || encode(text)
+              WHEN doc_id % 3 = 1
+                THEN '\xFF\xD8\xFF'::BLOB || encode(text)
+              ELSE '\x52\x49\x46\x46'::BLOB || encode(text)
+         END AS payload
+  FROM documents
+),
+sniffed AS (
+  SELECT doc_id, octet_length(payload) AS nb,
+         CASE WHEN left(hex(payload), 16) = '{_MAGIC_HEX["png"]}' THEN 'png'
+              WHEN left(hex(payload), 6) = '{_MAGIC_HEX["jpeg"]}' THEN 'jpeg'
+              WHEN left(hex(payload), 8) = '{_MAGIC_HEX["wav"]}' THEN 'wav'
+              ELSE 'unknown' END AS modality
+  FROM blobs
+)
+SELECT modality, COUNT(*) AS n_files,
+       CAST(SUM(nb) AS BIGINT) AS total_bytes,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM sniffed GROUP BY modality ORDER BY modality
+"""
+
+
 QUERIES = {
+    "mm_modality_router": mm_modality_router,
     "mm_decode_image": mm_decode_image,
     "mm_frame_sample": mm_frame_sample,
     "mm_resize_image": mm_resize_image,
@@ -431,6 +507,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mm_modality_router": MM_ROUTER_SQL,
     "mm_phash_dedup": MM_PHASH_SQL,
     "mm_decode_image": MM_DECODE_SQL,
     "mm_frame_sample": MM_FRAME_SQL,

@@ -465,3 +465,17 @@ def test_ppjoin_matches_bruteforce_on_random_corpora(spark, tmp_path):
         }
         want = _brute_jaccard_pairs(texts, dedup.JACCARD_THRESHOLD)
         assert got == want, (trial, got ^ want)
+
+
+def test_modality_router_quarantines_magicless_blobs(spark):
+    """Every modality class is present, counts tile the corpus, and the
+    magic-less slice lands in 'unknown' (the quarantine path)."""
+    rows = {r.modality: r for r in multimodal.mm_modality_router(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"png", "jpeg", "wav", "unknown"}
+    assert rows["unknown"].n_files > 0
+    import duckdb
+    n_docs = duckdb.sql(
+        "SELECT COUNT(*) FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_files for r in rows.values()) == n_docs
