@@ -144,6 +144,7 @@ _PRIORITY = [
     "ts_autocorr",
     "ts_stl_lite",
     "mm_modality_router",
+    "text_keyphrase_rake",
 ]
 
 

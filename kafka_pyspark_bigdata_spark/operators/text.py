@@ -929,8 +929,127 @@ FROM grid ORDER BY source_a, source_b
 """
 
 
+RAKE_MAX_PHRASE = 4
+RAKE_TOP = 25
+
+
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010, public): candidate
+    phrases are maximal stopword-free token runs; each word scores
+    degree/frequency (degree = Σ length of phrases containing the word);
+    a phrase scores the sum of its word scores. Top phrases win.
+
+    The phrase split is the gaps-and-islands idiom keyed by doc —
+    ``pos − row_number()`` over non-stopword tokens — so candidate
+    extraction is ONE window pass partitioned by doc_id, then phrase and
+    word statistics are two partial aggregations (phrase text / word).
+    No token aggregates globally except the |vocab|-row word-score
+    table, and scores stay engine-exact: degree and frequency are
+    integers, each word score is one correctly-rounded double division,
+    and a phrase folds its word scores in sorted order (same sequential
+    fold both engines). Phrases longer than {RAKE_MAX_PHRASE} are
+    dropped — the standard guard against run-on candidates and the
+    bound that keeps per-phrase work O(1).
+    """
+    docs = with_tokens(load_documents(spark, sf_dir))
+    tok = docs.select("doc_id", F.posexplode("toks").alias("pos", "w"))
+    nonstop = tok.filter(~F.col("w").isin(*EN_STOPWORDS))
+    wrun = Window.partitionBy("doc_id").orderBy("pos")
+    runs = nonstop.withColumn(
+        "run", F.col("pos") - F.row_number().over(wrun)
+    )
+    phrases = (
+        runs.groupBy("doc_id", "run")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ).alias("ws")
+        )
+        .filter(F.size("ws") <= RAKE_MAX_PHRASE)
+        .select(F.concat_ws(" ", "ws").alias("phrase"), "ws")
+    )
+    occ = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occ"), F.first("ws").alias("ws")
+    )
+    wstats = (
+        phrases.select(F.explode("ws").alias("w"), F.size("ws").alias("plen"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+        .select(
+            "w", (F.col("deg").cast("double") / F.col("freq")).alias("wscore")
+        )
+    )
+    scored = (
+        occ.select("phrase", "n_occ", F.explode("ws").alias("w"))
+        .join(wstats, "w")
+        .groupBy("phrase", "n_occ")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("w", "wscore"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["wscore"],
+            ).alias("raw"),
+        )
+        .select("phrase", "n_occ", F.round("raw", 6).alias("score"))
+    )
+    wtop = Window.orderBy(F.desc("score"), F.asc("phrase"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= RAKE_TOP)
+        .select("rank", "phrase", "n_occ", "score")
+        .orderBy("rank")
+    )
+
+
+TEXT_RAKE_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id,
+         UNNEST(list_transform({TOKENS_SQL},
+                               (x, i) -> {{'pos': i, 'w': x}})) AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, t.pos AS pos, t.w AS w FROM tokd),
+nonstop AS (
+  SELECT doc_id, pos, w,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+  FROM tok WHERE w NOT IN ({_STOP_SQL})
+),
+phrases AS (
+  SELECT array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+         list(w ORDER BY pos) AS ws
+  FROM nonstop GROUP BY doc_id, run
+  HAVING len(list(w ORDER BY pos)) <= {RAKE_MAX_PHRASE}
+),
+occ AS (
+  SELECT phrase, COUNT(*) AS n_occ, MIN(ws) AS ws FROM phrases GROUP BY phrase
+),
+wstats AS (
+  SELECT w, CAST(SUM(plen) AS DOUBLE) / COUNT(*) AS wscore
+  FROM (SELECT UNNEST(ws) AS w, len(ws) AS plen FROM phrases)
+  GROUP BY w
+),
+scored AS (
+  SELECT phrase, n_occ,
+         round(list_sum(list_transform(
+           list({{'w': pw.w, 'wscore': wscore}} ORDER BY pw.w, wscore),
+           s -> s.wscore)), 6) AS score
+  FROM (SELECT phrase, n_occ, UNNEST(ws) AS w FROM occ) pw
+  JOIN wstats USING (w)
+  GROUP BY phrase, n_occ
+)
+SELECT rank, phrase, n_occ, score FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, phrase) AS INTEGER)
+              AS rank
+  FROM scored
+) WHERE rank <= {RAKE_TOP}
+ORDER BY rank
+"""
+
+
 QUERIES = {
     "text_source_divergence": text_source_divergence,
+    "text_keyphrase_rake": text_keyphrase_rake,
     "text_bigram_topnext": text_bigram_topnext,
     "text_vocab_growth": text_vocab_growth,
     "text_cooccurrence_pairs": text_cooccurrence_pairs,
@@ -948,6 +1067,7 @@ QUERIES = {
 
 ORACLES = {
     "text_source_divergence": TEXT_SOURCE_DIVERGENCE_SQL,
+    "text_keyphrase_rake": TEXT_RAKE_SQL,
     "text_bigram_topnext": TEXT_BIGRAM_SQL,
     "text_vocab_growth": TEXT_VOCAB_GROWTH_SQL,
     "text_cooccurrence_pairs": _cooc_sql(),

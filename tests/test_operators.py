@@ -479,3 +479,13 @@ def test_modality_router_quarantines_magicless_blobs(spark):
         "SELECT COUNT(*) FROM '/root/testdata/sf0.001/documents.parquet'"
     ).fetchone()[0]
     assert sum(r.n_files for r in rows.values()) == n_docs
+
+
+def test_rake_scores_multiword_phrases_above_their_parts(spark):
+    """RAKE's defining property: a multi-word phrase accumulates its
+    words' scores, so the top phrase is at least as long-scored as any
+    single word, and ranks are dense from 1."""
+    rows = text.text_keyphrase_rake(spark, "/root/testdata/sf0.001").collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert rows and rows[0].score >= rows[-1].score
+    assert any(" " in r.phrase for r in rows), "multi-word phrases extracted"
