@@ -145,6 +145,7 @@ _PRIORITY = [
     "ts_stl_lite",
     "mm_modality_router",
     "text_keyphrase_rake",
+    "corpus_cap_per_source",
 ]
 
 

@@ -509,7 +509,63 @@ ORDER BY cutoff
 """
 
 
+CAP_PER_SOURCE = 30
+
+
+def corpus_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain capping: keep at most {CAP_PER_SOURCE} documents per
+    source, chosen by a DETERMINISTIC hash priority (md5 of the doc id)
+    — the curation step that stops one crawled domain from dominating
+    the training mix (the published C4/RefinedWeb pipelines cap or
+    down-weight dominant hosts the same way).
+
+    Hash priority beats rand(): reproducible across runs/partitionings,
+    and the selection is a per-source top-k window — one shuffle keyed
+    by source, per-group heap state, no global sort. Reported per
+    source: kept/dropped and the priority cutoff actually used (the
+    audit trail for "why was this doc dropped?").
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")).alias("pri"),
+    )
+    w = Window.partitionBy("source").orderBy("pri", "doc_id")
+    ranked = docs.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("rk") <= CAP_PER_SOURCE).cast("int")).alias("n_kept"),
+            F.sum((F.col("rk") > CAP_PER_SOURCE).cast("int")).alias("n_dropped"),
+            F.max(F.when(F.col("rk") == CAP_PER_SOURCE, F.col("pri"))).alias(
+                "cutoff_pri"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_CAP_SQL = f"""
+WITH ranked AS (
+  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS pri,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rk <= {CAP_PER_SOURCE} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rk > {CAP_PER_SOURCE} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       MAX(CASE WHEN rk = {CAP_PER_SOURCE} THEN pri END) AS cutoff_pri
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "corpus_cap_per_source": corpus_cap_per_source,
     "corpus_preprocess_e2e": corpus_preprocess_e2e,
     "corpus_token_budget": corpus_token_budget,
     "corpus_length_survival": corpus_length_survival,
@@ -523,6 +579,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_cap_per_source": CORPUS_CAP_SQL,
     "corpus_token_budget": CORPUS_TOKEN_BUDGET_SQL,
     "corpus_length_survival": CORPUS_LENGTH_SURVIVAL_SQL,
     "corpus_mix_weighted": CORPUS_MIX_SQL,

@@ -136,3 +136,14 @@ def test_preprocess_e2e_accounting_closes(spark):
     )
     assert bad.count() == 0
     assert df.agg({"n_kept": "sum"}).first()[0] > 0
+
+
+def test_cap_per_source_never_exceeds_cap(spark):
+    """kept ≤ cap per source, kept+dropped tiles the source, and the
+    cutoff exists exactly when the source is at capacity."""
+    rows = pipeline.corpus_cap_per_source(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept <= pipeline.CAP_PER_SOURCE
+        assert r.n_kept + r.n_dropped == r.n_docs
+        assert (r.cutoff_pri is not None) == (r.n_docs >= pipeline.CAP_PER_SOURCE)
