@@ -146,6 +146,7 @@ _PRIORITY = [
     "mm_modality_router",
     "text_keyphrase_rake",
     "corpus_cap_per_source",
+    "ml_quality_classifier",
 ]
 
 

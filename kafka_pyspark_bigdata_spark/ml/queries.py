@@ -400,7 +400,82 @@ def ml_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED corpus quality filtering (the published
+    FineWeb-Edu/phi-style pattern): train a logistic regression on
+    hashed text features to predict the heuristic gate's verdict, then
+    measure how well the model reproduces it on held-out documents —
+    the step that lets a pipeline replace brittle hand rules with a
+    learned scorer it can THRESHOLD at any recall.
+
+    Featurization is the vocabulary-free hashing trick (HashingTF over
+    the token array — nothing to broadcast or keep consistent across a
+    100 TB corpus); the label is the composite C4/Gopher-style gate
+    from operators/quality.corpus_filter_verdict; the split is
+    hash-deterministic; and the held-out ROC-AUC is the exact
+    Mann-Whitney rank statistic as a DataFrame aggregation (same
+    integer-exact formulation as ``ml_classifier_auc`` — no collect,
+    no approximate sampling). Rows-only contract: model fitting is not
+    SQL-expressible.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+    from pyspark.ml.functions import vector_to_array
+
+    from ..operators.pipeline import TRAIN_BUCKETS, hash_bucket_expr
+    from ..operators.quality import corpus_filter_verdict
+    from ..operators.text import load_documents, with_tokens
+
+    verdict = corpus_filter_verdict(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("double").alias("label")
+    )
+    docs = (
+        with_tokens(load_documents(spark, sf_dir))
+        .select("doc_id", "toks", hash_bucket_expr("doc_id").alias("bucket"))
+        .join(verdict, "doc_id")
+    )
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=64)
+    feats = tf.transform(docs)
+    train = feats.filter(F.col("bucket") < TRAIN_BUCKETS)
+    evald = feats.filter(F.col("bucket") >= TRAIN_BUCKETS)
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label", maxIter=25, regParam=0.01
+    )
+    model = lr.fit(train)
+    scored = model.transform(evald).select(
+        vector_to_array("probability").getItem(1).alias("score"), "label"
+    )
+    per_score = scored.groupBy("score").agg(
+        F.sum(F.col("label").cast("long")).alias("pos"),
+        F.sum((F.lit(1) - F.col("label")).cast("long")).alias("neg"),
+    )
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_score.withColumn(
+        "neg_below", F.sum("neg").over(w) - F.col("neg")
+    )
+    stats = ranked.agg(
+        F.sum(F.col("pos") * (2 * F.col("neg_below") + F.col("neg"))).alias("u2"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+    )
+    tcount = train.agg(F.count(F.lit(1)).alias("n_train"))
+    return stats.crossJoin(F.broadcast(tcount)).select(
+        "n_train",
+        (F.col("n_pos") + F.col("n_neg")).alias("n_eval"),
+        "n_pos",
+        "n_neg",
+        (
+            F.col("u2").cast("double")
+            / (2.0 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
 QUERIES = {
+    "ml_quality_classifier": ml_quality_classifier,
     "ml_lift_deciles": ml_lift_deciles,
     "ml_classifier_auc": ml_classifier_auc,
     "ml_grid_search": ml_grid_search,

@@ -192,3 +192,14 @@ def test_classifier_auc_deterministic(spark):
     a = ml_classifier_auc(spark, "/root/testdata/sf0.001").first()
     b = ml_classifier_auc(spark, "/root/testdata/sf0.001").first()
     assert a.auc == b.auc and a.n_eval == b.n_eval
+
+
+def test_quality_classifier_beats_chance(spark):
+    """The learned quality scorer must clearly beat chance at
+    reproducing the heuristic gate (the point of model-based filtering),
+    with a sane confusion of counts."""
+    from kafka_pyspark_bigdata_spark.ml.queries import ml_quality_classifier
+
+    r = ml_quality_classifier(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n_eval == r.n_pos + r.n_neg > 0
+    assert 0.6 < r.auc <= 1.0
