@@ -147,6 +147,7 @@ _PRIORITY = [
     "text_keyphrase_rake",
     "corpus_cap_per_source",
     "ml_quality_classifier",
+    "geo_dbscan_core",
 ]
 
 

@@ -181,12 +181,94 @@ ORDER BY user_a, user_b
 """
 
 
+DBSCAN_MINPTS = 4
+
+
+def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN point classification (core / border / noise) over the
+    grid-bucketed neighbor graph — the density-clustering primitive,
+    with the O(n²) neighborhood search replaced by the same
+    cell-bucketed candidate join as ``geo_grid_pairs`` (the published
+    MR-DBSCAN decomposition).
+
+    core: ≥ {DBSCAN_MINPTS} in-radius neighbors; border: non-core with
+    a core neighbor; noise: the rest. Everything is integer counts over
+    the verified pair list — one union + two keyed aggregations + one
+    semi-join against the (small) core set; no distances recomputed.
+    """
+    pairs = geo_grid_pairs(spark, sf_dir).select("user_a", "user_b")
+    und = pairs.union(
+        pairs.select(F.col("user_b").alias("user_a"), F.col("user_a").alias("user_b"))
+    ).toDF("u", "v")
+    ncnt = und.groupBy("u").agg(F.count(F.lit(1)).alias("n_neighbors"))
+    base = (
+        _points(spark, sf_dir)
+        .select("user_id")
+        .join(ncnt, F.col("user_id") == F.col("u"), "left")
+        .select("user_id", F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"))
+    )
+    cores = base.filter(F.col("n_neighbors") >= DBSCAN_MINPTS).select(
+        F.col("user_id").alias("core_id")
+    )
+    border_ids = (
+        und.join(cores, und["v"] == cores["core_id"])
+        .select(F.col("u").alias("border_id"))
+        .distinct()
+    )
+    return (
+        base.join(cores, base["user_id"] == cores["core_id"], "left")
+        .join(border_ids, base["user_id"] == border_ids["border_id"], "left")
+        .select(
+            "user_id",
+            "n_neighbors",
+            F.when(F.col("core_id").isNotNull(), "core")
+            .when(F.col("border_id").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+        )
+        .orderBy("user_id")
+    )
+
+
+GEO_DBSCAN_SQL = f"""
+WITH {_COORDS_SQL},
+pairs AS (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM pts a JOIN pts b ON a.user_id < b.user_id
+  WHERE (a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lon - b.lon) * (a.lon - b.lon) <= {GEO_RADIUS * GEO_RADIUS}
+),
+und AS (SELECT ua AS u, ub AS v FROM pairs
+        UNION ALL SELECT ub, ua FROM pairs),
+ncnt AS (SELECT u, COUNT(*) AS n_neighbors FROM und GROUP BY u),
+base AS (
+  SELECT p.user_id, COALESCE(n.n_neighbors, 0) AS n_neighbors
+  FROM pts p LEFT JOIN ncnt n ON n.u = p.user_id
+),
+cores AS (SELECT user_id FROM base WHERE n_neighbors >= {DBSCAN_MINPTS}),
+borders AS (
+  SELECT DISTINCT und.u AS user_id FROM und
+  JOIN cores ON cores.user_id = und.v
+)
+SELECT b.user_id, CAST(n_neighbors AS BIGINT) AS n_neighbors,
+       CASE WHEN c.user_id IS NOT NULL THEN 'core'
+            WHEN bo.user_id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM base b
+LEFT JOIN cores c ON c.user_id = b.user_id
+LEFT JOIN borders bo ON bo.user_id = b.user_id
+ORDER BY b.user_id
+"""
+
+
 QUERIES = {
+    "geo_dbscan_core": geo_dbscan_core,
     "geo_cell_stats": geo_cell_stats,
     "geo_grid_pairs": geo_grid_pairs,
 }
 
 ORACLES = {
+    "geo_dbscan_core": GEO_DBSCAN_SQL,
     "geo_cell_stats": GEO_CELL_STATS_SQL,
     "geo_grid_pairs": GEO_GRID_PAIRS_SQL,
 }

@@ -489,3 +489,19 @@ def test_rake_scores_multiword_phrases_above_their_parts(spark):
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
     assert rows and rows[0].score >= rows[-1].score
     assert any(" " in r.phrase for r in rows), "multi-word phrases extracted"
+
+
+def test_dbscan_roles_are_consistent(spark):
+    """Core points meet the minPts bar, border points are non-core with a
+    core neighbor (so with >0 neighbors), and roles tile the users."""
+    rows = geo.geo_dbscan_core(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    roles = {r.role for r in rows}
+    assert roles <= {"core", "border", "noise"} and "core" in roles
+    for r in rows:
+        if r.role == "core":
+            assert r.n_neighbors >= geo.DBSCAN_MINPTS
+        elif r.role == "border":
+            assert 0 < r.n_neighbors < geo.DBSCAN_MINPTS
+        else:
+            assert r.n_neighbors < geo.DBSCAN_MINPTS
