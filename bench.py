@@ -61,6 +61,7 @@ def main() -> None:
         "q_attribution_last_touch",
         "q_market_basket_pairs",
         "geo_grid_pairs",
+        "geo_dbscan_core",
         "ts_similarity_paa",
         "ts_autocorr",
         "q_tz_daily_rollup",
@@ -71,6 +72,9 @@ def main() -> None:
         # the ANN set).
         "corpus_quality_floor",
         "text_source_divergence",
+        "text_keyphrase_rake",
+        "corpus_cap_per_source",
+        "mm_modality_router",
         "text_quality",
         "text_fingerprint",
         "text_cms_heavy_hitters",
