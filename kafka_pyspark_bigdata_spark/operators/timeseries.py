@@ -38,7 +38,12 @@ from ..sources.batch import load_table
 
 TS_SEGMENTS = 4  # PAA segments per series
 TS_BANDS = 2  # band keys (TS_SEGMENTS/TS_BANDS quantized levels each)
-TS_QSTEP_CENTS = 60_000  # quantization step: 600.00 in value units
+# Quantization step (200.00 value units): at the fixture's daily-sum
+# scale this prunes ~92% of the pair space at sf0.1 (84k candidates for
+# 1500 users) while every SF keeps a healthy candidate pool — the
+# coarser 600.00 step left 45% of all pairs as candidates, which defeats
+# the banding at scale.
+TS_QSTEP_CENTS = 20_000
 TS_TOP_PAIRS = 20
 
 _SEG_PER_BAND = TS_SEGMENTS // TS_BANDS
