@@ -148,6 +148,7 @@ _PRIORITY = [
     "corpus_cap_per_source",
     "ml_quality_classifier",
     "geo_dbscan_core",
+    "q_benford_audit",
 ]
 
 

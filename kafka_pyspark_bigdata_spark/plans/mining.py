@@ -541,7 +541,78 @@ FROM stats
 """
 
 
+# Benford first-digit probabilities log10(1+1/d), as fixed ppm literals —
+# constants of the law, so no runtime logarithm ever runs in either engine.
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals — the
+    classic data-forensics screen (fabricated or capped numeric columns
+    bend the first-digit curve). The law's probabilities are literal ppm
+    constants, observed shares are integer fixed-point, and the reported
+    deviation is |obs − expected| in ppm — fully engine-exact, one
+    scan + one 9-key partial agg.
+
+    The verdict row is data-quality signal, not a pass gate: uniform
+    synthetic values SHOULD flag high deviation, which is exactly what
+    the auditor wants surfaced about a column before trusting it.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    ).filter(F.col("cents") > 0)
+    digit = F.substring(F.col("cents").cast("string"), 1, 1).cast("int")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("n_total"))
+    bppm = F.element_at(
+        F.array(*[F.lit(BENFORD_PPM[d]) for d in range(1, 10)]), F.col("digit")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 div n_total").alias("obs_ppm"),
+            bppm.alias("benford_ppm"),
+        )
+        .withColumn(
+            "abs_dev_ppm", F.abs(F.col("obs_ppm") - F.col("benford_ppm"))
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_sql() -> str:
+    cases = " ".join(
+        f"WHEN {d} THEN {BENFORD_PPM[d]}" for d in range(1, 10)
+    )
+    return f"""
+WITH cents AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+counts AS (
+  SELECT CAST(left(CAST(cents AS VARCHAR), 1) AS INTEGER) AS digit,
+         COUNT(*) AS n
+  FROM cents WHERE cents > 0 GROUP BY 1
+),
+total AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts)
+SELECT digit, n, n * 1000000 // n_total AS obs_ppm,
+       CAST(CASE digit {cases} END AS BIGINT) AS benford_ppm,
+       abs(n * 1000000 // n_total - (CASE digit {cases} END)) AS abs_dev_ppm
+FROM counts, total ORDER BY digit
+"""
+
+
 QUERIES = {
+    "q_benford_audit": q_benford_audit,
     "q_market_basket_pairs": q_market_basket_pairs,
     "q_ab_test_conversion": q_ab_test_conversion,
     "q_attribution_last_touch": q_attribution_last_touch,
@@ -551,6 +622,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_benford_audit": _benford_sql(),
     "q_market_basket_pairs": Q_BASKET_SQL,
     "q_ab_test_conversion": Q_AB_TEST_SQL,
     "q_attribution_last_touch": Q_ATTRIBUTION_SQL,

@@ -101,3 +101,16 @@ def test_profile_matches_direct(spark):
         assert row.n_distinct == li.select(c).distinct().count()
         lo, hi = li.agg(F.min(c), F.max(c)).first()
         assert row.min_v == float(lo) and row.max_v == float(hi)
+
+
+def test_benford_shares_sum_to_one_and_constants_are_the_law(spark):
+    """Observed ppm shares tile ~1e6 and the expected column carries the
+    Benford constants (which themselves sum to ~1e6)."""
+    from kafka_pyspark_bigdata_spark.plans import mining
+
+    rows = mining.q_benford_audit(spark, "/root/testdata/sf0.01").collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.obs_ppm for r in rows) - 1_000_000) < len(rows)
+    assert sum(mining.BENFORD_PPM.values()) == 1_000_000
+    for r in rows:
+        assert r.benford_ppm == mining.BENFORD_PPM[r.digit]
