@@ -119,6 +119,12 @@ def geo_grid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The canonical user_a < user_b ordering halves the output. Shuffle
     keys are cells (uniform by construction of the hash coords; a skewed
     real-world grid adds AQE skew-join or per-cell salting on top)."""
+    return _grid_pairs_unordered(spark, sf_dir).orderBy("user_a", "user_b")
+
+
+def _grid_pairs_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified in-radius pair set WITHOUT the presentation sort —
+    consumers that aggregate the pairs (DBSCAN) skip the global sort."""
     pts = _points(spark, sf_dir)
     home = pts.select(
         F.col("user_id").alias("user_b"),
@@ -152,7 +158,6 @@ def geo_grid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist_sq") <= r2)
         .select("user_a", "user_b", "dist_sq")
-        .orderBy("user_a", "user_b")
     )
 
 
@@ -196,7 +201,7 @@ def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verified pair list — one union + two keyed aggregations + one
     semi-join against the (small) core set; no distances recomputed.
     """
-    pairs = geo_grid_pairs(spark, sf_dir).select("user_a", "user_b")
+    pairs = _grid_pairs_unordered(spark, sf_dir).select("user_a", "user_b")
     und = pairs.union(
         pairs.select(F.col("user_b").alias("user_a"), F.col("user_a").alias("user_b"))
     ).toDF("u", "v")
