@@ -149,6 +149,7 @@ _PRIORITY = [
     "ml_quality_classifier",
     "geo_dbscan_core",
     "q_benford_audit",
+    "corpus_tokenizer_fertility",
 ]
 
 

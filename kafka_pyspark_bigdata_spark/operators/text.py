@@ -1047,7 +1047,66 @@ ORDER BY rank
 """
 
 
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language: regex-BPE pieces per whitespace
+    word — the standard multilingual tokenizer-cost metric (a language
+    whose words shatter into many pieces pays proportionally more
+    sequence length per word of content; tokenizer-training reports
+    track exactly this ratio per language).
+
+    One scan computes both token counts as array expressions; the
+    per-lang rollup is a |langs|-key partial agg; fertility is integer
+    fixed-point (pieces·10⁶ div words). Also reports mean piece counts
+    per doc — integer div — so regressions in either tokenizer show up.
+    """
+    docs = load_documents(spark, sf_dir)
+    pieces = F.expr(
+        f"regexp_extract_all(regexp_replace(lower(text), '\\\\s+', ' '), '{BPE_PATTERN}', 0)"
+    )
+    per_doc = docs.select(
+        "lang",
+        F.size(tokens_expr()).alias("n_words"),
+        F.size(pieces).alias("n_pieces"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("words"),
+            F.sum("n_pieces").alias("pieces"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "words",
+            "pieces",
+            F.expr("pieces * 1000000 div words").alias("fertility_ppm"),
+            F.expr("pieces div n_docs").alias("mean_pieces_per_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+CORPUS_FERTILITY_SQL = rf"""
+WITH per_doc AS (
+  SELECT lang,
+         len({TOKENS_SQL}) AS n_words,
+         len(regexp_extract_all(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                                '{BPE_PATTERN}')) AS n_pieces
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS words,
+       CAST(SUM(n_pieces) AS BIGINT) AS pieces,
+       CAST(SUM(n_pieces) AS BIGINT) * 1000000 // CAST(SUM(n_words) AS BIGINT)
+         AS fertility_ppm,
+       CAST(SUM(n_pieces) AS BIGINT) // COUNT(*) AS mean_pieces_per_doc
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
+    "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
     "text_source_divergence": text_source_divergence,
     "text_keyphrase_rake": text_keyphrase_rake,
     "text_bigram_topnext": text_bigram_topnext,
@@ -1066,6 +1125,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_tokenizer_fertility": CORPUS_FERTILITY_SQL,
     "text_source_divergence": TEXT_SOURCE_DIVERGENCE_SQL,
     "text_keyphrase_rake": TEXT_RAKE_SQL,
     "text_bigram_topnext": TEXT_BIGRAM_SQL,

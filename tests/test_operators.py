@@ -505,3 +505,16 @@ def test_dbscan_roles_are_consistent(spark):
             assert 0 < r.n_neighbors < geo.DBSCAN_MINPTS
         else:
             assert r.n_neighbors < geo.DBSCAN_MINPTS
+
+
+def test_fertility_at_least_one_piece_per_word(spark):
+    """The regex tokenizer can only split words further, so fertility
+    is >= 1.0 (1e6 ppm) for every language, and zh (non-latin chars
+    become punct pieces) must shatter hardest."""
+    rows = text.corpus_tokenizer_fertility(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    by_lang = {r.lang: r for r in rows}
+    for r in rows:
+        assert r.fertility_ppm >= 1_000_000
+    if "zh" in by_lang and "en" in by_lang:
+        assert by_lang["zh"].fertility_ppm >= by_lang["en"].fertility_ppm
