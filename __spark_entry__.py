@@ -150,6 +150,7 @@ _PRIORITY = [
     "geo_dbscan_core",
     "q_benford_audit",
     "corpus_tokenizer_fertility",
+    "q_gini_concentration",
 ]
 
 

@@ -611,7 +611,87 @@ FROM counts, total ORDER BY digit
 """
 
 
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini coefficient and top-decile share of customer spend —
+    the concentration readout behind "how skewed is our revenue?" (and,
+    on a training corpus, "how dominated is the mix by few sources?").
+
+    Gini via the closed rank form G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) over
+    ascending-sorted spend: one window rank keyed by nothing but
+    ORDER BY spend (at 100 TB: compute ranks by range-partitioned sort,
+    the same shape as q_quantiles_exact), then a single aggregate.
+    Cents are exact integers; the rank-weighted sum runs in
+    DECIMAL(38,0) (it exceeds int64 at warehouse scale), and the output
+    is fixed-point ppm from ONE integral division — engine-exact, no
+    float accumulation.
+    """
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias("siw"),
+    )
+    top = (
+        ranked.crossJoin(
+            F.broadcast(ranked.agg(F.count(F.lit(1)).alias("n_all")))
+        )
+        .filter(F.col("i") > F.col("n_all") - F.expr("n_all div 10"))
+        .agg(F.sum("cents").cast("decimal(38,0)").alias("top_cents"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(top))
+        .select(
+            F.col("n").alias("n_users"),
+            F.col("s").cast("bigint").alias("total_cents"),
+            F.expr(
+                "CAST((2 * siw - (n + 1) * s) * 1000000 div (CAST(n AS DECIMAL(38,0)) * s) AS BIGINT)"
+            ).alias("gini_ppm"),
+            F.expr("CAST(top_cents * 1000000 div s AS BIGINT)").alias(
+                "top_decile_share_ppm"
+            ),
+        )
+    )
+
+
+Q_GINI_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT o_custkey, cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+  FROM spend
+),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(cents) AS s, SUM(CAST(i AS HUGEINT) * cents) AS siw
+  FROM ranked
+),
+top AS (
+  SELECT SUM(cents) AS top_cents FROM ranked, agg
+  WHERE i > n - n // 10
+)
+SELECT n AS n_users, CAST(s AS BIGINT) AS total_cents,
+       CAST((2 * siw - (n + 1) * s) * 1000000 // (CAST(n AS HUGEINT) * s)
+            AS BIGINT) AS gini_ppm,
+       CAST(top_cents * 1000000 // s AS BIGINT) AS top_decile_share_ppm
+FROM agg, top
+"""
+
+
 QUERIES = {
+    "q_gini_concentration": q_gini_concentration,
     "q_benford_audit": q_benford_audit,
     "q_market_basket_pairs": q_market_basket_pairs,
     "q_ab_test_conversion": q_ab_test_conversion,
@@ -622,6 +702,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_gini_concentration": Q_GINI_SQL,
     "q_benford_audit": _benford_sql(),
     "q_market_basket_pairs": Q_BASKET_SQL,
     "q_ab_test_conversion": Q_AB_TEST_SQL,

@@ -114,3 +114,14 @@ def test_benford_shares_sum_to_one_and_constants_are_the_law(spark):
     assert sum(mining.BENFORD_PPM.values()) == 1_000_000
     for r in rows:
         assert r.benford_ppm == mining.BENFORD_PPM[r.digit]
+
+
+def test_gini_bounds_and_decile_dominance(spark):
+    """Gini sits in [0, 1e6) ppm and the top decile's share must be at
+    least a decile's worth (it holds the largest spenders)."""
+    from kafka_pyspark_bigdata_spark.plans import mining
+
+    r = mining.q_gini_concentration(spark, "/root/testdata/sf0.01").collect()[0]
+    assert 0 <= r.gini_ppm < 1_000_000
+    assert r.top_decile_share_ppm >= 100_000 - 10  # >= its population share
+    assert r.n_users > 0 and r.total_cents > 0
