@@ -60,6 +60,8 @@ def main() -> None:
         "q_session_window_native",
         "q_attribution_last_touch",
         "q_market_basket_pairs",
+        "q_benford_audit",
+        "q_gini_concentration",
         "geo_grid_pairs",
         "geo_dbscan_core",
         "ts_similarity_paa",
@@ -74,6 +76,7 @@ def main() -> None:
         "text_source_divergence",
         "text_keyphrase_rake",
         "corpus_cap_per_source",
+        "corpus_tokenizer_fertility",
         "mm_modality_router",
         "text_quality",
         "text_fingerprint",
