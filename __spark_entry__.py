@@ -151,6 +151,7 @@ _PRIORITY = [
     "q_benford_audit",
     "corpus_tokenizer_fertility",
     "q_gini_concentration",
+    "q_lorenz_deciles",
 ]
 
 

@@ -690,7 +690,70 @@ FROM agg, top
 """
 
 
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve behind ``q_gini_concentration``'s point
+    estimate: customers in ascending-spend deciles (NTILE), with each
+    decile's exact spend and the cumulative share — the "bottom 50%
+    hold X% of revenue" readout. One rank window + one 10-key agg + a
+    10-row cumulative window; shares are integer fixed-point ppm."""
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    dec = spend.withColumn("decile", F.ntile(10).over(w))
+    per = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cents").cast("decimal(38,0)").alias("dec_cents"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    total = per.agg(F.sum("dec_cents").alias("total_cents"))
+    return (
+        per.withColumn("cum_cents", F.sum("dec_cents").over(wc))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_users",
+            F.col("dec_cents").cast("bigint").alias("decile_cents"),
+            F.expr("CAST(cum_cents * 1000000 div total_cents AS BIGINT)").alias(
+                "cum_share_ppm"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+Q_LORENZ_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS cents
+  FROM orders GROUP BY 1
+),
+dec AS (
+  SELECT cents, NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+  FROM spend
+),
+per AS (
+  SELECT decile, COUNT(*) AS n_users, SUM(cents) AS dec_cents FROM dec
+  GROUP BY decile
+),
+total AS (SELECT SUM(dec_cents) AS total_cents FROM per)
+SELECT decile, n_users, CAST(dec_cents AS BIGINT) AS decile_cents,
+       CAST(SUM(dec_cents) OVER (ORDER BY decile
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)
+            * 1000000 // total_cents AS BIGINT) AS cum_share_ppm
+FROM per, total ORDER BY decile
+"""
+
+
 QUERIES = {
+    "q_lorenz_deciles": q_lorenz_deciles,
     "q_gini_concentration": q_gini_concentration,
     "q_benford_audit": q_benford_audit,
     "q_market_basket_pairs": q_market_basket_pairs,
@@ -702,6 +765,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_lorenz_deciles": Q_LORENZ_SQL,
     "q_gini_concentration": Q_GINI_SQL,
     "q_benford_audit": _benford_sql(),
     "q_market_basket_pairs": Q_BASKET_SQL,

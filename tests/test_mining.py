@@ -125,3 +125,18 @@ def test_gini_bounds_and_decile_dominance(spark):
     assert 0 <= r.gini_ppm < 1_000_000
     assert r.top_decile_share_ppm >= 100_000 - 10  # >= its population share
     assert r.n_users > 0 and r.total_cents > 0
+
+
+def test_lorenz_curve_is_convex_and_ends_at_one(spark):
+    """Cumulative shares are nondecreasing, end at ~1e6 ppm, and the
+    ascending-decile ordering makes per-decile spend nondecreasing
+    (convexity of the Lorenz curve)."""
+    from kafka_pyspark_bigdata_spark.plans import mining
+
+    rows = mining.q_lorenz_deciles(spark, "/root/testdata/sf0.01").collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.cum_share_ppm for r in rows]
+    assert shares == sorted(shares)
+    assert 1_000_000 - 10 <= shares[-1] <= 1_000_000
+    cents = [r.decile_cents for r in rows]
+    assert cents == sorted(cents)
