@@ -152,6 +152,7 @@ _PRIORITY = [
     "corpus_tokenizer_fertility",
     "q_gini_concentration",
     "q_lorenz_deciles",
+    "ann_ivf_balance_audit",
 ]
 
 

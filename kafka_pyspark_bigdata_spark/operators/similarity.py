@@ -1668,6 +1668,71 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list BALANCE audit: per-list sizes plus the skew
+    ratios an ANN operator watches in production — an unbalanced
+    quantizer makes probe latency the max list, not the mean, and the
+    fix (re-train centroids, split hot lists) starts from exactly this
+    table. One row per list with its share and max/mean ppm ratio; the
+    assignment argmax is the same broadcast-relation pass as
+    ``ann_ivf``, so the audit costs one aggregation over it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("centv")
+    )
+    sims = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", cosine_expr("embedding", "centv").alias("sim")
+    )
+    assign = (
+        sims.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias("m"))
+        .select((-F.col("m.ncid")).cast("int").alias("list_id"))
+    )
+    sizes = assign.groupBy("list_id").agg(F.count(F.lit(1)).alias("n_vecs"))
+    tot = sizes.agg(
+        F.sum("n_vecs").alias("n_total"), F.max("n_vecs").alias("n_max")
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            "list_id",
+            "n_vecs",
+            F.expr("n_vecs * 1000000 div n_total").alias("share_ppm"),
+            F.expr(f"n_max * {IVF_NLIST} * 1000000 div n_total").alias(
+                "max_over_mean_ppm"
+            ),
+        )
+        .orderBy("list_id")
+    )
+
+
+def _ivf_balance_sql() -> str:
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < {IVF_NLIST}
+),
+sims AS (
+  SELECT e.vec_id, c.cid, {_cos_sql('e.embedding', 'c.cv')} AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+sizes AS (SELECT list_id, COUNT(*) AS n_vecs FROM assign GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+               CAST(MAX(n_vecs) AS BIGINT) AS n_max FROM sizes)
+SELECT CAST(list_id AS INTEGER) AS list_id, n_vecs,
+       n_vecs * 1000000 // n_total AS share_ppm,
+       n_max * {IVF_NLIST} * 1000000 // n_total AS max_over_mean_ppm
+FROM sizes, tot ORDER BY list_id
+"""
+
+
 NORM_BUCKET_SCALE = 10  # bucket = floor(norm * 10): 0.1-wide norm bands
 
 
@@ -1725,6 +1790,7 @@ FROM norms GROUP BY 1 ORDER BY bucket
 
 
 QUERIES = {
+    "ann_ivf_balance_audit": ann_ivf_balance_audit,
     "ann_ivf_persisted": ann_ivf_persisted,
     "emb_norm_stats": emb_norm_stats,
     "semdedup_bucketed": semdedup_bucketed,
@@ -1747,6 +1813,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_ivf_balance_audit": _ivf_balance_sql(),
     "ann_ivf_persisted": ANN_IVF_SQL,
     "emb_norm_stats": EMB_NORM_SQL,
     "semdedup_bucketed": _semdedup_sql(),

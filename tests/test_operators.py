@@ -518,3 +518,12 @@ def test_fertility_at_least_one_piece_per_word(spark):
         assert r.fertility_ppm >= 1_000_000
     if "zh" in by_lang and "en" in by_lang:
         assert by_lang["zh"].fertility_ppm >= by_lang["en"].fertility_ppm
+
+
+def test_ivf_balance_shares_tile_and_skew_sane(spark):
+    """List shares must sum to ~1e6 ppm, every list belongs to the
+    quantizer, and max/mean >= 1e6 by definition."""
+    rows = similarity.ann_ivf_balance_audit(spark, "/root/testdata/sf0.01").collect()
+    assert rows and all(0 <= r.list_id < similarity.IVF_NLIST for r in rows)
+    assert abs(sum(r.share_ppm for r in rows) - 1_000_000) < len(rows)
+    assert all(r.max_over_mean_ppm >= 1_000_000 for r in rows)
