@@ -153,6 +153,7 @@ _PRIORITY = [
     "q_gini_concentration",
     "q_lorenz_deciles",
     "ann_ivf_balance_audit",
+    "q_sql_sessionize",
 ]
 
 

@@ -519,6 +519,42 @@ ORDER BY user_id, session_id
 """
 
 
+def q_sql_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME gap-sessionization through the ``spark.sql`` front door —
+    proof that a SQL-only user of this engine gets the identical plan
+    family (lag → flag → running sum → aggregate, one user_id shuffle)
+    the DataFrame API builds in ``q_sessionize``; Catalyst compiles both
+    to the same physical shape, and the shared oracle hash-verifies the
+    parity."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("v_events_sql")
+    return spark.sql(
+        f"""
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                           OR unix_micros(ts) - unix_micros(LAG(ts) OVER w)
+                              > {SESSION_GAP_US}
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM v_events_sql
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id, ts,
+                 CAST(SUM(new_sess) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS INT) AS session_id
+          FROM g
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               date_format(MIN(ts), 'yyyy-MM-dd HH:mm:ss') AS session_start,
+               unix_micros(MAX(ts)) - unix_micros(MIN(ts)) AS duration_us
+        FROM s GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+        """
+    )
+
+
 def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via Spark's NATIVE ``session_window`` aggregate —
     the same 4 h-gap semantics as `q_sessionize`, expressed as one
@@ -636,6 +672,7 @@ QUERIES = {
     "q_asof_click_purchase": q_asof_click_purchase,
     "q_range_join_error_context": q_range_join_error_context,
     "q_sessionize": q_sessionize,
+    "q_sql_sessionize": q_sql_sessionize,
     "q_session_window_native": q_session_window_native,
     "q_exact_median": q_exact_median,
 }
@@ -653,6 +690,7 @@ ORACLES = {
     "q_asof_click_purchase": Q_ASOF_SQL,
     "q_range_join_error_context": Q_RANGE_JOIN_SQL,
     "q_sessionize": Q_SESSIONIZE_SQL,
+    "q_sql_sessionize": Q_SESSIONIZE_SQL,
     "q_session_window_native": Q_SESSION_WINDOW_NATIVE_SQL,
     "q_exact_median": Q_EXACT_MEDIAN_SQL,
 }
