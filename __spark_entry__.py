@@ -154,6 +154,7 @@ _PRIORITY = [
     "q_lorenz_deciles",
     "ann_ivf_balance_audit",
     "q_sql_sessionize",
+    "q_funnel_windowed",
 ]
 
 

@@ -99,6 +99,92 @@ FROM g
 """
 
 
+FUNNEL_WINDOW_US = 72 * 3600 * 1_000_000  # max 72 h between stages
+
+
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel with a BOUNDED conversion window: each stage must land
+    within 72 h of the previous stage's first event — how product
+    funnels are actually defined (an unbounded funnel credits purchases
+    months after the click). Same per-stage conditional-min aggregation
+    shape as ``q_funnel``; the window constraint is one extra integer
+    predicate on the already-joined rows, so the plan cost is identical.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    within = lambda lo: (  # noqa: E731
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col(lo))
+    )
+    c = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(s, "user_id")
+        .filter(
+            (F.col("ts") > F.col("signup_ts"))
+            & (within("signup_ts") <= FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("click_ts"))
+            & (within("click_ts") <= FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    n_s = s.agg(F.count("*").alias("n_signup"))
+    n_c = c.agg(F.count("*").alias("n_click"))
+    n_p = p.agg(F.count("*").alias("n_purchase"))
+    return (
+        n_s.crossJoin(n_c)
+        .crossJoin(n_p)
+        .select(
+            "n_signup",
+            "n_click",
+            "n_purchase",
+            F.expr("n_click * 1000000 div n_signup").alias("click_rate_ppm"),
+            F.expr("n_purchase * 1000000 div n_click").alias(
+                "purchase_rate_ppm"
+            ),
+        )
+    )
+
+
+Q_FUNNEL_WINDOWED_SQL = f"""
+WITH {_EV_US},
+s AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM ev
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+),
+c AS (
+  SELECT ev.user_id, MIN(ts) AS click_ts FROM ev JOIN s USING (user_id)
+  WHERE event_type = '{FUNNEL_STAGES[1]}' AND ts > signup_ts
+    AND epoch_us(ts) - epoch_us(signup_ts) <= {FUNNEL_WINDOW_US}
+  GROUP BY ev.user_id
+),
+p AS (
+  SELECT ev.user_id, MIN(ts) AS purchase_ts FROM ev JOIN c USING (user_id)
+  WHERE event_type = '{FUNNEL_STAGES[2]}' AND ts > click_ts
+    AND epoch_us(ts) - epoch_us(click_ts) <= {FUNNEL_WINDOW_US}
+  GROUP BY ev.user_id
+)
+SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+       (SELECT COUNT(*) FROM c) AS n_click,
+       (SELECT COUNT(*) FROM p) AS n_purchase,
+       (SELECT COUNT(*) FROM c) * 1000000 // (SELECT COUNT(*) FROM s)
+         AS click_rate_ppm,
+       (SELECT COUNT(*) FROM p) * 1000000 // (SELECT COUNT(*) FROM c)
+         AS purchase_rate_ppm
+"""
+
+
 COHORT_EPOCH = "2024-01-01"  # week index origin (fixture start)
 
 
@@ -1245,6 +1331,7 @@ ORDER BY window_day
 
 
 QUERIES = {
+    "q_funnel_windowed": q_funnel_windowed,
     "q_gapfill_interpolate": q_gapfill_interpolate,
     "q_cusum_anomaly": q_cusum_anomaly,
     "q_time_weighted_avg": q_time_weighted_avg,
@@ -1265,6 +1352,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_funnel_windowed": Q_FUNNEL_WINDOWED_SQL,
     "q_gapfill_interpolate": Q_GAPFILL_SQL,
     "q_cusum_anomaly": Q_CUSUM_SQL,
     "q_time_weighted_avg": Q_TWAP_SQL,

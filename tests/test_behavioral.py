@@ -134,3 +134,16 @@ def test_gapfill_dense_grid_no_nulls(spark):
     for _, rs in by_user.items():
         assert rs[0].observed and rs[-1].observed
         assert all(r.value_fp is not None and r.value_fp >= 0 for r in rs)
+
+
+def test_windowed_funnel_is_a_subset_of_the_unbounded_funnel(spark):
+    """Bounding the conversion window can only shrink each stage."""
+    from kafka_pyspark_bigdata_spark.plans import behavioral
+
+    sf = "/root/testdata/sf0.01"
+    u = behavioral.q_funnel(spark, sf).collect()[0]
+    w = behavioral.q_funnel_windowed(spark, sf).collect()[0]
+    assert w.n_signup == u.n_signup  # stage 1 has no window above it
+    assert w.n_click <= u.n_click
+    assert w.n_purchase <= u.n_purchase
+    assert 0 <= w.purchase_rate_ppm <= 1_000_000
