@@ -155,6 +155,7 @@ _PRIORITY = [
     "ann_ivf_balance_audit",
     "q_sql_sessionize",
     "q_funnel_windowed",
+    "corpus_langid_confusion",
 ]
 
 

@@ -1105,7 +1105,67 @@ FROM per_doc GROUP BY lang ORDER BY lang
 """
 
 
+def corpus_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVALUATION as a first-class query: the confusion matrix
+    of the stopword-ratio language-ID (``text_langid``) against the
+    corpus's labeled language, with per-cell recall — how a pipeline
+    owner decides whether the cheap heuristic is good enough before
+    spending on a model. One scan + one (label, predicted) partial agg;
+    recall is integer fixed-point against broadcast per-label totals.
+    """
+    docs = with_tokens(load_documents(spark, sf_dir))
+    ratio = (
+        F.size(F.filter("toks", lambda t: t.isin(*EN_STOPWORDS))).cast("double")
+        / F.size("toks")
+    )
+    pred = (
+        F.when(ratio >= F.lit(LANGID_THRESHOLD), F.lit("en"))
+        .otherwise(F.lit("other"))
+    )
+    # binarize the label the same way the classifier does: en vs other
+    label = F.when(F.col("lang") == "en", F.lit("en")).otherwise(F.lit("other"))
+    cells = (
+        docs.select(label.alias("labeled"), pred.alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    totals = cells.groupBy("labeled").agg(F.sum("n_docs").alias("n_label"))
+    return (
+        cells.join(F.broadcast(totals), "labeled")
+        .select(
+            "labeled",
+            "predicted",
+            "n_docs",
+            F.expr("n_docs * 1000000 div n_label").alias("share_of_label_ppm"),
+        )
+        .orderBy("labeled", "predicted")
+    )
+
+
+CORPUS_LANGID_CONFUSION_SQL = f"""
+WITH tok AS (SELECT doc_id, lang, {TOKENS_SQL} AS toks FROM documents),
+r AS (
+  SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS labeled,
+         CASE WHEN CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL})))
+                   AS DOUBLE) / len(toks) >= {LANGID_THRESHOLD}
+              THEN 'en' ELSE 'other' END AS predicted
+  FROM tok
+),
+cells AS (
+  SELECT labeled, predicted, COUNT(*) AS n_docs FROM r GROUP BY 1, 2
+),
+totals AS (
+  SELECT labeled, CAST(SUM(n_docs) AS BIGINT) AS n_label FROM cells GROUP BY 1
+)
+SELECT c.labeled, predicted, n_docs,
+       n_docs * 1000000 // n_label AS share_of_label_ppm
+FROM cells c JOIN totals t ON t.labeled = c.labeled
+ORDER BY c.labeled, predicted
+"""
+
+
 QUERIES = {
+    "corpus_langid_confusion": corpus_langid_confusion,
     "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
     "text_source_divergence": text_source_divergence,
     "text_keyphrase_rake": text_keyphrase_rake,
@@ -1125,6 +1185,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_langid_confusion": CORPUS_LANGID_CONFUSION_SQL,
     "corpus_tokenizer_fertility": CORPUS_FERTILITY_SQL,
     "text_source_divergence": TEXT_SOURCE_DIVERGENCE_SQL,
     "text_keyphrase_rake": TEXT_RAKE_SQL,

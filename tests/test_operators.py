@@ -527,3 +527,19 @@ def test_ivf_balance_shares_tile_and_skew_sane(spark):
     assert rows and all(0 <= r.list_id < similarity.IVF_NLIST for r in rows)
     assert abs(sum(r.share_ppm for r in rows) - 1_000_000) < len(rows)
     assert all(r.max_over_mean_ppm >= 1_000_000 for r in rows)
+
+
+def test_langid_confusion_rows_tile_each_label(spark):
+    """Per-label shares must sum to ~1e6 ppm and cells tile the corpus."""
+    import duckdb as _d
+
+    rows = text.corpus_langid_confusion(spark, "/root/testdata/sf0.01").collect()
+    from collections import defaultdict
+
+    by_label = defaultdict(int)
+    for r in rows:
+        by_label[r.labeled] += r.share_of_label_ppm
+    for lab, tot in by_label.items():
+        assert abs(tot - 1_000_000) < 4, (lab, tot)
+    n = _d.sql("SELECT COUNT(*) FROM '/root/testdata/sf0.01/documents.parquet'").fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n
