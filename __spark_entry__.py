@@ -156,6 +156,7 @@ _PRIORITY = [
     "q_sql_sessionize",
     "q_funnel_windowed",
     "corpus_langid_confusion",
+    "q_hdr_histogram",
 ]
 
 

@@ -752,7 +752,59 @@ FROM per, total ORDER BY decile
 """
 
 
+def q_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two (HDR-style) histogram of order totals: bucket =
+    floor(log2(cents)), computed WITHOUT a logarithm — the bucket is the
+    bit length of the integer value (length of its binary string minus
+    one), so the whole histogram is integer-exact and the long tail gets
+    the exponentially-wider buckets a latency/value distribution needs.
+    One scan + one ~40-key partial agg; the exact bucket bounds ride
+    along as powers of two."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .filter(F.col("cents") > 0)
+    )
+    bucket = (F.length(F.bin("cents")) - 1).alias("log2_bucket")
+    return (
+        o.select(bucket)
+        .groupBy("log2_bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "log2_bucket",
+            F.expr("CAST(pow(2, log2_bucket) AS BIGINT)").alias("lo_cents"),
+            F.expr("CAST(pow(2, log2_bucket + 1) AS BIGINT) - 1").alias(
+                "hi_cents"
+            ),
+            "n_orders",
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+Q_HDR_SQL = """
+WITH cents AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+b AS (
+  SELECT CAST(length(printf('%b', cents)) - 1 AS INTEGER) AS log2_bucket
+  FROM cents WHERE cents > 0
+)
+SELECT log2_bucket,
+       CAST(2 ** log2_bucket AS BIGINT) AS lo_cents,
+       CAST(2 ** (log2_bucket + 1) AS BIGINT) - 1 AS hi_cents,
+       COUNT(*) AS n_orders
+FROM b GROUP BY 1 ORDER BY log2_bucket
+"""
+
+
 QUERIES = {
+    "q_hdr_histogram": q_hdr_histogram,
     "q_lorenz_deciles": q_lorenz_deciles,
     "q_gini_concentration": q_gini_concentration,
     "q_benford_audit": q_benford_audit,
@@ -765,6 +817,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_hdr_histogram": Q_HDR_SQL,
     "q_lorenz_deciles": Q_LORENZ_SQL,
     "q_gini_concentration": Q_GINI_SQL,
     "q_benford_audit": _benford_sql(),

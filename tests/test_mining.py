@@ -140,3 +140,18 @@ def test_lorenz_curve_is_convex_and_ends_at_one(spark):
     assert 1_000_000 - 10 <= shares[-1] <= 1_000_000
     cents = [r.decile_cents for r in rows]
     assert cents == sorted(cents)
+
+
+def test_hdr_buckets_are_powers_of_two_and_tile(spark):
+    import duckdb as _d
+
+    from kafka_pyspark_bigdata_spark.plans import mining
+
+    rows = mining.q_hdr_histogram(spark, "/root/testdata/sf0.01").collect()
+    for r in rows:
+        assert r.lo_cents == 2 ** r.log2_bucket
+        assert r.hi_cents == 2 ** (r.log2_bucket + 1) - 1
+    n = _d.sql(
+        "SELECT COUNT(*) FROM '/root/testdata/sf0.01/orders.parquet' WHERE o_totalprice > 0"
+    ).fetchone()[0]
+    assert sum(r.n_orders for r in rows) == n
