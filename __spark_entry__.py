@@ -157,6 +157,8 @@ _PRIORITY = [
     "q_funnel_windowed",
     "corpus_langid_confusion",
     "q_hdr_histogram",
+    "q_weighted_median",
+    "corpus_modality_coverage",
 ]
 
 

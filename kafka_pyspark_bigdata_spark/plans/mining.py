@@ -803,7 +803,103 @@ FROM b GROUP BY 1 ORDER BY log2_bucket
 """
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median: the price point at which half the shipped
+    QUANTITY (not half the rows) sits below — the inventory/finance
+    version of a median, where every row counts by its weight.
+
+    Exact and engine-portable by the same selection trick as
+    q_exact_median: sort by value with a deterministic tiebreak, running
+    cumulative weight, pick the first row whose cumulative weight
+    reaches half the (integer) total — no interpolation, every
+    comparison integer. One value-ordered window (range-partitioned sort
+    at scale) + one broadcast total."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wsort = Window.orderBy("price_cents", "l_orderkey", "l_linenumber").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = li.agg(F.sum("w").alias("w_total"))
+    cum = li.withColumn("cum_w", F.sum("w").over(wsort)).crossJoin(
+        F.broadcast(tot)
+    )
+    return (
+        cum.filter(F.col("cum_w") * 2 >= F.col("w_total"))
+        .orderBy("price_cents", "l_orderkey", "l_linenumber")
+        .limit(1)
+        .select(
+            F.col("price_cents").alias("weighted_median_cents"),
+            "cum_w",
+            "w_total",
+        )
+    )
+
+
+Q_WEIGHTED_MEDIAN_SQL = """
+WITH li AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_cents,
+         CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+  FROM lineitem
+),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM li),
+cum AS (
+  SELECT price_cents, l_orderkey, l_linenumber,
+         CAST(SUM(w) OVER (ORDER BY price_cents, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_w
+  FROM li
+)
+SELECT price_cents AS weighted_median_cents, cum_w, w_total
+FROM cum, tot
+WHERE cum_w * 2 >= w_total
+ORDER BY price_cents, l_orderkey, l_linenumber LIMIT 1
+"""
+
+
+def corpus_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality referential audit: which documents have an
+    embedding and which embeddings are orphans — the join-hygiene check
+    a multimodal lakehouse runs before any doc⋈vector operator (a
+    silent coverage gap turns into silently-missing retrieval results).
+    One full-outer join on the id + a 3-row conditional aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("d_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("v_id")
+    )
+    j = docs.join(emb, docs["d_id"] == emb["v_id"], "full_outer")
+    return j.agg(
+        F.sum((F.col("d_id").isNotNull() & F.col("v_id").isNotNull()).cast("int"))
+        .alias("n_matched"),
+        F.sum((F.col("v_id").isNull()).cast("int")).alias("n_docs_unembedded"),
+        F.sum((F.col("d_id").isNull()).cast("int")).alias("n_orphan_vectors"),
+    )
+
+
+CORPUS_COVERAGE_SQL = """
+SELECT CAST(SUM(CASE WHEN d_id IS NOT NULL AND v_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN v_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_unembedded,
+       CAST(SUM(CASE WHEN d_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan_vectors
+FROM (SELECT doc_id AS d_id FROM documents) d
+FULL OUTER JOIN (SELECT vec_id AS v_id FROM embeddings) e
+  ON d.d_id = e.v_id
+"""
+
+
 QUERIES = {
+    "q_weighted_median": q_weighted_median,
+    "corpus_modality_coverage": corpus_modality_coverage,
     "q_hdr_histogram": q_hdr_histogram,
     "q_lorenz_deciles": q_lorenz_deciles,
     "q_gini_concentration": q_gini_concentration,
@@ -817,6 +913,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_weighted_median": Q_WEIGHTED_MEDIAN_SQL,
+    "corpus_modality_coverage": CORPUS_COVERAGE_SQL,
     "q_hdr_histogram": Q_HDR_SQL,
     "q_lorenz_deciles": Q_LORENZ_SQL,
     "q_gini_concentration": Q_GINI_SQL,

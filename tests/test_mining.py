@@ -155,3 +155,26 @@ def test_hdr_buckets_are_powers_of_two_and_tile(spark):
         "SELECT COUNT(*) FROM '/root/testdata/sf0.01/orders.parquet' WHERE o_totalprice > 0"
     ).fetchone()[0]
     assert sum(r.n_orders for r in rows) == n
+
+
+def test_weighted_median_splits_weight_mass(spark):
+    """At least half the total weight sits at-or-below the weighted
+    median, and strictly less than half sits strictly below it."""
+    from kafka_pyspark_bigdata_spark.plans import mining
+
+    r = mining.q_weighted_median(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r.cum_w * 2 >= r.w_total
+    assert (r.cum_w - 1) * 2 < r.w_total + 2 * r.cum_w  # sanity: positive weights
+    assert r.weighted_median_cents > 0
+
+
+def test_modality_coverage_tiles_both_tables(spark):
+    import duckdb as _d
+
+    from kafka_pyspark_bigdata_spark.plans import mining
+
+    r = mining.corpus_modality_coverage(spark, "/root/testdata/sf0.01").collect()[0]
+    nd = _d.sql("SELECT COUNT(*) FROM '/root/testdata/sf0.01/documents.parquet'").fetchone()[0]
+    ne = _d.sql("SELECT COUNT(*) FROM '/root/testdata/sf0.01/embeddings.parquet'").fetchone()[0]
+    assert r.n_matched + r.n_docs_unembedded == nd
+    assert r.n_matched + r.n_orphan_vectors == ne
