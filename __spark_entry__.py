@@ -159,6 +159,7 @@ _PRIORITY = [
     "q_hdr_histogram",
     "q_weighted_median",
     "corpus_modality_coverage",
+    "streaming_hll_windowed",
 ]
 
 

@@ -762,7 +762,72 @@ ORDER BY click_id, purchase_id
 """
 
 
+HLL_WIN_RSD = 0.02
+HLL_WIN_BOUND = 0.10  # asserted |approx − exact| bound: 10% + 1
+
+
+def streaming_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed APPROXIMATE distinct users in Structured Streaming: exact
+    ``count_distinct`` is unsupported in streaming aggregations (state
+    would be unbounded per window), so the production shape is HLL++
+    (``approx_count_distinct``) — constant state per window, mergeable
+    across micro-batches. The streamed estimate is then audited against
+    the exact batch distinct per window: the oracle-checkable surface is
+    the exact count + ``within_bound`` (same contract as
+    ``sketch_hll_error``, here proving the STREAMING state machine's
+    merged sketch, not the batch one)."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", HLL_WIN_RSD).alias("approx_users")
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "approx_users",
+        )
+    )
+    name = _run_to_memory(agg, "hllwin")
+    streamed = spark.table(name)
+    from ..sources.batch import load_table
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(
+                F.window("ts", "6 hours")["start"], "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start")
+        )
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return (
+        streamed.join(exact, "window_start")
+        .select(
+            "window_start",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= HLL_WIN_BOUND * F.col("exact_users") + 1
+            ).alias("within_bound"),
+        )
+        .orderBy("window_start")
+    )
+
+
+STREAMING_HLL_WIN_SQL = """
+WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+w AS (
+  SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, user_id FROM ev
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM w GROUP BY ws ORDER BY window_start
+"""
+
+
 QUERIES = {
+    "streaming_hll_windowed": streaming_hll_windowed,
     "streaming_hourly_window": streaming_hourly_window,
     "streaming_chained_windows": streaming_chained_windows,
     "streaming_stream_outer_join": streaming_stream_outer_join,
@@ -796,6 +861,7 @@ if _tws_available():
     QUERIES["streaming_tws_sessions"] = streaming_tws_sessions
 
 ORACLES = {
+    "streaming_hll_windowed": STREAMING_HLL_WIN_SQL,
     "streaming_hourly_window": STREAMING_HOURLY_SQL,
     "streaming_chained_windows": STREAMING_CHAINED_SQL,
     "streaming_stream_outer_join": STREAMING_OUTER_JOIN_SQL,

@@ -339,3 +339,13 @@ def test_outer_join_supersets_inner_with_expired_nulls(spark, duck):
     matched = {(r.click_id, r.purchase_id) for r in outer if r.purchase_id is not None}
     assert matched == inner
     assert any(r.purchase_id is None for r in outer)
+
+
+def test_streaming_hll_within_published_bound(spark):
+    """Every streamed window's HLL estimate must sit within the asserted
+    bound of the exact batch distinct count."""
+    from kafka_pyspark_bigdata_spark.streaming import queries as SQ
+
+    rows = SQ.streaming_hll_windowed(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r.within_bound for r in rows)
+    assert all(r.exact_users > 0 for r in rows)
