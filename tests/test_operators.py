@@ -543,3 +543,26 @@ def test_langid_confusion_rows_tile_each_label(spark):
         assert abs(tot - 1_000_000) < 4, (lab, tot)
     n = _d.sql("SELECT COUNT(*) FROM '/root/testdata/sf0.01/documents.parquet'").fetchone()[0]
     assert sum(r.n_docs for r in rows) == n
+
+
+def test_operators_survive_tiny_skewed_corpus(spark, tmp_path):
+    """Robustness: a 3-doc corpus where one language has a single doc and
+    texts are minimal must not crash the gates/dedup/divergence ops
+    (empty results are fine; exceptions are not)."""
+    d = str(tmp_path / "tiny")
+    spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta", "en", "s0", 22),
+            (1, "alpha beta gamma delta", "en", "s0", 22),
+            (2, "um dois", "pt", "s1", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(d + "/documents.parquet")
+    from kafka_pyspark_bigdata_spark.operators import quality as Q
+
+    assert dedup.dedup_exact(spark, d).count() >= 1  # the planted dup pair
+    assert dedup.dedup_ngram_jaccard(spark, d).count() >= 1
+    assert Q.corpus_quality_floor(spark, d).count() == 2  # one row per lang
+    assert text.text_source_divergence(spark, d).count() == 1  # one pair
+    assert text.corpus_tokenizer_fertility(spark, d).count() == 2
+    assert dedup.dedup_threshold_sweep(spark, d).count() >= 1
