@@ -62,6 +62,12 @@ def main() -> None:
         "q_market_basket_pairs",
         "q_benford_audit",
         "q_gini_concentration",
+        "q_lorenz_deciles",
+        "q_weighted_median",
+        "q_hdr_histogram",
+        "q_funnel_windowed",
+        "corpus_langid_confusion",
+        "ann_ivf_balance_audit",
         "geo_grid_pairs",
         "geo_dbscan_core",
         "ts_similarity_paa",
