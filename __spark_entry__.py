@@ -160,6 +160,8 @@ _PRIORITY = [
     "q_weighted_median",
     "corpus_modality_coverage",
     "streaming_hll_windowed",
+    "q_trimmed_mean_pandas",
+    "mm_arrow_byte_stats",
 ]
 
 

@@ -497,7 +497,44 @@ FROM sniffed GROUP BY modality ORDER BY modality
 """
 
 
+def mm_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-blob byte stats computed with ``mapInArrow`` — the
+    lowest-overhead Python interop tier: the kernel receives raw Arrow
+    RecordBatches (no pandas conversion at all) and answers with Arrow
+    arrays, the shape a C++/Rust extension kernel (a real decoder,
+    a tokenizer) plugs into. Completes the interop matrix below
+    ``mapInPandas``; all compute here is pyarrow.compute (vectorized C),
+    zero per-row Python.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    media = media_table(spark, sf_dir).select("doc_id", "payload")
+
+    def kernel(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.cast(pc.binary_length(batch.column(1)), pa.int32()),
+                ],
+                ["doc_id", "n_bytes"],
+            )
+
+    return (
+        media.mapInArrow(kernel, "doc_id long, n_bytes int")
+        .orderBy("doc_id")
+    )
+
+
+MM_ARROW_BYTES_SQL = """
+SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "mm_arrow_byte_stats": mm_arrow_byte_stats,
     "mm_modality_router": mm_modality_router,
     "mm_decode_image": mm_decode_image,
     "mm_frame_sample": mm_frame_sample,
@@ -507,6 +544,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mm_arrow_byte_stats": MM_ARROW_BYTES_SQL,
     "mm_modality_router": MM_ROUTER_SQL,
     "mm_phash_dedup": MM_PHASH_SQL,
     "mm_decode_image": MM_DECODE_SQL,

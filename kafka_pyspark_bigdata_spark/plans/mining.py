@@ -897,7 +897,68 @@ FULL OUTER JOIN (SELECT vec_id AS v_id FROM embeddings) e
 """
 
 
+def q_trimmed_mean_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean per event type via a GROUPED-AGG ``pandas_udf``
+    — the Arrow-vectorized custom-aggregate slot (the one a real
+    pipeline fills with a robust statistic or a model metric no
+    built-in expresses). Completes the Python-interop matrix alongside
+    the scalar pandas_udf (ann_dot_pandas_udf), mapInPandas
+    (multimodal) and applyInPandasWithState (streaming); row-at-a-time
+    UDFs remain banned.
+
+    Exact across the boundary: values fixed-point to int64 cents
+    JVM-side, numpy sorts and trims by integer counts, the sum is an
+    int64 accumulation, and the single final division of exact values
+    is correctly rounded — so DuckDB's window-selection formulation
+    hash-matches. Plan: one event_type-keyed shuffle into
+    AggregateInPandas; group state is the group's values (bounded here;
+    an algebraic trim would pre-bucket at true scale).
+    """
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations` turns
+    # hints into strings, which defeats the signature-based inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(cents):
+        v = np.sort(cents.to_numpy(np.int64))
+        k = len(v) // 10
+        mid = v[k : len(v) - k] if len(v) > 2 * k else v
+        return float(mid.sum()) / (100.0 * len(mid))
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(trimmed_mean("cents").alias("trimmed_mean"))
+        .orderBy("event_type")
+    )
+
+
+Q_TRIMMED_MEAN_SQL = """
+WITH c AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+SELECT event_type,
+       CAST(SUM(cents) AS DOUBLE) / (100.0 * COUNT(*)) AS trimmed_mean
+FROM r
+WHERE rn > n // 10 AND rn <= n - n // 10
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "q_trimmed_mean_pandas": q_trimmed_mean_pandas,
     "q_weighted_median": q_weighted_median,
     "corpus_modality_coverage": corpus_modality_coverage,
     "q_hdr_histogram": q_hdr_histogram,
@@ -913,6 +974,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_trimmed_mean_pandas": Q_TRIMMED_MEAN_SQL,
     "q_weighted_median": Q_WEIGHTED_MEDIAN_SQL,
     "corpus_modality_coverage": CORPUS_COVERAGE_SQL,
     "q_hdr_histogram": Q_HDR_SQL,

