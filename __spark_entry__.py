@@ -162,6 +162,7 @@ _PRIORITY = [
     "streaming_hll_windowed",
     "q_trimmed_mean_pandas",
     "mm_arrow_byte_stats",
+    "q_bot_flag",
 ]
 
 

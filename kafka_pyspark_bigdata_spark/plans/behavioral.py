@@ -185,6 +185,76 @@ SELECT (SELECT COUNT(*) FROM s) AS n_signup,
 """
 
 
+BOT_MIN_EVENTS = 50
+BOT_MEDIAN_GAP_US = 30 * 60 * 1_000_000  # flag if median gap < 30 min
+
+
+def q_bot_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/abuse screen over the event stream: flag users whose activity
+    rhythm is superhuman — high event volume AND a small MEDIAN
+    inter-event gap (median, not mean, so one long absence can't launder
+    a burst bot). The standard first-pass fraud heuristic before any
+    model.
+
+    Per-user gaps come from one lag window over the user-keyed sort (the
+    stream's natural partitioning); the exact median gap is the k-th
+    smallest selection (integer micros, no interpolation); output is
+    per-user stats + the boolean verdict, so downstream can threshold
+    differently without recomputing."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn(
+            "gap_us",
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wo)),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    wg = Window.partitionBy("user_id").orderBy("gap_us", "event_id")
+    ranked = gaps.withColumn("rk", F.row_number().over(wg)).withColumn(
+        "ng", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+    )
+    med = ranked.filter(F.col("rk") == F.expr("(ng + 1) div 2")).select(
+        "user_id", F.col("gap_us").alias("median_gap_us"), F.col("ng").alias("n_gaps")
+    )
+    return (
+        med.select(
+            "user_id",
+            (F.col("n_gaps") + 1).alias("n_events"),
+            "median_gap_us",
+            (
+                (F.col("n_gaps") + 1 >= BOT_MIN_EVENTS)
+                & (F.col("median_gap_us") < BOT_MEDIAN_GAP_US)
+            ).alias("bot_flag"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_BOT_FLAG_SQL = f"""
+WITH {_EV_US},
+g AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM ev
+),
+nn AS (SELECT user_id, event_id, gap_us FROM g WHERE gap_us IS NOT NULL),
+r AS (
+  SELECT user_id, gap_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap_us, event_id)
+           AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS ng
+  FROM nn
+)
+SELECT user_id, ng + 1 AS n_events, gap_us AS median_gap_us,
+       (ng + 1 >= {BOT_MIN_EVENTS} AND gap_us < {BOT_MEDIAN_GAP_US})
+         AS bot_flag
+FROM r WHERE rk = (ng + 1) // 2
+ORDER BY user_id
+"""
+
+
 COHORT_EPOCH = "2024-01-01"  # week index origin (fixture start)
 
 
@@ -1332,6 +1402,7 @@ ORDER BY window_day
 
 QUERIES = {
     "q_funnel_windowed": q_funnel_windowed,
+    "q_bot_flag": q_bot_flag,
     "q_gapfill_interpolate": q_gapfill_interpolate,
     "q_cusum_anomaly": q_cusum_anomaly,
     "q_time_weighted_avg": q_time_weighted_avg,
@@ -1353,6 +1424,7 @@ QUERIES = {
 
 ORACLES = {
     "q_funnel_windowed": Q_FUNNEL_WINDOWED_SQL,
+    "q_bot_flag": Q_BOT_FLAG_SQL,
     "q_gapfill_interpolate": Q_GAPFILL_SQL,
     "q_cusum_anomaly": Q_CUSUM_SQL,
     "q_time_weighted_avg": Q_TWAP_SQL,

@@ -147,3 +147,18 @@ def test_windowed_funnel_is_a_subset_of_the_unbounded_funnel(spark):
     assert w.n_click <= u.n_click
     assert w.n_purchase <= u.n_purchase
     assert 0 <= w.purchase_rate_ppm <= 1_000_000
+
+
+def test_bot_flag_median_is_a_real_gap(spark):
+    """Each user's median gap must be one of their actual gaps (selection,
+    not interpolation), and flags must follow the published rule."""
+    from kafka_pyspark_bigdata_spark.plans import behavioral as B
+
+    rows = B.q_bot_flag(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.median_gap_us >= 0 and r.n_events >= 2
+        expect = (r.n_events >= B.BOT_MIN_EVENTS) and (
+            r.median_gap_us < B.BOT_MEDIAN_GAP_US
+        )
+        assert r.bot_flag == expect
