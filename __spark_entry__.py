@@ -163,6 +163,7 @@ _PRIORITY = [
     "q_trimmed_mean_pandas",
     "mm_arrow_byte_stats",
     "q_bot_flag",
+    "q_top_paths",
 ]
 
 

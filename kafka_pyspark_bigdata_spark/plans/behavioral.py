@@ -185,6 +185,55 @@ SELECT (SELECT COUNT(*) FROM s) AS n_signup,
 """
 
 
+PATHS_TOP_K = 20
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavioral paths (the Sankey/flow-diagram feed): for
+    every consecutive event triple in a user's timeline, count the
+    (step1 → step2 → step3) pattern corpus-wide and keep the most
+    common. Two LEADs over the user-keyed sort build the triples with
+    no join and no fan-out; the pattern count is one small-key partial
+    agg; top-k is a TakeOrdered. Deterministic (count DESC, path ASC)
+    tiebreak."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trip = (
+        ev.withColumn("e2", F.lead("event_type", 1).over(wo))
+        .withColumn("e3", F.lead("event_type", 2).over(wo))
+        .filter(F.col("e3").isNotNull())
+    )
+    return (
+        trip.groupBy(
+            F.col("event_type").alias("step1"),
+            F.col("e2").alias("step2"),
+            F.col("e3").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
+        .limit(PATHS_TOP_K)
+    )
+
+
+Q_TOP_PATHS_SQL = f"""
+WITH {_EV_US},
+t AS (
+  SELECT event_type AS step1,
+         LEAD(event_type, 1) OVER w AS step2,
+         LEAD(event_type, 2) OVER w AS step3
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT step1, step2, step3, COUNT(*) AS n_paths
+FROM t WHERE step3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, step1, step2, step3
+LIMIT {PATHS_TOP_K}
+"""
+
+
 BOT_MIN_EVENTS = 50
 BOT_MEDIAN_GAP_US = 30 * 60 * 1_000_000  # flag if median gap < 30 min
 
@@ -1403,6 +1452,7 @@ ORDER BY window_day
 QUERIES = {
     "q_funnel_windowed": q_funnel_windowed,
     "q_bot_flag": q_bot_flag,
+    "q_top_paths": q_top_paths,
     "q_gapfill_interpolate": q_gapfill_interpolate,
     "q_cusum_anomaly": q_cusum_anomaly,
     "q_time_weighted_avg": q_time_weighted_avg,
@@ -1425,6 +1475,7 @@ QUERIES = {
 ORACLES = {
     "q_funnel_windowed": Q_FUNNEL_WINDOWED_SQL,
     "q_bot_flag": Q_BOT_FLAG_SQL,
+    "q_top_paths": Q_TOP_PATHS_SQL,
     "q_gapfill_interpolate": Q_GAPFILL_SQL,
     "q_cusum_anomaly": Q_CUSUM_SQL,
     "q_time_weighted_avg": Q_TWAP_SQL,
