@@ -164,6 +164,7 @@ _PRIORITY = [
     "mm_arrow_byte_stats",
     "q_bot_flag",
     "q_top_paths",
+    "q_keyset_page",
 ]
 
 

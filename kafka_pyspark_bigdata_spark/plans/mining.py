@@ -957,7 +957,50 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+PAGE_SIZE = 25
+PAGE_CURSOR_DATE = "1995-06-17"
+PAGE_CURSOR_KEY = 9_000
+
+
+def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYSET (cursor) pagination: fetch the page after a
+    (o_orderdate, o_orderkey) cursor — the ONLY pagination that
+    survives 100 TB. OFFSET n skips by computing-and-discarding n rows
+    (every next page costs more than the last); a keyset predicate is
+    sargable, reaches the scan as a pushed filter, and every page costs
+    the same: filter + TakeOrdered(k). The composite-tuple comparison
+    is spelled out so each conjunct pushes down."""
+    o = load_table(spark, sf_dir, "orders")
+    after_cursor = (F.col("o_orderdate") > F.lit(PAGE_CURSOR_DATE).cast("date")) | (
+        (F.col("o_orderdate") == F.lit(PAGE_CURSOR_DATE).cast("date"))
+        & (F.col("o_orderkey") > PAGE_CURSOR_KEY)
+    )
+    return (
+        o.filter(after_cursor)
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(PAGE_SIZE)
+    )
+
+
+Q_KEYSET_SQL = f"""
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderdate > DATE '{PAGE_CURSOR_DATE}'
+   OR (o_orderdate = DATE '{PAGE_CURSOR_DATE}' AND o_orderkey > {PAGE_CURSOR_KEY})
+ORDER BY o_orderdate, o_orderkey
+LIMIT {PAGE_SIZE}
+"""
+
+
 QUERIES = {
+    "q_keyset_page": q_keyset_page,
     "q_trimmed_mean_pandas": q_trimmed_mean_pandas,
     "q_weighted_median": q_weighted_median,
     "corpus_modality_coverage": corpus_modality_coverage,
@@ -974,6 +1017,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_keyset_page": Q_KEYSET_SQL,
     "q_trimmed_mean_pandas": Q_TRIMMED_MEAN_SQL,
     "q_weighted_median": Q_WEIGHTED_MEDIAN_SQL,
     "corpus_modality_coverage": CORPUS_COVERAGE_SQL,
