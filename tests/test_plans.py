@@ -256,3 +256,32 @@ def test_tz_rollup_prunes_to_three_columns(spark):
         plan = _plan(q_tz_daily_rollup(spark, SF))
     schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "props" not in schema and "event_type" not in schema, schema
+
+
+def test_keyset_page_pushes_cursor_predicate(spark):
+    from kafka_pyspark_bigdata_spark.plans.mining import q_keyset_page
+
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        plan = _plan(q_keyset_page(spark, SF))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "o_orderdate" in pushed, pushed
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_top_paths_builds_triples_without_join(spark):
+    from kafka_pyspark_bigdata_spark.plans.behavioral import q_top_paths
+
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        plan = _plan(q_top_paths(spark, SF))
+    # two LEADs over one user-keyed window: no join node anywhere
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_trimmed_mean_runs_in_arrow_aggregate(spark):
+    from kafka_pyspark_bigdata_spark.plans.mining import q_trimmed_mean_pandas
+
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        plan = _plan(q_trimmed_mean_pandas(spark, SF))
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
