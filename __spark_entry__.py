@@ -165,6 +165,7 @@ _PRIORITY = [
     "q_bot_flag",
     "q_top_paths",
     "q_keyset_page",
+    "graph_cc_two_phase",
 ]
 
 

@@ -1547,7 +1547,83 @@ FROM hist ORDER BY n_match DESC
 """
 
 
+def _symmetrize(pairs: DataFrame) -> DataFrame:
+    """Canonical undirected edge set → both-direction (u, v) adjacency."""
+    canon = pairs.select(
+        F.least("doc_a", "doc_b").alias("a"), F.greatest("doc_a", "doc_b").alias("b")
+    ).distinct()
+    return canon.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        canon.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+
+
+def _min_star(edges_sym: DataFrame) -> DataFrame:
+    """(u, m): each node's minimum over itself and its neighborhood."""
+    return edges_sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+
+
+def graph_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via ALTERNATING LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    public) over the MinHash near-dup graph — the algorithm that
+    replaces diameter-many label-propagation rounds with O(log n)
+    edge-rewiring rounds, the difference that matters when a 100 TB
+    dedup graph grows a long chain.
+
+    Each round is two join+aggregate passes: large-star rewires every
+    strictly-greater neighbor to the neighborhood minimum, small-star
+    rewires the smaller neighbors (and the center) to it. Convergence
+    = the edge set reaches a fixed point (stars centered at component
+    minima); labels then read off as each node's neighborhood min.
+    Same output contract and the same recursive-CTE oracle as
+    ``dedup_clusters`` — two independent algorithms, one verified
+    answer.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = _symmetrize(pairs).localCheckpoint()
+    for _ in range(CC_MAX_ITERS):
+        # large-star: (v, m(u)) for neighbors v > u
+        m = _min_star(edges)
+        large = (
+            edges.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("doc_a"), F.col("m").alias("doc_b"))
+            .filter(F.col("doc_a") != F.col("doc_b"))
+        )
+        edges_l = _symmetrize(large).localCheckpoint()
+        # small-star: (v, m(u)) for neighbors v < u, plus (u, m(u))
+        m2 = _min_star(edges_l)
+        small = (
+            edges_l.filter(F.col("v") < F.col("u"))
+            .join(m2, "u")
+            .select(F.col("v").alias("doc_a"), F.col("m").alias("doc_b"))
+            .unionByName(
+                m2.select(F.col("u").alias("doc_a"), F.col("m").alias("doc_b"))
+            )
+            .filter(F.col("doc_a") != F.col("doc_b"))
+        )
+        new_edges = _symmetrize(small).localCheckpoint()
+        changed = (
+            new_edges.exceptAll(edges).count() + edges.exceptAll(new_edges).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"two-phase CC did not converge in {CC_MAX_ITERS} rounds"
+        )
+    return (
+        _min_star(edges)
+        .select(F.col("u").alias("doc_id"), F.col("m").alias("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
+    "graph_cc_two_phase": graph_cc_two_phase,
     "dedup_threshold_sweep": dedup_threshold_sweep,
     "sketch_minhash_error": sketch_minhash_error,
     "dedup_shingle_coverage": dedup_shingle_coverage,
@@ -1570,6 +1646,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_cc_two_phase": DEDUP_CLUSTERS_SQL,
     "dedup_threshold_sweep": _threshold_sweep_sql(),
     "sketch_minhash_error": _minhash_error_sql(),
     "dedup_shingle_coverage": DEDUP_COVERAGE_SQL,

@@ -585,3 +585,11 @@ def test_arrow_kernel_plans_without_pandas_conversion(spark):
     assert "MapInArrow" in plan, plan
     rows = df.collect()
     assert rows and all(r.n_bytes > 0 for r in rows)
+
+
+def test_two_phase_cc_agrees_with_label_propagation(spark):
+    """Two independent CC algorithms must produce identical labelings."""
+    sf = "/root/testdata/sf0.001"
+    a = {(r.doc_id, r.cluster_id) for r in dedup.dedup_clusters(spark, sf).collect()}
+    b = {(r.doc_id, r.cluster_id) for r in dedup.graph_cc_two_phase(spark, sf).collect()}
+    assert a == b and len(a) > 0
