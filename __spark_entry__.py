@@ -166,6 +166,7 @@ _PRIORITY = [
     "q_top_paths",
     "q_keyset_page",
     "graph_cc_two_phase",
+    "dedup_savings_summary",
 ]
 
 

@@ -1622,7 +1622,63 @@ def graph_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_savings_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION readout: cluster-size histogram plus the
+    bottom line — how many documents a keep-one-per-cluster policy
+    removes, as count and ppm of the corpus. This is the number that
+    justifies (or kills) running dedup on a corpus at all; it rolls up
+    the connected components into |distinct sizes| rows + one total,
+    so the readout costs two tiny aggregations over the CC labels."""
+    labels = dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    hist = sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("n_clusters"))
+    n_docs_total = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_corpus")
+    )
+    return (
+        hist.crossJoin(F.broadcast(n_docs_total))
+        .select(
+            "sz",
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).alias("n_docs_in_size"),
+            ((F.col("sz") - 1) * F.col("n_clusters")).alias("n_removable"),
+            F.expr("(sz - 1) * n_clusters * 1000000 div n_corpus").alias(
+                "removable_ppm_of_corpus"
+            ),
+        )
+        .orderBy("sz")
+    )
+
+
+def _savings_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.doc_a, reach.r FROM edges e JOIN reach ON e.doc_b = reach.doc_id
+),
+labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM labels GROUP BY cluster_id),
+hist AS (SELECT sz, COUNT(*) AS n_clusters FROM sizes GROUP BY sz),
+tot AS (SELECT COUNT(*) AS n_corpus FROM documents)
+SELECT sz, n_clusters,
+       CAST(sz * n_clusters AS BIGINT) AS n_docs_in_size,
+       CAST((sz - 1) * n_clusters AS BIGINT) AS n_removable,
+       (sz - 1) * n_clusters * 1000000 // n_corpus AS removable_ppm_of_corpus
+FROM hist, tot ORDER BY sz
+"""
+
+
 QUERIES = {
+    "dedup_savings_summary": dedup_savings_summary,
     "graph_cc_two_phase": graph_cc_two_phase,
     "dedup_threshold_sweep": dedup_threshold_sweep,
     "sketch_minhash_error": sketch_minhash_error,
@@ -1646,6 +1702,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_savings_summary": _savings_sql(),
     "graph_cc_two_phase": DEDUP_CLUSTERS_SQL,
     "dedup_threshold_sweep": _threshold_sweep_sql(),
     "sketch_minhash_error": _minhash_error_sql(),

@@ -593,3 +593,16 @@ def test_two_phase_cc_agrees_with_label_propagation(spark):
     a = {(r.doc_id, r.cluster_id) for r in dedup.dedup_clusters(spark, sf).collect()}
     b = {(r.doc_id, r.cluster_id) for r in dedup.graph_cc_two_phase(spark, sf).collect()}
     assert a == b and len(a) > 0
+
+
+def test_dedup_savings_consistent_with_clusters(spark):
+    """Histogram mass must equal the clustered-doc count and removable =
+    docs minus one survivor per cluster."""
+    sf = "/root/testdata/sf0.001"
+    labels = dedup.dedup_clusters(spark, sf).collect()
+    rows = dedup.dedup_savings_summary(spark, sf).collect()
+    n_clustered = len(labels)
+    n_clusters = len({r.cluster_id for r in labels})
+    assert sum(r.n_docs_in_size for r in rows) == n_clustered
+    assert sum(r.n_clusters for r in rows) == n_clusters
+    assert sum(r.n_removable for r in rows) == n_clustered - n_clusters
