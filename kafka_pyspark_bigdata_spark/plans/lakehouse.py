@@ -207,6 +207,118 @@ FROM j WHERE change_type <> 'unchanged' ORDER BY l_orderkey
 """
 
 
+# MERGE upsert: the base snapshot is everything ordered before the cutoff;
+# the staged batch is the next year's orders PLUS a deterministic
+# amendment slice of existing keys (every 10th key gets +1.00 on its
+# total) — so the merge exercises all three paths (insert / update /
+# no-op) with engine-computable expectations.
+MERGE_CUTOFF = "1998-06-01"
+MERGE_STAGE_END = "1999-06-01"
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO (Delta/Iceberg upsert semantics) as a pure
+    DataFrame plan: full-outer join of the base snapshot with a staged
+    CDC batch on the table key, WHEN MATCHED AND changed → update,
+    WHEN NOT MATCHED → insert, else carry the base row — then a
+    per-action audit (row count + total cents checksum) over the merged
+    table, which is how a lakehouse commit validates an upsert before
+    swapping the snapshot in.
+
+    This is the APPLY step downstream of ``q_cdc_diff``'s change-feed
+    producer. Scale shape: one co-partitioned full-outer join on the
+    primary key (both sides hash-partition on it; Delta's own MERGE
+    lowers to exactly this join) and the audit aggregate is 3 groups.
+    At 100 TB the base side is partition-pruned by the cutoff predicate
+    at the scan and AQE handles the staged side's skew; nothing touches
+    the driver. Cents are integer-exact, so the checksum is
+    hash-verifiable."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    base = o.filter(F.col("o_orderdate") < F.lit(MERGE_CUTOFF)).select(
+        "o_orderkey", F.col("cents").alias("base_cents")
+    )
+    # Staged batch: amendments to every 10th existing key + the next
+    # year's new keys (and half the amendments are no-op re-sends, key
+    # % 20 == 0, to exercise the unchanged path real CDC streams have).
+    amend = (
+        o.filter(
+            (F.col("o_orderdate") < F.lit(MERGE_CUTOFF))
+            & (F.col("o_orderkey") % 10 == 0)
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 20 == 0, F.col("cents"))
+            .otherwise(F.col("cents") + 100)
+            .alias("stage_cents"),
+        )
+    )
+    fresh = o.filter(
+        (F.col("o_orderdate") >= F.lit(MERGE_CUTOFF))
+        & (F.col("o_orderdate") < F.lit(MERGE_STAGE_END))
+    ).select("o_orderkey", F.col("cents").alias("stage_cents"))
+    stage = amend.unionByName(fresh)
+
+    merged = base.join(stage, "o_orderkey", "full_outer").select(
+        "o_orderkey",
+        F.when(F.col("base_cents").isNull(), F.lit("insert"))
+        .when(F.col("stage_cents").isNull(), F.lit("carry"))
+        .when(F.col("stage_cents") != F.col("base_cents"), F.lit("update"))
+        .otherwise(F.lit("noop"))
+        .alias("action"),
+        F.coalesce("stage_cents", "base_cents").alias("cents"),
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("action")
+    )
+
+
+MERGE_UPSERT_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+base AS (
+  SELECT o_orderkey, cents AS base_cents FROM o
+  WHERE o_orderdate < TIMESTAMP '{MERGE_CUTOFF} 00:00:00'
+),
+stage AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 20 = 0 THEN cents ELSE cents + 100 END
+           AS stage_cents
+  FROM o
+  WHERE o_orderdate < TIMESTAMP '{MERGE_CUTOFF} 00:00:00'
+    AND o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, cents FROM o
+  WHERE o_orderdate >= TIMESTAMP '{MERGE_CUTOFF} 00:00:00'
+    AND o_orderdate < TIMESTAMP '{MERGE_STAGE_END} 00:00:00'
+),
+merged AS (
+  SELECT CASE WHEN base_cents IS NULL THEN 'insert'
+              WHEN stage_cents IS NULL THEN 'carry'
+              WHEN stage_cents <> base_cents THEN 'update'
+              ELSE 'noop' END AS action,
+         COALESCE(stage_cents, base_cents) AS cents
+  FROM base FULL OUTER JOIN stage USING (o_orderkey)
+)
+SELECT action, COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM merged GROUP BY action ORDER BY action
+"""
+
+
 # Bloom filter: m bits, k portable multiplicative hashes. m is chosen
 # SMALL on purpose so the sf0.01 fixture exhibits real false positives
 # (the operator's defining behavior); production sizes m for an FP rate,
@@ -1019,6 +1131,7 @@ ORDER BY m.l_returnflag
 
 
 QUERIES = {
+    "q_merge_upsert": q_merge_upsert,
     "q_partial_agg_merge": q_partial_agg_merge,
     "q_compact_small_files": q_compact_small_files,
     "sketch_bloom_fpr_eval": sketch_bloom_fpr_eval,
@@ -1034,6 +1147,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_merge_upsert": MERGE_UPSERT_SQL,
     "q_partial_agg_merge": PARTIAL_AGG_MERGE_SQL,
     "q_compact_small_files": COMPACT_SQL,
     "sketch_bloom_fpr_eval": _bloom_fpr_sql(),

@@ -999,7 +999,99 @@ LIMIT {PAGE_SIZE}
 """
 
 
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of order totals per priority class — the robust
+    location estimate that CLAMPS the tails instead of dropping them
+    (the JVM-expression counterpart to ``q_trimmed_mean_pandas``: same
+    robustness family, zero Python, one shuffle).
+
+    Rank-exact definition: with n rows per group and k = n DIV 10, every
+    value below the rank-(k+1) order statistic is raised to it and every
+    value above rank n−k is lowered to it, then the mean is taken.
+    Implemented as ONE window pass: ``row_number`` + ``count`` over the
+    group, then the two clamp bounds as conditional MAX-over-group
+    window aggregates (the rank-(k+1) / rank-(n−k) values), then a
+    group aggregate. The groupBy reuses the window's hash partitioning
+    on the same key, so the whole plan is a single exchange; at 100 TB
+    the per-group sort is the only cost and AQE splits any skewed
+    priority class. All arithmetic is integer cents with one truncating
+    division at the end — engine-exact."""
+    cents = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    w_rank = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    w_grp = Window.partitionBy("o_orderpriority")
+    ranked = cents.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(w_grp).alias("n"),
+    )
+    bounded = ranked.select(
+        "o_orderpriority",
+        "cents",
+        "n",
+        F.max(
+            F.when(F.col("r") == F.expr("n div 10") + 1, F.col("cents"))
+        ).over(w_grp).alias("lo"),
+        F.max(
+            F.when(F.col("r") == F.col("n") - F.expr("n div 10"), F.col("cents"))
+        ).over(w_grp).alias("hi"),
+    )
+    return (
+        bounded.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            F.max("lo").alias("lo_cents"),
+            F.max("hi").alias("hi_cents"),
+            F.expr(
+                "sum(least(greatest(cents, lo), hi)) div max(n)"
+            ).alias("winsor_mean_cents"),
+            F.expr("sum(cents) div max(n)").alias("raw_mean_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_WINSOR_SQL = """
+WITH cents AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+ranked AS (
+  SELECT o_orderpriority, cents,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents, o_orderkey) AS r,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM cents
+),
+bounded AS (
+  SELECT o_orderpriority, cents, n,
+         MAX(CASE WHEN r = n // 10 + 1 THEN cents END)
+           OVER (PARTITION BY o_orderpriority) AS lo,
+         MAX(CASE WHEN r = n - n // 10 THEN cents END)
+           OVER (PARTITION BY o_orderpriority) AS hi
+  FROM ranked
+)
+SELECT o_orderpriority, MAX(n) AS n_orders, MAX(lo) AS lo_cents,
+       MAX(hi) AS hi_cents,
+       CAST(SUM(LEAST(GREATEST(cents, lo), hi)) // MAX(n) AS BIGINT)
+         AS winsor_mean_cents,
+       CAST(SUM(cents) // MAX(n) AS BIGINT) AS raw_mean_cents
+FROM bounded GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "q_winsorized_mean": q_winsorized_mean,
     "q_keyset_page": q_keyset_page,
     "q_trimmed_mean_pandas": q_trimmed_mean_pandas,
     "q_weighted_median": q_weighted_median,
@@ -1017,6 +1109,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_winsorized_mean": Q_WINSOR_SQL,
     "q_keyset_page": Q_KEYSET_SQL,
     "q_trimmed_mean_pandas": Q_TRIMMED_MEAN_SQL,
     "q_weighted_median": Q_WEIGHTED_MEDIAN_SQL,
