@@ -77,6 +77,13 @@ _PRIORITY = [
     "streaming_stream_join",
     "streaming_watermark_lates",
     # --- new in round 3 ---
+    "dedup_record_linkage",
+    "q_recursive_bom",
+    "q_merge_upsert",
+    "q_winsorized_mean",
+    "ts_trend_forecast",
+    "geo_knn_join",
+    "corpus_shard_manifest",
     "semdedup_bucketed",
     "emb_mrl_recall",
     "emb_pca_power_iter",

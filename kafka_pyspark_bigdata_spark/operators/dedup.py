@@ -1677,7 +1677,165 @@ FROM hist, tot ORDER BY sz
 """
 
 
+# ---------------------------------------------------------------------------
+# Probabilistic record linkage (Fellegi–Sunter)
+# ---------------------------------------------------------------------------
+
+# Field agreement weights, milli-log-odds (log(m/u) scaled by 1000 and
+# frozen as integer literals — production estimates m/u via EM; fixed
+# weights keep both engines value-exact and the plan identical).
+RL_W_NAME = (4000, -1000)
+RL_W_BAL = (2500, -1500)
+RL_W_SEG = (1200, -900)
+RL_BAL_TOL_CENTS = 10
+RL_MATCH_MIN = 5000  # score >= → match
+RL_POSSIBLE_MIN = 0  # score in [0, match) → possible; below → non-match
+
+
+def dedup_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi–Sunter 1969, public):
+    match a customer file against a dirtied replica of itself via
+    blocking + per-field agreement weights — entity resolution, the
+    record-level sibling of the document dedup operators.
+
+    The replica perturbs fields DETERMINISTICALLY (every 3rd key's name
+    is upper-cased, every 5th balance shifted 37 cents, every 7th
+    segment blanked to UNKNOWN, every 11th nation re-keyed), so ground
+    truth is known and the output is a decision × truth confusion
+    matrix with score bounds — precision/recall of the linkage rule
+    itself, engine-exact. The nation perturbation deliberately breaks
+    blocking for ~9% of true pairs: blocking recall < 1 is the real
+    phenomenon every linkage pipeline must measure.
+
+    Blocking key = (nation, last-3 of lower(name)): case-insensitive,
+    so the name perturbation stays inside the block, and candidate
+    pairs are one equi-join on the compound key — never |A|×|B|. At
+    100 TB names repeat per block in proportion n/10³ per nation, so
+    block sizes stay bounded and uniform (skewed real-world blocks →
+    AQE skew-join, same as every bucketed join here). Agreement scores
+    are integer sums of literal weights; the decision thresholds are
+    the classic two-cutoff Fellegi–Sunter rule (match / possible /
+    non-match)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "c_mktsegment",
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("a_id"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("a_nat"),
+        F.col("cents").alias("a_cents"),
+        F.col("c_mktsegment").alias("a_seg"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("b_id"),
+        F.when(F.col("c_custkey") % 3 == 0, F.upper("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("b_name"),
+        F.when(F.col("c_custkey") % 11 == 0, (F.col("c_nationkey") + 1) % 25)
+        .otherwise(F.col("c_nationkey"))
+        .alias("b_nat"),
+        F.when(F.col("c_custkey") % 5 == 0, F.col("cents") + 37)
+        .otherwise(F.col("cents"))
+        .alias("b_cents"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("b_seg"),
+    )
+    block = lambda nat, name: [  # noqa: E731
+        F.col(nat).alias("blk_nat"),
+        F.substring(F.lower(F.col(name)), -3, 3).alias("blk_tail"),
+    ]
+    cand = a.select("*", *block("a_nat", "a_name")).join(
+        b.select("*", *block("b_nat", "b_name")), ["blk_nat", "blk_tail"]
+    )
+    score = (
+        F.when(F.col("a_name") == F.col("b_name"), F.lit(RL_W_NAME[0]))
+        .otherwise(F.lit(RL_W_NAME[1]))
+        + F.when(
+            F.abs(F.col("a_cents") - F.col("b_cents")) <= RL_BAL_TOL_CENTS,
+            F.lit(RL_W_BAL[0]),
+        ).otherwise(F.lit(RL_W_BAL[1]))
+        + F.when(F.col("a_seg") == F.col("b_seg"), F.lit(RL_W_SEG[0])).otherwise(
+            F.lit(RL_W_SEG[1])
+        )
+    )
+    decided = cand.select(
+        F.when(score >= RL_MATCH_MIN, F.lit("match"))
+        .when(score >= RL_POSSIBLE_MIN, F.lit("possible"))
+        .otherwise(F.lit("nonmatch"))
+        .alias("decision"),
+        (F.col("a_id") == F.col("b_id")).alias("is_true_pair"),
+        score.alias("score"),
+    )
+    return (
+        decided.groupBy("decision", "is_true_pair")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("decision", "is_true_pair")
+    )
+
+
+RECORD_LINKAGE_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         c_mktsegment
+  FROM customer
+),
+a AS (
+  SELECT c_custkey AS a_id, c_name AS a_name, c_nationkey AS a_nat,
+         cents AS a_cents, c_mktsegment AS a_seg,
+         c_nationkey AS blk_nat, substr(lower(c_name), -3) AS blk_tail
+  FROM cust
+),
+b AS (
+  SELECT c_custkey AS b_id,
+         CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END
+           AS b_name,
+         CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END AS b_nat,
+         CASE WHEN c_custkey % 5 = 0 THEN cents + 37 ELSE cents END
+           AS b_cents,
+         CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END
+           AS b_seg
+  FROM cust
+),
+cand AS (
+  SELECT a.*, b.*
+  FROM a JOIN b
+    ON a.blk_nat = b_nat
+   AND a.blk_tail = substr(lower(b_name), -3)
+),
+scored AS (
+  SELECT (CASE WHEN a_name = b_name THEN {RL_W_NAME[0]} ELSE {RL_W_NAME[1]} END
+        + CASE WHEN abs(a_cents - b_cents) <= {RL_BAL_TOL_CENTS}
+               THEN {RL_W_BAL[0]} ELSE {RL_W_BAL[1]} END
+        + CASE WHEN a_seg = b_seg THEN {RL_W_SEG[0]} ELSE {RL_W_SEG[1]} END)
+           AS score,
+         (a_id = b_id) AS is_true_pair
+  FROM cand
+)
+SELECT CASE WHEN score >= {RL_MATCH_MIN} THEN 'match'
+            WHEN score >= {RL_POSSIBLE_MIN} THEN 'possible'
+            ELSE 'nonmatch' END AS decision,
+       is_true_pair, COUNT(*) AS n_pairs,
+       MIN(score) AS min_score, MAX(score) AS max_score
+FROM scored
+GROUP BY 1, 2 ORDER BY decision, is_true_pair
+"""
+
+
 QUERIES = {
+    "dedup_record_linkage": dedup_record_linkage,
     "dedup_savings_summary": dedup_savings_summary,
     "graph_cc_two_phase": graph_cc_two_phase,
     "dedup_threshold_sweep": dedup_threshold_sweep,
@@ -1702,6 +1860,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_record_linkage": RECORD_LINKAGE_SQL,
     "dedup_savings_summary": _savings_sql(),
     "graph_cc_two_phase": DEDUP_CLUSTERS_SQL,
     "dedup_threshold_sweep": _threshold_sweep_sql(),

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.batch import load_table
 
@@ -186,6 +187,103 @@ ORDER BY user_a, user_b
 """
 
 
+GEO_KNN_K = 3
+
+
+def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded kNN join: each user's {GEO_KNN_K} nearest
+    neighbors within GEO_RADIUS — the spatial nearest-neighbor
+    primitive behind store-assignment / meetup-matching queries, and
+    the geo analog of ``ann_topk_bruteforce``'s top-k but with
+    grid-bucketed candidates instead of a broadcast scan.
+
+    Unlike ``geo_grid_pairs`` the relation is DIRECTED (b near a does
+    not make a near b's top-k), so candidates keep both orientations
+    and a per-user ``row_number`` over (dist², neighbor id) picks the
+    k nearest deterministically. The radius bound is what makes kNN
+    joinable at scale: candidates stay within the 3×3 cell block (9×
+    fanout, data-independent), so the plan is equi-join + per-user
+    top-k — never a cross join; users with fewer than k in-radius
+    neighbors return what exists (bounded-kNN semantics, the standard
+    production contract). The top-k window partitions on user_id, the
+    same key the candidate join shuffles on."""
+    pts = _points(spark, sf_dir)
+    home = pts.select(
+        F.col("user_id").alias("nbr_id"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        (F.col("lat") / GEO_CELL).cast("long").alias("cx"),
+        (F.col("lon") / GEO_CELL).cast("long").alias("cy"),
+    )
+    probe = pts.select(
+        "user_id",
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx ->"
+                " transform(sequence(-1, 1), dy ->"
+                f" struct(CAST(lat AS BIGINT) DIV {GEO_CELL} + dx AS cx,"
+                f" CAST(lon AS BIGINT) DIV {GEO_CELL} + dy AS cy))))"
+            )
+        ).alias("cell"),
+    ).select(
+        "user_id", "lat_a", "lon_a",
+        F.col("cell.cx").alias("cx"), F.col("cell.cy").alias("cy"),
+    )
+    r2 = GEO_RADIUS * GEO_RADIUS
+    w = Window.partitionBy("user_id").orderBy("dist_sq", "nbr_id")
+    return (
+        probe.join(home, ["cx", "cy"])
+        .filter(F.col("user_id") != F.col("nbr_id"))
+        .withColumn(
+            "dist_sq",
+            (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b"))
+            + (F.col("lon_a") - F.col("lon_b"))
+            * (F.col("lon_a") - F.col("lon_b")),
+        )
+        .filter(F.col("dist_sq") <= r2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= GEO_KNN_K)
+        .select("user_id", "rank", "nbr_id", "dist_sq")
+        .orderBy("user_id", "rank")
+    )
+
+
+GEO_KNN_SQL = f"""
+WITH {_COORDS_SQL},
+home AS (
+  SELECT user_id AS nbr_id, lat AS lat_b, lon AS lon_b,
+         lat // {GEO_CELL} AS cx, lon // {GEO_CELL} AS cy
+  FROM pts
+),
+probe AS (
+  SELECT user_id, lat AS lat_a, lon AS lon_a,
+         lat // {GEO_CELL} + dx.dx AS cx, lon // {GEO_CELL} + dy.dy AS cy
+  FROM pts
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dx(dx)
+  CROSS JOIN (VALUES (-1), (0), (1)) AS dy(dy)
+),
+scored AS (
+  SELECT user_id, nbr_id,
+         (lat_a - lat_b) * (lat_a - lat_b)
+           + (lon_a - lon_b) * (lon_a - lon_b) AS dist_sq
+  FROM probe JOIN home USING (cx, cy)
+  WHERE user_id <> nbr_id
+    AND (lat_a - lat_b) * (lat_a - lat_b)
+          + (lon_a - lon_b) * (lon_a - lon_b)
+        <= {GEO_RADIUS * GEO_RADIUS}
+)
+SELECT user_id, rank, nbr_id, dist_sq
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY dist_sq, nbr_id) AS rank
+  FROM scored
+) WHERE rank <= {GEO_KNN_K}
+ORDER BY user_id, rank
+"""
+
+
 DBSCAN_MINPTS = 4
 
 
@@ -267,12 +365,14 @@ ORDER BY b.user_id
 
 
 QUERIES = {
+    "geo_knn_join": geo_knn_join,
     "geo_dbscan_core": geo_dbscan_core,
     "geo_cell_stats": geo_cell_stats,
     "geo_grid_pairs": geo_grid_pairs,
 }
 
 ORACLES = {
+    "geo_knn_join": GEO_KNN_SQL,
     "geo_dbscan_core": GEO_DBSCAN_SQL,
     "geo_cell_stats": GEO_CELL_STATS_SQL,
     "geo_grid_pairs": GEO_GRID_PAIRS_SQL,

@@ -564,7 +564,75 @@ FROM ranked GROUP BY source ORDER BY source
 """
 
 
+N_SHARDS = 8
+
+
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-balanced training-shard manifest: assign every document to
+    one of {N_SHARDS} output shards so shard sizes come out nearly
+    equal — the step that decides what each data-loader worker reads,
+    where a size-skewed assignment becomes a straggler for the whole
+    training job.
+
+    Assignment is longest-processing-time-first round-robin: rank docs
+    by size descending (ties by doc_id for determinism), shard =
+    (rank−1) mod {N_SHARDS} — the classic greedy LPT approximation,
+    here exactly expressible as one window + modulo. The audit reports
+    per-shard doc counts, byte totals, and each shard's deviation from
+    the ideal equal split in ppm; the complement of ``corpus_pack_greedy``
+    (which packs a sequence dimension, not output files).
+
+    Scale: the global size rank is a range-partitioned sort (same shape
+    as q_quantiles_exact); everything after is a {N_SHARDS}-key
+    aggregate. The manifest itself (doc → shard) stays distributed —
+    this query returns only the audit."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy(F.desc("n_chars"), "doc_id")
+    assigned = docs.select(
+        "doc_id",
+        "n_chars",
+        ((F.row_number().over(w) - 1) % N_SHARDS).alias("shard"),
+    )
+    shards = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("shard_chars"),
+    )
+    total = shards.agg(F.sum("shard_chars").alias("all_chars"))
+    return (
+        shards.crossJoin(F.broadcast(total))
+        .select(
+            "shard",
+            "n_docs",
+            "shard_chars",
+            F.expr(
+                f"shard_chars * {N_SHARDS} * 1000000 div all_chars - 1000000"
+            ).alias("dev_ppm"),
+        )
+        .orderBy("shard")
+    )
+
+
+CORPUS_SHARD_SQL = f"""
+WITH assigned AS (
+  SELECT doc_id, n_chars,
+         (ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1)
+           % {N_SHARDS} AS shard
+  FROM documents
+),
+shards AS (
+  SELECT shard, COUNT(*) AS n_docs, SUM(n_chars) AS shard_chars
+  FROM assigned GROUP BY shard
+),
+total AS (SELECT SUM(shard_chars) AS all_chars FROM shards)
+SELECT shard, n_docs, CAST(shard_chars AS BIGINT) AS shard_chars,
+       CAST(shard_chars * {N_SHARDS} * 1000000 // all_chars - 1000000
+            AS BIGINT) AS dev_ppm
+FROM shards, total ORDER BY shard
+"""
+
+
 QUERIES = {
+    "corpus_shard_manifest": corpus_shard_manifest,
     "corpus_cap_per_source": corpus_cap_per_source,
     "corpus_preprocess_e2e": corpus_preprocess_e2e,
     "corpus_token_budget": corpus_token_budget,
@@ -579,6 +647,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_shard_manifest": CORPUS_SHARD_SQL,
     "corpus_cap_per_source": CORPUS_CAP_SQL,
     "corpus_token_budget": CORPUS_TOKEN_BUDGET_SQL,
     "corpus_length_survival": CORPUS_LENGTH_SURVIVAL_SQL,

@@ -396,13 +396,112 @@ ORDER BY di
 """
 
 
+def ts_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation linear trend + one-step revenue forecast — the
+    closed-form OLS every monitoring pipeline runs per series, as TWO
+    aggregates and zero Python: monthly revenue cents per supplier
+    nation, then the regression moments (n, Σt, Σy, Σt², Σty) per
+    nation, from which slope and the next-month forecast are single
+    integer-exact expressions:
+
+        slope    = (nΣty − ΣtΣy) / (nΣt² − (Σt)²)
+        forecast = (ΣyΣt² − ΣtΣty + (nΣty − ΣtΣy)·t_next) / den
+
+    Slope is reported in milli-cents/month fixed point; both divisions
+    truncate toward zero in Spark (``div``) AND DuckDB (``//``), so
+    negative trends stay engine-exact. Moments accumulate in
+    DECIMAL(38,0) — at 100 TB Σty tops out ~1e20, beyond int64 but
+    comfortably inside 38 digits.
+
+    Scale: supplier/nation are broadcast dimensions; the monthly rollup
+    is one partial-agg shuffle on (nation, month) and the moment pass
+    reduces ~25 nations × months to 25 rows — the entire regression
+    never leaves the JVM and adds no extra fact-table pass. The month
+    index origin comes from a broadcast 1-row MIN aggregate, not a
+    driver collect."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("ym"),
+        _cents("l_extendedprice").alias("cents"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    origin = li.agg(F.min("ym").alias("ym0"))
+    monthly = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .crossJoin(F.broadcast(origin))
+        .select("n_name", (F.col("ym") - F.col("ym0")).alias("t"), "cents")
+        .groupBy("n_name", "t")
+        .agg(F.sum("cents").alias("y"))
+    )
+    moments = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("t").cast("decimal(38,0)").alias("st"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("decimal(38,0)").alias("stt"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("y")).alias("sty"),
+        F.max("t").alias("t_last"),
+    )
+    return moments.select(
+        "n_name",
+        F.col("n").cast("bigint").alias("n_months"),
+        F.expr(
+            "CAST((n * sty - st * sy) * 1000 div (n * stt - st * st) AS BIGINT)"
+        ).alias("slope_millicents"),
+        (F.col("t_last") + 1).alias("t_next"),
+        F.expr(
+            "CAST((sy * stt - st * sty + (n * sty - st * sy) * (t_last + 1))"
+            " div (n * stt - st * st) AS BIGINT)"
+        ).alias("forecast_cents"),
+    ).orderBy("n_name")
+
+
+TS_TREND_SQL = """
+WITH li AS (
+  SELECT l_suppkey,
+         year(l_shipdate) * 12 + month(l_shipdate) AS ym,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem
+),
+origin AS (SELECT MIN(ym) AS ym0 FROM li),
+monthly AS (
+  SELECT n_name, ym - ym0 AS t, SUM(cents) AS y
+  FROM li
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  CROSS JOIN origin
+  GROUP BY n_name, ym - ym0
+),
+m AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(t) AS HUGEINT) AS st,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(t * t) AS HUGEINT) AS stt,
+         CAST(SUM(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty,
+         MAX(t) AS t_last
+  FROM monthly GROUP BY n_name
+)
+SELECT n_name, CAST(n AS BIGINT) AS n_months,
+       CAST((n * sty - st * sy) * 1000 // (n * stt - st * st) AS BIGINT)
+         AS slope_millicents,
+       t_last + 1 AS t_next,
+       CAST((sy * stt - st * sty + (n * sty - st * sy) * (t_last + 1))
+            // (n * stt - st * st) AS BIGINT) AS forecast_cents
+FROM m ORDER BY n_name
+"""
+
+
 QUERIES = {
+    "ts_trend_forecast": ts_trend_forecast,
     "ts_similarity_paa": ts_similarity_paa,
     "ts_autocorr": ts_autocorr,
     "ts_stl_lite": ts_stl_lite,
 }
 
 ORACLES = {
+    "ts_trend_forecast": TS_TREND_SQL,
     "ts_similarity_paa": TS_SIMILARITY_SQL,
     "ts_autocorr": _autocorr_sql(),
     "ts_stl_lite": TS_STL_SQL,

@@ -659,7 +659,96 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Recursive hierarchy rollup (WITH RECURSIVE parity)
+# ---------------------------------------------------------------------------
+
+BOM_FANOUT = 8  # children per assembly in the synthetic hierarchy
+BOM_DEPTH_CAP = 16  # safety bound; real depth is log_8(max key) (~14 at 2^40 keys)
+
+
+def q_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials rollup over a recursive part hierarchy — the
+    ``WITH RECURSIVE`` workload Spark has no native primitive for,
+    expressed as the standard log-depth iterative-join plan.
+
+    The hierarchy is synthesized deterministically from the contiguous
+    part keys: ``parent(p) = p DIV 8``, so keys 0..7 are the 8 root
+    assemblies and every other part hangs ``floor(log8 p)`` levels
+    below one of them (the same honestly-labeled-fake precedent as
+    operators.geo — swap in a real parent_key column and the plan is
+    unchanged). Each iteration ascends one level by joining the live
+    frontier's parent key against the node table (genuine edge-table
+    semantics: a missing parent would terminate the walk), and the
+    iteration count is fixed up front from one scalar MAX(key) lookup —
+    no per-iteration driver round-trip, no fixed-point count jobs. The
+    rollup then aggregates every node's retail-price cents into its
+    root: per-root subtree size, cost, and height.
+
+    Scale: depth is logarithmic in the key space (14 joins at 2^40
+    keys), every join is an equi-join on the ascending ancestor key,
+    and the frontier SHRINKS by 8x per level once walks start
+    terminating — the classic BFS-ascent shape engines lower recursive
+    CTEs to. The oracle runs the same walk as a real DuckDB
+    ``WITH RECURSIVE``."""
+    nodes = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    max_key = nodes.agg(F.max("node")).first()[0] or 0
+    depth = 0
+    while BOM_FANOUT ** (depth + 1) <= max_key and depth < BOM_DEPTH_CAP:
+        depth += 1
+
+    key_set = nodes.select("node")
+    walk = nodes.select("node", F.col("node").alias("anc"), F.lit(0).alias("depth"))
+    done = walk.filter(F.col("anc") < BOM_FANOUT)
+    frontier = walk.filter(F.col("anc") >= BOM_FANOUT)
+    for _ in range(depth):
+        stepped = (
+            frontier.withColumn("anc", F.expr(f"anc div {BOM_FANOUT}"))
+            .withColumn("depth", F.col("depth") + 1)
+            .join(key_set.withColumnRenamed("node", "anc"), "anc", "left_semi")
+        )
+        done = done.unionByName(stepped.filter(F.col("anc") < BOM_FANOUT))
+        frontier = stepped.filter(F.col("anc") >= BOM_FANOUT)
+
+    return (
+        done.join(nodes, "node")
+        .groupBy(F.col("anc").alias("root_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("cents").alias("subtree_cents"),
+            F.max("depth").alias("height"),
+        )
+        .orderBy("root_key")
+    )
+
+
+Q_RECURSIVE_BOM_SQL = f"""
+WITH RECURSIVE walk AS (
+  SELECT p_partkey AS node, p_partkey AS anc, 0 AS depth FROM part
+  UNION ALL
+  SELECT w.node, p.p_partkey AS anc, w.depth + 1
+  FROM walk w JOIN part p ON p.p_partkey = w.anc // {BOM_FANOUT}
+  WHERE w.anc >= {BOM_FANOUT}
+),
+assign AS (
+  SELECT node, anc AS root_key, depth FROM walk WHERE anc < {BOM_FANOUT}
+)
+SELECT root_key, COUNT(*) AS n_nodes,
+       CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS subtree_cents,
+       MAX(depth) AS height
+FROM assign JOIN part ON p_partkey = node
+GROUP BY root_key ORDER BY root_key
+"""
+
+
 QUERIES = {
+    "q_recursive_bom": q_recursive_bom,
     "q12_priority_counts": q12_priority_counts,
     "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -678,6 +767,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_recursive_bom": Q_RECURSIVE_BOM_SQL,
     "q12_priority_counts": Q12_SQL,
     "q14_promo_revenue": Q14_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
