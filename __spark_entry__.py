@@ -84,6 +84,7 @@ _PRIORITY = [
     "ts_trend_forecast",
     "geo_knn_join",
     "corpus_shard_manifest",
+    "q_dpp_prune",
     "semdedup_bucketed",
     "emb_mrl_recall",
     "emb_pca_power_iter",

@@ -295,7 +295,70 @@ ORDER BY fname
 """
 
 
+DPP_MIN_VALUE = 90.0  # dim-side selectivity: days with a big purchase
+
+
+def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a fact table partitioned by day is
+    joined to a runtime-computed dimension (the distinct days on which
+    any purchase exceeded {DPP_MIN_VALUE}), and Spark prunes the fact
+    SCAN to just those directories — at plan time the day set is
+    unknown, so static pruning can't help; Catalyst's PartitionPruning
+    rule sees the selective filter on the dim side and injects a
+    ``DynamicPruningExpression`` subquery into the scan's partition
+    filters, reusing the join's broadcast as the pruning filter. This
+    is THE mechanism that makes star-schema joins over a 100 TB
+    date-partitioned fact read only the partitions the dimension
+    selects (tests/test_plans.py asserts the plan carries the
+    dynamic-pruning subquery; this entry hash-verifies the result).
+
+    The fixture has no separate date dim, so the dim derives from the
+    events table itself; the fact side reads the partitioned scratch
+    copy, which is what gets pruned."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    out = os.path.join(scratch_dir("dpp_prune", sf_dir), "events_part")
+    (
+        ev.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    dim = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > DPP_MIN_VALUE)
+        )
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, "event_date")
+        .groupBy("event_date")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("value").alias("sum_value"))
+        .orderBy("event_date")
+    )
+
+
+Q_DPP_SQL = f"""
+WITH ev AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
+         event_type, value
+  FROM events
+),
+dim AS (
+  SELECT DISTINCT event_date FROM ev
+  WHERE event_type = 'purchase' AND value > {DPP_MIN_VALUE}
+)
+SELECT event_date, COUNT(*) AS n_rows, {dsum_sql('value')} AS sum_value
+FROM ev JOIN dim USING (event_date)
+GROUP BY event_date ORDER BY event_date
+"""
+
+
 QUERIES = {
+    "q_dpp_prune": q_dpp_prune,
     "q_text_lines_roundtrip": q_text_lines_roundtrip,
     "q_binaryfile_scan": q_binaryfile_scan,
     "q_partitioned_scan": q_partitioned_scan,
@@ -307,6 +370,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_dpp_prune": Q_DPP_SQL,
     "q_text_lines_roundtrip": Q_TEXT_LINES_SQL,
     "q_binaryfile_scan": Q_BINARYFILE_SQL,
     "q_partitioned_scan": Q_PARTITIONED_SQL,

@@ -123,6 +123,16 @@ def test_partitioned_scan_prunes_directories(spark):
     assert pf and "event_date" in pf[0], plan
 
 
+def test_dpp_prune_injects_dynamic_filter(spark):
+    """The runtime day-dim join must prune fact partitions dynamically:
+    the fact scan's partition filters carry a DynamicPruningExpression
+    subquery (static pruning is impossible — the day set is computed)."""
+    from kafka_pyspark_bigdata_spark.sources.queries import q_dpp_prune
+
+    plan = _plan(q_dpp_prune(spark, SF))
+    assert "dynamicpruning" in plan.lower(), plan
+
+
 def test_shingle_coverage_has_no_window_stage(spark):
     """Perf regression guard: dup-coverage must plan as two partial
     aggregations + a join, never a Window over the exploded shingle key
