@@ -85,6 +85,7 @@ _PRIORITY = [
     "geo_knn_join",
     "corpus_shard_manifest",
     "q_dpp_prune",
+    "sketch_ams_f2",
     "semdedup_bucketed",
     "emb_mrl_recall",
     "emb_pca_power_iter",

@@ -1204,6 +1204,81 @@ FROM cnts
 """
 
 
+AMS_R = 16  # independent sign estimators averaged
+# sign_r(u) = ±1 from the low bit of md5(u ':' r) — the engine-portable
+# hash every sampler here uses; production swaps in a 4-wise family
+# (xxhash-based), but exactness — the oracle contract — only needs
+# determinism, and md5's mixing keeps the estimator unbiased in practice.
+
+
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon–Matias–Szegedy 1996, public) second-moment sketch:
+    estimate F₂ = Σ cnt(u)² of the event stream's user-frequency vector
+    from {AMS_R} random-sign counters — the O(1)-memory, MERGEABLE
+    alternative to materializing per-key counts, and the third
+    join-size tool next to ``sketch_join_cardinality``'s key sampling
+    (this one needs no second pass over keys and merges across
+    partitions/streams by vector addition).
+
+    Each estimator keeps Z_r = Σ_u sign_r(u)·cnt(u); E[Z_r²] = F₂. The
+    sketch update is sign_r(event) summed per estimator — ONE partial
+    aggregate over (r, sign) with a fixed {AMS_R}× fanout, no per-key
+    state, which is why it survives streams whose key space doesn't fit
+    anywhere. The estimate averages Z² over estimators with integer
+    division; exact F₂ (one extra key-count pass, for the error
+    readout only) and the ppm error complete the row. All arithmetic
+    BIGINT — both engines agree bit-for-bit, so even the ESTIMATOR is
+    hash-verified."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    est = ev.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(AMS_R - 1))).alias("r")
+    ).select(
+        "r",
+        F.expr(
+            "1 - 2 * (CAST(conv(substring(md5(concat(CAST(user_id AS STRING),"
+            " ':', CAST(r AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2)"
+        ).alias("sign"),
+    )
+    z = est.groupBy("r").agg(F.sum("sign").alias("z"))
+    ams = z.agg(
+        F.expr(f"sum(z * z) div {AMS_R}").alias("ams_f2_est"),
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("exact_f2"))
+    )
+    return ams.crossJoin(F.broadcast(exact)).select(
+        "exact_f2",
+        "ams_f2_est",
+        F.expr(
+            "abs(ams_f2_est - exact_f2) * 1000000 div exact_f2"
+        ).alias("err_ppm"),
+    )
+
+
+SKETCH_AMS_SQL = f"""
+WITH ev AS (SELECT user_id FROM events),
+est AS (
+  SELECT r.r,
+         1 - 2 * (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                                  || CAST(r.r AS VARCHAR)), 1, 8))::BIGINT
+                  % 2) AS sign
+  FROM ev CROSS JOIN (SELECT UNNEST(range({AMS_R})) AS r) AS r
+),
+z AS (SELECT r, SUM(sign) AS z FROM est GROUP BY r),
+ams AS (SELECT CAST(SUM(z * z) // {AMS_R} AS BIGINT) AS ams_f2_est FROM z),
+exact AS (
+  SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2
+  FROM (SELECT COUNT(*) AS cnt FROM ev GROUP BY user_id)
+)
+SELECT exact_f2, ams_f2_est,
+       CAST(abs(ams_f2_est - exact_f2) * 1000000 // exact_f2 AS BIGINT)
+         AS err_ppm
+FROM ams, exact
+"""
+
+
 def q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostics per fact table key — the numbers that
     decide between plain shuffle, AQE skew split, and salting: max and
@@ -1486,6 +1561,7 @@ QUERIES = {
     "q_nested_collect_explode": q_nested_collect_explode,
     "q_histogram_drift": q_histogram_drift,
     "sketch_join_cardinality": sketch_join_cardinality,
+    "sketch_ams_f2": sketch_ams_f2,
     "q_key_skew_stats": q_key_skew_stats,
     "q_quantiles_exact": q_quantiles_exact,
     "q_mad_outliers": q_mad_outliers,
@@ -1516,6 +1592,7 @@ ORACLES = {
     "q_nested_collect_explode": Q_NESTED_SQL,
     "q_histogram_drift": Q_DRIFT_SQL,
     "sketch_join_cardinality": SKETCH_JOIN_CARD_SQL,
+    "sketch_ams_f2": SKETCH_AMS_SQL,
     "q_key_skew_stats": Q_KEY_SKEW_SQL,
     "q_quantiles_exact": Q_QUANTILES_SQL,
     "q_mad_outliers": Q_MAD_SQL,
