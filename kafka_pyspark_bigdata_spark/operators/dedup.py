@@ -1677,6 +1677,91 @@ FROM hist, tot ORDER BY sz
 """
 
 
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the dup-cluster partition over the
+    near-dup graph — the community-QUALITY number next to the
+    community-FINDING operators (dedup_clusters / graph_cc_two_phase):
+    Q = Σ_c [e_c/m − (d_c/2m)²], how much more intra-cluster mass the
+    partition captures than a degree-preserving random graph would.
+    For a connected-components partition every edge is intra-cluster,
+    so Q = 1 − Σ_c (d_c/2m)² — a pure concentration readout: Q near 0
+    means one giant near-dup blob (dedup will collapse the corpus), Q
+    near 1 means many small independent clusters.
+
+    Everything is counting: per-node degrees (one agg over the
+    symmetrized edges), per-cluster edge and degree totals (one agg
+    each after an edge↦label broadcast join), and one integer
+    fold — Q in ppm via a single division, engine-exact. At 100 TB the
+    shuffles are on node/cluster ids of the (much smaller) dup graph;
+    the labels themselves come from the O(log n) CC operators."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = dedup_clusters(spark, sf_dir)
+    e_c = (
+        pairs.join(
+            labels.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+        )
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    d_c = (
+        _symmetrize(pairs)
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .join(labels.withColumnRenamed("doc_id", "u"), "u")
+        .groupBy("cluster_id")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    per_c = e_c.join(d_c, "cluster_id")
+    m_row = pairs.agg(F.count(F.lit(1)).alias("m"))
+    return (
+        per_c.crossJoin(F.broadcast(m_row))
+        .agg(
+            F.max("m").alias("n_edges"),
+            F.count(F.lit(1)).alias("n_communities"),
+            F.expr(
+                "CAST(sum(4 * m * e_c - d_c * d_c) * 1000000"
+                " div (4 * max(m) * max(m)) AS BIGINT)"
+            ).alias("modularity_ppm"),
+        )
+    )
+
+
+GRAPH_MODULARITY_SQL = f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.doc_id
+),
+labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+e_c AS (
+  SELECT cluster_id, COUNT(*) AS e_c
+  FROM pairs JOIN labels ON doc_a = doc_id GROUP BY cluster_id
+),
+d_c AS (
+  SELECT cluster_id, SUM(deg) AS d_c
+  FROM (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u) dg
+  JOIN labels ON dg.u = labels.doc_id
+  GROUP BY cluster_id
+),
+m AS (SELECT COUNT(*) AS m FROM pairs)
+SELECT CAST(MAX(m) AS BIGINT) AS n_edges,
+       COUNT(*) AS n_communities,
+       CAST(SUM(4 * m * e_c - d_c * d_c) * 1000000
+            // (4 * MAX(m) * MAX(m)) AS BIGINT) AS modularity_ppm
+FROM e_c JOIN d_c USING (cluster_id), m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Probabilistic record linkage (Fellegi–Sunter)
 # ---------------------------------------------------------------------------
@@ -1835,6 +1920,7 @@ GROUP BY 1, 2 ORDER BY decision, is_true_pair
 
 
 QUERIES = {
+    "graph_modularity": graph_modularity,
     "dedup_record_linkage": dedup_record_linkage,
     "dedup_savings_summary": dedup_savings_summary,
     "graph_cc_two_phase": graph_cc_two_phase,
@@ -1860,6 +1946,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_modularity": GRAPH_MODULARITY_SQL,
     "dedup_record_linkage": RECORD_LINKAGE_SQL,
     "dedup_savings_summary": _savings_sql(),
     "graph_cc_two_phase": DEDUP_CLUSTERS_SQL,
