@@ -86,6 +86,7 @@ _PRIORITY = [
     "corpus_shard_manifest",
     "q_dpp_prune",
     "sketch_ams_f2",
+    "corpus_temperature_sampling",
     "semdedup_bucketed",
     "emb_mrl_recall",
     "emb_pca_power_iter",
@@ -175,6 +176,7 @@ _PRIORITY = [
     "q_top_paths",
     "q_keyset_page",
     "graph_cc_two_phase",
+    "graph_modularity",
     "dedup_savings_summary",
 ]
 

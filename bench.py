@@ -101,6 +101,20 @@ def main() -> None:
         # the 0.45 cosine threshold its candidate set is ~2/3 of all pairs
         # (low-similarity LSH regime), so timing it just times the verify
         # cross-product, not the operator's scale path.
+        # round-3 batch-2 additions (all sub-second shapes)
+        "q_winsorized_mean",
+        "q_merge_upsert",
+        "q_recursive_bom",
+        "ts_trend_forecast",
+        "geo_knn_join",
+        "dedup_record_linkage",
+        "corpus_shard_manifest",
+        "corpus_temperature_sampling",
+        "q_dpp_prune",
+        "sketch_ams_f2",
+        # graph_modularity is correctness-gated but not a headline: it runs
+        # the minhash pair pipeline twice (pairs + clusters), so timing it
+        # times the dedup chain again, not the modularity fold.
         "dedup_exact",
         "dedup_shingle_coverage",
         "corpus_ngram_novelty",

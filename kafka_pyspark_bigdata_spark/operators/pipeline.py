@@ -631,7 +631,78 @@ FROM shards, total ORDER BY shard
 """
 
 
+TEMP_SQRT_SCALE = 100_000_000  # fixed-point sqrt: 4 decimal digits
+
+
+def corpus_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-weighting (the public multilingual
+    sampling rule, α = 0.5: sample source s proportionally to p_s^α
+    instead of p_s) — the knob that keeps a 100 TB corpus's long-tail
+    sources from vanishing under proportional sampling. Reports, per
+    source: document share, the α=0.5 sampling weight, and the
+    up/down-sampling factor the weight implies.
+
+    p_s^0.5 reduces to sqrt(n_s) (the corpus total cancels in the
+    normalization), computed in FIXED POINT as floor(sqrt(n_s·10^8)) —
+    the argument stays exactly double-representable, both engines'
+    IEEE sqrt round identically, and every division after it is
+    integer, so the output is engine-exact with no float accumulation
+    (summing raw double sqrts across sources would be
+    order-dependent). One partial-agg shuffle on ``source``, then
+    arithmetic over a handful of rows; DECIMAL(38,0) keeps the factor
+    numerator safe at warehouse row counts."""
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "s_fp",
+            F.expr(
+                f"CAST(FLOOR(SQRT(n_docs * CAST({TEMP_SQRT_SCALE} AS DOUBLE)))"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_docs").alias("n_total"), F.sum("s_fp").alias("s_total")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("n_docs * 1000000 div n_total").alias("share_ppm"),
+            F.expr("s_fp * 1000000 div s_total").alias("weight_ppm"),
+            F.expr(
+                "CAST(CAST(s_fp AS DECIMAL(38,0)) * n_total * 1000000"
+                " div (CAST(s_total AS DECIMAL(38,0)) * n_docs) AS BIGINT)"
+            ).alias("factor_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_TEMPERATURE_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(FLOOR(SQRT(n_docs * CAST({TEMP_SQRT_SCALE} AS DOUBLE)))
+              AS BIGINT) AS s_fp
+  FROM documents GROUP BY source
+),
+totals AS (
+  SELECT SUM(n_docs) AS n_total, SUM(s_fp) AS s_total FROM counts
+)
+SELECT source, n_docs,
+       CAST(n_docs * 1000000 // n_total AS BIGINT) AS share_ppm,
+       CAST(s_fp * 1000000 // s_total AS BIGINT) AS weight_ppm,
+       CAST(CAST(s_fp AS HUGEINT) * n_total * 1000000
+            // (CAST(s_total AS HUGEINT) * n_docs) AS BIGINT) AS factor_ppm
+FROM counts, totals ORDER BY source
+"""
+
+
 QUERIES = {
+    "corpus_temperature_sampling": corpus_temperature_sampling,
     "corpus_shard_manifest": corpus_shard_manifest,
     "corpus_cap_per_source": corpus_cap_per_source,
     "corpus_preprocess_e2e": corpus_preprocess_e2e,
@@ -647,6 +718,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_temperature_sampling": CORPUS_TEMPERATURE_SQL,
     "corpus_shard_manifest": CORPUS_SHARD_SQL,
     "corpus_cap_per_source": CORPUS_CAP_SQL,
     "corpus_token_budget": CORPUS_TOKEN_BUDGET_SQL,
