@@ -77,6 +77,9 @@ _PRIORITY = [
     "streaming_stream_join",
     "streaming_watermark_lates",
     # --- new in round 3 ---
+    "q_variant_shred",
+    "q_encoding_stats",
+    "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",
     "q_merge_upsert",

@@ -1130,7 +1130,267 @@ ORDER BY m.l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Physical-layout diagnostics: columnar encoding picker + Z-order skipping
+# ---------------------------------------------------------------------------
+
+
+def q_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-encoding diagnostics over a sorted layout: run counts,
+    distinct counts, and an RLE / DICT / PLAIN encoding verdict per
+    column — the statistics an OPTIMIZE/compaction job consults before
+    rewriting files (parquet writers make the same decision per
+    row-group from the same numbers).
+
+    One global window pass computes value-change flags for every audited
+    column simultaneously; one aggregate folds them to run counts;
+    ``stack`` unpivots to a row per column. All integer math (x100
+    fixed-point for the average run length) so the oracle hash-matches.
+
+    Fixture note: (l_orderkey, l_linenumber) is NOT unique in the
+    synthetic lineitem, so the sort key includes every compared column —
+    rows tied on the full key are then bit-identical in the compared
+    columns and the run counts are tie-order-invariant in both engines.
+
+    Scale: a global ORDER BY window is the oracle-exact form; the
+    production form computes the same flags per FILE (sortWithinPartitions
+    then per-partition lag) and merges counts — run boundaries at file
+    edges are the only error, bounded by file count, exactly how parquet
+    itself scopes encodings to row groups.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_shipdate", "l_orderkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_partkey",
+        "l_suppkey",
+    )
+    w = Window.orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity",
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_partkey",
+        "l_suppkey",
+    )
+    cols = {
+        "l_returnflag": F.col("l_returnflag"),
+        "l_linestatus": F.col("l_linestatus"),
+        "l_shipdate": F.col("l_shipdate").cast("string"),
+        "l_quantity": F.col("l_quantity").cast("string"),
+    }
+    flagged = li.select(
+        *[
+            F.when(expr != F.lag(expr).over(w), 1).otherwise(0).alias(f"chg_{n}")
+            for n, expr in cols.items()
+        ],
+        *[expr.alias(f"v_{n}") for n, expr in cols.items()],
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[(F.sum(f"chg_{n}") + 1).alias(f"runs_{n}") for n in cols],
+        *[F.countDistinct(f"v_{n}").alias(f"nd_{n}") for n in cols],
+    )
+    stacked = agg.selectExpr(
+        "n",
+        "stack(4, "
+        + ", ".join(f"'{n}', runs_{n}, nd_{n}" for n in cols)
+        + ") AS (col_name, n_runs, n_distinct)",
+    )
+    return (
+        stacked.select(
+            "col_name",
+            "n",
+            "n_runs",
+            "n_distinct",
+            F.expr("n * 100 DIV n_runs").alias("avg_run_x100"),
+            F.expr(
+                "CASE WHEN n * 100 DIV n_runs >= 400 THEN 'RLE' "
+                "WHEN n_distinct <= 1000 THEN 'DICT' ELSE 'PLAIN' END"
+            ).alias("encoding"),
+        )
+        .orderBy("col_name")
+    )
+
+
+Q_ENCODING_SQL = """
+WITH ordered AS (
+  SELECT l_returnflag, l_linestatus, l_shipdate AS ship_ts,
+         CAST(l_shipdate AS VARCHAR) AS l_shipdate,
+         l_quantity AS qty_raw,
+         CAST(l_quantity AS VARCHAR) AS l_quantity,
+         l_orderkey, l_linenumber, l_extendedprice, l_partkey, l_suppkey
+  FROM lineitem
+), flags AS (
+  SELECT
+    CASE WHEN l_returnflag <> lag(l_returnflag) OVER w THEN 1 ELSE 0 END AS chg_l_returnflag,
+    CASE WHEN l_linestatus <> lag(l_linestatus) OVER w THEN 1 ELSE 0 END AS chg_l_linestatus,
+    CASE WHEN l_shipdate <> lag(l_shipdate) OVER w THEN 1 ELSE 0 END AS chg_l_shipdate,
+    CASE WHEN l_quantity <> lag(l_quantity) OVER w THEN 1 ELSE 0 END AS chg_l_quantity,
+    l_returnflag AS v_l_returnflag, l_linestatus AS v_l_linestatus,
+    l_shipdate AS v_l_shipdate, l_quantity AS v_l_quantity
+  FROM ordered
+  WINDOW w AS (ORDER BY ship_ts, l_orderkey, l_linenumber, qty_raw,
+               l_returnflag, l_linestatus, l_extendedprice, l_partkey, l_suppkey)
+), agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(chg_l_returnflag) + 1 AS BIGINT) AS runs_l_returnflag,
+         CAST(sum(chg_l_linestatus) + 1 AS BIGINT) AS runs_l_linestatus,
+         CAST(sum(chg_l_shipdate) + 1 AS BIGINT) AS runs_l_shipdate,
+         CAST(sum(chg_l_quantity) + 1 AS BIGINT) AS runs_l_quantity,
+         count(DISTINCT v_l_returnflag) AS nd_l_returnflag,
+         count(DISTINCT v_l_linestatus) AS nd_l_linestatus,
+         count(DISTINCT v_l_shipdate) AS nd_l_shipdate,
+         count(DISTINCT v_l_quantity) AS nd_l_quantity
+  FROM flags
+), stacked AS (
+  SELECT 'l_returnflag' AS col_name, n, runs_l_returnflag AS n_runs, nd_l_returnflag AS n_distinct FROM agg
+  UNION ALL SELECT 'l_linestatus', n, runs_l_linestatus, nd_l_linestatus FROM agg
+  UNION ALL SELECT 'l_shipdate', n, runs_l_shipdate, nd_l_shipdate FROM agg
+  UNION ALL SELECT 'l_quantity', n, runs_l_quantity, nd_l_quantity FROM agg
+)
+SELECT col_name, n, n_runs, n_distinct,
+       n * 100 // n_runs AS avg_run_x100,
+       CASE WHEN n * 100 // n_runs >= 400 THEN 'RLE'
+            WHEN n_distinct <= 1000 THEN 'DICT' ELSE 'PLAIN' END AS encoding
+FROM stacked ORDER BY col_name
+"""
+
+
+def _interleave_spark(px: str, py: str) -> str:
+    terms = []
+    for i in range(4):
+        terms.append(f"(shiftleft(shiftright({px}, {i}) & 1, {2 * i}))")
+        terms.append(f"(shiftleft(shiftright({py}, {i}) & 1, {2 * i + 1}))")
+    return " + ".join(terms)
+
+
+def _interleave_duck(px: str, py: str) -> str:
+    terms = []
+    for i in range(4):
+        terms.append(f"((({px} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({py} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) multi-dimensional clustering, measured: lay
+    lineitem out into 64 "files" two ways — interleaving 4 bits each of
+    the partkey and suppkey range-bucket (Z-order) vs linear partkey-range
+    sort — record per-file min/max on both dimensions (the footer stats a
+    scan planner prunes with), and report how many files a point probe on
+    EACH dimension must touch under each layout.
+
+    This is the measurement behind Delta/Iceberg ``OPTIMIZE ZORDER BY``:
+    a linear sort gives perfect skipping on the sort key (1/64 files) and
+    none on any other column (64/64); the Morton interleave gives ~√-
+    balanced skipping (≈8/64 on BOTH). The whole computation is integer
+    bucket math + two tiny aggregates; no data is actually rewritten, so
+    the operator doubles as a layout advisor ("would Z-ordering pay off
+    for this column pair?") runnable on a live 100 TB table — the only
+    shuffle is the 64-key file-stats aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    maxes = li.agg(
+        F.max("l_partkey").alias("max_pk"), F.max("l_suppkey").alias("max_sk")
+    )
+    bucketed = li.crossJoin(F.broadcast(maxes)).select(
+        F.expr("l_partkey * 16 DIV (max_pk + 1)").alias("px"),
+        F.expr("l_suppkey * 16 DIV (max_sk + 1)").alias("py"),
+    )
+    z = bucketed.select(
+        "px",
+        "py",
+        F.expr(f"({_interleave_spark('px', 'py')}) DIV 4").alias("zfile"),
+        F.expr("px * 4 + py DIV 4").alias("lfile"),
+    )
+    # Probe at the max-occupied bucket of each dimension: guaranteed
+    # non-empty at ANY sf (a fixed bucket constant can fall in a hole of
+    # a sparse key domain — the sf0.001 supplier key has only 10 values).
+    probes = z.agg(F.max("px").alias("ppx"), F.max("py").alias("ppy"))
+
+    def stats(df: DataFrame, filecol: str, layout: str) -> DataFrame:
+        return (
+            df.groupBy(F.col(filecol).alias("f"))
+            .agg(
+                F.min("px").alias("min_px"),
+                F.max("px").alias("max_px"),
+                F.min("py").alias("min_py"),
+                F.max("py").alias("max_py"),
+            )
+            .crossJoin(F.broadcast(probes))
+            .agg(
+                F.count(F.lit(1)).alias("files_total"),
+                F.sum(
+                    F.when(
+                        (F.col("min_px") <= F.col("ppx"))
+                        & (F.col("max_px") >= F.col("ppx")),
+                        1,
+                    ).otherwise(0)
+                ).alias("hit_pk"),
+                F.sum(
+                    F.when(
+                        (F.col("min_py") <= F.col("ppy"))
+                        & (F.col("max_py") >= F.col("ppy")),
+                        1,
+                    ).otherwise(0)
+                ).alias("hit_sk"),
+            )
+            .selectExpr(
+                f"'{layout}' AS layout",
+                "stack(2, 'partkey', CAST(hit_pk AS BIGINT), "
+                "'suppkey', CAST(hit_sk AS BIGINT)) AS (probe_dim, files_scanned)",
+                "files_total",
+            )
+        )
+
+    return (
+        stats(z, "zfile", "zorder")
+        .unionAll(stats(z, "lfile", "linear"))
+        .select("layout", "probe_dim", "files_total", "files_scanned")
+        .orderBy("layout", "probe_dim")
+    )
+
+
+Q_ZORDER_SQL = f"""
+WITH maxes AS (
+  SELECT max(l_partkey) AS max_pk, max(l_suppkey) AS max_sk FROM lineitem
+), bucketed AS (
+  SELECT l_partkey * 16 // (max_pk + 1) AS px,
+         l_suppkey * 16 // (max_sk + 1) AS py
+  FROM lineitem, maxes
+), z AS (
+  SELECT px, py,
+         ({_interleave_duck('px', 'py')}) // 4 AS zfile,
+         px * 4 + py // 4 AS lfile
+  FROM bucketed
+), probes AS (
+  SELECT max(px) AS ppx, max(py) AS ppy FROM z
+), zstats AS (
+  SELECT zfile AS f, min(px) AS min_px, max(px) AS max_px,
+         min(py) AS min_py, max(py) AS max_py
+  FROM z GROUP BY zfile
+), lstats AS (
+  SELECT lfile AS f, min(px) AS min_px, max(px) AS max_px,
+         min(py) AS min_py, max(py) AS max_py
+  FROM z GROUP BY lfile
+), zagg AS (
+  SELECT count(*) AS files_total,
+         CAST(sum(CASE WHEN min_px <= ppx AND max_px >= ppx THEN 1 ELSE 0 END) AS BIGINT) AS hit_pk,
+         CAST(sum(CASE WHEN min_py <= ppy AND max_py >= ppy THEN 1 ELSE 0 END) AS BIGINT) AS hit_sk
+  FROM zstats, probes
+), lagg AS (
+  SELECT count(*) AS files_total,
+         CAST(sum(CASE WHEN min_px <= ppx AND max_px >= ppx THEN 1 ELSE 0 END) AS BIGINT) AS hit_pk,
+         CAST(sum(CASE WHEN min_py <= ppy AND max_py >= ppy THEN 1 ELSE 0 END) AS BIGINT) AS hit_sk
+  FROM lstats, probes
+)
+SELECT 'zorder' AS layout, 'partkey' AS probe_dim, files_total, hit_pk AS files_scanned FROM zagg
+UNION ALL SELECT 'zorder', 'suppkey', files_total, hit_sk FROM zagg
+UNION ALL SELECT 'linear', 'partkey', files_total, hit_pk FROM lagg
+UNION ALL SELECT 'linear', 'suppkey', files_total, hit_sk FROM lagg
+ORDER BY layout, probe_dim
+"""
+
+
 QUERIES = {
+    "q_encoding_stats": q_encoding_stats,
+    "q_zorder_skipping": q_zorder_skipping,
     "q_merge_upsert": q_merge_upsert,
     "q_partial_agg_merge": q_partial_agg_merge,
     "q_compact_small_files": q_compact_small_files,
@@ -1147,6 +1407,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_encoding_stats": Q_ENCODING_SQL,
+    "q_zorder_skipping": Q_ZORDER_SQL,
     "q_merge_upsert": MERGE_UPSERT_SQL,
     "q_partial_agg_merge": PARTIAL_AGG_MERGE_SQL,
     "q_compact_small_files": COMPACT_SQL,

@@ -357,7 +357,49 @@ GROUP BY event_date ORDER BY event_date
 """
 
 
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via Spark 4's VARIANT type: ``parse_json``
+    turns the events' ``props`` JSON string into a binary Variant value
+    (reference O8's payload decode, consumer.py:24, generalised to schema-
+    on-read), then ``try_variant_get`` shreds the ``$.k`` path to a typed
+    column that feeds a plain grouped aggregate.
+
+    Why Variant instead of ``get_json_object`` (which q_cast_default_json
+    already covers): Variant parses the JSON ONCE into a binary encoding, so
+    repeated path extraction is a byte-offset lookup, not a re-parse — at
+    100 TB with many extracted paths that's the difference between one and
+    P string parses per row. ``try_variant_get`` returns NULL on missing
+    paths / type mismatches, matching the oracle's NULL-skipping aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sh = ev.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    )
+    return (
+        sh.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_VARIANT_SQL = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "q_variant_shred": q_variant_shred,
     "q_dpp_prune": q_dpp_prune,
     "q_text_lines_roundtrip": q_text_lines_roundtrip,
     "q_binaryfile_scan": q_binaryfile_scan,
@@ -370,6 +412,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_variant_shred": Q_VARIANT_SQL,
     "q_dpp_prune": Q_DPP_SQL,
     "q_text_lines_roundtrip": Q_TEXT_LINES_SQL,
     "q_binaryfile_scan": Q_BINARYFILE_SQL,

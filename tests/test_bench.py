@@ -36,3 +36,28 @@ def test_bench_runs_clean_and_prints_one_json_line():
     assert d["sf"] == 0.001
     assert len(d["queries"]) >= 40
     assert "errors" not in d, d.get("errors")
+
+
+def test_registry_has_no_cross_module_name_collisions():
+    """Two modules exporting the same query name would silently shadow
+    each other in __spark_entry__ (dict.update last-wins) — the oracle
+    could then verify a DIFFERENT plan than the one a module claims.
+    Guard: every QUERIES/ORACLES key is globally unique, every oracle
+    has a query, and every _PRIORITY name resolves (except env-gated
+    entries that declare themselves optional)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+    from collections import Counter
+
+    qn, on = Counter(), Counter()
+    for m in em._modules():
+        qn.update(getattr(m, "QUERIES", {}).keys())
+        on.update(getattr(m, "ORACLES", {}).keys())
+    assert not {k for k, v in qn.items() if v > 1}
+    assert not {k for k, v in on.items() if v > 1}
+    qs, os_ = em.queries(), em.oracle_sql()
+    assert set(os_) <= set(qs)
+    env_gated = {"streaming_tws_sessions"}
+    assert set(em._PRIORITY) - set(qs) <= env_gated

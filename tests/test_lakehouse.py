@@ -176,3 +176,39 @@ def test_partial_agg_merge_states_match(spark):
     rows = lakehouse.q_partial_agg_merge(spark, "/root/testdata/sf0.001").collect()
     assert rows and all(r.all_match for r in rows)
     assert all(r.n_shards <= 4 for r in rows)
+
+
+def test_encoding_stats_verdicts(spark):
+    """The sorted-by-shipdate layout must make l_shipdate RLE-friendly
+    (long runs) and the low-cardinality flags DICT; totals are exact."""
+    rows = {r.col_name: r for r in lakehouse.q_encoding_stats(spark, SF_SMOKE).collect()}
+    n = load_table(spark, SF_SMOKE, "lineitem").count()
+    assert set(rows) == {"l_returnflag", "l_linestatus", "l_shipdate", "l_quantity"}
+    assert all(r.n == n for r in rows.values())
+    # the sort column has exactly one run per distinct value, and the
+    # longest average runs of any audited column — at any sf
+    assert rows["l_shipdate"].n_runs == rows["l_shipdate"].n_distinct
+    assert rows["l_shipdate"].avg_run_x100 == max(
+        r.avg_run_x100 for r in rows.values()
+    )
+    assert rows["l_returnflag"].n_distinct <= 3
+    assert all(1 <= r.n_runs <= n for r in rows.values())
+
+
+def test_zorder_beats_linear_on_off_sort_dim(spark):
+    """Morton layout must skip on BOTH dims; linear skips only on its
+    sort key and degrades on the other dimension."""
+    rows = {
+        (r.layout, r.probe_dim): r
+        for r in lakehouse.q_zorder_skipping(spark, SF_SMOKE).collect()
+    }
+    assert len(rows) == 4
+    lin_pk = rows[("linear", "partkey")]
+    lin_sk = rows[("linear", "suppkey")]
+    z_pk = rows[("zorder", "partkey")]
+    z_sk = rows[("zorder", "suppkey")]
+    # linear: near-perfect on the sort dim, poor on the off dim
+    assert lin_pk.files_scanned < lin_sk.files_scanned
+    # zorder: balanced — strictly better than linear's off-dim scan
+    assert z_sk.files_scanned < lin_sk.files_scanned
+    assert max(z_pk.files_scanned, z_sk.files_scanned) <= lin_sk.files_scanned
