@@ -79,6 +79,8 @@ _PRIORITY = [
     # --- new in round 3 ---
     "q_variant_shred",
     "q_encoding_stats",
+    "q_seq_pattern_match",
+    "corpus_ablation_grid",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

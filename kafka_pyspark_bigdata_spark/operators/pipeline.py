@@ -701,7 +701,73 @@ FROM counts, totals ORDER BY source
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Filter-ablation grid (one-pass CUBE)
+# ---------------------------------------------------------------------------
+
+
+def corpus_ablation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus filter ablation in ONE pass: every combination of the three
+    quality-gate flags (length floor / language allowlist / head-source
+    split) gets its doc count and char volume via ``CUBE`` — the
+    "what would each filter config keep?" table that otherwise costs
+    2^k separate corpus scans when tuning a training-data recipe.
+
+    CUBE is a map-side Expand (each row fans to its 8 grouping sets
+    BEFORE the exchange, partial-aggregated immediately), so the plan is
+    still one shuffle of (tiny) group keys — the 100 TB corpus is read
+    once no matter how many ablation cells are requested. Rolled-up
+    cells surface as -1 (COALESCE) so every output column stays a
+    non-null integer for exact cross-engine comparison.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("len_ok"),
+        F.when(F.col("lang").isin("en", "de", "fr"), 1).otherwise(0).alias("lang_ok"),
+        F.when(
+            F.regexp_extract("source", "src(\\d+)", 1).cast("int") < 10, 1
+        ).otherwise(0).alias("head_source"),
+        "n_chars",
+    )
+    return (
+        docs.cube("len_ok", "lang_ok", "head_source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("len_ok", F.lit(-1)).alias("len_ok"),
+            F.coalesce("lang_ok", F.lit(-1)).alias("lang_ok"),
+            F.coalesce("head_source", F.lit(-1)).alias("head_source"),
+            "n_docs",
+            "total_chars",
+        )
+        .orderBy("len_ok", "lang_ok", "head_source")
+    )
+
+
+CORPUS_ABLATION_SQL = """
+WITH flags AS (
+  SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS len_ok,
+         CASE WHEN lang IN ('en','de','fr') THEN 1 ELSE 0 END AS lang_ok,
+         CASE WHEN CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) < 10
+              THEN 1 ELSE 0 END AS head_source,
+         n_chars
+  FROM documents
+)
+SELECT COALESCE(len_ok, -1) AS len_ok,
+       COALESCE(lang_ok, -1) AS lang_ok,
+       COALESCE(head_source, -1) AS head_source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM flags
+GROUP BY CUBE (len_ok, lang_ok, head_source)
+ORDER BY len_ok, lang_ok, head_source
+"""
+
+
 QUERIES = {
+    "corpus_ablation_grid": corpus_ablation_grid,
     "corpus_temperature_sampling": corpus_temperature_sampling,
     "corpus_shard_manifest": corpus_shard_manifest,
     "corpus_cap_per_source": corpus_cap_per_source,
@@ -718,6 +784,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_ablation_grid": CORPUS_ABLATION_SQL,
     "corpus_temperature_sampling": CORPUS_TEMPERATURE_SQL,
     "corpus_shard_manifest": CORPUS_SHARD_SQL,
     "corpus_cap_per_source": CORPUS_CAP_SQL,

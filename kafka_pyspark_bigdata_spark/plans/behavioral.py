@@ -1449,7 +1449,99 @@ ORDER BY window_day
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+SEQ_CAP = 1000  # per-user journey prefix length (bounds state at scale)
+SEQ_PATTERNS = [
+    ("signup_first", "^s"),
+    ("triple_purchase_run", "ppp"),
+    ("ends_with_purchase", "p$"),
+]
+
+
+def q_seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event journeys — the core
+    of SQL MATCH_RECOGNIZE / CEP engines, reduced to its scalable Spark
+    form: build each user's chronological event-type string ONCE (one
+    groupBy shuffle; ordering via ``array_sort`` on (ts, event_id,
+    letter) structs, deterministic because event_id breaks ts ties), cap
+    it at SEQ_CAP letters (bounds per-key state — the same reason CEP
+    engines bound NFA buffers), then evaluate every regex pattern as a
+    cheap scan over the tiny per-user string table.
+
+    Patterns are plain concatenation/closure regexes (RE2-safe, no
+    backtracking blowup); adding one costs one ``rlike`` column, not
+    another pass over the events table. Each event type maps to its
+    distinct first letter (c/v/p/s/e).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("letter")
+    )
+    journeys = ev.groupBy("user_id").agg(
+        F.substring(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "letter"))
+                    ),
+                    lambda x: x["letter"],
+                ),
+                "",
+            ),
+            1,
+            SEQ_CAP,
+        ).alias("journey")
+    )
+    agg = journeys.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        *[
+            F.sum(F.when(F.col("journey").rlike(rx), 1).otherwise(0)).alias(f"m{i}")
+            for i, (_, rx) in enumerate(SEQ_PATTERNS)
+        ],
+    )
+    stacked = agg.selectExpr(
+        "n_users",
+        "stack("
+        + str(len(SEQ_PATTERNS))
+        + ", "
+        + ", ".join(f"'{name}', m{i}" for i, (name, _) in enumerate(SEQ_PATTERNS))
+        + ") AS (pattern, n_matched)",
+    )
+    return stacked.select(
+        "pattern",
+        "n_matched",
+        "n_users",
+        F.expr("n_matched * 1000000 DIV n_users").alias("match_ppm"),
+    ).orderBy("pattern")
+
+
+Q_SEQ_PATTERN_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         substr(event_type, 1, 1) AS letter
+  FROM events
+), journeys AS (
+  SELECT user_id,
+         substr(string_agg(letter, '' ORDER BY ts, event_id), 1, {SEQ_CAP}) AS journey
+  FROM ev GROUP BY user_id
+), agg AS (
+  SELECT count(*) AS n_users,
+         {", ".join(f"CAST(sum(CASE WHEN regexp_matches(journey, '{rx}') THEN 1 ELSE 0 END) AS BIGINT) AS m{i}" for i, (_, rx) in enumerate(SEQ_PATTERNS))}
+  FROM journeys
+), stacked AS (
+  {" UNION ALL ".join(f"SELECT '{name}' AS pattern, m{i} AS n_matched, n_users FROM agg" for i, (name, _) in enumerate(SEQ_PATTERNS))}
+)
+SELECT pattern, n_matched, n_users,
+       n_matched * 1000000 // n_users AS match_ppm
+FROM stacked ORDER BY pattern
+"""
+
+
 QUERIES = {
+    "q_seq_pattern_match": q_seq_pattern_match,
     "q_funnel_windowed": q_funnel_windowed,
     "q_bot_flag": q_bot_flag,
     "q_top_paths": q_top_paths,
@@ -1473,6 +1565,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_seq_pattern_match": Q_SEQ_PATTERN_SQL,
     "q_funnel_windowed": Q_FUNNEL_WINDOWED_SQL,
     "q_bot_flag": Q_BOT_FLAG_SQL,
     "q_top_paths": Q_TOP_PATHS_SQL,

@@ -162,3 +162,19 @@ def test_bot_flag_median_is_a_real_gap(spark):
             r.median_gap_us < B.BOT_MEDIAN_GAP_US
         )
         assert r.bot_flag == expect
+
+
+def test_seq_pattern_match_invariants(spark):
+    """Journey regexes: matches never exceed the user universe, and the
+    user universe equals the distinct-user count of the events table."""
+    from kafka_pyspark_bigdata_spark.plans import behavioral
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    rows = behavioral.q_seq_pattern_match(spark, "/root/testdata/sf0.001").collect()
+    n_users = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id").distinct().count()
+    )
+    assert {r.pattern for r in rows} == {n for n, _ in behavioral.SEQ_PATTERNS}
+    assert all(0 <= r.n_matched <= r.n_users == n_users for r in rows)
+    assert all(0 <= r.match_ppm <= 1_000_000 for r in rows)

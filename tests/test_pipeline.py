@@ -147,3 +147,24 @@ def test_cap_per_source_never_exceeds_cap(spark):
         assert r.n_kept <= pipeline.CAP_PER_SOURCE
         assert r.n_kept + r.n_dropped == r.n_docs
         assert (r.cutoff_pri is not None) == (r.n_docs >= pipeline.CAP_PER_SOURCE)
+
+
+def test_ablation_grid_cells_are_additive(spark):
+    """CUBE cells must add up: each rollup cell equals the sum of its
+    children on any flag — the invariant that makes the one-pass grid a
+    drop-in for 2^k separate filtered scans."""
+    from kafka_pyspark_bigdata_spark.operators.pipeline import corpus_ablation_grid
+
+    rows = corpus_ablation_grid(spark, "/root/testdata/sf0.001").collect()
+    cell = {(r.len_ok, r.lang_ok, r.head_source): r for r in rows}
+    grand = cell[(-1, -1, -1)]
+    assert grand.n_docs == sum(
+        cell[(v, -1, -1)].n_docs for v in (0, 1) if (v, -1, -1) in cell
+    )
+    assert grand.total_chars == sum(
+        cell[(-1, v, -1)].total_chars for v in (0, 1) if (-1, v, -1) in cell
+    )
+    leaf_sum = sum(
+        r.n_docs for k, r in cell.items() if -1 not in k
+    )
+    assert grand.n_docs == leaf_sum
