@@ -81,6 +81,9 @@ _PRIORITY = [
     "q_encoding_stats",
     "q_seq_pattern_match",
     "corpus_ablation_grid",
+    "ts_downsample_lttb",
+    "q_lateral_topk",
+    "ann_topk_gemm",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

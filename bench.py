@@ -101,6 +101,15 @@ def main() -> None:
         # the 0.45 cosine threshold its candidate set is ~2/3 of all pairs
         # (low-similarity LSH regime), so timing it just times the verify
         # cross-product, not the operator's scale path.
+        # round-3 batch-3 additions
+        "q_variant_shred",
+        "q_encoding_stats",
+        "q_zorder_skipping",
+        "q_seq_pattern_match",
+        "corpus_ablation_grid",
+        "ts_downsample_lttb",
+        "q_lateral_topk",
+        "ann_topk_gemm",
         # round-3 batch-2 additions (all sub-second shapes)
         "q_winsorized_mean",
         "q_merge_upsert",

@@ -1789,7 +1789,74 @@ FROM norms GROUP BY 1 ORDER BY bucket
 """
 
 
+
+# ---------------------------------------------------------------------------
+# GEMM top-k (Arrow batch -> BLAS matrix product)
+# ---------------------------------------------------------------------------
+
+
+def ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-K as a BLOCKED MATRIX PRODUCT: the query
+    set (tiny, collected once and closed over — the same role as a
+    broadcast) is normalized into a Q×d float64 matrix; ``mapInPandas``
+    streams the corpus in Arrow batches and each batch computes ALL
+    batch×query scores as one BLAS GEMM (``En @ Qn.T``), keeps its LOCAL
+    per-query top-K, and only those ≤ K·Q rows per batch reach the final
+    global top-K window.
+
+    This is the throughput shape for exact search at scale: one vectorized
+    kernel per batch instead of |batch|·|Q| expression-tree dot products,
+    and the shuffle carries K rows per (query, batch) — not the corpus.
+    Same contract as ``ann_topk_bruteforce``; results are identical modulo
+    float summation order (BLAS pairwise vs sequential), so this entry is
+    ROWS-ONLY for the driver gate and pytest asserts exact set-parity with
+    the bruteforce oracle at small sf.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            en = e_mat / np.linalg.norm(e_mat, axis=1, keepdims=True)
+            scores = en @ qn.T  # (batch, Q) — one GEMM
+            scores[ids[:, None] == qids[None, :]] = -np.inf
+            k = min(TOP_K, scores.shape[0])
+            top = np.argpartition(-scores, kth=k - 1, axis=0)[:k, :]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids[None, :], k, axis=0).ravel(),
+                    "neighbor_id": ids[top].ravel(),
+                    "cosine": np.take_along_axis(scores, top, axis=0).ravel(),
+                }
+            )
+
+    local = emb.select("vec_id", "embedding").mapInPandas(
+        gen, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 QUERIES = {
+    "ann_topk_gemm": ann_topk_gemm,
     "ann_ivf_balance_audit": ann_ivf_balance_audit,
     "ann_ivf_persisted": ann_ivf_persisted,
     "emb_norm_stats": emb_norm_stats,

@@ -493,7 +493,145 @@ FROM m ORDER BY n_name
 """
 
 
+
+# ---------------------------------------------------------------------------
+# LTTB-lite downsampling
+# ---------------------------------------------------------------------------
+
+LTTB_BUCKETS = 32
+
+
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visualization-grade series downsampling: Largest-Triangle-Three-
+    Buckets (Steinarsson 2013), bucket-anchor variant. Each per-type
+    series is cut into LTTB_BUCKETS equal time buckets; within a bucket
+    the kept point is the one spanning the largest triangle against the
+    PREVIOUS and NEXT buckets' average points — the shape-preserving
+    pick behind every serious charting pipeline (plain striding drops
+    peaks; averages smear them).
+
+    The anchor variant uses bucket averages on both sides instead of the
+    previously SELECTED point, removing the sequential dependency that
+    makes textbook LTTB a driver loop: every bucket scores
+    independently, so the whole plan is two partial-agg shuffles (range
+    + bucket stats), one broadcast join of the tiny anchor table back to
+    the rows, and a per-bucket top-1 window. Triangle areas compare as
+    EXACT integers: the three rational anchor coordinates share the
+    denominator c1²·c3 after clearing, so the scaled cross product is
+    DECIMAL(38,0) arithmetic — bit-identical across engines, no float
+    area ties.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_seconds(F.col("ts")).alias("x"),
+        F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("y"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+    rng = ev.groupBy("event_type").agg(
+        F.min("x").alias("min_x"), F.max("x").alias("max_x")
+    )
+    pts = ev.join(F.broadcast(rng), "event_type").select(
+        "event_type",
+        "event_id",
+        "x",
+        "y",
+        "ts_s",
+        F.expr(f"(x - min_x) * {LTTB_BUCKETS} DIV (max_x - min_x + 1)").alias("b"),
+    )
+    bstats = pts.groupBy("event_type", "b").agg(
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"), F.count(F.lit(1)).alias("c")
+    )
+    wb = Window.partitionBy("event_type").orderBy("b")
+    anchors = bstats.select(
+        "event_type",
+        "b",
+        F.lag("sx").over(wb).alias("sx1"),
+        F.lag("sy").over(wb).alias("sy1"),
+        F.lag("c").over(wb).alias("c1"),
+        F.lead("sx").over(wb).alias("sx3"),
+        F.lead("sy").over(wb).alias("sy3"),
+        F.lead("c").over(wb).alias("c3"),
+    )
+    joined = pts.join(F.broadcast(anchors), ["event_type", "b"])
+    d = "CAST({} AS DECIMAL(38,0))"
+    area = (
+        "abs(("
+        + d.format("sx1") + " * " + d.format("c3") + " - " + d.format("sx3") + " * " + d.format("c1")
+        + ") * (" + d.format("y") + " * " + d.format("c1") + " - " + d.format("sy1")
+        + ") - (" + d.format("sx1") + " - " + d.format("x") + " * " + d.format("c1")
+        + ") * (" + d.format("sy3") + " * " + d.format("c1") + " - " + d.format("sy1") + " * " + d.format("c3") + "))"
+    )
+    scored = joined.withColumn("area", F.expr(area))
+    # First/last buckets have no prev/next anchor (area NULL): keep the
+    # earliest point — LTTB's "always keep the endpoints" rule.
+    wpick = Window.partitionBy("event_type", "b").orderBy(
+        F.desc_nulls_last("area"), F.asc("x"), F.asc("event_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("b").alias("bucket"),
+            F.col("ts_s").alias("sel_ts"),
+            F.col("y").alias("sel_cents"),
+            "event_id",
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+_HD = "CAST({} AS HUGEINT)"
+_LTTB_AREA = (
+    "abs(("
+    + _HD.format("sx1") + " * " + _HD.format("c3") + " - " + _HD.format("sx3") + " * " + _HD.format("c1")
+    + ") * (" + _HD.format("y") + " * " + _HD.format("c1") + " - " + _HD.format("sy1")
+    + ") - (" + _HD.format("sx1") + " - " + _HD.format("x") + " * " + _HD.format("c1")
+    + ") * (" + _HD.format("sy3") + " * " + _HD.format("c1") + " - " + _HD.format("sy1") + " * " + _HD.format("c3") + "))"
+)
+
+TS_LTTB_SQL = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y,
+         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+  FROM events
+), rng AS (
+  SELECT event_type, min(x) AS min_x, max(x) AS max_x FROM ev GROUP BY event_type
+), pts AS (
+  SELECT ev.event_type, event_id, x, y, ts_s,
+         (x - min_x) * {LTTB_BUCKETS} // (max_x - min_x + 1) AS b
+  FROM ev JOIN rng ON ev.event_type = rng.event_type
+), bstats AS (
+  SELECT event_type, b, sum(x) AS sx, sum(y) AS sy, count(*) AS c
+  FROM pts GROUP BY event_type, b
+), anchors AS (
+  SELECT event_type, b,
+         lag(sx) OVER w AS sx1, lag(sy) OVER w AS sy1, lag(c) OVER w AS c1,
+         lead(sx) OVER w AS sx3, lead(sy) OVER w AS sy3, lead(c) OVER w AS c3
+  FROM bstats
+  WINDOW w AS (PARTITION BY event_type ORDER BY b)
+), scored AS (
+  SELECT p.event_type, p.b, p.event_id, p.x, p.y, p.ts_s,
+         {_LTTB_AREA} AS area
+  FROM pts p JOIN anchors a ON p.event_type = a.event_type AND p.b = a.b
+), picked AS (
+  SELECT event_type, b, ts_s, y, event_id,
+         row_number() OVER (
+           PARTITION BY event_type, b
+           ORDER BY area DESC NULLS LAST, x, event_id
+         ) AS rn
+  FROM scored
+)
+SELECT event_type, b AS bucket, ts_s AS sel_ts, y AS sel_cents, event_id
+FROM picked WHERE rn = 1 ORDER BY event_type, bucket
+"""
+
+
 QUERIES = {
+    "ts_downsample_lttb": ts_downsample_lttb,
     "ts_trend_forecast": ts_trend_forecast,
     "ts_similarity_paa": ts_similarity_paa,
     "ts_autocorr": ts_autocorr,
@@ -501,6 +639,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ts_downsample_lttb": TS_LTTB_SQL,
     "ts_trend_forecast": TS_TREND_SQL,
     "ts_similarity_paa": TS_SIMILARITY_SQL,
     "ts_autocorr": _autocorr_sql(),

@@ -747,7 +747,55 @@ GROUP BY root_key ORDER BY root_key
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL top-k
+# ---------------------------------------------------------------------------
+
+LATERAL_K = 3
+LATERAL_MAXCUST = 50
+
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-K orders via a correlated LATERAL subquery — the
+    SQL-front-door form of "top N per group". The point is what Catalyst
+    does with it: the lateral correlation is DECORRELATED into a window
+    rank, and the rank-limit is pushed below the shuffle as a
+    WindowGroupLimit (each map task keeps only its local top-K per key
+    before exchanging — at 100 TB the shuffle carries ≤ K rows per
+    customer, not the order history). The outer c_custkey predicate also
+    transits into the orders scan. Same result as the DataFrame window
+    idiom (q_window_top_orders), proving front-door parity for lateral
+    SQL the way q_sql_sessionize does for windows.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(f"""
+SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT {LATERAL_K}
+) t
+WHERE c.c_custkey <= {LATERAL_MAXCUST}
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+""")
+
+
+Q_LATERAL_SQL = f"""
+SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT {LATERAL_K}
+) t ON true
+WHERE c.c_custkey <= {LATERAL_MAXCUST}
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
 QUERIES = {
+    "q_lateral_topk": q_lateral_topk,
     "q_recursive_bom": q_recursive_bom,
     "q12_priority_counts": q12_priority_counts,
     "q14_promo_revenue": q14_promo_revenue,
@@ -767,6 +815,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_lateral_topk": Q_LATERAL_SQL,
     "q_recursive_bom": Q_RECURSIVE_BOM_SQL,
     "q12_priority_counts": Q12_SQL,
     "q14_promo_revenue": Q14_SQL,

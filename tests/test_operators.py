@@ -606,3 +606,47 @@ def test_dedup_savings_consistent_with_clusters(spark):
     assert sum(r.n_docs_in_size for r in rows) == n_clustered
     assert sum(r.n_clusters for r in rows) == n_clusters
     assert sum(r.n_removable for r in rows) == n_clustered - n_clusters
+
+
+def test_ann_gemm_matches_bruteforce_sets(spark):
+    """The GEMM top-k must return the SAME neighbor sets as the exact
+    zip_with bruteforce — BLAS only changes float summation order, and
+    the fixture has no near-ties at TOP_K boundaries."""
+    from kafka_pyspark_bigdata_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_gemm,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bf = {(r.query_id, r.neighbor_id) for r in ann_topk_bruteforce(spark, sf).collect()}
+    gm = {(r.query_id, r.neighbor_id) for r in ann_topk_gemm(spark, sf).collect()}
+    assert bf == gm
+
+
+def test_lttb_keeps_endpoints_and_bucket_bounds(spark):
+    """LTTB: one point per non-empty bucket, bucket ids in range, and the
+    endpoint rule (first/last buckets keep their earliest point)."""
+    from kafka_pyspark_bigdata_spark.operators.timeseries import (
+        LTTB_BUCKETS,
+        ts_downsample_lttb,
+    )
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = ts_downsample_lttb(spark, sf).collect()
+    assert all(0 <= r.bucket < LTTB_BUCKETS for r in rows)
+    per_type = {}
+    for r in rows:
+        per_type.setdefault(r.event_type, []).append(r)
+    ev = load_table(spark, sf, "events")
+    first_ts = {
+        r.event_type: r.mn
+        for r in ev.groupBy("event_type")
+        .agg(F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("mn"))
+        .collect()
+    }
+    for et, sel in per_type.items():
+        buckets = [r.bucket for r in sel]
+        assert len(buckets) == len(set(buckets))
+        assert min(sel, key=lambda r: r.bucket).sel_ts == first_ts[et]
