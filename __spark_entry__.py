@@ -84,6 +84,9 @@ _PRIORITY = [
     "ts_downsample_lttb",
     "q_lateral_topk",
     "ann_topk_gemm",
+    "q_nested_roundtrip",
+    "q_array_analytics",
+    "text_chunk_udtf",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

@@ -110,6 +110,8 @@ def main() -> None:
         "ts_downsample_lttb",
         "q_lateral_topk",
         "ann_topk_gemm",
+        "q_nested_roundtrip",
+        "q_array_analytics",
         # round-3 batch-2 additions (all sub-second shapes)
         "q_winsorized_mean",
         "q_merge_upsert",

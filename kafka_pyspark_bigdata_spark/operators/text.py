@@ -465,6 +465,46 @@ FROM s
 """
 
 
+
+def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME chunking contract as ``text_chunk_windows``, expressed as
+    a Python UDTF (Spark 3.5+ user-defined TABLE function) invoked with
+    LATERAL — one input row fans out to N chunk rows from imperative
+    Python. Registered against the identical oracle to prove the two
+    forms agree byte-for-byte.
+
+    This exists to cover the UDTF API surface, NOT as the hot path: the
+    expression-tree version (sequence/posexplode/substring) stays fully
+    inside WholeStageCodegen, while a UDTF crosses the Python boundary
+    per row. Rule of thumb this pair demonstrates: reach for a UDTF only
+    when the fan-out logic genuinely can't be an expression.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_idx: long, start_char: long, chunk: string, chunk_len: long"
+    )
+    class Chunker:
+        def eval(self, text: str):
+            if not text:
+                return
+            start, idx = 0, 0
+            n = len(text)
+            while start < n:
+                piece = text[start : start + CHUNK_SIZE]
+                yield idx, start, piece, len(piece)
+                idx += 1
+                start += CHUNK_STRIDE
+
+    spark.udtf.register("chunk_udtf", Chunker)
+    load_documents(spark, sf_dir).createOrReplaceTempView("documents_v")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.start_char, c.chunk, c.chunk_len "
+        "FROM documents_v d, LATERAL chunk_udtf(d.text) c "
+        "WHERE length(d.text) > 0"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch heavy hitters
 # ---------------------------------------------------------------------------
@@ -1173,6 +1213,7 @@ QUERIES = {
     "text_vocab_growth": text_vocab_growth,
     "text_cooccurrence_pairs": text_cooccurrence_pairs,
     "text_chunk_windows": text_chunk_windows,
+    "text_chunk_udtf": text_chunk_udtf,
     "text_feature_hashing": text_feature_hashing,
     "text_cms_heavy_hitters": text_cms_heavy_hitters,
     "text_tfidf_topterms": text_tfidf_topterms,
@@ -1193,6 +1234,7 @@ ORACLES = {
     "text_vocab_growth": TEXT_VOCAB_GROWTH_SQL,
     "text_cooccurrence_pairs": _cooc_sql(),
     "text_chunk_windows": TEXT_CHUNK_SQL,
+    "text_chunk_udtf": TEXT_CHUNK_SQL,
     "text_feature_hashing": TEXT_FH_SQL,
     "text_cms_heavy_hitters": _cms_sql(),
     "text_tfidf_topterms": TEXT_TFIDF_SQL,

@@ -794,8 +794,64 @@ ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
 """
 
 
+
+def q_array_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array analytics: per-order quantity vectors built
+    once (sorted for canonical layout), then analyzed entirely with
+    array lambdas — ``filter`` (count over threshold), ``element_at``
+    (range span), ``exists`` (membership probe). One groupBy shuffle
+    builds the arrays; every lambda is a JVM expression over the
+    in-memory array, no explode-and-reaggregate round trip (the naive
+    form pays a second shuffle per metric). The scalar total comes from
+    the same aggregate pass in DECIMAL (float-exact cross-engine);
+    array metrics are pure integer ops.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.col("l_quantity").cast("long"))
+            ).alias("qs"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .filter(F.col("l_orderkey") < 500)
+    )
+    return per.select(
+        "l_orderkey",
+        F.size("qs").cast("long").alias("n"),
+        F.size(F.filter("qs", lambda x: x >= 25)).cast("long").alias("n_big"),
+        (F.element_at("qs", -1) - F.element_at("qs", 1)).alias("span"),
+        F.when(F.exists("qs", lambda x: x == 50), 1).otherwise(0).alias("has_50"),
+        "total_qty",
+    ).orderBy("l_orderkey")
+
+
+Q_ARRAY_ANALYTICS_SQL = """
+WITH per AS (
+  SELECT l_orderkey,
+         list_sort(list(CAST(l_quantity AS BIGINT))) AS qs,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(qs) AS BIGINT) AS n,
+       CAST(len(list_filter(qs, x -> x >= 25)) AS BIGINT) AS n_big,
+       qs[-1] - qs[1] AS span,
+       CASE WHEN list_has_any(qs, [50]) THEN 1 ELSE 0 END AS has_50,
+       total_qty
+FROM per
+WHERE l_orderkey < 500
+ORDER BY l_orderkey
+"""
+
+
 QUERIES = {
     "q_lateral_topk": q_lateral_topk,
+    "q_array_analytics": q_array_analytics,
     "q_recursive_bom": q_recursive_bom,
     "q12_priority_counts": q12_priority_counts,
     "q14_promo_revenue": q14_promo_revenue,
@@ -816,6 +872,7 @@ QUERIES = {
 
 ORACLES = {
     "q_lateral_topk": Q_LATERAL_SQL,
+    "q_array_analytics": Q_ARRAY_ANALYTICS_SQL,
     "q_recursive_bom": Q_RECURSIVE_BOM_SQL,
     "q12_priority_counts": Q12_SQL,
     "q14_promo_revenue": Q14_SQL,

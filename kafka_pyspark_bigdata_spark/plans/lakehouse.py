@@ -1160,13 +1160,14 @@ def q_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_shipdate", "l_orderkey",
-        "l_linenumber", "l_quantity", "l_extendedprice", "l_partkey",
-        "l_suppkey",
+        "l_linenumber", "l_quantity",
     )
+    # Sort key = row locator + every COMPARED column: rows tied on this
+    # key are bit-identical in all compared columns, so any tie order
+    # yields the same change flags — no need to widen the sort further.
     w = Window.orderBy(
         "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity",
-        "l_returnflag", "l_linestatus", "l_extendedprice", "l_partkey",
-        "l_suppkey",
+        "l_returnflag", "l_linestatus",
     )
     cols = {
         "l_returnflag": F.col("l_returnflag"),
@@ -1214,7 +1215,7 @@ WITH ordered AS (
          CAST(l_shipdate AS VARCHAR) AS l_shipdate,
          l_quantity AS qty_raw,
          CAST(l_quantity AS VARCHAR) AS l_quantity,
-         l_orderkey, l_linenumber, l_extendedprice, l_partkey, l_suppkey
+         l_orderkey, l_linenumber
   FROM lineitem
 ), flags AS (
   SELECT
@@ -1226,7 +1227,7 @@ WITH ordered AS (
     l_shipdate AS v_l_shipdate, l_quantity AS v_l_quantity
   FROM ordered
   WINDOW w AS (ORDER BY ship_ts, l_orderkey, l_linenumber, qty_raw,
-               l_returnflag, l_linestatus, l_extendedprice, l_partkey, l_suppkey)
+               l_returnflag, l_linestatus)
 ), agg AS (
   SELECT count(*) AS n,
          CAST(sum(chg_l_returnflag) + 1 AS BIGINT) AS runs_l_returnflag,

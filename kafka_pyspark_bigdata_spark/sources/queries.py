@@ -398,8 +398,68 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+
+def q_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema parquet round-trip: build ARRAY<STRUCT> order
+    documents (one row per order, its lineitems as a sorted struct
+    array), write them to parquet, read back, and aggregate INSIDE the
+    nested column with the higher-order ``aggregate`` lambda — proving
+    the writer/reader preserve nested repetition/definition levels and
+    values exactly (the flat-table oracle must hash-match).
+
+    Scale notes: the denormalized document layout is how log/event
+    lakes actually store order-shaped data; parquet stores each nested
+    leaf (items.l_quantity etc.) as its own column chunk, so Spark's
+    nested-schema pruning (on by default) reads only the accessed
+    leaves. The struct array is ``sort_array``-canonicalized so the
+    file content is deterministic at any shuffle parallelism. The sum
+    folds in DECIMAL(18,2) (re-cast each step — Spark widens decimal
+    ``+`` to 19,2) for order-independent exactness.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+            )
+        ).alias("items")
+    )
+    path = os.path.join(scratch_dir("nested_rt", sf_dir), "nested.parquet")
+    nested.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.select(
+            "l_orderkey",
+            F.size("items").cast("long").alias("n_items"),
+            F.aggregate(
+                "items",
+                F.lit(0).cast("decimal(18,2)"),
+                lambda acc, x: (
+                    acc + x["l_quantity"].cast("decimal(18,2)")
+                ).cast("decimal(18,2)"),
+            )
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy(F.desc("n_items"), "l_orderkey")
+        .limit(100)
+    )
+
+
+Q_NESTED_SQL = """
+SELECT l_orderkey,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY n_items DESC, l_orderkey
+LIMIT 100
+"""
+
+
 QUERIES = {
     "q_variant_shred": q_variant_shred,
+    "q_nested_roundtrip": q_nested_roundtrip,
     "q_dpp_prune": q_dpp_prune,
     "q_text_lines_roundtrip": q_text_lines_roundtrip,
     "q_binaryfile_scan": q_binaryfile_scan,
@@ -413,6 +473,7 @@ QUERIES = {
 
 ORACLES = {
     "q_variant_shred": Q_VARIANT_SQL,
+    "q_nested_roundtrip": Q_NESTED_SQL,
     "q_dpp_prune": Q_DPP_SQL,
     "q_text_lines_roundtrip": Q_TEXT_LINES_SQL,
     "q_binaryfile_scan": Q_BINARYFILE_SQL,
