@@ -87,6 +87,9 @@ _PRIORITY = [
     "q_nested_roundtrip",
     "q_array_analytics",
     "text_chunk_udtf",
+    "ml_target_encoding",
+    "q_observe_metrics",
+    "q_sql_udf_pricing",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

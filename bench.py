@@ -112,6 +112,9 @@ def main() -> None:
         "ann_topk_gemm",
         "q_nested_roundtrip",
         "q_array_analytics",
+        "ml_target_encoding",
+        "q_observe_metrics",
+        "q_sql_udf_pricing",
         # round-3 batch-2 additions (all sub-second shapes)
         "q_winsorized_mean",
         "q_merge_upsert",

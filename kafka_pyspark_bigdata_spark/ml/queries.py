@@ -474,7 +474,74 @@ def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+TE_FOLDS = 5
+
+
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target (mean) encoding — the leakage-safe categorical
+    feature every tabular pipeline reaches for: each (category, fold)
+    cell is encoded with the target mean computed over the OTHER folds
+    only, so a training row never sees its own label through the
+    feature.
+
+    Two partial-agg shuffles (per-fold, per-category) + a broadcast
+    join-back; the subtraction trick ((sum_cat − sum_fold) / (n_cat −
+    n_fold)) means the "leave-fold-out" mean costs no extra pass.
+    Deterministic folds (o_orderkey % K) and integer-cents DIV keep it
+    oracle-exact — the one ml-module query with a full SQL oracle.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("category"),
+        F.expr("CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+        F.expr(f"o_orderkey % {TE_FOLDS}").alias("fold"),
+    )
+    per_fold = o.groupBy("category", "fold").agg(
+        F.count(F.lit(1)).alias("n_fold"), F.sum("cents").alias("sum_fold")
+    )
+    per_cat = o.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_cat"), F.sum("cents").alias("sum_cat")
+    )
+    return (
+        per_fold.join(F.broadcast(per_cat), "category")
+        .select(
+            "category",
+            "fold",
+            "n_fold",
+            F.expr(
+                "CASE WHEN n_cat - n_fold > 0 "
+                "THEN (sum_cat - sum_fold) DIV (n_cat - n_fold) "
+                "ELSE NULL END"
+            ).alias("oof_mean_cents"),
+        )
+        .orderBy("category", "fold")
+    )
+
+
+ML_TARGET_ENC_SQL = f"""
+WITH o AS (
+  SELECT o_orderpriority AS category,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         o_orderkey % {TE_FOLDS} AS fold
+  FROM orders
+), per_fold AS (
+  SELECT category, fold, COUNT(*) AS n_fold, SUM(cents) AS sum_fold
+  FROM o GROUP BY category, fold
+), per_cat AS (
+  SELECT category, COUNT(*) AS n_cat, SUM(cents) AS sum_cat
+  FROM o GROUP BY category
+)
+SELECT f.category, f.fold, f.n_fold,
+       CASE WHEN n_cat - n_fold > 0
+            THEN CAST((sum_cat - sum_fold) // (n_cat - n_fold) AS BIGINT)
+            ELSE NULL END AS oof_mean_cents
+FROM per_fold f JOIN per_cat c ON f.category = c.category
+ORDER BY f.category, f.fold
+"""
+
+
 QUERIES = {
+    "ml_target_encoding": ml_target_encoding,
     "ml_quality_classifier": ml_quality_classifier,
     "ml_lift_deciles": ml_lift_deciles,
     "ml_classifier_auc": ml_classifier_auc,
@@ -490,4 +557,4 @@ QUERIES = {
 
 # Not SQL-expressible (model training/inference) → no ORACLES entries;
 # the driver records rows-only checks for these.
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {"ml_target_encoding": ML_TARGET_ENC_SQL}

@@ -849,9 +849,55 @@ ORDER BY l_orderkey
 """
 
 
+
+def q_sql_udf_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog SQL functions (Spark 4): a SCALAR SQL UDF (``disc_cents``)
+    and a TABLE-VALUED SQL UDF (``qty_thresholds``) driving a cumulative
+    revenue-by-threshold rollup. Unlike Python UDFs, SQL UDFs are
+    INLINED by Catalyst into the expression tree — full codegen, pushdown
+    through them, zero serialization boundary — so shared business logic
+    (pricing rules, bucketing) can live in the catalog without a
+    performance tax. The threshold TVF output (5 rows) broadcast-joins
+    the fact side; revenue folds in integer cents for oracle exactness.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_cents(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(FLOOR(p * (1 - d) * 100.0 + 0.5) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_thresholds(n INT) "
+        "RETURNS TABLE(threshold INT) RETURN SELECT explode(sequence(10, n * 10, 10))"
+    )
+    return spark.sql(
+        """
+SELECT t.threshold,
+       l.l_returnflag,
+       COUNT(*) AS n_items,
+       SUM(disc_cents(l.l_extendedprice, l.l_discount)) AS revenue_cents
+FROM qty_thresholds(5) t
+JOIN lineitem_v l ON l.l_quantity <= t.threshold
+GROUP BY t.threshold, l.l_returnflag
+ORDER BY t.threshold, l.l_returnflag
+"""
+    )
+
+
+Q_SQL_UDF_SQL = """
+WITH t AS (SELECT unnest(generate_series(10, 50, 10)) AS threshold)
+SELECT t.threshold, l.l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM t JOIN lineitem l ON l.l_quantity <= t.threshold
+GROUP BY t.threshold, l.l_returnflag
+ORDER BY t.threshold, l.l_returnflag
+"""
+
+
 QUERIES = {
     "q_lateral_topk": q_lateral_topk,
     "q_array_analytics": q_array_analytics,
+    "q_sql_udf_pricing": q_sql_udf_pricing,
     "q_recursive_bom": q_recursive_bom,
     "q12_priority_counts": q12_priority_counts,
     "q14_promo_revenue": q14_promo_revenue,
@@ -873,6 +919,7 @@ QUERIES = {
 ORACLES = {
     "q_lateral_topk": Q_LATERAL_SQL,
     "q_array_analytics": Q_ARRAY_ANALYTICS_SQL,
+    "q_sql_udf_pricing": Q_SQL_UDF_SQL,
     "q_recursive_bom": Q_RECURSIVE_BOM_SQL,
     "q12_priority_counts": Q12_SQL,
     "q14_promo_revenue": Q14_SQL,

@@ -1389,8 +1389,74 @@ ORDER BY layout, probe_dim
 """
 
 
+
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality metrics via ``Observation``/``observe()`` — the
+    monitoring hook that piggybacks accumulator-style aggregates on a
+    query's EXISTING scan: total rows, decimal-exact quantity volume,
+    and null count ride the same job that computes the per-flag rollup,
+    costing zero extra passes (at 100 TB an extra metrics scan is the
+    difference between "monitored" and "unmonitored" tables).
+
+    The observed values surface after the action and are folded into
+    the result frame alongside the per-flag rows (__total__/__nulls__
+    keys); everything is deterministic aggregates, so the combined
+    output hash-matches the SQL oracle. The final collect is the normal
+    small-result fetch (|flags| + 2 rows), not a data movement.
+    """
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    obs = Observation("scan_metrics")
+    out = (
+        li.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+            F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("nulls"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+    rows = out.collect()
+    m = obs.get
+    data = [(r.l_returnflag, r.n, float(r.sum_qty)) for r in rows] + [
+        ("__total__", m["n"], float(m["q"])),
+        ("__nulls__", m["nulls"], 0.0),
+    ]
+    return spark.createDataFrame(
+        data, "key string, n long, sum_qty double"
+    ).orderBy("key")
+
+
+Q_OBSERVE_SQL = """
+WITH per AS (
+  SELECT l_returnflag AS key, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_returnflag
+), tot AS (
+  SELECT '__total__' AS key, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem
+), nl AS (
+  SELECT '__nulls__' AS key,
+         COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS n,
+         0.0 AS sum_qty
+  FROM lineitem
+)
+SELECT * FROM per UNION ALL SELECT * FROM tot UNION ALL SELECT * FROM nl
+ORDER BY key
+"""
+
+
 QUERIES = {
     "q_encoding_stats": q_encoding_stats,
+    "q_observe_metrics": q_observe_metrics,
     "q_zorder_skipping": q_zorder_skipping,
     "q_merge_upsert": q_merge_upsert,
     "q_partial_agg_merge": q_partial_agg_merge,
@@ -1409,6 +1475,7 @@ QUERIES = {
 
 ORACLES = {
     "q_encoding_stats": Q_ENCODING_SQL,
+    "q_observe_metrics": Q_OBSERVE_SQL,
     "q_zorder_skipping": Q_ZORDER_SQL,
     "q_merge_upsert": MERGE_UPSERT_SQL,
     "q_partial_agg_merge": PARTIAL_AGG_MERGE_SQL,

@@ -203,3 +203,33 @@ def test_quality_classifier_beats_chance(spark):
     r = ml_quality_classifier(spark, "/root/testdata/sf0.001").collect()[0]
     assert r.n_eval == r.n_pos + r.n_neg > 0
     assert 0.6 < r.auc <= 1.0
+
+
+def test_target_encoding_oracle_and_leakage(spark, duck):
+    """Out-of-fold encoding: hash-exact vs the SQL oracle, and the
+    leakage invariant — no (category, fold) cell's encoding uses its own
+    fold (verified by recomputing the leave-fold-out mean directly)."""
+    from conftest import SF_SMOKE, assert_oracle_match
+    from kafka_pyspark_bigdata_spark.ml.queries import (
+        ML_TARGET_ENC_SQL,
+        TE_FOLDS,
+        ml_target_encoding,
+    )
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    assert_oracle_match(spark, duck, ml_target_encoding, ML_TARGET_ENC_SQL)
+
+    rows = ml_target_encoding(spark, SF_SMOKE).collect()
+    o = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(
+            F.col("o_orderpriority").alias("category"),
+            F.expr("CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+            F.expr(f"o_orderkey % {TE_FOLDS}").alias("fold"),
+        )
+        .collect()
+    )
+    for r in rows[:5]:
+        others = [x.cents for x in o if x.category == r.category and x.fold != r.fold]
+        assert r.oof_mean_cents == sum(others) // len(others)
