@@ -90,6 +90,8 @@ _PRIORITY = [
     "ml_target_encoding",
     "q_observe_metrics",
     "q_sql_udf_pricing",
+    "streaming_checkpoint_resume",
+    "graph_link_prediction",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

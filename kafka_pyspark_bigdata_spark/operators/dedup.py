@@ -1919,7 +1919,135 @@ GROUP BY 1, 2 ORDER BY decision, is_true_pair
 """
 
 
+
+LINKPRED_TOP = 20
+LINKPRED_SUPPORT = 2  # min co-purchase count for a graph edge
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the co-purchase graph (nodes
+    = parts, edges = pairs bought together in >= LINKPRED_SUPPORT
+    orders): for every NON-edge (u, v) that shares at least one
+    neighbor, the common-neighbor count and neighbor-Jaccard score —
+    the classic "customers who buy these also buy..." candidate
+    generator, scored without ever materializing the quadratic
+    part×part space.
+
+    (The near-dup graph is deliberately NOT used here: LSH band
+    candidates are transitively closed on the synthetic fixture —
+    clique components have no open wedges, so its link-prediction
+    output is empty by construction.)
+
+    Plan: the bounded per-order self-join builds the edge list (same
+    fan-out argument as q_market_basket_pairs: Σ C(k,2), k ≤ order line
+    count), then everything downstream moves only node-id pairs: wedge
+    self-join on the shared endpoint (u < v canonicalizes), LEFT ANTI
+    against existing edges, one partial-agg shuffle for CN counts, and
+    a broadcast degree join-back. jaccard_ppm = 10^6·|CN| / (deg_u +
+    deg_v − |CN|) in BIGINT — engine-exact.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= LINKPRED_SUPPORT)
+        .select("pa", "pb")
+        .localCheckpoint()
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    )
+    deg = und.groupBy(F.col("pa").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    wedges = (
+        und.alias("e1")
+        .join(
+            und.alias("e2"),
+            (F.col("e1.pb") == F.col("e2.pa"))
+            & (F.col("e1.pa") < F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("u"),
+            F.col("e2.pb").alias("v"),
+            F.col("e1.pb").alias("w"),
+        )
+    )
+    non_edges = wedges.join(
+        pairs,
+        (F.col("u") == F.col("pa")) & (F.col("v") == F.col("pb")),
+        "left_anti",
+    )
+    cn = non_edges.groupBy("u", "v").agg(F.countDistinct("w").alias("cn"))
+    return (
+        cn.join(F.broadcast(deg.withColumnRenamed("node", "u")), "u")
+        .withColumnRenamed("deg", "deg_u")
+        .join(F.broadcast(deg.withColumnRenamed("node", "v")), "v")
+        .withColumnRenamed("deg", "deg_v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            "deg_u",
+            "deg_v",
+            F.expr("cn * 1000000 DIV (deg_u + deg_v - cn)").alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), "u", "v")
+        .limit(LINKPRED_TOP)
+    )
+
+
+def _linkpred_sql() -> str:
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {LINKPRED_SUPPORT}
+),
+und AS (
+  SELECT pa, pb FROM pairs
+  UNION ALL SELECT pb AS pa, pa AS pb FROM pairs
+),
+deg AS (SELECT pa AS node, COUNT(*) AS deg FROM und GROUP BY pa),
+wedges AS (
+  SELECT e1.pa AS u, e2.pb AS v, e1.pb AS w
+  FROM und e1 JOIN und e2
+    ON e1.pb = e2.pa AND e1.pa < e2.pb
+),
+non_edges AS (
+  SELECT u, v, w FROM wedges
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pairs p WHERE p.pa = wedges.u AND p.pb = wedges.v
+  )
+),
+cn AS (SELECT u, v, COUNT(DISTINCT w) AS cn FROM non_edges GROUP BY u, v)
+SELECT u, v, cn, du.deg AS deg_u, dv.deg AS deg_v,
+       CAST(cn * 1000000 // (du.deg + dv.deg - cn) AS BIGINT) AS jaccard_ppm
+FROM cn
+JOIN deg du ON cn.u = du.node
+JOIN deg dv ON cn.v = dv.node
+ORDER BY jaccard_ppm DESC, u, v
+LIMIT {LINKPRED_TOP}
+"""
+
+
 QUERIES = {
+    "graph_link_prediction": graph_link_prediction,
     "graph_modularity": graph_modularity,
     "dedup_record_linkage": dedup_record_linkage,
     "dedup_savings_summary": dedup_savings_summary,
@@ -1946,6 +2074,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_link_prediction": _linkpred_sql(),
     "graph_modularity": GRAPH_MODULARITY_SQL,
     "dedup_record_linkage": RECORD_LINKAGE_SQL,
     "dedup_savings_summary": _savings_sql(),

@@ -16,8 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
 
-from ..functions.numeric import dsum_sql
-from ..sources.batch import scratch_dir
+from ..functions.numeric import dsum, dsum_sql
+from ..sources.batch import load_table, scratch_dir
 from .batcher import run_count_batched_stream
 from .windows import session_agg, sliding_agg, tumbling_agg
 
@@ -826,7 +826,65 @@ FROM w GROUP BY ws ORDER BY window_start
 """
 
 
+
+def streaming_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once RESUME across restarts — the production property that
+    makes Structured Streaming a pipeline you can kill: run a file-source
+    → parquet-sink stream to completion, land MORE source files, then
+    START THE QUERY AGAIN against the same checkpoint. The second run's
+    offset log skips everything the first run committed, so the sink
+    holds every event exactly once; any replay or loss would break the
+    hash-exact oracle (counts + decimal sums over the full fixture).
+
+    Two cooperating logs give the guarantee: the source checkpoint
+    records which files are committed, and the parquet sink's
+    _spark_metadata manifest makes batch writes atomic — together,
+    at-least-once replay collapses to exactly-once. Scratch roots are
+    wiped per invocation so repeated gate runs stay deterministic.
+    """
+    root = scratch_dir("ckpt_resume", sf_dir)
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    sink = os.path.join(root, "sink")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+
+    def run_once() -> None:
+        schema = spark.read.parquet(src).schema
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+    run_once()
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    run_once()
+
+    back = spark.read.parquet(sink)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("value").alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+STREAMING_CKPT_RESUME_SQL = f"""
+SELECT event_type, COUNT(*) AS n_rows, {dsum_sql('value')} AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "streaming_checkpoint_resume": streaming_checkpoint_resume,
     "streaming_hll_windowed": streaming_hll_windowed,
     "streaming_hourly_window": streaming_hourly_window,
     "streaming_chained_windows": streaming_chained_windows,
@@ -861,6 +919,7 @@ if _tws_available():
     QUERIES["streaming_tws_sessions"] = streaming_tws_sessions
 
 ORACLES = {
+    "streaming_checkpoint_resume": STREAMING_CKPT_RESUME_SQL,
     "streaming_hll_windowed": STREAMING_HLL_WIN_SQL,
     "streaming_hourly_window": STREAMING_HOURLY_SQL,
     "streaming_chained_windows": STREAMING_CHAINED_SQL,

@@ -349,3 +349,22 @@ def test_streaming_hll_within_published_bound(spark):
     rows = SQ.streaming_hll_windowed(spark, "/root/testdata/sf0.001").collect()
     assert rows and all(r.within_bound for r in rows)
     assert all(r.exact_users > 0 for r in rows)
+
+
+def test_checkpoint_resume_exactly_once(spark):
+    """Second start against the same checkpoint must process ONLY files
+    landed after the first run: sink holds every event exactly once."""
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+    from kafka_pyspark_bigdata_spark.streaming.queries import (
+        streaming_checkpoint_resume,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = streaming_checkpoint_resume(spark, sf)
+    ev = load_table(spark, sf, "events")
+    per_type = {r.event_type: r.n_rows for r in out.collect()}
+    truth = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_type == truth  # any replay doubles a count; any loss drops one
