@@ -92,6 +92,7 @@ _PRIORITY = [
     "q_sql_udf_pricing",
     "streaming_checkpoint_resume",
     "graph_link_prediction",
+    "text_search_and_rank",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

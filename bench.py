@@ -119,6 +119,7 @@ def main() -> None:
         # headline: its wall time is two stream-query startups (fixed
         # overhead), not data-path throughput.
         "graph_link_prediction",
+        "text_search_and_rank",
         # round-3 batch-2 additions (all sub-second shapes)
         "q_winsorized_mean",
         "q_merge_upsert",

@@ -540,8 +540,69 @@ ORDER BY f.category, f.fold
 """
 
 
+
+def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-agnostic permutation importance: how much does held-out RMSE
+    degrade when ONE feature's values are decoupled from their rows? The
+    explainability counterpart to impurity-based feature_importances —
+    it measures the trained model's actual reliance, works for any
+    estimator, and is the standard audit when impurity importances are
+    suspected biased toward high-cardinality features.
+
+    The permutation is a deterministic cyclic shift: eval rows ordered
+    by (hash-bucket row ordering via xxhash64, row id), each row takes
+    the NEXT row's feature value (lead, wrapping the last row to the
+    first) — a derangement with no RNG, so the readout is reproducible
+    at any parallelism. One model fit; F+1 distributed scoring passes
+    (F = 4 features), each a single aggregate — predictions never reach
+    the driver. Rows-only entry: model internals are not
+    SQL-expressible.
+    """
+    from pyspark.sql.window import Window as W
+
+    from ..operators.pipeline import TRAIN_BUCKETS, hash_bucket_expr
+
+    df = load_table(spark, sf_dir, "lineitem").withColumn(
+        "bucket", hash_bucket_expr("l_orderkey")
+    )
+    train_df = df.filter(F.col("bucket") < TRAIN_BUCKETS)
+    eval_df = trainer.cast_prune(
+        df.filter(F.col("bucket") >= TRAIN_BUCKETS),
+        LINEITEM_FEATURES,
+        LINEITEM_LABEL,
+    ).withColumn(
+        "rid",
+        F.xxhash64(*[F.col(c) for c in LINEITEM_FEATURES], F.col(LINEITEM_LABEL)),
+    ).localCheckpoint()
+    model = trainer.train(train_df, LINEITEM_FEATURES, LINEITEM_LABEL)
+
+    def rmse(frame: DataFrame) -> float:
+        row = (
+            model.transform(frame)
+            .select((F.col("prediction") - F.col(LINEITEM_LABEL)).alias("err"))
+            .agg(F.sqrt(F.avg(F.col("err") * F.col("err"))).alias("rmse"))
+            .first()
+        )
+        return float(row.rmse)
+
+    base = rmse(eval_df)
+    w = W.orderBy("rid")
+    out = []
+    for feat in LINEITEM_FEATURES:
+        shifted = F.coalesce(
+            F.lead(feat).over(w), F.first(feat).over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        )
+        permuted = eval_df.withColumn(feat, shifted)
+        out.append((feat, base, rmse(permuted)))
+    return spark.createDataFrame(
+        [(f, b, p, p - b) for f, b, p in out],
+        "feature string, rmse_base double, rmse_permuted double, delta double",
+    ).orderBy(F.desc("delta"))
+
+
 QUERIES = {
     "ml_target_encoding": ml_target_encoding,
+    "ml_permutation_importance": ml_permutation_importance,
     "ml_quality_classifier": ml_quality_classifier,
     "ml_lift_deciles": ml_lift_deciles,
     "ml_classifier_auc": ml_classifier_auc,

@@ -466,6 +466,71 @@ FROM s
 
 
 
+
+SEARCH_TERMS = ("spark", "stream", "query")
+SEARCH_TOP = 20
+
+
+def text_search_and_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive full-text search with length-normalized tf ranking:
+    documents containing ALL query terms, ranked by Σ tf·10⁶/doc_len —
+    the inverted-index retrieval primitive. The explode is immediately
+    filtered to the query terms (a tiny IN list), so the posting list
+    that shuffles is |matching (doc, term)| rows, never the full token
+    stream; the AND semantics fall out of counting distinct matched
+    terms per doc.
+
+    Scoring is integer fixed-point so the oracle is hash-exact. BM25 is
+    this exact plan with log-idf·tf-saturation weights instead — the
+    rational weights here exist only because log() drifts by 1 ulp
+    across engines; at scale either weighting rides the same shuffle.
+    """
+    docs = with_tokens(load_documents(spark, sf_dir)).select("doc_id", "toks")
+    hits = (
+        docs.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("doc_len"),
+            F.explode("toks").alias("term"),
+        )
+        .filter(F.col("term").isin(*SEARCH_TERMS))
+        .groupBy("doc_id", "doc_len", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = hits.groupBy("doc_id", "doc_len").agg(
+        F.countDistinct("term").alias("n_matched"),
+        F.sum(F.expr("tf * 1000000 DIV doc_len")).alias("score_ppm"),
+    )
+    return (
+        scored.filter(F.col("n_matched") == len(SEARCH_TERMS))
+        .select("doc_id", "doc_len", "n_matched", "score_ppm")
+        .orderBy(F.desc("score_ppm"), "doc_id")
+        .limit(SEARCH_TOP)
+    )
+
+
+_SEARCH_TERMS_SQL = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+TEXT_SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+), exploded AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS doc_len, unnest(toks) AS term
+  FROM toks
+), hits AS (
+  SELECT doc_id, doc_len, term, COUNT(*) AS tf
+  FROM exploded WHERE term IN ({_SEARCH_TERMS_SQL})
+  GROUP BY doc_id, doc_len, term
+), scored AS (
+  SELECT doc_id, doc_len, COUNT(DISTINCT term) AS n_matched,
+         CAST(SUM(tf * 1000000 // doc_len) AS BIGINT) AS score_ppm
+  FROM hits GROUP BY doc_id, doc_len
+)
+SELECT doc_id, doc_len, n_matched, score_ppm
+FROM scored WHERE n_matched = {len(SEARCH_TERMS)}
+ORDER BY score_ppm DESC, doc_id
+LIMIT {SEARCH_TOP}
+"""
+
+
 def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME chunking contract as ``text_chunk_windows``, expressed as
     a Python UDTF (Spark 3.5+ user-defined TABLE function) invoked with
@@ -1213,6 +1278,7 @@ QUERIES = {
     "text_vocab_growth": text_vocab_growth,
     "text_cooccurrence_pairs": text_cooccurrence_pairs,
     "text_chunk_windows": text_chunk_windows,
+    "text_search_and_rank": text_search_and_rank,
     "text_chunk_udtf": text_chunk_udtf,
     "text_feature_hashing": text_feature_hashing,
     "text_cms_heavy_hitters": text_cms_heavy_hitters,
@@ -1234,6 +1300,7 @@ ORACLES = {
     "text_vocab_growth": TEXT_VOCAB_GROWTH_SQL,
     "text_cooccurrence_pairs": _cooc_sql(),
     "text_chunk_windows": TEXT_CHUNK_SQL,
+    "text_search_and_rank": TEXT_SEARCH_SQL,
     "text_chunk_udtf": TEXT_CHUNK_SQL,
     "text_feature_hashing": TEXT_FH_SQL,
     "text_cms_heavy_hitters": _cms_sql(),

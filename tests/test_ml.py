@@ -233,3 +233,19 @@ def test_target_encoding_oracle_and_leakage(spark, duck):
     for r in rows[:5]:
         others = [x.cents for x in o if x.category == r.category and x.fold != r.fold]
         assert r.oof_mean_cents == sum(others) // len(others)
+
+
+def test_permutation_importance_shape(spark):
+    """One model, F+1 scorings: per-feature rows share the same baseline
+    and permuting a feature the model ignores moves RMSE only slightly."""
+    from kafka_pyspark_bigdata_spark.ml.queries import (
+        LINEITEM_FEATURES,
+        ml_permutation_importance,
+    )
+
+    rows = ml_permutation_importance(spark, "/root/testdata/sf0.001").collect()
+    assert {r.feature for r in rows} == set(LINEITEM_FEATURES)
+    bases = {r.rmse_base for r in rows}
+    assert len(bases) == 1 and min(bases) > 0
+    assert all(r.rmse_permuted > 0 for r in rows)
+    assert rows == sorted(rows, key=lambda r: -r.delta)
