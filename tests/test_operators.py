@@ -23,6 +23,12 @@ CASES = [(m, name) for m in MODULES for name in sorted(m.QUERIES)]
     "mod,name", CASES, ids=[name for _, name in CASES]
 )
 def test_operator_oracle(spark, duck, mod, name):
+    if name not in mod.ORACLES:
+        # rows-only contract (e.g. ann_topk_gemm: BLAS summation order) —
+        # smoke the plan end to end; value parity has its own test
+        rows = mod.QUERIES[name](spark, "/root/testdata/sf0.001").collect()
+        assert rows is not None
+        return
     assert_oracle_match(spark, duck, mod.QUERIES[name], mod.ORACLES[name])
 
 
