@@ -93,6 +93,8 @@ _PRIORITY = [
     "streaming_checkpoint_resume",
     "graph_link_prediction",
     "text_search_and_rank",
+    "text_bpe_pair_merges",
+    "ts_forecast_eval_mase",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

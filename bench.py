@@ -120,6 +120,8 @@ def main() -> None:
         # overhead), not data-path throughput.
         "graph_link_prediction",
         "text_search_and_rank",
+        "text_bpe_pair_merges",
+        "ts_forecast_eval_mase",
         # round-3 batch-2 additions (all sub-second shapes)
         "q_winsorized_mean",
         "q_merge_upsert",

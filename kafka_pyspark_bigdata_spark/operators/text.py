@@ -531,6 +531,57 @@ LIMIT {SEARCH_TOP}
 """
 
 
+
+BPE_TOP = 20
+
+
+def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training primitive: corpus-wide adjacent-symbol pair
+    frequencies (here the first merge round, over characters) — the
+    argmax of this table IS the next merge rule. Full BPE training
+    iterates count → merge → re-segment; each round is exactly this
+    one explode + partial-agg shuffle over the CURRENT symbol
+    sequences, so the scale shape is (vocab_size − 256) × this query,
+    embarrassingly map-side (pairs collapse before the exchange).
+
+    The pair generation is a pure expression (transform over a
+    sequence of substring slices) — no UDF, stays in codegen.
+    """
+    toks = with_tokens(load_documents(spark, sf_dir)).select(
+        F.explode("toks").alias("w")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> concat(substring(w, i, 1), substring(w, i + 1, 1)))"
+            )
+        ).alias("pair")
+    ).filter(F.length("pair") == 2)
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_TOP)
+    )
+
+
+TEXT_BPE_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT unnest({TOKENS_SQL}) AS w FROM documents
+), pairs AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g
+)
+SELECT pair, COUNT(*) AS n
+FROM pairs
+WHERE length(pair) = 2
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {BPE_TOP}
+"""
+
+
 def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME chunking contract as ``text_chunk_windows``, expressed as
     a Python UDTF (Spark 3.5+ user-defined TABLE function) invoked with
@@ -1279,6 +1330,7 @@ QUERIES = {
     "text_cooccurrence_pairs": text_cooccurrence_pairs,
     "text_chunk_windows": text_chunk_windows,
     "text_search_and_rank": text_search_and_rank,
+    "text_bpe_pair_merges": text_bpe_pair_merges,
     "text_chunk_udtf": text_chunk_udtf,
     "text_feature_hashing": text_feature_hashing,
     "text_cms_heavy_hitters": text_cms_heavy_hitters,
@@ -1301,6 +1353,7 @@ ORACLES = {
     "text_cooccurrence_pairs": _cooc_sql(),
     "text_chunk_windows": TEXT_CHUNK_SQL,
     "text_search_and_rank": TEXT_SEARCH_SQL,
+    "text_bpe_pair_merges": TEXT_BPE_PAIRS_SQL,
     "text_chunk_udtf": TEXT_CHUNK_SQL,
     "text_feature_hashing": TEXT_FH_SQL,
     "text_cms_heavy_hitters": _cms_sql(),

@@ -630,8 +630,83 @@ FROM picked WHERE rn = 1 ORDER BY event_type, bucket
 """
 
 
+
+MASE_SEASON = 7
+
+
+def ts_forecast_eval_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy evaluation with MASE (Hyndman & Koehler 2006):
+    per-series MAE of the seasonal-naive forecast (y[t-7]) scaled by the
+    MAE of the one-step naive (y[t-1]) — the scale-free metric that lets
+    error compare across series of different magnitudes, and the
+    baseline gate every deployed forecaster must beat (mase < 1).
+
+    One partial-agg shuffle builds the daily series, one window
+    partitioned per series computes both lags in a single pass, one
+    aggregate folds the absolute errors. Integer cents end-to-end;
+    the ratio is fixed-point ppm DIV — engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.sum("cents").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.select(
+        "event_type",
+        F.lag("y", 1).over(w).alias("naive"),
+        F.lag("y", MASE_SEASON).over(w).alias("snaive"),
+        "y",
+    ).filter(F.col("naive").isNotNull() & F.col("snaive").isNotNull())
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.abs(F.col("y") - F.col("naive"))).alias("mae_naive"),
+            F.sum(F.abs(F.col("y") - F.col("snaive"))).alias("mae_snaive"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "mae_naive",
+            "mae_snaive",
+            F.expr("mae_snaive * 1000000 DIV mae_naive").alias("mase_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_MASE_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+), daily AS (
+  SELECT event_type, day, SUM(cents) AS y
+  FROM ev GROUP BY event_type, day
+), scored AS (
+  SELECT event_type,
+         lag(y, 1) OVER w AS naive,
+         lag(y, {MASE_SEASON}) OVER w AS snaive,
+         y
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, COUNT(*) AS n_days,
+       CAST(SUM(abs(y - naive)) AS BIGINT) AS mae_naive,
+       CAST(SUM(abs(y - snaive)) AS BIGINT) AS mae_snaive,
+       CAST(SUM(abs(y - snaive)) * 1000000 // SUM(abs(y - naive)) AS BIGINT) AS mase_ppm
+FROM scored
+WHERE naive IS NOT NULL AND snaive IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "ts_downsample_lttb": ts_downsample_lttb,
+    "ts_forecast_eval_mase": ts_forecast_eval_mase,
     "ts_trend_forecast": ts_trend_forecast,
     "ts_similarity_paa": ts_similarity_paa,
     "ts_autocorr": ts_autocorr,
@@ -640,6 +715,7 @@ QUERIES = {
 
 ORACLES = {
     "ts_downsample_lttb": TS_LTTB_SQL,
+    "ts_forecast_eval_mase": TS_MASE_SQL,
     "ts_trend_forecast": TS_TREND_SQL,
     "ts_similarity_paa": TS_SIMILARITY_SQL,
     "ts_autocorr": _autocorr_sql(),

@@ -61,6 +61,12 @@ def get_spark(
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Long-lived sessions (the 400-test suite, a multi-hour job server)
+        # accumulate orphaned localCheckpoint/cache blocks until the
+        # ContextCleaner's periodic GC fires — the 30min default is longer
+        # than most sessions live, which surfaced as py4j OOM flakes late
+        # in full-suite runs. One minute bounds the leak window.
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
