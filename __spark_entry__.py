@@ -95,6 +95,8 @@ _PRIORITY = [
     "text_search_and_rank",
     "text_bpe_pair_merges",
     "ts_forecast_eval_mase",
+    "q_ks_drift",
+    "corpus_epoch_shuffle",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

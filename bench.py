@@ -122,6 +122,8 @@ def main() -> None:
         "text_search_and_rank",
         "text_bpe_pair_merges",
         "ts_forecast_eval_mase",
+        "q_ks_drift",
+        "corpus_epoch_shuffle",
         # round-3 batch-2 additions (all sub-second shapes)
         "q_winsorized_mean",
         "q_merge_upsert",

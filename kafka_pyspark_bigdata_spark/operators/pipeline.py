@@ -766,8 +766,63 @@ ORDER BY len_ok, lang_ok, head_source
 """
 
 
+
+EPOCH_COUNT = 3
+EPOCH_SHARDS = 16
+
+
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch shard ordering: each training epoch
+    visits every shard exactly once in a different pseudo-random order,
+    with NO RNG — the order key is md5(epoch:shard), so any worker (or
+    a resumed job) recomputes the identical schedule from scratch.
+    This is how large training runs shuffle data they cannot afford to
+    physically reshuffle: permute the shard READ ORDER per epoch, keep
+    the bytes where they are.
+
+    Plan: |shards|×|epochs| rows total (metadata-sized), one window per
+    epoch partition for positions. The md5 key is cross-engine
+    (DuckDB's md5 = Spark's), making even the "random" order
+    oracle-exact.
+    """
+    shards = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % EPOCH_SHARDS).alias("shard"))
+        .distinct()
+    )
+    epochs = spark.range(1, EPOCH_COUNT + 1).select(F.col("id").alias("epoch"))
+    keyed = shards.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "shard",
+        F.md5(F.concat_ws(":", F.col("epoch"), F.col("shard"))).alias("k"),
+    )
+    w = Window.partitionBy("epoch").orderBy("k")
+    return keyed.select(
+        "epoch",
+        F.row_number().over(w).cast("long").alias("position"),
+        "shard",
+    ).orderBy("epoch", "position")
+
+
+CORPUS_EPOCH_SQL = f"""
+WITH shards AS (SELECT DISTINCT doc_id % {EPOCH_SHARDS} AS shard FROM documents),
+epochs AS (SELECT unnest(generate_series(1, {EPOCH_COUNT})) AS epoch),
+keyed AS (
+  SELECT epoch, shard,
+         md5(CAST(epoch AS VARCHAR) || ':' || CAST(shard AS VARCHAR)) AS k
+  FROM shards CROSS JOIN epochs
+)
+SELECT epoch,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY k) AS BIGINT) AS position,
+       shard
+FROM keyed
+ORDER BY epoch, position
+"""
+
+
 QUERIES = {
     "corpus_ablation_grid": corpus_ablation_grid,
+    "corpus_epoch_shuffle": corpus_epoch_shuffle,
     "corpus_temperature_sampling": corpus_temperature_sampling,
     "corpus_shard_manifest": corpus_shard_manifest,
     "corpus_cap_per_source": corpus_cap_per_source,
@@ -785,6 +840,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_ablation_grid": CORPUS_ABLATION_SQL,
+    "corpus_epoch_shuffle": CORPUS_EPOCH_SQL,
     "corpus_temperature_sampling": CORPUS_TEMPERATURE_SQL,
     "corpus_shard_manifest": CORPUS_SHARD_SQL,
     "corpus_cap_per_source": CORPUS_CAP_SQL,

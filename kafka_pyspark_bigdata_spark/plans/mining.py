@@ -1090,7 +1090,90 @@ FROM bounded GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Two-sample KS drift statistic
+# ---------------------------------------------------------------------------
+
+KS_A, KS_B = "click", "purchase"
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two event populations — the distribution-drift
+    detector behind "did this week's data change shape?" monitors
+    (feature drift, corpus drift, A/B sanity).
+
+    D = max_x |F_A(x) − F_B(x)| computed EXACTLY: counts per distinct
+    value (one partial-agg shuffle), cumulative sums over the value
+    order (one window), and the max of the cross-multiplied integer
+    form |cumA·nB − cumB·nA| / (nA·nB) — no floating CDFs, so the ppm
+    readout is engine-exact. The window is a global value order, but
+    over the DISTINCT-value table (bounded by the value domain, here
+    integer cents), not the events themselves.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    tagged = ev.filter(F.col("event_type").isin(KS_A, KS_B)).select(
+        "cents",
+        F.when(F.col("event_type") == KS_A, 1).otherwise(0).alias("in_a"),
+        F.when(F.col("event_type") == KS_B, 1).otherwise(0).alias("in_b"),
+    )
+    per_val = tagged.groupBy("cents").agg(
+        F.sum("in_a").alias("ca"), F.sum("in_b").alias("cb")
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_val.select(
+        "cents",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    totals = tagged.agg(F.sum("in_a").alias("n_a"), F.sum("in_b").alias("n_b"))
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            F.expr(
+                "abs(cum_a * n_b - cum_b * n_a) * 1000000 DIV (n_a * n_b)"
+            ).alias("d_ppm"),
+            "n_a",
+            "n_b",
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("d_ppm").alias("ks_d_ppm"))
+        .select("ks_d_ppm", "n_a", "n_b")
+    )
+
+
+Q_KS_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')
+), tagged AS (
+  SELECT cents,
+         CASE WHEN event_type = '{KS_A}' THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN event_type = '{KS_B}' THEN 1 ELSE 0 END AS in_b
+  FROM ev
+), per_val AS (
+  SELECT cents, SUM(in_a) AS ca, SUM(in_b) AS cb FROM tagged GROUP BY cents
+), cum AS (
+  SELECT cents,
+         SUM(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum_a,
+         SUM(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM per_val
+), totals AS (
+  SELECT SUM(in_a) AS n_a, SUM(in_b) AS n_b FROM tagged
+)
+SELECT CAST(MAX(abs(cum_a * n_b - cum_b * n_a) * 1000000 // (n_a * n_b)) AS BIGINT) AS ks_d_ppm,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+FROM cum, totals
+GROUP BY n_a, n_b
+"""
+
+
 QUERIES = {
+    "q_ks_drift": q_ks_drift,
     "q_winsorized_mean": q_winsorized_mean,
     "q_keyset_page": q_keyset_page,
     "q_trimmed_mean_pandas": q_trimmed_mean_pandas,
@@ -1109,6 +1192,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_ks_drift": Q_KS_SQL,
     "q_winsorized_mean": Q_WINSOR_SQL,
     "q_keyset_page": Q_KEYSET_SQL,
     "q_trimmed_mean_pandas": Q_TRIMMED_MEAN_SQL,
