@@ -97,6 +97,7 @@ _PRIORITY = [
     "ts_forecast_eval_mase",
     "q_ks_drift",
     "corpus_epoch_shuffle",
+    "q_python_datasource",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

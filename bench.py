@@ -124,6 +124,7 @@ def main() -> None:
         "ts_forecast_eval_mase",
         "q_ks_drift",
         "corpus_epoch_shuffle",
+        "q_python_datasource",
         # round-3 batch-2 additions (all sub-second shapes)
         "q_winsorized_mean",
         "q_merge_upsert",

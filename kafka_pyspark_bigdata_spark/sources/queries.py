@@ -457,8 +457,99 @@ LIMIT 100
 """
 
 
+
+PYDS_ROWS = 10000
+PYDS_PARTS = 8
+
+
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via Spark 4's Python DataSource API — the
+    extension point for sources Spark has no built-in reader for
+    (internal REST feeds, bespoke binary formats, device logs). The
+    source declares its schema and ITS OWN partition plan
+    (``partitions()`` → one ``read()`` per split), so the scan is
+    parallel from the first byte exactly like a file source — reads
+    execute on executors over Arrow, never through the driver.
+
+    The fixture source is a deterministic synthetic sensor feed
+    (reading = 37i mod 100 over PYDS_PARTS range splits); the grouped
+    rollup hash-matches a closed-form oracle, proving the
+    partition-planned scan loses/duplicates nothing at any
+    parallelism.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class RangeSplit(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class SensorReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("rows", PYDS_ROWS))
+            self.parts = int(options.get("partitions", PYDS_PARTS))
+
+        def partitions(self):
+            per = self.n // self.parts
+            return [
+                RangeSplit(
+                    i * per, (i + 1) * per if i < self.parts - 1 else self.n
+                )
+                for i in range(self.parts)
+            ]
+
+        def read(self, split):
+            for i in range(split.start, split.end):
+                yield (i, (i * 37) % 100, f"s{i % 5}")
+
+    class SensorSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "pysensor"
+
+        def schema(self):
+            return "id bigint, reading bigint, sensor string"
+
+        def reader(self, schema):
+            return SensorReader(self.options)
+
+    spark.dataSource.register(SensorSource)
+    df = (
+        spark.read.format("pysensor")
+        .option("rows", str(PYDS_ROWS))
+        .option("partitions", str(PYDS_PARTS))
+        .load()
+    )
+    return (
+        df.groupBy("sensor")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("reading").alias("sum_reading"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("sensor")
+    )
+
+
+Q_PYDS_SQL = f"""
+WITH src AS (
+  SELECT i AS id, (i * 37) % 100 AS reading,
+         's' || CAST(i % 5 AS VARCHAR) AS sensor
+  FROM (SELECT unnest(generate_series(0, {PYDS_ROWS - 1})) AS i)
+)
+SELECT sensor, COUNT(*) AS n, CAST(SUM(reading) AS BIGINT) AS sum_reading,
+       MIN(id) AS min_id, MAX(id) AS max_id
+FROM src GROUP BY sensor ORDER BY sensor
+"""
+
+
 QUERIES = {
     "q_variant_shred": q_variant_shred,
+    "q_python_datasource": q_python_datasource,
     "q_nested_roundtrip": q_nested_roundtrip,
     "q_dpp_prune": q_dpp_prune,
     "q_text_lines_roundtrip": q_text_lines_roundtrip,
@@ -473,6 +564,7 @@ QUERIES = {
 
 ORACLES = {
     "q_variant_shred": Q_VARIANT_SQL,
+    "q_python_datasource": Q_PYDS_SQL,
     "q_nested_roundtrip": Q_NESTED_SQL,
     "q_dpp_prune": Q_DPP_SQL,
     "q_text_lines_roundtrip": Q_TEXT_LINES_SQL,
