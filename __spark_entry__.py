@@ -98,6 +98,8 @@ _PRIORITY = [
     "q_ks_drift",
     "corpus_epoch_shuffle",
     "q_python_datasource",
+    "q_pandas_api_rollup",
+    "q_collated_group",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

@@ -125,6 +125,8 @@ def main() -> None:
         "q_ks_drift",
         "corpus_epoch_shuffle",
         "q_python_datasource",
+        "q_pandas_api_rollup",
+        "q_collated_group",
         # round-3 batch-2 additions (all sub-second shapes)
         "q_winsorized_mean",
         "q_merge_upsert",

@@ -894,10 +894,93 @@ ORDER BY t.threshold, l.l_returnflag
 """
 
 
+
+def q_pandas_api_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-API-on-Spark front door (``pyspark.pandas``): a
+    pandas-shaped merge → groupby → agg → rename pipeline that compiles
+    to the SAME Catalyst plan as the DataFrame idiom — proving the
+    engine serves pandas users without a semantic or performance fork.
+    ``distributed`` default-index keeps the ps layer from smuggling in
+    a window-over-everything just to fabricate row labels (the classic
+    pandas-on-Spark scale trap).
+    """
+    import pyspark.pandas as ps
+
+    ps.set_option("compute.default_index_type", "distributed")
+    o = ps.read_parquet(f"{sf_dir}/orders.parquet")
+    c = ps.read_parquet(f"{sf_dir}/customer.parquet")
+    m = ps.merge(o, c, left_on="o_custkey", right_on="c_custkey")
+    g = (
+        m.groupby(["c_mktsegment", "o_orderpriority"])
+        .agg({"o_totalprice": "max", "o_orderkey": "count"})
+        .reset_index()
+    )
+    g.columns = ["c_mktsegment", "o_orderpriority", "max_price", "n_orders"]
+    return (
+        g.to_spark()
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            "max_price",
+            F.col("n_orders").cast("long").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment", "o_orderpriority")
+    )
+
+
+Q_PANDAS_API_SQL = """
+SELECT c_mktsegment, o_orderpriority,
+       MAX(o_totalprice) AS max_price, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderpriority
+ORDER BY c_mktsegment, o_orderpriority
+"""
+
+
+def q_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: grouping under UTF8_LCASE treats
+    case-variant keys as EQUAL inside the engine — comparisons,
+    joins, and aggregations honor the collation natively instead of
+    wrapping every reference in lower() (which blocks stats reuse and
+    litters plans). The fixture is single-case, so case variance is
+    injected deterministically (even keys lowered); the output key is
+    normalized through lower() only for cross-engine comparison.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment")
+        ).otherwise(F.col("c_mktsegment")).alias("seg"),
+        "c_acctbal",
+    )
+    return (
+        c.groupBy(F.collate("seg", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .select(F.lower("k").alias("segment"), "n", "max_bal")
+        .orderBy("segment")
+    )
+
+
+Q_COLLATED_SQL = """
+WITH c AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+              ELSE c_mktsegment END AS seg,
+         c_acctbal
+  FROM customer
+)
+SELECT lower(seg) AS segment, COUNT(*) AS n, MAX(c_acctbal) AS max_bal
+FROM c GROUP BY lower(seg) ORDER BY segment
+"""
+
+
 QUERIES = {
     "q_lateral_topk": q_lateral_topk,
     "q_array_analytics": q_array_analytics,
     "q_sql_udf_pricing": q_sql_udf_pricing,
+    "q_pandas_api_rollup": q_pandas_api_rollup,
+    "q_collated_group": q_collated_group,
     "q_recursive_bom": q_recursive_bom,
     "q12_priority_counts": q12_priority_counts,
     "q14_promo_revenue": q14_promo_revenue,
@@ -920,6 +1003,8 @@ ORACLES = {
     "q_lateral_topk": Q_LATERAL_SQL,
     "q_array_analytics": Q_ARRAY_ANALYTICS_SQL,
     "q_sql_udf_pricing": Q_SQL_UDF_SQL,
+    "q_pandas_api_rollup": Q_PANDAS_API_SQL,
+    "q_collated_group": Q_COLLATED_SQL,
     "q_recursive_bom": Q_RECURSIVE_BOM_SQL,
     "q12_priority_counts": Q12_SQL,
     "q14_promo_revenue": Q14_SQL,
