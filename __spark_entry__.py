@@ -100,6 +100,7 @@ _PRIORITY = [
     "q_python_datasource",
     "q_pandas_api_rollup",
     "q_collated_group",
+    "streaming_python_source",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

@@ -883,8 +883,106 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+
+PYTICKS_N = 200
+PYTICKS_BATCH = 25
+
+
+def streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING connector via the Python DataSource API
+    (``SimpleDataSourceStreamReader``): the source owns its offset
+    bookkeeping ({"i": n} dict), each micro-batch reads
+    [start, start+PYTICKS_BATCH), and ``readBetweenOffsets`` makes
+    batches REPLAYABLE for recovery — the same contract a Kafka reader
+    implements, demonstrated broker-free. This is the extension point
+    for streams Spark has no built-in source for (device feeds,
+    internal queues, REST tails).
+
+    Python streaming sources don't support Trigger.AvailableNow (Spark
+    falls back to single-batch), so the drain loop polls the memory
+    sink until the deterministic tick count arrives, then stops the
+    query — bounded by a timeout, deterministic at completion. The
+    rollup over the drained ticks is closed-form oracle-checked.
+    """
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class TickReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            i = start["i"]
+            if i >= PYTICKS_N:
+                return iter([]), {"i": i}
+            end = min(i + PYTICKS_BATCH, PYTICKS_N)
+            return iter([(j, (j * 7) % 10) for j in range(i, end)]), {"i": end}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [(j, (j * 7) % 10) for j in range(start["i"], end["i"])]
+            )
+
+    class TickSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "pyticks"
+
+        def schema(self):
+            return "id bigint, v bigint"
+
+        def simpleStreamReader(self, schema):
+            return TickReader()
+
+    spark.dataSource.register(TickSource)
+    name = "pyticks_" + _uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("pyticks")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table(name).count() >= PYTICKS_N:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("v")
+    )
+
+
+STREAMING_PYSRC_SQL = f"""
+WITH src AS (
+  SELECT i AS id, (i * 7) % 10 AS v
+  FROM (SELECT unnest(generate_series(0, {PYTICKS_N - 1})) AS i)
+)
+SELECT v, COUNT(*) AS n, MIN(id) AS min_id, MAX(id) AS max_id
+FROM src GROUP BY v ORDER BY v
+"""
+
+
 QUERIES = {
     "streaming_checkpoint_resume": streaming_checkpoint_resume,
+    "streaming_python_source": streaming_python_source,
     "streaming_hll_windowed": streaming_hll_windowed,
     "streaming_hourly_window": streaming_hourly_window,
     "streaming_chained_windows": streaming_chained_windows,
@@ -920,6 +1018,7 @@ if _tws_available():
 
 ORACLES = {
     "streaming_checkpoint_resume": STREAMING_CKPT_RESUME_SQL,
+    "streaming_python_source": STREAMING_PYSRC_SQL,
     "streaming_hll_windowed": STREAMING_HLL_WIN_SQL,
     "streaming_hourly_window": STREAMING_HOURLY_SQL,
     "streaming_chained_windows": STREAMING_CHAINED_SQL,
