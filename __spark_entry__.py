@@ -101,6 +101,7 @@ _PRIORITY = [
     "q_pandas_api_rollup",
     "q_collated_group",
     "streaming_python_source",
+    "q_ingest_quarantine",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

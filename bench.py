@@ -127,6 +127,7 @@ def main() -> None:
         "q_python_datasource",
         "q_pandas_api_rollup",
         "q_collated_group",
+        "q_ingest_quarantine",
         # round-3 batch-2 additions (all sub-second shapes)
         "q_winsorized_mean",
         "q_merge_upsert",

@@ -547,9 +547,72 @@ FROM src GROUP BY sensor ORDER BY sensor
 """
 
 
+
+def q_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-quarantine (dead-letter) pattern: parse semi-structured
+    payloads with ``_corrupt_record`` in the schema, so malformed rows
+    carry their raw bytes into a quarantine column instead of crashing
+    the job (FAILFAST) or silently nulling out (plain PERMISSIVE — which
+    yields a struct of NULLs that is indistinguishable from a valid
+    all-null record; the corrupt column is the only reliable validity
+    signal). Valid rows flow to the typed path, quarantined rows are
+    counted per partition key for the monitoring feed.
+
+    Corruption is injected deterministically (every 5th event loses its
+    opening brace), and the oracle derives validity from that RULE while
+    Spark derives it from the PARSER — the hash match proves the two
+    agree row-for-row. One scan, one partial-agg shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+    corrupted = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 5 == 0, F.expr("substring(props, 2)"))
+        .otherwise(F.col("props"))
+        .alias("raw"),
+    )
+    parsed = corrupted.select(
+        "event_id",
+        "event_type",
+        F.from_json(
+            "raw",
+            "k INT, _corrupt_record STRING",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("d"),
+    ).select(
+        "event_id",
+        "event_type",
+        F.col("d._corrupt_record").isNull().alias("ok"),
+        F.col("d.k").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("n_quarantined"),
+            F.sum(F.when(F.col("ok"), F.col("k")).otherwise(0))
+            .cast("long")
+            .alias("sum_k_valid"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_QUARANTINE_SQL = """
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+       CAST(SUM(CASE WHEN event_id % 5 = 0 THEN 0
+                ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT) AS sum_k_valid
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q_variant_shred": q_variant_shred,
     "q_python_datasource": q_python_datasource,
+    "q_ingest_quarantine": q_ingest_quarantine,
     "q_nested_roundtrip": q_nested_roundtrip,
     "q_dpp_prune": q_dpp_prune,
     "q_text_lines_roundtrip": q_text_lines_roundtrip,
@@ -565,6 +628,7 @@ QUERIES = {
 ORACLES = {
     "q_variant_shred": Q_VARIANT_SQL,
     "q_python_datasource": Q_PYDS_SQL,
+    "q_ingest_quarantine": Q_QUARANTINE_SQL,
     "q_nested_roundtrip": Q_NESTED_SQL,
     "q_dpp_prune": Q_DPP_SQL,
     "q_text_lines_roundtrip": Q_TEXT_LINES_SQL,
