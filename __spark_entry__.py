@@ -102,6 +102,7 @@ _PRIORITY = [
     "q_collated_group",
     "streaming_python_source",
     "q_ingest_quarantine",
+    "ann_mrr_eval",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

@@ -128,6 +128,7 @@ def main() -> None:
         "q_pandas_api_rollup",
         "q_collated_group",
         "q_ingest_quarantine",
+        "ann_mrr_eval",
         # round-3 batch-2 additions (all sub-second shapes)
         "q_winsorized_mean",
         "q_merge_upsert",

@@ -1795,6 +1795,58 @@ FROM norms GROUP BY 1 ORDER BY bucket
 # ---------------------------------------------------------------------------
 
 
+
+def ann_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank eval of the LSH path: where does each
+    query's TRUE nearest neighbor (brute-force rank 1) land in the
+    approximate ranking? Recall@k says whether the right answers are
+    in the candidate set; MRR says whether they're at the TOP — the
+    metric that matters when only the first hit is shown. rr_ppm =
+    10^6 DIV rank (0 when the true neighbor is missed entirely);
+    integer fixed-point, engine-exact. Same |Q|-row join shape as
+    ann_recall_eval.
+    """
+    bf1 = (
+        ann_topk_bruteforce(spark, sf_dir)
+        .filter(F.col("rank") == 1)
+        .select("query_id", F.col("neighbor_id").alias("true_nn"))
+    )
+    lsh = ann_lsh_bucketed(spark, sf_dir).select(
+        "query_id",
+        F.col("neighbor_id").alias("true_nn"),
+        F.col("rank").alias("lsh_rank"),
+    )
+    return (
+        bf1.join(lsh, ["query_id", "true_nn"], "left")
+        .select(
+            "query_id",
+            "true_nn",
+            F.coalesce(F.col("lsh_rank"), F.lit(0)).alias("lsh_rank"),
+            # nullif guards ANSI division-by-zero when the true NN is missed
+            F.coalesce(
+                F.expr("1000000 DIV nullif(lsh_rank, 0)"), F.lit(0)
+            ).alias("rr_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ann_mrr_sql() -> str:
+    bf = ANN_TOPK_SQL.strip()
+    lsh = _ann_lsh_sql().strip()
+    return f"""
+WITH bf AS ({bf}),
+lsh AS ({lsh}),
+bf1 AS (SELECT query_id, neighbor_id AS true_nn FROM bf WHERE rank = 1)
+SELECT bf1.query_id, bf1.true_nn,
+       CAST(COALESCE(lsh.rank, 0) AS INTEGER) AS lsh_rank,
+       CAST(COALESCE(1000000 // NULLIF(lsh.rank, 0), 0) AS BIGINT) AS rr_ppm
+FROM bf1 LEFT JOIN lsh
+  ON bf1.query_id = lsh.query_id AND bf1.true_nn = lsh.neighbor_id
+ORDER BY bf1.query_id
+"""
+
+
 def ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-K as a BLOCKED MATRIX PRODUCT: the query
     set (tiny, collected once and closed over — the same role as a
@@ -1857,6 +1909,7 @@ def ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ann_topk_gemm": ann_topk_gemm,
+    "ann_mrr_eval": ann_mrr_eval,
     "ann_ivf_balance_audit": ann_ivf_balance_audit,
     "ann_ivf_persisted": ann_ivf_persisted,
     "emb_norm_stats": emb_norm_stats,
@@ -1894,6 +1947,7 @@ ORACLES = {
     "knn_graph_lsh": _knn_graph_sql(),
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "ann_recall_eval": _ann_recall_sql(),
+    "ann_mrr_eval": _ann_mrr_sql(),
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "cluster_kmeans_fixed": _kmeans_sql(),
     "ann_topk_bruteforce": ANN_TOPK_SQL,
