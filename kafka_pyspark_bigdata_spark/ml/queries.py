@@ -324,6 +324,23 @@ def ml_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 
+
+def _strip_training_summary(model) -> None:
+    """Drop a fitted classifier's trainingSummary before using the model
+    inside a transform: the summary holds a SparkSession reference that
+    rides into the scoring closure, and a SparkSession that has EVER
+    registered an ``observe()`` metric carries a non-serializable
+    ObservationManager — making every later model.transform fail with
+    "Task not serializable" (the q_observe_metrics ↔ classifier
+    interaction found by the full-registry sweep). Scala's
+    private[ml] setSummary is public in bytecode, so py4j can clear it.
+    """
+    from pyspark import SparkContext
+
+    jvm = SparkContext._active_spark_context._jvm
+    model._java_obj.setSummary(jvm.scala.Option.empty())
+
+
 def ml_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classification head + exact AUC evaluation: a RandomForest
     CLASSIFIER (seed=42 — same determinism contract as the reference's
@@ -366,6 +383,7 @@ def ml_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
     )
     model = clf.fit(train)
+    _strip_training_summary(model)
     scored = model.transform(evald).select(
         vector_to_array("probability").getItem(1).alias("score"), "label"
     )
@@ -442,6 +460,7 @@ def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         featuresCol="features", labelCol="label", maxIter=25, regParam=0.01
     )
     model = lr.fit(train)
+    _strip_training_summary(model)
     scored = model.transform(evald).select(
         vector_to_array("probability").getItem(1).alias("score"), "label"
     )
