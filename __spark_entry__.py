@@ -103,6 +103,8 @@ _PRIORITY = [
     "streaming_python_source",
     "q_ingest_quarantine",
     "ann_mrr_eval",
+    "ts_mad_outliers",
+    "q_arrow_udf_checksum",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

@@ -129,6 +129,7 @@ def main() -> None:
         "q_collated_group",
         "q_ingest_quarantine",
         "ann_mrr_eval",
+        "ts_mad_outliers",
         # round-3 batch-2 additions (all sub-second shapes)
         "q_winsorized_mean",
         "q_merge_upsert",

@@ -704,9 +704,99 @@ ORDER BY event_type
 """
 
 
+
+MAD_K = 3  # outlier threshold: |dev| > K * MAD
+
+
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series outlier screen: median + MAD (median absolute
+    deviation) instead of mean + stddev — a single wild value shifts a
+    z-score filter's own baseline, while the MAD breakdown point is 50%.
+    Flags |y − median| > 3·MAD per series.
+
+    Both medians are EXACT lower-median order statistics (row_number ==
+    (n+1) DIV 2 over integer cents with event_id tie-break) — no
+    approxQuantile, so the oracle hash-matches. Two window passes share
+    the per-series partitioning; the two one-row-per-series median
+    tables broadcast back. At scale this is the same shape as
+    q_quantiles_exact: one shuffle per order-statistic pass.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    nw = Window.partitionBy("event_type")
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(nw)
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(cnt + 1) DIV 2")).select(
+        "event_type", F.col("cents").alias("med_cents")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+        "med_cents",
+    )
+    w2 = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    ranked2 = dev.withColumn("rn", F.row_number().over(w2)).withColumn(
+        "cnt", F.count(F.lit(1)).over(nw)
+    )
+    mad = ranked2.filter(F.col("rn") == F.expr("(cnt + 1) DIV 2")).select(
+        "event_type", F.col("adev").alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_cents", "mad_cents")
+        .agg(
+            F.sum(
+                F.when(F.col("adev") > MAD_K * F.col("mad_cents"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_MAD_SQL = f"""
+WITH ev AS (
+  SELECT event_type, event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+), ranked AS (
+  SELECT event_type, event_id, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM ev
+), med AS (
+  SELECT event_type, cents AS med_cents FROM ranked WHERE rn = (cnt + 1) // 2
+), dev AS (
+  SELECT ev.event_type, ev.event_id, ev.cents,
+         abs(ev.cents - med_cents) AS adev, med_cents
+  FROM ev JOIN med ON ev.event_type = med.event_type
+), ranked2 AS (
+  SELECT event_type, adev,
+         row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM dev
+), mad AS (
+  SELECT event_type, adev AS mad_cents FROM ranked2 WHERE rn = (cnt + 1) // 2
+)
+SELECT dev.event_type, med_cents, mad_cents,
+       CAST(SUM(CASE WHEN adev > {MAD_K} * mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       COUNT(*) AS n
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+GROUP BY dev.event_type, med_cents, mad_cents
+ORDER BY dev.event_type
+"""
+
+
 QUERIES = {
     "ts_downsample_lttb": ts_downsample_lttb,
     "ts_forecast_eval_mase": ts_forecast_eval_mase,
+    "ts_mad_outliers": ts_mad_outliers,
     "ts_trend_forecast": ts_trend_forecast,
     "ts_similarity_paa": ts_similarity_paa,
     "ts_autocorr": ts_autocorr,
@@ -716,6 +806,7 @@ QUERIES = {
 ORACLES = {
     "ts_downsample_lttb": TS_LTTB_SQL,
     "ts_forecast_eval_mase": TS_MASE_SQL,
+    "ts_mad_outliers": TS_MAD_SQL,
     "ts_trend_forecast": TS_TREND_SQL,
     "ts_similarity_paa": TS_SIMILARITY_SQL,
     "ts_autocorr": _autocorr_sql(),

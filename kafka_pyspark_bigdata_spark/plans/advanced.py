@@ -975,12 +975,75 @@ FROM c GROUP BY lower(seg) ORDER BY segment
 """
 
 
+
+def q_arrow_udf_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (``@udf(useArrow=True)``, Spark
+    3.5+): genuinely imperative per-value logic — a Luhn checksum's
+    digit-doubling loop — shipped over Arrow batches instead of pickled
+    rows (~an order of magnitude less serialization overhead than the
+    legacy row-at-a-time path, though still outside codegen: the rule
+    stays "built-ins > pandas_udf/arrow udf > pickled udf").
+
+    Synthetic account numbers derive deterministically from order keys;
+    the checksum distribution is the output. The oracle replays Luhn
+    relationally (per-digit lateral expansion) — the hash match proves
+    the imperative and relational formulations agree on every account.
+    """
+    from pyspark.sql.functions import udf
+
+    @udf("int", useArrow=True)
+    def luhn_total(s: str) -> int:
+        total = 0
+        for i, c in enumerate(reversed(s)):
+            d = int(c)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10
+    o = load_table(spark, sf_dir, "orders").select(
+        F.lpad(
+            F.expr("CAST(o_orderkey * 7919 % 100000000 AS STRING)"), 9, "0"
+        ).alias("acct")
+    )
+    return (
+        o.select(luhn_total("acct").alias("chk"))
+        .groupBy("chk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("chk")
+    )
+
+
+Q_ARROW_UDF_SQL = """
+WITH src AS (
+  -- carry o_orderkey: two orders can collide on acct, and the Spark side
+  -- computes one checksum PER ROW, not per distinct account
+  SELECT o_orderkey,
+         lpad(CAST(o_orderkey * 7919 % 100000000 AS VARCHAR), 9, '0') AS acct
+  FROM orders
+), chars AS (
+  SELECT o_orderkey, i, CAST(substr(reverse(acct), i, 1) AS INTEGER) AS d
+  FROM src, LATERAL (SELECT unnest(generate_series(1, length(acct))) AS i) g
+), per_acct AS (
+  SELECT o_orderkey,
+         SUM(CASE WHEN i % 2 = 0
+                  THEN CASE WHEN d * 2 > 9 THEN d * 2 - 9 ELSE d * 2 END
+                  ELSE d END) % 10 AS chk
+  FROM chars GROUP BY o_orderkey
+)
+SELECT CAST(chk AS INTEGER) AS chk, COUNT(*) AS n
+FROM per_acct GROUP BY chk ORDER BY chk
+"""
+
+
 QUERIES = {
     "q_lateral_topk": q_lateral_topk,
     "q_array_analytics": q_array_analytics,
     "q_sql_udf_pricing": q_sql_udf_pricing,
     "q_pandas_api_rollup": q_pandas_api_rollup,
     "q_collated_group": q_collated_group,
+    "q_arrow_udf_checksum": q_arrow_udf_checksum,
     "q_recursive_bom": q_recursive_bom,
     "q12_priority_counts": q12_priority_counts,
     "q14_promo_revenue": q14_promo_revenue,
@@ -1005,6 +1068,7 @@ ORACLES = {
     "q_sql_udf_pricing": Q_SQL_UDF_SQL,
     "q_pandas_api_rollup": Q_PANDAS_API_SQL,
     "q_collated_group": Q_COLLATED_SQL,
+    "q_arrow_udf_checksum": Q_ARROW_UDF_SQL,
     "q_recursive_bom": Q_RECURSIVE_BOM_SQL,
     "q12_priority_counts": Q12_SQL,
     "q14_promo_revenue": Q14_SQL,
