@@ -105,6 +105,8 @@ _PRIORITY = [
     "ann_mrr_eval",
     "ts_mad_outliers",
     "q_arrow_udf_checksum",
+    "graph_kcore",
+    "q_not_in_null_trap",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

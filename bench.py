@@ -130,6 +130,8 @@ def main() -> None:
         "q_ingest_quarantine",
         "ann_mrr_eval",
         "ts_mad_outliers",
+        "graph_kcore",
+        "q_not_in_null_trap",
         # round-3 batch-2 additions (all sub-second shapes)
         "q_winsorized_mean",
         "q_merge_upsert",

@@ -1920,6 +1920,103 @@ GROUP BY 1, 2 ORDER BY decision, is_true_pair
 
 
 
+
+KCORE_K = 3
+KCORE_ROUNDS = 4
+KCORE_SUPPORT = 2
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling over the co-purchase
+    graph: repeatedly drop nodes with degree < K and the edges touching
+    them — the standard dense-subgraph extraction (community cores,
+    spam-ring detection, recommendation seed sets). Output is the
+    honest per-iteration (n_nodes, n_edges) trajectory: a fixed
+    KCORE_ROUNDS unroll keeps the plan static and the readout
+    deterministic whether or not the peeling has converged (the
+    fixed-point variant is the same loop with a convergence guard —
+    same per-round cost).
+
+    Each round is one degree aggregate + two semi-join-shaped edge
+    filters over the (small) edge list; ``localCheckpoint`` pins each
+    round's edges so the lineage doesn't recompute the whole peel per
+    reference. The DuckDB oracle is the same unroll as MATERIALIZED
+    CTEs (without materialization the CTE tree re-executes
+    exponentially — mirrored lesson in the plan here).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= KCORE_SUPPORT)
+        .select("pa", "pb")
+        .localCheckpoint()
+    )
+    out = []
+    edges = pairs
+    for it in range(KCORE_ROUNDS + 1):
+        und = edges.unionByName(
+            edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+        )
+        row = (
+            und.agg(F.countDistinct("pa").alias("n_nodes"))
+            .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+            .select(F.lit(it).alias("iter"), "n_nodes", "n_edges")
+        )
+        out.append(row)
+        if it == KCORE_ROUNDS:
+            break
+        deg = und.groupBy("pa").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= KCORE_K).select(F.col("pa").alias("node"))
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "pa"), "pa")
+            .join(keep.withColumnRenamed("node", "pb"), "pb")
+            .select("pa", "pb")
+            .localCheckpoint()
+        )
+    res = out[0]
+    for r in out[1:]:
+        res = res.unionByName(r)
+    return res.orderBy("iter")
+
+
+def _kcore_sql() -> str:
+    base = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {KCORE_SUPPORT}
+)"""
+    parts = [base]
+    for it in range(KCORE_ROUNDS):
+        parts.append(f""",
+u{it} AS MATERIALIZED (SELECT pa, pb FROM e{it} UNION ALL SELECT pb, pa FROM e{it}),
+keep{it} AS MATERIALIZED (SELECT pa AS node FROM u{it} GROUP BY pa HAVING COUNT(*) >= {KCORE_K}),
+e{it + 1} AS MATERIALIZED (
+  SELECT e.pa, e.pb FROM e{it} e
+  JOIN keep{it} ka ON e.pa = ka.node
+  JOIN keep{it} kb ON e.pb = kb.node
+)""")
+    selects = []
+    for it in range(KCORE_ROUNDS + 1):
+        selects.append(f"""
+SELECT {it} AS iter,
+       (SELECT COUNT(DISTINCT pa) FROM (SELECT pa FROM e{it} UNION ALL SELECT pb FROM e{it}) t) AS n_nodes,
+       (SELECT COUNT(*) FROM e{it}) AS n_edges""")
+    return "".join(parts) + "\nSELECT * FROM (" + " UNION ALL ".join(selects) + ") ORDER BY iter"
+
+
 LINKPRED_TOP = 20
 LINKPRED_SUPPORT = 2  # min co-purchase count for a graph edge
 
@@ -2048,6 +2145,7 @@ LIMIT {LINKPRED_TOP}
 
 QUERIES = {
     "graph_link_prediction": graph_link_prediction,
+    "graph_kcore": graph_kcore,
     "graph_modularity": graph_modularity,
     "dedup_record_linkage": dedup_record_linkage,
     "dedup_savings_summary": dedup_savings_summary,
@@ -2075,6 +2173,7 @@ QUERIES = {
 
 ORACLES = {
     "graph_link_prediction": _linkpred_sql(),
+    "graph_kcore": _kcore_sql(),
     "graph_modularity": GRAPH_MODULARITY_SQL,
     "dedup_record_linkage": RECORD_LINKAGE_SQL,
     "dedup_savings_summary": _savings_sql(),

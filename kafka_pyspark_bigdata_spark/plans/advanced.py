@@ -1037,6 +1037,63 @@ FROM per_acct GROUP BY chk ORDER BY chk
 """
 
 
+
+def q_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, demonstrated side by side: a probe list
+    containing one NULL makes ``NOT IN`` return ZERO rows (three-valued
+    logic: x <> NULL is UNKNOWN, so no row can prove membership-absence),
+    while ``NOT EXISTS`` and a null-filtered ``NOT IN`` return the real
+    complement. Spark plans the nullable case as a NullAwareAntiJoin —
+    correct but forced to broadcast-check the null; the null-filtered
+    form degrades back to a plain anti join. Every production "find
+    missing rows" audit should be the NOT EXISTS shape; this query pins
+    the semantics (and both engines' agreement) as a regression check.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("c_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("o_v")
+    spark.sql(
+        """
+      CREATE OR REPLACE TEMPORARY VIEW probe AS
+      SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM o_v WHERE o_orderpriority = '1-URGENT'
+    """
+    )
+    return spark.sql(
+        """
+      SELECT 'not_in' AS semantics,
+             (SELECT COUNT(*) FROM c_v WHERE c_custkey NOT IN (SELECT k FROM probe)) AS n_rows
+      UNION ALL
+      SELECT 'not_exists',
+             (SELECT COUNT(*) FROM c_v WHERE NOT EXISTS (
+                SELECT 1 FROM probe WHERE probe.k = c_v.c_custkey)) AS n_rows
+      UNION ALL
+      SELECT 'not_in_null_filtered',
+             (SELECT COUNT(*) FROM c_v WHERE c_custkey NOT IN (
+                SELECT k FROM probe WHERE k IS NOT NULL)) AS n_rows
+      ORDER BY semantics
+    """
+    )
+
+
+Q_NOT_IN_SQL = """
+WITH probe AS (
+  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT 'not_in' AS semantics,
+       (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT k FROM probe)) AS n_rows
+UNION ALL
+SELECT 'not_exists',
+       (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS (
+          SELECT 1 FROM probe WHERE probe.k = c.c_custkey))
+UNION ALL
+SELECT 'not_in_null_filtered',
+       (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (
+          SELECT k FROM probe WHERE k IS NOT NULL))
+ORDER BY semantics
+"""
+
+
 QUERIES = {
     "q_lateral_topk": q_lateral_topk,
     "q_array_analytics": q_array_analytics,
@@ -1044,6 +1101,7 @@ QUERIES = {
     "q_pandas_api_rollup": q_pandas_api_rollup,
     "q_collated_group": q_collated_group,
     "q_arrow_udf_checksum": q_arrow_udf_checksum,
+    "q_not_in_null_trap": q_not_in_null_trap,
     "q_recursive_bom": q_recursive_bom,
     "q12_priority_counts": q12_priority_counts,
     "q14_promo_revenue": q14_promo_revenue,
@@ -1069,6 +1127,7 @@ ORACLES = {
     "q_pandas_api_rollup": Q_PANDAS_API_SQL,
     "q_collated_group": Q_COLLATED_SQL,
     "q_arrow_udf_checksum": Q_ARROW_UDF_SQL,
+    "q_not_in_null_trap": Q_NOT_IN_SQL,
     "q_recursive_bom": Q_RECURSIVE_BOM_SQL,
     "q12_priority_counts": Q12_SQL,
     "q14_promo_revenue": Q14_SQL,
