@@ -107,6 +107,7 @@ _PRIORITY = [
     "q_arrow_udf_checksum",
     "graph_kcore",
     "q_not_in_null_trap",
+    "streaming_rocksdb_agg",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

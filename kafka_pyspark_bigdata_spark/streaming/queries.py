@@ -980,9 +980,62 @@ FROM src GROUP BY v ORDER BY v
 """
 
 
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def streaming_rocksdb_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful aggregation on the ROCKSDB state store — the backend
+    that makes big streaming state viable: the default HDFS-backed
+    provider keeps every key in executor heap (state size is bounded by
+    memory), while RocksDB spills to local SSD with incremental
+    checkpoint upload, so keyed state can grow to billions of keys.
+    Same query semantics, one conf — this entry proves the engine's
+    plans are state-backend-agnostic by hash-matching the batch oracle
+    under the RocksDB provider.
+
+    The provider conf is read at query START, so it's set just for
+    this run and restored after (session hygiene for the other
+    streaming entries).
+    """
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+    )
+    try:
+        stream = _events_stream(spark, sf_dir)
+        agg = stream.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        name = _run_to_memory(agg, "rocksdb")
+        # materialize fully before the conf flips back
+        out = spark.table(name).orderBy("event_type").localCheckpoint()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    return out
+
+
+STREAMING_ROCKSDB_SQL = f"""
+SELECT event_type, COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "streaming_checkpoint_resume": streaming_checkpoint_resume,
     "streaming_python_source": streaming_python_source,
+    "streaming_rocksdb_agg": streaming_rocksdb_agg,
     "streaming_hll_windowed": streaming_hll_windowed,
     "streaming_hourly_window": streaming_hourly_window,
     "streaming_chained_windows": streaming_chained_windows,
@@ -1019,6 +1072,7 @@ if _tws_available():
 ORACLES = {
     "streaming_checkpoint_resume": STREAMING_CKPT_RESUME_SQL,
     "streaming_python_source": STREAMING_PYSRC_SQL,
+    "streaming_rocksdb_agg": STREAMING_ROCKSDB_SQL,
     "streaming_hll_windowed": STREAMING_HLL_WIN_SQL,
     "streaming_hourly_window": STREAMING_HOURLY_SQL,
     "streaming_chained_windows": STREAMING_CHAINED_SQL,
