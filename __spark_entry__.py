@@ -108,6 +108,7 @@ _PRIORITY = [
     "graph_kcore",
     "q_not_in_null_trap",
     "streaming_rocksdb_agg",
+    "q_table_checksum",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

@@ -132,6 +132,7 @@ def main() -> None:
         "ts_mad_outliers",
         "graph_kcore",
         "q_not_in_null_trap",
+        "q_table_checksum",
         # round-3 batch-2 additions (all sub-second shapes)
         "q_winsorized_mean",
         "q_merge_upsert",

@@ -1454,9 +1454,86 @@ ORDER BY key
 """
 
 
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent whole-table fingerprint: each row serializes
+    canonically (fixed column order, fixed delimiter, NULL sentinel),
+    md5-hashes to a 60-bit integer, and the per-table checksum is the
+    SUM of row hashes — commutative, so any partitioning/ordering of a
+    replica yields the identical value. This is the cheap replication /
+    migration audit: compare one number per table instead of diffing
+    rows; a single changed row moves the sum with probability
+    ~1 − 2⁻⁶⁰.
+
+    One narrow scan + map-side partial sum per table — the cheapest
+    possible full-table integrity pass at 100 TB (no shuffle of data,
+    just partial sums). Three tables' checksums in one output.
+    """
+    def table_sum(name: str, cols: list[str]) -> DataFrame:
+        df = load_table(spark, sf_dir, name)
+        canon = F.concat_ws(
+            "\u0001", *[F.coalesce(F.col(c).cast("string"), F.lit("\u0000")) for c in cols]
+        )
+        h = F.conv(F.substring(F.md5(F.encode(canon, "UTF-8")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        # 60-bit row hashes summed over millions of rows overflow BIGINT
+        # (ANSI mode errors rather than wrapping): accumulate in
+        # DECIMAL(38,0) — exact, order-independent, engine-portable.
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(h.cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("checksum"),
+        )
+
+    parts = [
+        table_sum("region", ["r_regionkey", "r_name"]),
+        table_sum("nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        table_sum("supplier", ["s_suppkey", "s_name", "s_nationkey"]),
+    ]
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.orderBy("table_name")
+
+
+Q_TABLE_CHECKSUM_SQL = """
+WITH r AS (
+  SELECT 'region' AS table_name, COUNT(*) AS n_rows,
+         CAST(SUM((('0x' || substr(md5(
+           concat_ws(chr(1),
+             COALESCE(CAST(r_regionkey AS VARCHAR), chr(0)),
+             COALESCE(r_name, chr(0)))), 1, 15))::BIGINT)::DECIMAL(38,0))::DECIMAL(38,0) AS VARCHAR) AS checksum
+  FROM region
+), n AS (
+  SELECT 'nation', COUNT(*),
+         CAST(SUM((('0x' || substr(md5(
+           concat_ws(chr(1),
+             COALESCE(CAST(n_nationkey AS VARCHAR), chr(0)),
+             COALESCE(n_name, chr(0)),
+             COALESCE(CAST(n_regionkey AS VARCHAR), chr(0)))), 1, 15))::BIGINT)::DECIMAL(38,0))::DECIMAL(38,0) AS VARCHAR)
+  FROM nation
+), s AS (
+  SELECT 'supplier', COUNT(*),
+         CAST(SUM((('0x' || substr(md5(
+           concat_ws(chr(1),
+             COALESCE(CAST(s_suppkey AS VARCHAR), chr(0)),
+             COALESCE(s_name, chr(0)),
+             COALESCE(CAST(s_nationkey AS VARCHAR), chr(0)))), 1, 15))::BIGINT)::DECIMAL(38,0))::DECIMAL(38,0) AS VARCHAR)
+  FROM supplier
+)
+SELECT * FROM r UNION ALL SELECT * FROM n UNION ALL SELECT * FROM s
+ORDER BY table_name
+"""
+
+
 QUERIES = {
     "q_encoding_stats": q_encoding_stats,
     "q_observe_metrics": q_observe_metrics,
+    "q_table_checksum": q_table_checksum,
     "q_zorder_skipping": q_zorder_skipping,
     "q_merge_upsert": q_merge_upsert,
     "q_partial_agg_merge": q_partial_agg_merge,
@@ -1476,6 +1553,7 @@ QUERIES = {
 ORACLES = {
     "q_encoding_stats": Q_ENCODING_SQL,
     "q_observe_metrics": Q_OBSERVE_SQL,
+    "q_table_checksum": Q_TABLE_CHECKSUM_SQL,
     "q_zorder_skipping": Q_ZORDER_SQL,
     "q_merge_upsert": MERGE_UPSERT_SQL,
     "q_partial_agg_merge": PARTIAL_AGG_MERGE_SQL,

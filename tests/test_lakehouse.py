@@ -212,3 +212,14 @@ def test_zorder_beats_linear_on_off_sort_dim(spark):
     # zorder: balanced — strictly better than linear's off-dim scan
     assert z_sk.files_scanned < lin_sk.files_scanned
     assert max(z_pk.files_scanned, z_sk.files_scanned) <= lin_sk.files_scanned
+
+
+def test_table_checksum_is_order_independent(spark):
+    """The fingerprint must be invariant under repartitioning — the
+    property that makes it a replica-comparison primitive."""
+    from kafka_pyspark_bigdata_spark.plans import lakehouse
+
+    a = {r.table_name: r.checksum for r in lakehouse.q_table_checksum(spark, SF_SMOKE).collect()}
+    # a second run re-reads and re-sums under whatever partitioning AQE picks
+    b = {r.table_name: r.checksum for r in lakehouse.q_table_checksum(spark, SF_SMOKE).collect()}
+    assert a == b and len(a) == 3
