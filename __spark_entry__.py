@@ -109,6 +109,7 @@ _PRIORITY = [
     "q_not_in_null_trap",
     "streaming_rocksdb_agg",
     "q_table_checksum",
+    "emb_rank_correlation",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

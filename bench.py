@@ -133,6 +133,7 @@ def main() -> None:
         "graph_kcore",
         "q_not_in_null_trap",
         "q_table_checksum",
+        "emb_rank_correlation",
         # round-3 batch-2 additions (all sub-second shapes)
         "q_winsorized_mean",
         "q_merge_upsert",

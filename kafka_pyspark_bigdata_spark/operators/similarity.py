@@ -1847,6 +1847,98 @@ ORDER BY bf1.query_id
 """
 
 
+
+def emb_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between COSINE and raw DOT-PRODUCT
+    retrieval orderings, per query — the metric-selection audit: if rho
+    is ~1 for your corpus (near-uniform vector norms), the cheaper dot
+    product can serve retrieval; where rho drops, norm variation is
+    re-ranking results and cosine's normalization genuinely matters.
+
+    Exact integers end-to-end: both scores round to 6 decimals (the
+    engine-portable reduction contract), ranks come from one window per
+    metric ordered (score DESC, neighbor_id), and
+    rho = 1 − 6·Σd²/(n(n²−1)) evaluates in BIGINT ppm — n=|corpus|−1
+    per query, so the denominator n(n²−1) stays < 2⁶³ far beyond the
+    fixture SFs. Plan: one broadcast-queries scoring pass (same shape
+    as the bruteforce), two rank windows sharing the per-query
+    partition, one partial-agg fold.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+
+    def dot6(a: str, b: str) -> Column:
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda u, v: u.cast("double") * v.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr("qv", "cv").alias("cos"),
+            dot6("qv", "cv").alias("dot"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    wd = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    ranked = scored.select(
+        "query_id",
+        (F.row_number().over(wc) - F.row_number().over(wd)).cast("long").alias("d"),
+    )
+    return (
+        ranked.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("d") * F.col("d")).alias("sumd2"))
+        .select(
+            "query_id",
+            "n",
+            "sumd2",
+            F.expr("1000000 - (6 * sumd2 * 1000000 DIV (n * (n * n - 1)))").alias(
+                "spearman_ppm"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _rank_corr_sql() -> str:
+    dot6 = (
+        "ROUND(list_sum(list_transform(list_zip(qv, cv),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6)"
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('qv', 'c.embedding').replace('c.embedding', 'cv')} AS cos,
+         {dot6} AS dot
+  FROM (SELECT query_id, qv, c.vec_id, c.embedding AS cv
+        FROM q JOIN embeddings c ON query_id <> c.vec_id) c
+),
+ranked AS (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+            - row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id)
+            AS BIGINT) AS d
+  FROM scored
+)
+SELECT query_id, COUNT(*) AS n,
+       CAST(SUM(d * d) AS BIGINT) AS sumd2,
+       CAST(1000000 - (6 * SUM(d * d) * 1000000 // (COUNT(*) * (COUNT(*) * COUNT(*) - 1))) AS BIGINT) AS spearman_ppm
+FROM ranked GROUP BY query_id ORDER BY query_id
+"""
+
+
 def ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-K as a BLOCKED MATRIX PRODUCT: the query
     set (tiny, collected once and closed over — the same role as a
@@ -1910,6 +2002,7 @@ def ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ann_topk_gemm": ann_topk_gemm,
     "ann_mrr_eval": ann_mrr_eval,
+    "emb_rank_correlation": emb_rank_correlation,
     "ann_ivf_balance_audit": ann_ivf_balance_audit,
     "ann_ivf_persisted": ann_ivf_persisted,
     "emb_norm_stats": emb_norm_stats,
@@ -1948,6 +2041,7 @@ ORACLES = {
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "ann_recall_eval": _ann_recall_sql(),
     "ann_mrr_eval": _ann_mrr_sql(),
+    "emb_rank_correlation": _rank_corr_sql(),
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "cluster_kmeans_fixed": _kmeans_sql(),
     "ann_topk_bruteforce": ANN_TOPK_SQL,
