@@ -110,6 +110,7 @@ _PRIORITY = [
     "streaming_rocksdb_agg",
     "q_table_checksum",
     "emb_rank_correlation",
+    "q_hilbert_skipping",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

@@ -134,6 +134,7 @@ def main() -> None:
         "q_not_in_null_trap",
         "q_table_checksum",
         "emb_rank_correlation",
+        "q_hilbert_skipping",
         # round-3 batch-2 additions (all sub-second shapes)
         "q_winsorized_mean",
         "q_merge_upsert",

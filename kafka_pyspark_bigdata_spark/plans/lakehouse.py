@@ -1530,11 +1530,148 @@ ORDER BY table_name
 """
 
 
+
+# Order-4 Hilbert curve index for a 16x16 bucket grid, row-major by
+# (px, py): generated once by the textbook xy2d rotation walk and inlined
+# as a literal, so both engines evaluate the identical curve with one
+# array lookup — no bit-twiddling expression tree at plan time.
+_HILBERT16 = [0, 3, 4, 5, 58, 59, 60, 63, 64, 65, 78, 79, 80, 83, 84, 85, 1, 2, 7, 6, 57, 56, 61, 62, 67, 66, 77, 76, 81, 82, 87, 86, 14, 13, 8, 9, 54, 55, 50, 49, 68, 71, 72, 75, 94, 93, 88, 89, 15, 12, 11, 10, 53, 52, 51, 48, 69, 70, 73, 74, 95, 92, 91, 90, 16, 17, 30, 31, 32, 33, 46, 47, 122, 121, 118, 117, 96, 99, 100, 101, 19, 18, 29, 28, 35, 34, 45, 44, 123, 120, 119, 116, 97, 98, 103, 102, 20, 23, 24, 27, 36, 39, 40, 43, 124, 125, 114, 115, 110, 109, 104, 105, 21, 22, 25, 26, 37, 38, 41, 42, 127, 126, 113, 112, 111, 108, 107, 106, 234, 233, 230, 229, 218, 217, 214, 213, 128, 129, 142, 143, 144, 147, 148, 149, 235, 232, 231, 228, 219, 216, 215, 212, 131, 130, 141, 140, 145, 146, 151, 150, 236, 237, 226, 227, 220, 221, 210, 211, 132, 135, 136, 139, 158, 157, 152, 153, 239, 238, 225, 224, 223, 222, 209, 208, 133, 134, 137, 138, 159, 156, 155, 154, 240, 243, 244, 245, 202, 203, 204, 207, 186, 185, 182, 181, 160, 163, 164, 165, 241, 242, 247, 246, 201, 200, 205, 206, 187, 184, 183, 180, 161, 162, 167, 166, 254, 253, 248, 249, 198, 199, 194, 193, 188, 189, 178, 179, 174, 173, 168, 169, 255, 252, 251, 250, 197, 196, 195, 192, 191, 190, 177, 176, 175, 172, 171, 170]
+
+
+def q_hilbert_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering measured against Morton and linear
+    layouts — the same files-scanned advisor as q_zorder_skipping with a
+    third contender. Hilbert avoids Morton's diagonal jumps across
+    quadrant boundaries, which is why newer table formats offer it; on
+    THIS fixture's point probes at 16x16 granularity the two curves tie
+    (8/64 files on both dims) — itself the advisor's finding: pay for
+    Hilbert only when the measured gap is real (it opens up on range
+    probes and finer file tilings). The point is a NUMBER per layout
+    before anyone rewrites 100 TB.
+
+    The 256-cell curve ships as a precomputed literal lookup
+    (element_at on an inlined array): O(1) per row, zero branching —
+    the pattern for ANY exotic space-filling curve (generate the table
+    offline, ship it as a literal/broadcast). Probes are the
+    max-occupied bucket of each dimension (non-empty at any sf).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    maxes = li.agg(
+        F.max("l_partkey").alias("max_pk"), F.max("l_suppkey").alias("max_sk")
+    )
+    bucketed = li.crossJoin(F.broadcast(maxes)).select(
+        F.expr("l_partkey * 16 DIV (max_pk + 1)").alias("px"),
+        F.expr("l_suppkey * 16 DIV (max_sk + 1)").alias("py"),
+    )
+    hb = F.array(*[F.lit(v) for v in _HILBERT16])
+    z = bucketed.select(
+        "px",
+        "py",
+        (F.element_at(hb, F.expr("CAST(px * 16 + py + 1 AS INT)")) / 4)
+        .cast("long")
+        .alias("hfile"),
+        F.expr(f"({_interleave_spark('px', 'py')}) DIV 4").alias("zfile"),
+        F.expr("px * 4 + py DIV 4").alias("lfile"),
+    )
+    probes = z.agg(F.max("px").alias("ppx"), F.max("py").alias("ppy"))
+
+    def stats(filecol: str, layout: str) -> DataFrame:
+        return (
+            z.groupBy(F.col(filecol).alias("f"))
+            .agg(
+                F.min("px").alias("min_px"),
+                F.max("px").alias("max_px"),
+                F.min("py").alias("min_py"),
+                F.max("py").alias("max_py"),
+            )
+            .crossJoin(F.broadcast(probes))
+            .agg(
+                F.count(F.lit(1)).alias("files_total"),
+                F.sum(
+                    F.when(
+                        (F.col("min_px") <= F.col("ppx"))
+                        & (F.col("max_px") >= F.col("ppx")),
+                        1,
+                    ).otherwise(0)
+                ).alias("hit_pk"),
+                F.sum(
+                    F.when(
+                        (F.col("min_py") <= F.col("ppy"))
+                        & (F.col("max_py") >= F.col("ppy")),
+                        1,
+                    ).otherwise(0)
+                ).alias("hit_sk"),
+            )
+            .selectExpr(
+                f"'{layout}' AS layout",
+                "stack(2, 'partkey', CAST(hit_pk AS BIGINT), "
+                "'suppkey', CAST(hit_sk AS BIGINT)) AS (probe_dim, files_scanned)",
+                "files_total",
+            )
+        )
+
+    return (
+        stats("hfile", "hilbert")
+        .unionAll(stats("zfile", "zorder"))
+        .unionAll(stats("lfile", "linear"))
+        .select("layout", "probe_dim", "files_total", "files_scanned")
+        .orderBy("layout", "probe_dim")
+    )
+
+
+Q_HILBERT_SQL = f"""
+WITH maxes AS (
+  SELECT max(l_partkey) AS max_pk, max(l_suppkey) AS max_sk FROM lineitem
+), bucketed AS (
+  SELECT l_partkey * 16 // (max_pk + 1) AS px,
+         l_suppkey * 16 // (max_sk + 1) AS py
+  FROM lineitem, maxes
+), z AS (
+  SELECT px, py,
+         ([0, 3, 4, 5, 58, 59, 60, 63, 64, 65, 78, 79, 80, 83, 84, 85, 1, 2, 7, 6, 57, 56, 61, 62, 67, 66, 77, 76, 81, 82, 87, 86, 14, 13, 8, 9, 54, 55, 50, 49, 68, 71, 72, 75, 94, 93, 88, 89, 15, 12, 11, 10, 53, 52, 51, 48, 69, 70, 73, 74, 95, 92, 91, 90, 16, 17, 30, 31, 32, 33, 46, 47, 122, 121, 118, 117, 96, 99, 100, 101, 19, 18, 29, 28, 35, 34, 45, 44, 123, 120, 119, 116, 97, 98, 103, 102, 20, 23, 24, 27, 36, 39, 40, 43, 124, 125, 114, 115, 110, 109, 104, 105, 21, 22, 25, 26, 37, 38, 41, 42, 127, 126, 113, 112, 111, 108, 107, 106, 234, 233, 230, 229, 218, 217, 214, 213, 128, 129, 142, 143, 144, 147, 148, 149, 235, 232, 231, 228, 219, 216, 215, 212, 131, 130, 141, 140, 145, 146, 151, 150, 236, 237, 226, 227, 220, 221, 210, 211, 132, 135, 136, 139, 158, 157, 152, 153, 239, 238, 225, 224, 223, 222, 209, 208, 133, 134, 137, 138, 159, 156, 155, 154, 240, 243, 244, 245, 202, 203, 204, 207, 186, 185, 182, 181, 160, 163, 164, 165, 241, 242, 247, 246, 201, 200, 205, 206, 187, 184, 183, 180, 161, 162, 167, 166, 254, 253, 248, 249, 198, 199, 194, 193, 188, 189, 178, 179, 174, 173, 168, 169, 255, 252, 251, 250, 197, 196, 195, 192, 191, 190, 177, 176, 175, 172, 171, 170])[px * 16 + py + 1] // 4 AS hfile,
+         ({_interleave_duck('px', 'py')}) // 4 AS zfile,
+         px * 4 + py // 4 AS lfile
+  FROM bucketed
+), probes AS (
+  SELECT max(px) AS ppx, max(py) AS ppy FROM z
+), hstats AS (
+  SELECT hfile AS f, min(px) AS min_px, max(px) AS max_px,
+         min(py) AS min_py, max(py) AS max_py FROM z GROUP BY hfile
+), zstats AS (
+  SELECT zfile AS f, min(px) AS min_px, max(px) AS max_px,
+         min(py) AS min_py, max(py) AS max_py FROM z GROUP BY zfile
+), lstats AS (
+  SELECT lfile AS f, min(px) AS min_px, max(px) AS max_px,
+         min(py) AS min_py, max(py) AS max_py FROM z GROUP BY lfile
+), agg AS (
+  SELECT 'hilbert' AS layout, count(*) AS files_total,
+         CAST(sum(CASE WHEN min_px <= ppx AND max_px >= ppx THEN 1 ELSE 0 END) AS BIGINT) AS hit_pk,
+         CAST(sum(CASE WHEN min_py <= ppy AND max_py >= ppy THEN 1 ELSE 0 END) AS BIGINT) AS hit_sk
+  FROM hstats, probes
+  UNION ALL
+  SELECT 'zorder', count(*),
+         CAST(sum(CASE WHEN min_px <= ppx AND max_px >= ppx THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN min_py <= ppy AND max_py >= ppy THEN 1 ELSE 0 END) AS BIGINT)
+  FROM zstats, probes
+  UNION ALL
+  SELECT 'linear', count(*),
+         CAST(sum(CASE WHEN min_px <= ppx AND max_px >= ppx THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN min_py <= ppy AND max_py >= ppy THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lstats, probes
+)
+SELECT layout, 'partkey' AS probe_dim, files_total, hit_pk AS files_scanned FROM agg
+UNION ALL
+SELECT layout, 'suppkey', files_total, hit_sk FROM agg
+ORDER BY layout, probe_dim
+"""
+
+
 QUERIES = {
     "q_encoding_stats": q_encoding_stats,
     "q_observe_metrics": q_observe_metrics,
     "q_table_checksum": q_table_checksum,
     "q_zorder_skipping": q_zorder_skipping,
+    "q_hilbert_skipping": q_hilbert_skipping,
     "q_merge_upsert": q_merge_upsert,
     "q_partial_agg_merge": q_partial_agg_merge,
     "q_compact_small_files": q_compact_small_files,
@@ -1555,6 +1692,7 @@ ORACLES = {
     "q_observe_metrics": Q_OBSERVE_SQL,
     "q_table_checksum": Q_TABLE_CHECKSUM_SQL,
     "q_zorder_skipping": Q_ZORDER_SQL,
+    "q_hilbert_skipping": Q_HILBERT_SQL,
     "q_merge_upsert": MERGE_UPSERT_SQL,
     "q_partial_agg_merge": PARTIAL_AGG_MERGE_SQL,
     "q_compact_small_files": COMPACT_SQL,

@@ -223,3 +223,15 @@ def test_table_checksum_is_order_independent(spark):
     # a second run re-reads and re-sums under whatever partitioning AQE picks
     b = {r.table_name: r.checksum for r in lakehouse.q_table_checksum(spark, SF_SMOKE).collect()}
     assert a == b and len(a) == 3
+
+
+def test_hilbert_layout_comparable_to_morton(spark):
+    """Both space-filling curves must beat the linear layout's off-dim
+    scan; on this grid they tie — the advisor's honest readout."""
+    rows = {
+        (r.layout, r.probe_dim): r.files_scanned
+        for r in lakehouse.q_hilbert_skipping(spark, SF_SMOKE).collect()
+    }
+    assert len(rows) == 6
+    assert rows[("hilbert", "suppkey")] <= rows[("linear", "suppkey")]
+    assert rows[("zorder", "suppkey")] <= rows[("linear", "suppkey")]
