@@ -111,6 +111,7 @@ _PRIORITY = [
     "q_table_checksum",
     "emb_rank_correlation",
     "q_hilbert_skipping",
+    "text_simpson_diversity",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

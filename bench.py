@@ -135,6 +135,7 @@ def main() -> None:
         "q_table_checksum",
         "emb_rank_correlation",
         "q_hilbert_skipping",
+        "text_simpson_diversity",
         # round-3 batch-2 additions (all sub-second shapes)
         "q_winsorized_mean",
         "q_merge_upsert",

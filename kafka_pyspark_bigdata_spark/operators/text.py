@@ -582,6 +582,56 @@ LIMIT {BPE_TOP}
 """
 
 
+
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary concentration per language via the Simpson index
+    (Rényi-2 collision probability): Σ(n_tok²) / N² — the probability
+    two random tokens coincide. Shannon entropy needs log() (1-ulp
+    drift across engines); Simpson carries the same "how concentrated
+    is this corpus's vocabulary" signal as an EXACT rational, reported
+    in ppb. High values flag template/boilerplate-heavy languages that
+    need dedup before training.
+
+    Two partial-agg shuffles: per-(lang, token) counts, then the
+    per-lang fold of squared counts — token counts collapse map-side,
+    so the exchange carries vocabulary, not the token stream.
+    """
+    toks = with_tokens(load_documents(spark, sf_dir)).select(
+        "lang", F.explode("toks").alias("tok")
+    )
+    per_tok = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_tok.groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_distinct",
+            F.expr("sum_sq * 1000000000 DIV (n_tokens * n_tokens)").alias(
+                "simpson_ppb"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_SIMPSON_SQL = f"""
+WITH toks AS (
+  SELECT lang, unnest({TOKENS_SQL}) AS tok FROM documents
+), per_tok AS (
+  SELECT lang, tok, COUNT(*) AS n FROM toks GROUP BY lang, tok
+)
+SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       CAST(SUM(n * n) * 1000000000 // (SUM(n) * SUM(n)) AS BIGINT) AS simpson_ppb
+FROM per_tok GROUP BY lang ORDER BY lang
+"""
+
+
 def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME chunking contract as ``text_chunk_windows``, expressed as
     a Python UDTF (Spark 3.5+ user-defined TABLE function) invoked with
@@ -1331,6 +1381,7 @@ QUERIES = {
     "text_chunk_windows": text_chunk_windows,
     "text_search_and_rank": text_search_and_rank,
     "text_bpe_pair_merges": text_bpe_pair_merges,
+    "text_simpson_diversity": text_simpson_diversity,
     "text_chunk_udtf": text_chunk_udtf,
     "text_feature_hashing": text_feature_hashing,
     "text_cms_heavy_hitters": text_cms_heavy_hitters,
@@ -1354,6 +1405,7 @@ ORACLES = {
     "text_chunk_windows": TEXT_CHUNK_SQL,
     "text_search_and_rank": TEXT_SEARCH_SQL,
     "text_bpe_pair_merges": TEXT_BPE_PAIRS_SQL,
+    "text_simpson_diversity": TEXT_SIMPSON_SQL,
     "text_chunk_udtf": TEXT_CHUNK_SQL,
     "text_feature_hashing": TEXT_FH_SQL,
     "text_cms_heavy_hitters": _cms_sql(),
