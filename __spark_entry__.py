@@ -112,6 +112,7 @@ _PRIORITY = [
     "emb_rank_correlation",
     "q_hilbert_skipping",
     "text_simpson_diversity",
+    "corpus_span_corruption",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

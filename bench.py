@@ -136,6 +136,7 @@ def main() -> None:
         "emb_rank_correlation",
         "q_hilbert_skipping",
         "text_simpson_diversity",
+        "corpus_span_corruption",
         # round-3 batch-2 additions (all sub-second shapes)
         "q_winsorized_mean",
         "q_merge_upsert",

@@ -21,7 +21,14 @@ from pyspark.sql.window import Window
 
 from ..sources.batch import load_table
 from .dedup import SHINGLES_CTE, with_shingles
-from .text import EN_STOPWORDS, _STOP_SQL, TOKENS_SQL, tokens_expr, with_tokens
+from .text import (
+    EN_STOPWORDS,
+    _STOP_SQL,
+    TOKENS_SQL,
+    load_documents,
+    tokens_expr,
+    with_tokens,
+)
 
 SAMPLE_BUCKETS = 10          # hash space for sampling/splits
 TRAIN_BUCKETS = 8            # buckets 0-7 → train, 8-9 → eval (80/20)
@@ -820,9 +827,82 @@ ORDER BY epoch, position
 """
 
 
+
+SPAN_LEN = 3     # masked-span length in tokens
+SPAN_EVERY = 5   # one span begins every SPAN_EVERY * SPAN_LEN tokens
+
+
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption mask planning (the T5/UL2 denoising objective's
+    data prep): deterministically mark token spans for masking — span
+    s of length SPAN_LEN begins at every SPAN_EVERY-th span slot — and
+    report per-language mask budget: tokens, masked tokens, span count,
+    and the realized mask ratio in ppm (the number the training config
+    asserts, typically ~15-20%).
+
+    Position arithmetic only: a token at position p is masked iff
+    (p DIV SPAN_LEN) % SPAN_EVERY == 0 — no RNG, so any worker (or a
+    replayed job) plans the identical masks, and the oracle hash-checks
+    the realized ratio exactly. One explode with posexplode, one
+    partial-agg shuffle on lang.
+    """
+    toks = with_tokens(load_documents(spark, sf_dir)).select(
+        "lang", F.posexplode("toks").alias("pos", "tok")
+    )
+    flagged = toks.select(
+        "lang",
+        F.when(
+            F.expr(f"(pos DIV {SPAN_LEN}) % {SPAN_EVERY} = 0"), 1
+        ).otherwise(0).alias("masked"),
+        F.when(
+            F.expr(
+                f"(pos DIV {SPAN_LEN}) % {SPAN_EVERY} = 0 AND pos % {SPAN_LEN} = 0"
+            ),
+            1,
+        ).otherwise(0).alias("span_start"),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("masked").alias("n_masked"),
+            F.sum("span_start").alias("n_spans"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_masked",
+            "n_spans",
+            F.expr("n_masked * 1000000 DIV n_tokens").alias("mask_ratio_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+CORPUS_SPAN_SQL = f"""
+WITH toks AS (
+  SELECT lang, g.i - 1 AS pos
+  FROM (SELECT lang, {TOKENS_SQL} AS t FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+), flagged AS (
+  SELECT lang,
+         CASE WHEN (pos // {SPAN_LEN}) % {SPAN_EVERY} = 0 THEN 1 ELSE 0 END AS masked,
+         CASE WHEN (pos // {SPAN_LEN}) % {SPAN_EVERY} = 0 AND pos % {SPAN_LEN} = 0
+              THEN 1 ELSE 0 END AS span_start
+  FROM toks
+)
+SELECT lang, COUNT(*) AS n_tokens,
+       CAST(SUM(masked) AS BIGINT) AS n_masked,
+       CAST(SUM(span_start) AS BIGINT) AS n_spans,
+       CAST(SUM(masked) * 1000000 // COUNT(*) AS BIGINT) AS mask_ratio_ppm
+FROM flagged GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "corpus_ablation_grid": corpus_ablation_grid,
     "corpus_epoch_shuffle": corpus_epoch_shuffle,
+    "corpus_span_corruption": corpus_span_corruption,
     "corpus_temperature_sampling": corpus_temperature_sampling,
     "corpus_shard_manifest": corpus_shard_manifest,
     "corpus_cap_per_source": corpus_cap_per_source,
@@ -841,6 +921,7 @@ QUERIES = {
 ORACLES = {
     "corpus_ablation_grid": CORPUS_ABLATION_SQL,
     "corpus_epoch_shuffle": CORPUS_EPOCH_SQL,
+    "corpus_span_corruption": CORPUS_SPAN_SQL,
     "corpus_temperature_sampling": CORPUS_TEMPERATURE_SQL,
     "corpus_shard_manifest": CORPUS_SHARD_SQL,
     "corpus_cap_per_source": CORPUS_CAP_SQL,
