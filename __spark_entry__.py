@@ -113,6 +113,7 @@ _PRIORITY = [
     "q_hilbert_skipping",
     "text_simpson_diversity",
     "corpus_span_corruption",
+    "ml_knn_classifier_eval",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

@@ -137,6 +137,7 @@ def main() -> None:
         "q_hilbert_skipping",
         "text_simpson_diversity",
         "corpus_span_corruption",
+        "ml_knn_classifier_eval",
         # round-3 batch-2 additions (all sub-second shapes)
         "q_winsorized_mean",
         "q_merge_upsert",

@@ -1939,6 +1939,111 @@ FROM ranked GROUP BY query_id ORDER BY query_id
 """
 
 
+
+KNN_K = 5
+KNN_EVAL_MOD = 5  # vec_id % 5 == 0 -> eval split
+
+
+def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A complete classifier as ONE relational query: k-NN majority vote
+    over the embedding space, split deterministically (vec_id mod), with
+    per-label accuracy in exact ppm. No MLlib, no model artifact — the
+    "non-parametric baseline" every embedding eval should report before
+    training anything, and a direct measure of label structure in the
+    vector space (the fixture's labels are weakly clustered, and the low
+    accuracies say so honestly).
+
+    Shapes: broadcast eval side × train scan (the bruteforce scoring
+    shape), per-eval top-K window, vote count, majority via a second
+    tiny window (votes DESC, label ASC tie-break — deterministic), and
+    a per-label fold. Everything after scoring moves ≤ K rows per eval
+    vector. At scale the scoring join swaps in any ANN candidate
+    generator above (IVF/LSH) unchanged.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % KNN_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+    )
+    tr = emb.filter(F.col("vec_id") % KNN_EVAL_MOD != 0).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("nn_label"),
+    )
+    scored = F.broadcast(ev).join(tr).select(
+        "eval_id",
+        "true_label",
+        "nn_label",
+        "train_id",
+        cosine_expr("qv", "cv").alias("cos"),
+    )
+    w = Window.partitionBy("eval_id").orderBy(F.desc("cos"), F.asc("train_id"))
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= KNN_K
+    )
+    votes = topk.groupBy("eval_id", "true_label", "nn_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("eval_id").orderBy(F.desc("votes"), F.asc("nn_label"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("eval_id", "true_label", F.col("nn_label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            "n",
+            "n_correct",
+            F.expr("n_correct * 1000000 DIV n").alias("acc_ppm"),
+        )
+        .orderBy("true_label")
+    )
+
+
+def _knn_classifier_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding AS qv, label AS true_label
+  FROM embeddings WHERE vec_id % {KNN_EVAL_MOD} = 0
+), tr AS (
+  SELECT vec_id AS train_id, embedding AS cv, label AS nn_label
+  FROM embeddings WHERE vec_id % {KNN_EVAL_MOD} <> 0
+), scored AS (
+  SELECT eval_id, true_label, nn_label, train_id,
+         {_cos_sql('qv', 'cv')} AS cos
+  FROM ev CROSS JOIN tr
+), topk AS (
+  SELECT * FROM (
+    SELECT eval_id, true_label, nn_label,
+           row_number() OVER (PARTITION BY eval_id ORDER BY cos DESC, train_id) AS rank
+    FROM scored
+  ) WHERE rank <= {KNN_K}
+), votes AS (
+  SELECT eval_id, true_label, nn_label, COUNT(*) AS votes
+  FROM topk GROUP BY eval_id, true_label, nn_label
+), pred AS (
+  SELECT eval_id, true_label, nn_label AS pred_label
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY eval_id ORDER BY votes DESC, nn_label) AS vr
+    FROM votes
+  ) WHERE vr = 1
+)
+SELECT true_label, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
+FROM pred GROUP BY true_label ORDER BY true_label
+"""
+
+
 def ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-K as a BLOCKED MATRIX PRODUCT: the query
     set (tiny, collected once and closed over — the same role as a
@@ -2003,6 +2108,7 @@ QUERIES = {
     "ann_topk_gemm": ann_topk_gemm,
     "ann_mrr_eval": ann_mrr_eval,
     "emb_rank_correlation": emb_rank_correlation,
+    "ml_knn_classifier_eval": ml_knn_classifier_eval,
     "ann_ivf_balance_audit": ann_ivf_balance_audit,
     "ann_ivf_persisted": ann_ivf_persisted,
     "emb_norm_stats": emb_norm_stats,
@@ -2042,6 +2148,7 @@ ORACLES = {
     "ann_recall_eval": _ann_recall_sql(),
     "ann_mrr_eval": _ann_mrr_sql(),
     "emb_rank_correlation": _rank_corr_sql(),
+    "ml_knn_classifier_eval": _knn_classifier_sql(),
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "cluster_kmeans_fixed": _kmeans_sql(),
     "ann_topk_bruteforce": ANN_TOPK_SQL,
