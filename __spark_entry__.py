@@ -114,6 +114,7 @@ _PRIORITY = [
     "text_simpson_diversity",
     "corpus_span_corruption",
     "ml_knn_classifier_eval",
+    "streaming_dedup_within_watermark",
     "q_zorder_skipping",
     "dedup_record_linkage",
     "q_recursive_bom",

@@ -1032,10 +1032,45 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the state-BOUNDED streaming
+    dedup (Spark 3.5+): unlike plain ``dropDuplicates`` (used by
+    streaming_dedup_counts), whose key state grows forever, this
+    operator evicts a key's dedup state once the watermark passes it,
+    so state size is O(keys per watermark window) — the only viable
+    dedup contract for an unbounded 100 TB/day stream where keys don't
+    repeat across days. The trade: duplicates separated by more than
+    the watermark delay are NOT collapsed (at-least-once dedup, not
+    global).
+
+    On this bounded replay every duplicate falls inside one watermark
+    window, so the result equals exact global dedup — which is what the
+    oracle checks (semantic equivalence on the bounded case; the state
+    eviction is the scale story, not a fixture-visible behavior).
+    """
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_distinct_users"))
+    )
+    name = _run_to_memory(agg, "wmdedup")
+    return spark.table(name).orderBy("event_type")
+
+
+STREAMING_WM_DEDUP_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "streaming_checkpoint_resume": streaming_checkpoint_resume,
     "streaming_python_source": streaming_python_source,
     "streaming_rocksdb_agg": streaming_rocksdb_agg,
+    "streaming_dedup_within_watermark": streaming_dedup_within_watermark,
     "streaming_hll_windowed": streaming_hll_windowed,
     "streaming_hourly_window": streaming_hourly_window,
     "streaming_chained_windows": streaming_chained_windows,
@@ -1073,6 +1108,7 @@ ORACLES = {
     "streaming_checkpoint_resume": STREAMING_CKPT_RESUME_SQL,
     "streaming_python_source": STREAMING_PYSRC_SQL,
     "streaming_rocksdb_agg": STREAMING_ROCKSDB_SQL,
+    "streaming_dedup_within_watermark": STREAMING_WM_DEDUP_SQL,
     "streaming_hll_windowed": STREAMING_HLL_WIN_SQL,
     "streaming_hourly_window": STREAMING_HOURLY_SQL,
     "streaming_chained_windows": STREAMING_CHAINED_SQL,
