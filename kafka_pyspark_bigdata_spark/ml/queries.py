@@ -589,9 +589,20 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.filter(F.col("bucket") >= TRAIN_BUCKETS),
         LINEITEM_FEATURES,
         LINEITEM_LABEL,
+        keep=["l_orderkey"],
     ).withColumn(
+        # The shift-order key must be a TOTAL order: duplicate
+        # (features, label) rows collide under a value-only hash, leaving
+        # tie order to partition scheduling. Folding the unique row key
+        # (l_orderkey, l_linenumber) into the hash — l_linenumber is
+        # already a feature column — and both as orderBy tie-breaks makes
+        # the derangement deterministic at any parallelism.
         "rid",
-        F.xxhash64(*[F.col(c) for c in LINEITEM_FEATURES], F.col(LINEITEM_LABEL)),
+        F.xxhash64(
+            *[F.col(c) for c in LINEITEM_FEATURES],
+            F.col(LINEITEM_LABEL),
+            F.col("l_orderkey"),
+        ),
     ).localCheckpoint()
     model = trainer.train(train_df, LINEITEM_FEATURES, LINEITEM_LABEL)
 
@@ -605,7 +616,7 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return float(row.rmse)
 
     base = rmse(eval_df)
-    w = W.orderBy("rid")
+    w = W.orderBy("rid", "l_orderkey", "l_linenumber")
     out = []
     for feat in LINEITEM_FEATURES:
         shifted = F.coalesce(

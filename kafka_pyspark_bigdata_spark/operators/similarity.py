@@ -1858,9 +1858,11 @@ def emb_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact integers end-to-end: both scores round to 6 decimals (the
     engine-portable reduction contract), ranks come from one window per
     metric ordered (score DESC, neighbor_id), and
-    rho = 1 − 6·Σd²/(n(n²−1)) evaluates in BIGINT ppm — n=|corpus|−1
-    per query, so the denominator n(n²−1) stays < 2⁶³ far beyond the
-    fixture SFs. Plan: one broadcast-queries scoring pass (same shape
+    rho = 1 − 6·Σd²/(n(n²−1)) evaluates in DECIMAL(38,0) ppm (HUGEINT
+    on the oracle side) — max Σd² = n(n²−1)/3, so the 6·Σd²·10⁶
+    numerator would wrap BIGINT past ~11k vectors per query; wide
+    arithmetic keeps both engines exact, and the ppm re-narrows to
+    BIGINT at the end. Plan: one broadcast-queries scoring pass (same shape
     as the bruteforce), two rank windows sharing the per-query
     partition, one partial-agg fold.
     """
@@ -1903,9 +1905,15 @@ def emb_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "n",
             "sumd2",
-            F.expr("1000000 - (6 * sumd2 * 1000000 DIV (n * (n * n - 1)))").alias(
-                "spearman_ppm"
-            ),
+            # Wide arithmetic: max sumd2 = n(n²−1)/3, so the 6·sumd2·10⁶
+            # numerator leaves BIGINT once the per-query corpus exceeds ~11k
+            # vectors. DECIMAL(38,0) here / HUGEINT in the oracle keeps both
+            # engines exact far beyond any fixture SF; the result re-narrows
+            # to BIGINT (rho·10⁶ is always in [-10⁶, 10⁶]).
+            F.expr(
+                "CAST(1000000 - (6 * CAST(sumd2 AS DECIMAL(38,0)) * 1000000"
+                " DIV (CAST(n AS DECIMAL(38,0)) * (n * n - 1))) AS BIGINT)"
+            ).alias("spearman_ppm"),
         )
         .orderBy("query_id")
     )
@@ -1934,7 +1942,8 @@ ranked AS (
 )
 SELECT query_id, COUNT(*) AS n,
        CAST(SUM(d * d) AS BIGINT) AS sumd2,
-       CAST(1000000 - (6 * SUM(d * d) * 1000000 // (COUNT(*) * (COUNT(*) * COUNT(*) - 1))) AS BIGINT) AS spearman_ppm
+       CAST(1000000 - (6 * CAST(SUM(d * d) AS HUGEINT) * 1000000
+            // (CAST(COUNT(*) AS HUGEINT) * (COUNT(*) * COUNT(*) - 1))) AS BIGINT) AS spearman_ppm
 FROM ranked GROUP BY query_id ORDER BY query_id
 """
 

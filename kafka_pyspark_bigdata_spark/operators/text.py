@@ -547,8 +547,16 @@ def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pair generation is a pure expression (transform over a
     sequence of substring slices) — no UDF, stays in codegen.
     """
-    toks = with_tokens(load_documents(spark, sf_dir)).select(
-        F.explode("toks").alias("w")
+    # 1-char tokens must be dropped BEFORE pair expansion: Spark's
+    # sequence(1, 0) yields the DESCENDING array [1, 0], and substring(w, 0, 1)
+    # treats position 0 as 1, so without this filter every 1-char token emits a
+    # spurious doubled-letter pair ('a' -> 'aa'). DuckDB's generate_series(1, 0)
+    # is empty, so the engines diverge (and the pair is semantically wrong for
+    # BPE anyway — there is no adjacent pair inside a 1-symbol sequence).
+    toks = (
+        with_tokens(load_documents(spark, sf_dir))
+        .select(F.explode("toks").alias("w"))
+        .filter(F.length("w") >= 2)
     )
     pairs = toks.select(
         F.explode(

@@ -958,6 +958,15 @@ def streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             _time.sleep(0.5)
     finally:
         q.stop()
+    got = spark.table(name).count()
+    if got != PYTICKS_N:
+        # A partial drain must fail LOUDLY: returning a rollup over fewer
+        # than PYTICKS_N rows would surface downstream as a confusing oracle
+        # value mismatch instead of the real problem (a too-slow environment).
+        raise TimeoutError(
+            f"python datasource stream drained {got}/{PYTICKS_N} rows "
+            "within the 120s deadline"
+        )
     return (
         spark.table(name)
         .groupBy("v")
