@@ -1953,6 +1953,9 @@ KNN_K = 5
 KNN_EVAL_MOD = 5  # vec_id % 5 == 0 -> eval split
 
 
+KNN_EVAL_MAX_ROWS = 1_000_000  # eval matrix is collected+broadcast; keep it bounded
+
+
 def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A complete classifier as ONE relational query: k-NN majority vote
     over the embedding space, split deterministically (vec_id mod), with
@@ -1962,37 +1965,98 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector space (the fixture's labels are weakly clustered, and the low
     accuracies say so honestly).
 
-    Shapes: broadcast eval side × train scan (the bruteforce scoring
-    shape), per-eval top-K window, vote count, majority via a second
-    tiny window (votes DESC, label ASC tie-break — deterministic), and
-    a per-label fold. Everything after scoring moves ≤ K rows per eval
-    vector. At scale the scoring join swaps in any ANN candidate
-    generator above (IVF/LSH) unchanged.
+    Scoring runs through the blocked-GEMM kernel (the ``ann_topk_gemm``
+    shape), not an |eval|×|train| expression-tree cross join: the eval
+    matrix — bounded by construction (an eval SET, guarded at
+    ``KNN_EVAL_MAX_ROWS``) — is collected once, normalized, and closed
+    over; ``mapInPandas`` streams the TRAIN corpus in Arrow batches, each
+    batch computing all batch×eval cosines as one BLAS GEMM and keeping
+    its LOCAL per-eval top-K, so the shuffle carries ≤ K·|eval| rows per
+    batch instead of the |eval|×|train| score stream. Oracle-exactness is
+    preserved by fixed-point rounding INSIDE the kernel: cosines quantize
+    to ppm (the same 6-decimal contract as ``cosine_expr``) before any
+    top-K decision, and local selection orders by the exact
+    (score_ppm DESC, train_id ASC) composite key the global window and
+    the DuckDB oracle use — so no boundary candidate is ever dropped.
+
+    After scoring: global per-eval top-K window over ≤ K rows per (eval,
+    batch), vote count, majority via a tiny window (votes DESC, label ASC
+    tie-break — deterministic), broadcast join-back of true labels, and a
+    per-label fold. At 100× the train corpus the plan is unchanged — one
+    scan, one bounded shuffle; a still-larger train side swaps in any ANN
+    candidate generator above (IVF/LSH) in front of the same kernel.
     """
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    ev = emb.filter(F.col("vec_id") % KNN_EVAL_MOD == 0).select(
-        F.col("vec_id").alias("eval_id"),
-        F.col("embedding").alias("qv"),
-        F.col("label").alias("true_label"),
+    ev_rows = (
+        emb.filter(F.col("vec_id") % KNN_EVAL_MOD == 0)
+        .select("vec_id", "embedding", "label")
+        .limit(KNN_EVAL_MAX_ROWS + 1)
+        .collect()
     )
-    tr = emb.filter(F.col("vec_id") % KNN_EVAL_MOD != 0).select(
-        F.col("vec_id").alias("train_id"),
-        F.col("embedding").alias("cv"),
-        F.col("label").alias("nn_label"),
+    if len(ev_rows) > KNN_EVAL_MAX_ROWS:
+        raise ValueError(
+            f"ml_knn_classifier_eval broadcasts the eval matrix; eval split "
+            f"exceeds {KNN_EVAL_MAX_ROWS} rows — sample the eval set or raise "
+            "the guard deliberately"
+        )
+    eval_ids = np.array([r.vec_id for r in ev_rows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in ev_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    bc = spark.sparkContext.broadcast((eval_ids, q_mat, q_norm))
+
+    def gen(batches):
+        b_ids, b_q, b_qn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labels = pdf["label"].to_numpy(dtype=np.int32)
+            e_norm = np.linalg.norm(e_mat, axis=1)
+            # GEMM on the RAW vectors, then one divide by the norm product —
+            # the exact expression shape of cosine_expr/_cos_sql (dot/(|u||v|)),
+            # so post-rounding values match the oracle bit-for-bit.
+            cos = (e_mat @ b_q.T) / (e_norm[:, None] * b_qn[None, :])
+            score_ppm = np.rint(cos * 1_000_000).astype(np.int64)
+            # Composite key (score_ppm DESC, train_id ASC) as one int64:
+            # score_ppm ∈ [-1e6, 1e6] (21 bits) shifted past a 2^40 id space —
+            # local top-K decides EXACTLY like the global window's orderBy.
+            key = score_ppm * (1 << 40) - ids[:, None]
+            k = min(KNN_K, key.shape[0])
+            top = np.argpartition(-key, kth=k - 1, axis=0)[:k, :]
+            yield pd.DataFrame(
+                {
+                    "eval_id": np.repeat(b_ids[None, :], k, axis=0).ravel(),
+                    "train_id": ids[top].ravel(),
+                    "nn_label": labels[top.ravel()],
+                    "score_ppm": np.take_along_axis(score_ppm, top, axis=0).ravel(),
+                }
+            )
+
+    local = (
+        emb.filter(F.col("vec_id") % KNN_EVAL_MOD != 0)
+        .select("vec_id", "embedding", "label")
+        .mapInPandas(
+            gen, "eval_id long, train_id long, nn_label int, score_ppm long"
+        )
     )
-    scored = F.broadcast(ev).join(tr).select(
-        "eval_id",
-        "true_label",
-        "nn_label",
-        "train_id",
-        cosine_expr("qv", "cv").alias("cos"),
+    w = Window.partitionBy("eval_id").orderBy(
+        F.desc("score_ppm"), F.asc("train_id")
     )
-    w = Window.partitionBy("eval_id").orderBy(F.desc("cos"), F.asc("train_id"))
-    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+    topk = local.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= KNN_K
     )
-    votes = topk.groupBy("eval_id", "true_label", "nn_label").agg(
-        F.count(F.lit(1)).alias("votes")
+    true_labels = spark.createDataFrame(
+        [(int(r.vec_id), int(r.label)) for r in ev_rows],
+        "eval_id long, true_label int",
+    )
+    votes = (
+        topk.join(F.broadcast(true_labels), "eval_id")
+        .groupBy("eval_id", "true_label", "nn_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
     )
     wv = Window.partitionBy("eval_id").orderBy(F.desc("votes"), F.asc("nn_label"))
     pred = (
