@@ -15,6 +15,29 @@ from pyspark.sql import DataFrame, SparkSession
 
 SF0001 = "/root/testdata/sf0.001"
 
+# ROWS-ONLY BY CONTRACT — the complete list of queries() entries with no
+# oracle_sql() counterpart, so the driver record's `no_oracle` rows are
+# self-explaining. All are RandomForest model internals (training,
+# inference, importances, grid/permutation sweeps — not SQL-expressible)
+# except streaming_count_batcher (count-triggered micro-batch boundaries
+# are an execution artifact, not a relational result). Each has pytest
+# coverage asserting its semantic contract instead.
+ROWS_ONLY = frozenset({
+    "ml_lift_deciles",
+    "ml_classifier_auc",
+    "ml_quality_classifier",
+    "ml_permutation_importance",
+    "ml_grid_search",
+    "ml_feature_importances",
+    "ml_eval_rmse",
+    "ml_predict_grid",
+    "ml_sensitivity_quantity",
+    "ml_optimal_hour",
+    "ml_predict_loaded",
+    "ml_incremental_versions",
+    "streaming_count_batcher",
+})
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on sf0.001."""
@@ -63,62 +86,20 @@ def _modules():
     return mods
 
 
-# Round-3 regression fixes (TIMESTAMP_NTZ): these must land inside the
-# driver's verification prefix so CORRECTNESS_r03 records them green.
-# The second tier is every operator NEW in round 3 — the driver has never
-# verified any of them, so they outrank the twice-green families.
+# Round-4 rotation: the driver's correctness sweep covers only a ~50-name
+# prefix of this registry per round. Head = every operator CHANGED this
+# round (bug fixes / rewrites that must re-verify), then the 172 names no
+# driver round has ever checked (r01+r02+r03 union = 117 distinct), with
+# the known-slow sweep entries (>5s at sf0.01) deferred to the tail of the
+# rotation so the driver's time budget covers a full 50.
 _PRIORITY = [
-    "q_asof_click_purchase",
-    "q_sessionize",
-    "q_lead_gap",
-    "q_range_frame_sum",
-    "q_funnel",
-    "q_interval_concurrency",
-    "streaming_stream_join",
-    "streaming_watermark_lates",
-    # --- new in round 3 ---
-    "q_variant_shred",
-    "q_encoding_stats",
-    "q_seq_pattern_match",
-    "corpus_ablation_grid",
-    "ts_downsample_lttb",
-    "q_lateral_topk",
+    "q_encoding_stats_sharded",
     "ann_topk_gemm",
-    "q_nested_roundtrip",
-    "q_array_analytics",
-    "text_chunk_udtf",
-    "ml_target_encoding",
-    "q_observe_metrics",
-    "q_sql_udf_pricing",
-    "streaming_checkpoint_resume",
-    "graph_link_prediction",
-    "text_search_and_rank",
-    "text_bpe_pair_merges",
-    "ts_forecast_eval_mase",
-    "q_ks_drift",
-    "corpus_epoch_shuffle",
-    "q_python_datasource",
-    "q_pandas_api_rollup",
-    "q_collated_group",
-    "streaming_python_source",
-    "q_ingest_quarantine",
-    "ann_mrr_eval",
-    "ts_mad_outliers",
-    "q_arrow_udf_checksum",
-    "graph_kcore",
-    "q_not_in_null_trap",
-    "streaming_rocksdb_agg",
-    "q_table_checksum",
-    "emb_rank_correlation",
-    "q_hilbert_skipping",
-    "text_simpson_diversity",
-    "corpus_span_corruption",
     "ml_knn_classifier_eval",
-    "streaming_dedup_within_watermark",
-    "q_zorder_skipping",
-    "dedup_record_linkage",
-    "q_recursive_bom",
-    "q_merge_upsert",
+    "text_bpe_pair_merges",
+    "emb_rank_correlation",
+    "ml_permutation_importance",
+    "streaming_python_source",
     "q_winsorized_mean",
     "ts_trend_forecast",
     "geo_knn_join",
@@ -147,7 +128,6 @@ _PRIORITY = [
     "q_scd2_asof_lookup",
     "q_orc_roundtrip",
     "ml_lift_deciles",
-    "streaming_tws_sessions",
     "ann_pq_adc",
     "ann_pq_recall_eval",
     "streaming_static_join",
@@ -171,7 +151,6 @@ _PRIORITY = [
     "q_ab_test_conversion",
     "ml_classifier_auc",
     "q_cusum_anomaly",
-    "dedup_simhash_pairs",
     "emb_jl_projection_eval",
     "q_time_weighted_avg",
     "q_ohlc_bars",
@@ -195,7 +174,6 @@ _PRIORITY = [
     "mm_modality_router",
     "text_keyphrase_rake",
     "corpus_cap_per_source",
-    "ml_quality_classifier",
     "geo_dbscan_core",
     "q_benford_audit",
     "corpus_tokenizer_fertility",
@@ -217,6 +195,83 @@ _PRIORITY = [
     "graph_cc_two_phase",
     "graph_modularity",
     "dedup_savings_summary",
+    "q_ewma_decay",
+    "q_cohort_retention",
+    "q_resample_locf",
+    "q_hypertable_rollup",
+    "dedup_blocked_levenshtein",
+    "dedup_clusters",
+    "graph_khop_reach",
+    "graph_triangle_count",
+    "graph_pagerank",
+    "ann_recall_eval",
+    "ann_dot_pandas_udf",
+    "emb_label_centroids",
+    "ann_ivf",
+    "cluster_kmeans_fixed",
+    "dedup_embedding_lsh",
+    "knn_graph_lsh",
+    "emb_quantize_int8",
+    "text_bigram_topnext",
+    "text_cooccurrence_pairs",
+    "text_chunk_windows",
+    "text_feature_hashing",
+    "text_cms_heavy_hitters",
+    "text_tfidf_topterms",
+    "text_token_bpe",
+    "text_winnow_fingerprint",
+    "text_repetition",
+    "text_pii_scrub",
+    "mm_resize_image",
+    "mm_audio_features",
+    "mm_phash_dedup",
+    "corpus_preprocess_e2e",
+    "corpus_mix_weighted",
+    "corpus_sample_hash",
+    "corpus_sample_stratified",
+    "corpus_split_stats",
+    "text_decontaminate",
+    "text_topk_terms",
+    "corpus_pack_greedy",
+    "q_scd2_intervals",
+    "q_cdc_diff",
+    "q_bloom_prune",
+    "q_constraint_audit",
+    "q_zorder_layout",
+    "q_ivm_join_delta",
+    "q_salted_join_agg",
+    "q_partitioned_scan",
+    "q_schema_evolution",
+    "q_csv_roundtrip",
+    "q_json_roundtrip",
+    "q_jsonl_roundtrip",
+    "streaming_upsert_latest",
+    "streaming_sliding_window",
+    "streaming_session_window",
+    "streaming_dedup_counts",
+    "streaming_stateful_totals",
+    "ml_eval_rmse",
+    "ml_predict_loaded",
+    "q_mad_outliers",
+    "q_value_histogram",
+    "q_percent_rank",
+    "q_unpivot_order_stats",
+    "q_corr_ols",
+    "q_rank_with_ties",
+    "q_zscore_outliers",
+    "q_moving_avg",
+    "q_ntile_quartiles",
+    "sketch_kmv_distinct",
+    "q_sql_grouping_sets",
+    "q_intersect_parts",
+    "q_except_parts",
+    "q_union_distinct_parts",
+    "q_scalar_functions",
+    "ml_quality_classifier",
+    "dedup_simhash_pairs",
+    "ml_grid_search",
+    "ml_incremental_versions",
+    "streaming_count_batcher",
 ]
 
 

@@ -103,7 +103,9 @@ def main() -> None:
         # cross-product, not the operator's scale path.
         # round-3 batch-3 additions
         "q_variant_shred",
-        "q_encoding_stats",
+        # q_encoding_stats (global-window oracle baseline) is correctness-gated
+        # but not a headline: the production shape is the sharded form below.
+        "q_encoding_stats_sharded",
         "q_zorder_skipping",
         "q_seq_pattern_match",
         "corpus_ablation_grid",

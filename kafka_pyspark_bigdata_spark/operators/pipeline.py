@@ -589,16 +589,33 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ideal equal split in ppm; the complement of ``corpus_pack_greedy``
     (which packs a sequence dimension, not output files).
 
-    Scale: the global size rank is a range-partitioned sort (same shape
-    as q_quantiles_exact); everything after is a {N_SHARDS}-key
-    aggregate. The manifest itself (doc → shard) stays distributed —
-    this query returns only the audit."""
+    Scale: the global size rank is computed DISTRIBUTED, two-phase — no
+    single-task sort anywhere: (1) bucket docs by size range
+    (``n_chars DIV 64``), count per bucket, and turn the tiny per-bucket
+    table into rank offsets with one post-aggregate cumulative window;
+    (2) rank WITHIN each bucket (a bucket-partitioned window — parallel
+    across buckets) and add the bucket's offset. Size ties can't straddle
+    a bucket boundary, so offset + within-bucket rank IS the global
+    (n_chars DESC, doc_id) rank, row for row. Everything after is a
+    {N_SHARDS}-key aggregate. The manifest itself (doc → shard) stays
+    distributed — this query returns only the audit."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    w = Window.orderBy(F.desc("n_chars"), "doc_id")
-    assigned = docs.select(
-        "doc_id",
-        "n_chars",
-        ((F.row_number().over(w) - 1) % N_SHARDS).alias("shard"),
+    docs = docs.withColumn("b", F.expr("n_chars DIV 64"))
+    per_b = docs.groupBy("b").agg(F.count(F.lit(1)).alias("bn"))
+    wb = Window.orderBy(F.desc("b")).rowsBetween(Window.unboundedPreceding, 0)
+    offsets = per_b.select(
+        "b", (F.sum("bn").over(wb) - F.col("bn")).alias("roff")
+    )
+    win = Window.partitionBy("b").orderBy(F.desc("n_chars"), "doc_id")
+    assigned = (
+        docs.join(F.broadcast(offsets), "b")
+        .select(
+            "doc_id",
+            "n_chars",
+            ((F.col("roff") + F.row_number().over(win) - 1) % N_SHARDS).alias(
+                "shard"
+            ),
+        )
     )
     shards = assigned.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -2129,10 +2129,13 @@ def ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the throughput shape for exact search at scale: one vectorized
     kernel per batch instead of |batch|·|Q| expression-tree dot products,
     and the shuffle carries K rows per (query, batch) — not the corpus.
-    Same contract as ``ann_topk_bruteforce``; results are identical modulo
-    float summation order (BLAS pairwise vs sequential), so this entry is
-    ROWS-ONLY for the driver gate and pytest asserts exact set-parity with
-    the bruteforce oracle at small sf.
+    Same neighbor contract as ``ann_topk_bruteforce``, and ORACLE-EXACT:
+    the kernel computes dot/(|u||v|) in the same expression shape as
+    ``cosine_expr`` and quantizes to ppm (the 6-decimal contract) BEFORE
+    any top-K decision, with local selection ordered by the exact
+    (score_ppm DESC, neighbor_id ASC) composite key the global window and
+    the DuckDB oracle use — so BLAS summation-order jitter is rounded away
+    and no boundary candidate is ever dropped locally.
     """
     import numpy as np
     import pandas as pd
@@ -2145,7 +2148,7 @@ def ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
-    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norm = np.linalg.norm(q_mat, axis=1)
 
     def gen(batches):
         for pdf in batches:
@@ -2153,28 +2156,57 @@ def ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             e_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            en = e_mat / np.linalg.norm(e_mat, axis=1, keepdims=True)
-            scores = en @ qn.T  # (batch, Q) — one GEMM
-            scores[ids[:, None] == qids[None, :]] = -np.inf
-            k = min(TOP_K, scores.shape[0])
-            top = np.argpartition(-scores, kth=k - 1, axis=0)[:k, :]
+            e_norm = np.linalg.norm(e_mat, axis=1)
+            # GEMM on raw vectors, ONE divide by the norm product — the
+            # exact dot/(|u||v|) shape of cosine_expr/_cos_sql.
+            cos = (e_mat @ q_mat.T) / (e_norm[:, None] * q_norm[None, :])
+            score_ppm = np.rint(cos * 1_000_000).astype(np.int64)
+            # Self-match mask: sentinel below the -1e6 cosine floor.
+            score_ppm[ids[:, None] == qids[None, :]] = -2_000_000
+            # Composite key (score_ppm DESC, neighbor_id ASC) as one int64
+            # so the local top-K decides exactly like the global window.
+            key = score_ppm * (1 << 40) - ids[:, None]
+            k = min(TOP_K, key.shape[0])
+            top = np.argpartition(-key, kth=k - 1, axis=0)[:k, :]
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(qids[None, :], k, axis=0).ravel(),
                     "neighbor_id": ids[top].ravel(),
-                    "cosine": np.take_along_axis(scores, top, axis=0).ravel(),
+                    "score_ppm": np.take_along_axis(score_ppm, top, axis=0).ravel(),
                 }
             )
 
     local = emb.select("vec_id", "embedding").mapInPandas(
-        gen, "query_id long, neighbor_id long, cosine double"
+        gen, "query_id long, neighbor_id long, score_ppm long"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_ppm"), F.asc("neighbor_id")
+    )
     return (
         local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "score_ppm", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+ANN_GEMM_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         CAST(ROUND({_cos_sql('qv', 'c.embedding')} * 1000000) AS BIGINT) AS score_ppm
+  FROM q JOIN embeddings c ON query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score_ppm,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score_ppm DESC, neighbor_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, score_ppm, rank FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
 
 
 QUERIES = {
@@ -2205,6 +2237,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_topk_gemm": ANN_GEMM_SQL,
     "ann_ivf_balance_audit": _ivf_balance_sql(),
     "ann_ivf_persisted": ANN_IVF_SQL,
     "emb_norm_stats": EMB_NORM_SQL,

@@ -573,7 +573,6 @@ def sketch_gk_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("v") <= F.col("av")).cast("long")).alias("rank_hi"),
         )
     )
-    w = Window.orderBy("v")
     n_all = li.agg(F.count(F.lit(1)).alias("n_all"))
     targets = (
         spark.createDataFrame(
@@ -584,7 +583,21 @@ def sketch_gk_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k", F.expr("cast(ceil(n_all * pct_ppm / 1000000e0) as bigint)")
         )
     )
-    ranked = li.withColumn("rk", F.row_number().over(w))
+    # Exact k-th smallest WITHOUT a global single-task sort: bucket by
+    # value range, count per bucket, cumulate the tiny bucket table into
+    # rank offsets (post-aggregate window), then rank within each bucket
+    # in parallel. Value ties can't straddle a bucket boundary, so
+    # offset + within-bucket row_number is a valid global rank (ties take
+    # arbitrary order in both forms — only the VALUE at rank k is read,
+    # and tied rows share it).
+    lib = li.withColumn("b", F.expr("CAST(v AS BIGINT) DIV 1000"))
+    per_b = lib.groupBy("b").agg(F.count(F.lit(1)).alias("bn"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    offsets = per_b.select("b", (F.sum("bn").over(wb) - F.col("bn")).alias("roff"))
+    wv = Window.partitionBy("b").orderBy("v")
+    ranked = lib.join(F.broadcast(offsets), "b").withColumn(
+        "rk", F.col("roff") + F.row_number().over(wv)
+    )
     exact_vals = (
         ranked.join(
             F.broadcast(targets), ranked["rk"] == targets["k"], "inner"

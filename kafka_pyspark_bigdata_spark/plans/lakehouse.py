@@ -1152,11 +1152,11 @@ def q_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows tied on the full key are then bit-identical in the compared
     columns and the run counts are tie-order-invariant in both engines.
 
-    Scale: a global ORDER BY window is the oracle-exact form; the
-    production form computes the same flags per FILE (sortWithinPartitions
-    then per-partition lag) and merges counts — run boundaries at file
-    edges are the only error, bounded by file count, exactly how parquet
-    itself scopes encodings to row groups.
+    Scale: this global ORDER BY window is the ORACLE-REFERENCE baseline
+    (single-partition sort — do not run it on a fact table). The
+    production form is ``q_encoding_stats_sharded`` below: the same flags
+    per FILE via a shard-partitioned window, counts merged, run
+    boundaries at file edges the only (file-count-bounded) difference.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_shipdate", "l_orderkey",
@@ -1246,6 +1246,128 @@ WITH ordered AS (
   UNION ALL SELECT 'l_quantity', n, runs_l_quantity, nd_l_quantity FROM agg
 )
 SELECT col_name, n, n_runs, n_distinct,
+       n * 100 // n_runs AS avg_run_x100,
+       CASE WHEN n * 100 // n_runs >= 400 THEN 'RLE'
+            WHEN n_distinct <= 1000 THEN 'DICT' ELSE 'PLAIN' END AS encoding
+FROM stacked ORDER BY col_name
+"""
+
+
+N_ENC_SHARDS = 8  # synthetic "files": production uses the real file id
+
+
+def q_encoding_stats_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of ``q_encoding_stats``: run-length statistics
+    computed per SHARD (a synthetic file id here — ``l_orderkey mod 8`` so
+    the oracle reproduces the layout; the real job uses
+    ``input_file_name``/``_metadata.file_path``) with per-shard local
+    sorts and lags, then counts merged. No global ORDER BY anywhere: the
+    window partitions by shard, so each sort is file-local and the plan
+    keeps full parallelism — exactly how parquet scopes encoding
+    decisions to row groups. The only divergence from the global form is
+    a run boundary at each shard edge (runs = Σ changes + #shards),
+    bounded by file count — the same error model a compaction planner
+    already accepts.
+
+    Same integer-exact readout (x100 fixed-point, stack unpivot); the
+    global-window sibling stays registered as the oracle-reference
+    baseline.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_shipdate", "l_orderkey",
+        "l_linenumber", "l_quantity",
+    ).withColumn("shard", F.pmod(F.col("l_orderkey"), F.lit(N_ENC_SHARDS)))
+    w = Window.partitionBy("shard").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity",
+        "l_returnflag", "l_linestatus",
+    )
+    cols = {
+        "l_returnflag": F.col("l_returnflag"),
+        "l_linestatus": F.col("l_linestatus"),
+        "l_shipdate": F.col("l_shipdate").cast("string"),
+        "l_quantity": F.col("l_quantity").cast("string"),
+    }
+    flagged = li.select(
+        "shard",
+        *[
+            F.when(expr != F.lag(expr).over(w), 1).otherwise(0).alias(f"chg_{n}")
+            for n, expr in cols.items()
+        ],
+        *[expr.alias(f"v_{n}") for n, expr in cols.items()],
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("shard").alias("n_shards"),
+        # one run-start per shard: merged runs = Σ within-shard changes + #shards
+        *[
+            (F.sum(f"chg_{n}") + F.countDistinct("shard")).alias(f"runs_{n}")
+            for n in cols
+        ],
+        *[F.countDistinct(f"v_{n}").alias(f"nd_{n}") for n in cols],
+    )
+    stacked = agg.selectExpr(
+        "n",
+        "n_shards",
+        "stack(4, "
+        + ", ".join(f"'{n}', runs_{n}, nd_{n}" for n in cols)
+        + ") AS (col_name, n_runs, n_distinct)",
+    )
+    return (
+        stacked.select(
+            "col_name",
+            "n",
+            "n_shards",
+            "n_runs",
+            "n_distinct",
+            F.expr("n * 100 DIV n_runs").alias("avg_run_x100"),
+            F.expr(
+                "CASE WHEN n * 100 DIV n_runs >= 400 THEN 'RLE' "
+                "WHEN n_distinct <= 1000 THEN 'DICT' ELSE 'PLAIN' END"
+            ).alias("encoding"),
+        )
+        .orderBy("col_name")
+    )
+
+
+Q_ENCODING_SHARDED_SQL = f"""
+WITH ordered AS (
+  SELECT l_returnflag, l_linestatus, l_shipdate AS ship_ts,
+         CAST(l_shipdate AS VARCHAR) AS l_shipdate,
+         l_quantity AS qty_raw,
+         CAST(l_quantity AS VARCHAR) AS l_quantity,
+         l_orderkey, l_linenumber,
+         l_orderkey % {N_ENC_SHARDS} AS shard
+  FROM lineitem
+), flags AS (
+  SELECT shard,
+    CASE WHEN l_returnflag <> lag(l_returnflag) OVER w THEN 1 ELSE 0 END AS chg_l_returnflag,
+    CASE WHEN l_linestatus <> lag(l_linestatus) OVER w THEN 1 ELSE 0 END AS chg_l_linestatus,
+    CASE WHEN l_shipdate <> lag(l_shipdate) OVER w THEN 1 ELSE 0 END AS chg_l_shipdate,
+    CASE WHEN l_quantity <> lag(l_quantity) OVER w THEN 1 ELSE 0 END AS chg_l_quantity,
+    l_returnflag AS v_l_returnflag, l_linestatus AS v_l_linestatus,
+    l_shipdate AS v_l_shipdate, l_quantity AS v_l_quantity
+  FROM ordered
+  WINDOW w AS (PARTITION BY shard ORDER BY ship_ts, l_orderkey, l_linenumber,
+               qty_raw, l_returnflag, l_linestatus)
+), agg AS (
+  SELECT count(*) AS n,
+         count(DISTINCT shard) AS n_shards,
+         CAST(sum(chg_l_returnflag) + count(DISTINCT shard) AS BIGINT) AS runs_l_returnflag,
+         CAST(sum(chg_l_linestatus) + count(DISTINCT shard) AS BIGINT) AS runs_l_linestatus,
+         CAST(sum(chg_l_shipdate) + count(DISTINCT shard) AS BIGINT) AS runs_l_shipdate,
+         CAST(sum(chg_l_quantity) + count(DISTINCT shard) AS BIGINT) AS runs_l_quantity,
+         count(DISTINCT v_l_returnflag) AS nd_l_returnflag,
+         count(DISTINCT v_l_linestatus) AS nd_l_linestatus,
+         count(DISTINCT v_l_shipdate) AS nd_l_shipdate,
+         count(DISTINCT v_l_quantity) AS nd_l_quantity
+  FROM flags
+), stacked AS (
+  SELECT 'l_returnflag' AS col_name, n, n_shards, runs_l_returnflag AS n_runs, nd_l_returnflag AS n_distinct FROM agg
+  UNION ALL SELECT 'l_linestatus', n, n_shards, runs_l_linestatus, nd_l_linestatus FROM agg
+  UNION ALL SELECT 'l_shipdate', n, n_shards, runs_l_shipdate, nd_l_shipdate FROM agg
+  UNION ALL SELECT 'l_quantity', n, n_shards, runs_l_quantity, nd_l_quantity FROM agg
+)
+SELECT col_name, n, n_shards, n_runs, n_distinct,
        n * 100 // n_runs AS avg_run_x100,
        CASE WHEN n * 100 // n_runs >= 400 THEN 'RLE'
             WHEN n_distinct <= 1000 THEN 'DICT' ELSE 'PLAIN' END AS encoding
@@ -1668,6 +1790,7 @@ ORDER BY layout, probe_dim
 
 QUERIES = {
     "q_encoding_stats": q_encoding_stats,
+    "q_encoding_stats_sharded": q_encoding_stats_sharded,
     "q_observe_metrics": q_observe_metrics,
     "q_table_checksum": q_table_checksum,
     "q_zorder_skipping": q_zorder_skipping,
@@ -1689,6 +1812,7 @@ QUERIES = {
 
 ORACLES = {
     "q_encoding_stats": Q_ENCODING_SQL,
+    "q_encoding_stats_sharded": Q_ENCODING_SHARDED_SQL,
     "q_observe_metrics": Q_OBSERVE_SQL,
     "q_table_checksum": Q_TABLE_CHECKSUM_SQL,
     "q_zorder_skipping": Q_ZORDER_SQL,

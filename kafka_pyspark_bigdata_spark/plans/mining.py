@@ -812,8 +812,17 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_exact_median: sort by value with a deterministic tiebreak, running
     cumulative weight, pick the first row whose cumulative weight
     reaches half the (integer) total — no interpolation, every
-    comparison integer. One value-ordered window (range-partitioned sort
-    at scale) + one broadcast total."""
+    comparison integer.
+
+    The running weight is computed DISTRIBUTED, two-phase — no
+    single-task global sort: (1) bucket rows by price range
+    (``price_cents DIV 100000``), sum weights per bucket, and fold the
+    tiny bucket table into per-bucket starting offsets with one
+    post-aggregate cumulative window; (2) a bucket-partitioned
+    cumulative window (parallel across buckets) adds the within-bucket
+    running weight. Price ties can't straddle a bucket boundary, so
+    offset + within-bucket running weight IS the global cumulative
+    weight, row for row."""
     li = load_table(spark, sf_dir, "lineitem").select(
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("bigint")
@@ -821,13 +830,18 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("w"),
         "l_orderkey",
         "l_linenumber",
-    )
-    wsort = Window.orderBy("price_cents", "l_orderkey", "l_linenumber").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    ).withColumn("b", F.expr("price_cents DIV 100000"))
+    per_b = li.groupBy("b").agg(F.sum("w").alias("bw"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    offsets = per_b.select("b", (F.sum("bw").over(wb) - F.col("bw")).alias("woff"))
+    wsort = Window.partitionBy("b").orderBy(
+        "price_cents", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
     tot = li.agg(F.sum("w").alias("w_total"))
-    cum = li.withColumn("cum_w", F.sum("w").over(wsort)).crossJoin(
-        F.broadcast(tot)
+    cum = (
+        li.join(F.broadcast(offsets), "b")
+        .withColumn("cum_w", F.col("woff") + F.sum("w").over(wsort))
+        .crossJoin(F.broadcast(tot))
     )
     return (
         cum.filter(F.col("cum_w") * 2 >= F.col("w_total"))

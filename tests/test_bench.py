@@ -29,13 +29,20 @@ def test_bench_runs_clean_and_prints_one_json_line():
         for line in proc.stdout.splitlines()
         if line.startswith("{")
     ]
-    assert len(payloads) == 1, proc.stdout[-2000:]
-    d = payloads[0]
+    # Two lines: the full per-query payload, then a SHORT summary printed
+    # LAST so the driver's ~2000-char tail window always ends with one
+    # complete parseable JSON line (the r01-r03 `parsed: null` fix).
+    assert len(payloads) == 2, proc.stdout[-2000:]
+    d, short = payloads
     assert d["metric"] == "headline_queries_total_wall"
     assert d["unit"] == "sec" and d["value"] > 0
     assert d["sf"] == 0.001
     assert len(d["queries"]) >= 40
     assert "errors" not in d, d.get("errors")
+    assert short["metric"] == "headline_queries_total_wall"
+    assert short["value"] == d["value"] and short["sf"] == d["sf"]
+    assert short["n_queries"] == len(d["queries"]) and short["n_errors"] == 0
+    assert len(proc.stdout.splitlines()[-1]) < 200
 
 
 def test_registry_has_no_cross_module_name_collisions():
