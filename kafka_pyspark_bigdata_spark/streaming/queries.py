@@ -947,7 +947,9 @@ def streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .trigger(processingTime="1 seconds")
+        # no trigger clause: micro-batches run back-to-back (default
+        # ProcessingTime(0)) — a 1s trigger would add ~8s of idle wall
+        # time for the 8 deterministic batches.
         .start()
     )
     try:
@@ -955,7 +957,7 @@ def streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         while _time.time() < deadline:
             if spark.table(name).count() >= PYTICKS_N:
                 break
-            _time.sleep(0.5)
+            _time.sleep(0.2)
     finally:
         q.stop()
     got = spark.table(name).count()
