@@ -93,6 +93,8 @@ def _modules():
 # the known-slow sweep entries (>5s at sf0.01) deferred to the tail of the
 # rotation so the driver's time budget covers a full 50.
 _PRIORITY = [
+    "text_bm25_topk",
+    "emb_bitpack_hamming_topk",
     "q_encoding_stats_sharded",
     "ann_topk_gemm",
     "ml_knn_classifier_eval",

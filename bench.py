@@ -92,6 +92,7 @@ def main() -> None:
         "text_cooccurrence_pairs",
         "ann_topk_bruteforce",
         "ann_lsh_bucketed",
+        "emb_bitpack_hamming_topk",
         "ann_ivf",
         "emb_mrl_recall",
         "emb_pca_power_iter",
@@ -122,6 +123,7 @@ def main() -> None:
         # overhead), not data-path throughput.
         "graph_link_prediction",
         "text_search_and_rank",
+        "text_bm25_topk",
         "text_bpe_pair_merges",
         "ts_forecast_eval_mase",
         "q_ks_drift",

@@ -2209,8 +2209,108 @@ WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+def _bitpack_expr(lo_bit: int) -> str:
+    """Pack 32 sign bits (embedding positions lo_bit+1 .. lo_bit+32,
+    1-indexed) into a BIGINT word: bit i set iff component >= 0."""
+    return (
+        f"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> acc + "
+        f"IF(element_at(embedding, i + {lo_bit + 1}) >= 0, "
+        f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+    )
+
+
+def emb_bitpack_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-code retrieval: 1-bit sign quantization of the 64-d float
+    embedding into two 32-bit words, then Hamming top-K per query —
+    XOR + popcount over 8 bytes instead of 64 float multiplies, a 32×
+    memory / IO reduction (the compression rung below ``ann_pq_adc``'s
+    16×, and the representation ITQ/LSH retrieval systems ship at the
+    billion-vector scale). Under the random-hyperplane view, Hamming
+    distance estimates angle: E[ham/64] = θ/π — so sign-bit codes
+    preserve cosine ORDER in expectation and serve as a first-pass
+    filter whose survivors re-rank with full-precision vectors.
+
+    Everything is integer (bit ops end-to-end, no floats anywhere after
+    the sign test), so the DuckDB oracle hash-matches exactly. Packing
+    into two BIGINT-held 32-bit words sidesteps the engines' differing
+    64-bit signed-shift overflow behavior at bit 63.
+
+    Plan: codes are one map-side projection (pure expression, codegen),
+    the Q-row query side broadcasts, per-query top-K keeps K rows per
+    partition before one bounded window — the bruteforce contract with
+    an 8-byte payload. At 100 TB the same codes become the bucket key
+    for multi-index Hamming probing (split words = exact-match bands,
+    the ``dedup_simhash`` shape) — this entry is the scoring kernel."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(_bitpack_expr(0)).alias("lo"),
+        F.expr(_bitpack_expr(32)).alias("hi"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("q_lo"),
+        F.col("hi").alias("q_hi"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("lo").alias("c_lo"),
+        F.col("hi").alias("c_hi"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "CAST(bit_count(q_lo ^ c_lo) + bit_count(q_hi ^ c_hi) AS INT)"
+            ).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _bitpack_sql(lo_bit: int) -> str:
+    return (
+        f"list_sum(list_transform(range(0, 32), i -> CASE WHEN "
+        f"embedding[i + {lo_bit + 1}] >= 0 THEN (1::BIGINT << i) ELSE 0 END))"
+    )
+
+
+EMB_HAMMING_SQL = f"""
+WITH codes AS (
+  SELECT vec_id,
+         CAST({_bitpack_sql(0)} AS BIGINT) AS lo,
+         CAST({_bitpack_sql(32)} AS BIGINT) AS hi
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, lo AS q_lo, hi AS q_hi FROM codes
+  WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q_lo, c.lo)) + bit_count(xor(q_hi, c.hi)) AS INTEGER)
+           AS hamming
+  FROM q JOIN codes c ON query_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, hamming,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY hamming, neighbor_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, hamming, rank FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "ann_topk_gemm": ann_topk_gemm,
+    "emb_bitpack_hamming_topk": emb_bitpack_hamming_topk,
     "ann_mrr_eval": ann_mrr_eval,
     "emb_rank_correlation": emb_rank_correlation,
     "ml_knn_classifier_eval": ml_knn_classifier_eval,
@@ -2238,6 +2338,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_topk_gemm": ANN_GEMM_SQL,
+    "emb_bitpack_hamming_topk": EMB_HAMMING_SQL,
     "ann_ivf_balance_audit": _ivf_balance_sql(),
     "ann_ivf_persisted": ANN_IVF_SQL,
     "emb_norm_stats": EMB_NORM_SQL,

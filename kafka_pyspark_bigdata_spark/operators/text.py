@@ -531,6 +531,100 @@ LIMIT {SEARCH_TOP}
 """
 
 
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75), DISJUNCTIVE over the query terms,
+    as exact rational arithmetic — the standard-weighting counterpart to
+    ``text_search_and_rank``'s conjunctive tf/len ranking.
+
+    Both BM25 factors are computed as integer-exact rationals so the
+    oracle hash-matches: the tf-saturation term with k1=6/5, b=3/4
+    clears to 44·tf·L / (20·L·tf + 6·L + 18·dl·N) (L = total corpus
+    tokens, N = corpus docs, dl = doc length — multiply through by the
+    avgdl=L/N denominator), and IDF uses the log-free odds ratio
+    (N−df+½)/(df+½) in ppm — log() drifts by 1 ulp across engines, and
+    the odds ratio preserves the df ordering log would impose. Products
+    run in DECIMAL(38,0)/HUGEINT (corpus-scale tf·L·10⁶ leaves BIGINT).
+
+    Plan shape is the inverted-index one: explode→filter to the tiny
+    query-term IN list (the posting lists shuffle, never the token
+    stream), per-term df as a broadcast side, corpus totals as a 1-row
+    broadcast, one partial-agg fold per doc, global top-K of a
+    SEARCH_TOP-bounded result."""
+    docs = with_tokens(load_documents(spark, sf_dir)).select("doc_id", "toks")
+    lens = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    hits = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*SEARCH_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        hits.join(F.broadcast(df_t), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.expr(
+                "CAST((2 * (n_docs - df) + 1) * CAST(1000000 AS DECIMAL(38,0))"
+                " DIV (2 * df + 1) AS BIGINT)"
+            ).alias("idf_ppm"),
+            F.expr(
+                "CAST(44 * tf * CAST(total_len AS DECIMAL(38,0)) * 1000000"
+                " DIV (20 * total_len * tf + 6 * total_len + 18 * dl * n_docs)"
+                " AS BIGINT)"
+            ).alias("tfc_ppm"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.expr(
+                "CAST(SUM(CAST(idf_ppm AS DECIMAL(38,0)) * tfc_ppm DIV 1000000)"
+                " AS BIGINT)"
+            ).alias("score_ppm"),
+        )
+        .orderBy(F.desc("score_ppm"), "doc_id")
+        .limit(SEARCH_TOP)
+    )
+
+
+TEXT_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+), lens AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM lens
+), hits AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(toks) AS term FROM toks
+  ) WHERE term IN ({_SEARCH_TERMS_SQL})
+  GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY term
+), scored AS (
+  SELECT h.doc_id,
+         CAST((2 * (n_docs - df) + 1) * CAST(1000000 AS HUGEINT)
+              // (2 * df + 1) AS BIGINT) AS idf_ppm,
+         CAST(44 * tf * CAST(total_len AS HUGEINT) * 1000000
+              // (20 * total_len * tf + 6 * total_len + 18 * dl * n_docs)
+              AS BIGINT) AS tfc_ppm
+  FROM hits h JOIN dfs USING (term) JOIN lens l ON h.doc_id = l.doc_id, stats
+)
+SELECT doc_id, COUNT(*) AS n_terms_hit,
+       CAST(SUM(CAST(idf_ppm AS HUGEINT) * tfc_ppm // 1000000) AS BIGINT)
+         AS score_ppm
+FROM scored GROUP BY doc_id
+ORDER BY score_ppm DESC, doc_id
+LIMIT {SEARCH_TOP}
+"""
+
 
 BPE_TOP = 20
 
@@ -1388,6 +1482,7 @@ QUERIES = {
     "text_cooccurrence_pairs": text_cooccurrence_pairs,
     "text_chunk_windows": text_chunk_windows,
     "text_search_and_rank": text_search_and_rank,
+    "text_bm25_topk": text_bm25_topk,
     "text_bpe_pair_merges": text_bpe_pair_merges,
     "text_simpson_diversity": text_simpson_diversity,
     "text_chunk_udtf": text_chunk_udtf,
@@ -1412,6 +1507,7 @@ ORACLES = {
     "text_cooccurrence_pairs": _cooc_sql(),
     "text_chunk_windows": TEXT_CHUNK_SQL,
     "text_search_and_rank": TEXT_SEARCH_SQL,
+    "text_bm25_topk": TEXT_BM25_SQL,
     "text_bpe_pair_merges": TEXT_BPE_PAIRS_SQL,
     "text_simpson_diversity": TEXT_SIMPSON_SQL,
     "text_chunk_udtf": TEXT_CHUNK_SQL,

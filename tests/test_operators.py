@@ -656,3 +656,64 @@ def test_lttb_keeps_endpoints_and_bucket_bounds(spark):
         buckets = [r.bucket for r in sel]
         assert len(buckets) == len(set(buckets))
         assert min(sel, key=lambda r: r.bucket).sel_ts == first_ts[et]
+
+
+def test_bm25_hits_contain_query_terms_and_order(spark):
+    """BM25: every returned doc contains at least one query term, scores
+    are non-negative and descending (doc_id tiebreak), and a doc hitting
+    more DISTINCT terms with equal tf profile can't score zero."""
+    from kafka_pyspark_bigdata_spark.operators.text import (
+        SEARCH_TERMS,
+        SEARCH_TOP,
+        text_bm25_topk,
+    )
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = text_bm25_topk(spark, sf).collect()
+    assert 0 < len(rows) <= SEARCH_TOP
+    scores = [(r.score_ppm, r.doc_id) for r in rows]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+    assert all(r.score_ppm > 0 for r in rows)
+    assert all(1 <= r.n_terms_hit <= len(SEARCH_TERMS) for r in rows)
+    docs = dict(
+        load_table(spark, sf, "documents")
+        .select("doc_id", F.lower("text").alias("t"))
+        .collect()
+    )
+    for r in rows:
+        assert any(term in docs[r.doc_id] for term in SEARCH_TERMS)
+
+
+def test_bitpack_hamming_matches_python_recompute(spark):
+    """Bit-packed Hamming: recompute each returned pair's distance from
+    the raw float signs in Python — the packed XOR+popcount must agree
+    exactly — and ranks must be 1..K per query, ascending in distance."""
+    from kafka_pyspark_bigdata_spark.operators.similarity import (
+        TOP_K,
+        emb_bitpack_hamming_topk,
+    )
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+    rows = emb_bitpack_hamming_topk(spark, sf).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert 0 <= r.hamming <= 64
+        expected = sum(
+            (a >= 0) != (b >= 0)
+            for a, b in zip(emb[r.query_id], emb[r.neighbor_id])
+        )
+        assert r.hamming == expected, (r.query_id, r.neighbor_id)
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, sel in per_q.items():
+        assert [r.rank for r in sel] == list(range(1, len(sel) + 1))
+        assert len(sel) == min(TOP_K, len(emb) - 1)
+        hams = [r.hamming for r in sel]
+        assert hams == sorted(hams)
