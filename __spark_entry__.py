@@ -95,6 +95,7 @@ def _modules():
 _PRIORITY = [
     "text_bm25_topk",
     "emb_bitpack_hamming_topk",
+    "emb_bitpack_recall_eval",
     "q_encoding_stats_sharded",
     "ann_topk_gemm",
     "ml_knn_classifier_eval",

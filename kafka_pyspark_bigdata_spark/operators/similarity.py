@@ -2308,9 +2308,60 @@ WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+def emb_bitpack_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the 1-bit sign codes against exact cosine ground truth
+    — the accept/reject measurement for the 32× compression
+    ``emb_bitpack_hamming_topk`` buys: per query, how many of the true
+    cosine top-K survive in the Hamming top-K? The number that decides
+    whether binary codes can serve as the first-pass filter (re-rank
+    recovers order but not candidates it never saw). Same eval shape as
+    ``ann_recall_eval``/``ann_pq_recall_eval``: two bounded top-K sides,
+    one K-row-per-query left join, an exact ppm fold."""
+    truth = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ham = emb_bitpack_hamming_topk(spark, sf_dir).select(
+        F.col("query_id").alias("h_qid"), F.col("neighbor_id").alias("h_nid")
+    )
+    joined = truth.join(
+        ham,
+        (F.col("query_id") == F.col("h_qid"))
+        & (F.col("neighbor_id") == F.col("h_nid")),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("h_nid").isNotNull().cast("long")).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_hit",
+            F.expr("n_hit * 1000000 DIV k").alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+EMB_BITPACK_RECALL_SQL = f"""
+WITH truth AS ({ANN_TOPK_SQL.strip()}),
+ham AS ({EMB_HAMMING_SQL.strip()})
+SELECT t.query_id, COUNT(*) AS k,
+       CAST(SUM(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS recall_ppm
+FROM truth t LEFT JOIN ham h
+  ON t.query_id = h.query_id AND t.neighbor_id = h.neighbor_id
+GROUP BY t.query_id ORDER BY t.query_id
+"""
+
+
 QUERIES = {
     "ann_topk_gemm": ann_topk_gemm,
     "emb_bitpack_hamming_topk": emb_bitpack_hamming_topk,
+    "emb_bitpack_recall_eval": emb_bitpack_recall_eval,
     "ann_mrr_eval": ann_mrr_eval,
     "emb_rank_correlation": emb_rank_correlation,
     "ml_knn_classifier_eval": ml_knn_classifier_eval,
@@ -2339,6 +2390,7 @@ QUERIES = {
 ORACLES = {
     "ann_topk_gemm": ANN_GEMM_SQL,
     "emb_bitpack_hamming_topk": EMB_HAMMING_SQL,
+    "emb_bitpack_recall_eval": EMB_BITPACK_RECALL_SQL,
     "ann_ivf_balance_audit": _ivf_balance_sql(),
     "ann_ivf_persisted": ANN_IVF_SQL,
     "emb_norm_stats": EMB_NORM_SQL,
