@@ -295,3 +295,35 @@ def test_trimmed_mean_runs_in_arrow_aggregate(spark):
         plan = _plan(q_trimmed_mean_pandas(spark, SF))
     assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_no_unpartitioned_windows_over_unreduced_input(spark):
+    """The GWin invariant: no bench-headline query may plan a Window with
+    an EMPTY partition spec over input that is not already reduced by an
+    Aggregate/Limit/Deduplicate — that shape funnels fact-sized data
+    through ONE task. q_encoding_stats (the flagged oracle baseline, not
+    a headline) is the only allowed exception in the full registry."""
+    import os
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+    from tools.explain_audit import _global_windows
+
+    qs = em.queries()
+    src = open("/root/repo/bench.py").read()
+    names = [n for n in re.findall(r'"([a-z0-9_]+)"', src) if n in qs]
+    # plan-only audit: building the DataFrame is enough, nothing executes —
+    # but skip the genuinely execution-bound entries (streaming drains,
+    # model fits) whose builders RUN work before returning a frame.
+    skip_prefixes = ("streaming_", "ml_", "mm_decode", "q_python_datasource")
+    checked = 0
+    with _conf(spark, **{"spark.sql.adaptive.enabled": "false"}):
+        for name in dict.fromkeys(names):
+            if name.startswith(skip_prefixes):
+                continue
+            hits = _global_windows(qs[name](spark, SF))
+            assert hits == 0, f"{name} plans {hits} unpartitioned window(s)"
+            checked += 1
+    assert checked >= 90
