@@ -679,13 +679,16 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     column prunes most files from the scan. A single-column sort gives
     tight boxes in one dimension and full-range boxes in the other —
     the test pins that the z-layout's average box area is smaller.
-    Plan: one projection (the interleave is pure bit arithmetic), one
-    global sort (the rewrite job a table OPTIMIZE runs), one
-    groupBy(file) over already-sorted data. All integer — hash-exact.
-    The global ROW_NUMBER here exists only to make file boundaries
-    reproducible for the oracle; a production OPTIMIZE derives them from
-    the writer (``repartitionByRange(z).sortWithinPartitions(z)`` +
-    maxRecordsPerFile), which scales without a single-partition window.
+    Plan: one projection (the interleave is pure bit arithmetic), then
+    the reproducible global rank computed DISTRIBUTED two-phase — counts
+    per z-range bucket (``z DIV 256``, ≤256 contiguous curve segments),
+    one post-aggregate cumulative window over that tiny table for rank
+    offsets, and a bucket-partitioned row_number (parallel across curve
+    segments; (z, event_id) ties can't straddle a bucket edge, so
+    offset + local rank IS the global rank). One groupBy(file) after.
+    All integer — hash-exact. A production OPTIMIZE derives boundaries
+    from the writer (``repartitionByRange(z).sortWithinPartitions(z)`` +
+    maxRecordsPerFile) — the same range-bucketed shape this plan runs.
     """
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     dims = ev.select(
@@ -693,10 +696,16 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 256).alias("x"),
         (F.floor(F.col("value") / 2).cast("long") % 256).alias("y"),
     )
-    z = dims.withColumn("z", _z_interleave(F.col("x"), F.col("y")))
-    w = Window.orderBy("z", "event_id")
-    filed = z.withColumn(
-        "file_id", ((F.row_number().over(w) - 1) / _Z_FILE_ROWS).cast("long")
+    z = dims.withColumn("z", _z_interleave(F.col("x"), F.col("y"))).withColumn(
+        "zb", F.expr("z DIV 256")
+    )
+    per_b = z.groupBy("zb").agg(F.count(F.lit(1)).alias("bn"))
+    wb = Window.orderBy("zb").rowsBetween(Window.unboundedPreceding, 0)
+    offsets = per_b.select("zb", (F.sum("bn").over(wb) - F.col("bn")).alias("roff"))
+    w = Window.partitionBy("zb").orderBy("z", "event_id")
+    filed = z.join(F.broadcast(offsets), "zb").withColumn(
+        "file_id",
+        ((F.col("roff") + F.row_number().over(w) - 1) / _Z_FILE_ROWS).cast("long"),
     )
     return (
         filed.groupBy("file_id")
