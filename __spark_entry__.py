@@ -96,6 +96,8 @@ _PRIORITY = [
     "text_bm25_topk",
     "emb_bitpack_hamming_topk",
     "emb_bitpack_recall_eval",
+    "emb_cosine_histogram",
+    "text_bigram_lm_score",
     "q_encoding_stats_sharded",
     "ann_topk_gemm",
     "ml_knn_classifier_eval",

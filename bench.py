@@ -93,6 +93,7 @@ def main() -> None:
         "ann_topk_bruteforce",
         "ann_lsh_bucketed",
         "emb_bitpack_hamming_topk",
+        "emb_cosine_histogram",
         "ann_ivf",
         "emb_mrl_recall",
         "emb_pca_power_iter",
@@ -124,6 +125,7 @@ def main() -> None:
         "graph_link_prediction",
         "text_search_and_rank",
         "text_bm25_topk",
+        "text_bigram_lm_score",
         "text_bpe_pair_merges",
         "ts_forecast_eval_mase",
         "q_ks_drift",

@@ -2358,10 +2358,79 @@ GROUP BY t.query_id ORDER BY t.query_id
 """
 
 
+COSHIST_MOD = 10  # keep 1/M of all unordered pairs (congruence classes)
+
+
+def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-geometry audit: the distribution of pairwise cosine
+    similarities, binned at 0.1 width — the anisotropy check run before
+    trusting cosine retrieval at all (a mass concentrated near +1 means
+    a collapsed embedding space where ranking is noise; healthy spaces
+    center near 0). Reported over a DETERMINISTIC 1/{M} sample of
+    unordered pairs chosen by congruence class: pair (a, b) is kept iff
+    31·a + 17·b ≡ 0 (mod {M}) — and that predicate is planned as an
+    EQUI-JOIN on the residue keys ((M − 31a mod M) mod M = 17b mod M),
+    so the n²/M sampled pairs are generated directly; the n² cross
+    space is never enumerated. Sampling, binning, and counting are all
+    integer/equi-join shapes; M scales with n²/budget at 100 TB. Both
+    engines compute the identical pair set and 6-decimal cosines —
+    hash-exact.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("av"),
+        F.expr(
+            f"(({COSHIST_MOD} - (31 * vec_id) % {COSHIST_MOD}) % {COSHIST_MOD})"
+        ).alias("res"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("bv"),
+        F.expr(f"(17 * vec_id) % {COSHIST_MOD}").alias("res"),
+    )
+    pairs = a.join(b, "res").filter(F.col("a_id") < F.col("b_id"))
+    binned = pairs.select(
+        F.floor(cosine_expr("av", "bv") * 10).cast("int").alias("bin")
+    )
+    total = binned.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n",
+            F.expr("n * 1000000 DIV n_pairs").alias("share_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+EMB_COSHIST_SQL = f"""
+WITH a AS (
+  SELECT vec_id AS a_id, embedding AS av,
+         (({COSHIST_MOD} - (31 * vec_id) % {COSHIST_MOD}) % {COSHIST_MOD}) AS res
+  FROM embeddings
+), b AS (
+  SELECT vec_id AS b_id, embedding AS bv,
+         (17 * vec_id) % {COSHIST_MOD} AS res
+  FROM embeddings
+), binned AS (
+  SELECT CAST(FLOOR({_cos_sql('av', 'bv')} * 10) AS INTEGER) AS bin
+  FROM a JOIN b USING (res) WHERE a_id < b_id
+), total AS (SELECT COUNT(*) AS n_pairs FROM binned)
+SELECT bin, COUNT(*) AS n,
+       CAST(COUNT(*) * 1000000 // ANY_VALUE(n_pairs) AS BIGINT) AS share_ppm
+FROM binned, total GROUP BY bin ORDER BY bin
+"""
+
+
 QUERIES = {
     "ann_topk_gemm": ann_topk_gemm,
     "emb_bitpack_hamming_topk": emb_bitpack_hamming_topk,
     "emb_bitpack_recall_eval": emb_bitpack_recall_eval,
+    "emb_cosine_histogram": emb_cosine_histogram,
     "ann_mrr_eval": ann_mrr_eval,
     "emb_rank_correlation": emb_rank_correlation,
     "ml_knn_classifier_eval": ml_knn_classifier_eval,
@@ -2391,6 +2460,7 @@ ORACLES = {
     "ann_topk_gemm": ANN_GEMM_SQL,
     "emb_bitpack_hamming_topk": EMB_HAMMING_SQL,
     "emb_bitpack_recall_eval": EMB_BITPACK_RECALL_SQL,
+    "emb_cosine_histogram": EMB_COSHIST_SQL,
     "ann_ivf_balance_audit": _ivf_balance_sql(),
     "ann_ivf_persisted": ANN_IVF_SQL,
     "emb_norm_stats": EMB_NORM_SQL,

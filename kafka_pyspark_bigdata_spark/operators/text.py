@@ -626,6 +626,78 @@ LIMIT {SEARCH_TOP}
 """
 
 
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fluency scoring by corpus bigram statistics — the log-prob-free
+    stand-in for LM-perplexity filtering (the classic quality gate a
+    training pipeline runs before a real LM is available): each doc is
+    scored by the mean corpus frequency of its adjacent token bigrams,
+    in ppm of the corpus bigram total. Template/boilerplate text scores
+    high, token-salad scores low; the ranking matches what mean
+    per-bigram probability would give, computed as exact integers
+    (DECIMAL(38,0)/HUGEINT for the corpus-scale Σcount·10⁶ product)
+    instead of drift-prone log sums.
+
+    Plan: bigrams materialize per doc as an array transform (no
+    position self-join), counts collapse map-side into the corpus
+    bigram table, and scoring is one shuffle of the doc-bigram stream
+    joined against those counts — the inverted LM-scoring shape whose
+    shuffle carries tokens, never token². The 1-row bigram total rides
+    a broadcast cross join.
+    """
+    tokd = (
+        load_documents(spark, sf_dir)
+        .select("doc_id", tokens_expr().alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    doc_bgs = tokd.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    bg_counts = doc_bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("bg_count"))
+    total = bg_counts.agg(F.sum("bg_count").alias("total_bg"))
+    return (
+        doc_bgs.join(bg_counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bg_count").alias("sum_counts"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr(
+                "CAST(CAST(sum_counts AS DECIMAL(38,0)) * 1000000"
+                " DIV (n_bigrams * total_bg) AS BIGINT)"
+            ).alias("mean_bg_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_BIGRAM_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+), db AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+  WHERE len(toks) >= 2
+), bc AS (
+  SELECT bg, COUNT(*) AS bg_count FROM db GROUP BY bg
+), total AS (SELECT SUM(bg_count) AS total_bg FROM bc)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(CAST(SUM(bg_count) AS HUGEINT) * 1000000
+            // (COUNT(*) * ANY_VALUE(total_bg)) AS BIGINT) AS mean_bg_ppm
+FROM db JOIN bc USING (bg), total
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 BPE_TOP = 20
 
 
@@ -1483,6 +1555,7 @@ QUERIES = {
     "text_chunk_windows": text_chunk_windows,
     "text_search_and_rank": text_search_and_rank,
     "text_bm25_topk": text_bm25_topk,
+    "text_bigram_lm_score": text_bigram_lm_score,
     "text_bpe_pair_merges": text_bpe_pair_merges,
     "text_simpson_diversity": text_simpson_diversity,
     "text_chunk_udtf": text_chunk_udtf,
@@ -1508,6 +1581,7 @@ ORACLES = {
     "text_chunk_windows": TEXT_CHUNK_SQL,
     "text_search_and_rank": TEXT_SEARCH_SQL,
     "text_bm25_topk": TEXT_BM25_SQL,
+    "text_bigram_lm_score": TEXT_BIGRAM_LM_SQL,
     "text_bpe_pair_merges": TEXT_BPE_PAIRS_SQL,
     "text_simpson_diversity": TEXT_SIMPSON_SQL,
     "text_chunk_udtf": TEXT_CHUNK_SQL,

@@ -717,3 +717,68 @@ def test_bitpack_hamming_matches_python_recompute(spark):
         assert len(sel) == min(TOP_K, len(emb) - 1)
         hams = [r.hamming for r in sel]
         assert hams == sorted(hams)
+
+
+def test_bigram_lm_score_bounds_and_boilerplate_signal(spark):
+    """Bigram LM score: every scored doc has >= 1 bigram, the mean-ppm is
+    within (0, 1e6], and a doc made of the corpus's most frequent bigram
+    would bound the score from above — verified by recomputing one doc's
+    score from raw counts."""
+    from collections import Counter
+
+    from kafka_pyspark_bigdata_spark.operators.text import (
+        text_bigram_lm_score,
+    )
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = text_bigram_lm_score(spark, sf).collect()
+    assert rows
+    assert all(r.n_bigrams >= 1 for r in rows)
+    assert all(0 < r.mean_bg_ppm <= 1_000_000 for r in rows)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    corpus = Counter()
+    per_doc = {}
+    for d in docs:
+        toks = [t for t in d.text.lower().split() if t]
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if bgs:
+            per_doc[d.doc_id] = bgs
+        corpus.update(bgs)
+    total = sum(corpus.values())
+    probe = rows[0]
+    bgs = per_doc[probe.doc_id]
+    expect = sum(corpus[bg] for bg in bgs) * 1_000_000 // (len(bgs) * total)
+    assert probe.n_bigrams == len(bgs)
+    assert probe.mean_bg_ppm == expect
+
+
+def test_cosine_histogram_is_deterministic_sample_and_sums_to_total(spark):
+    """Cosine histogram: bins are in [-10, 10], shares sum to ~1e6, the
+    pair count matches the congruence-class predicate exactly, and the
+    histogram is identical across two runs (deterministic sampling)."""
+    from kafka_pyspark_bigdata_spark.operators.similarity import (
+        COSHIST_MOD,
+        emb_cosine_histogram,
+    )
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = emb_cosine_histogram(spark, sf).collect()
+    assert rows
+    assert all(-10 <= r.bin <= 10 for r in rows)
+    n_total = sum(r.n for r in rows)
+    ids = [
+        r.vec_id for r in load_table(spark, sf, "embeddings").select("vec_id").collect()
+    ]
+    expected_pairs = sum(
+        1
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (31 * min(a, b) + 17 * max(a, b)) % COSHIST_MOD == 0
+    )
+    assert n_total == expected_pairs
+    share = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= share <= 1_000_000
+    again = emb_cosine_histogram(spark, sf).collect()
+    assert [(r.bin, r.n) for r in rows] == [(r.bin, r.n) for r in again]
