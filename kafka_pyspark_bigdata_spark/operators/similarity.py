@@ -2377,9 +2377,20 @@ def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-exact.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # Norms are precomputed ONCE per vector on each join side (the oracle
+    # recomputes them per pair — identical doubles either way), so the
+    # per-pair work inside the join is the dot product alone.
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda u: u.cast("double") * u.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
     a = emb.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("av"),
+        norm.alias("na"),
         F.expr(
             f"(({COSHIST_MOD} - (31 * vec_id) % {COSHIST_MOD}) % {COSHIST_MOD})"
         ).alias("res"),
@@ -2387,11 +2398,19 @@ def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("bv"),
+        norm.alias("nb"),
         F.expr(f"(17 * vec_id) % {COSHIST_MOD}").alias("res"),
     )
     pairs = a.join(b, "res").filter(F.col("a_id") < F.col("b_id"))
+    dot = F.aggregate(
+        F.zip_with("av", "bv", lambda u, v: u.cast("double") * v.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     binned = pairs.select(
-        F.floor(cosine_expr("av", "bv") * 10).cast("int").alias("bin")
+        F.floor(F.round(dot / (F.col("na") * F.col("nb")), 6) * 10)
+        .cast("int")
+        .alias("bin")
     )
     total = binned.agg(F.count(F.lit(1)).alias("n_pairs"))
     return (
