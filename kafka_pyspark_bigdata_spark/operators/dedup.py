@@ -572,6 +572,36 @@ def cosine_expr(a: str, b: str, scale: int = 6) -> Column:
     return F.round(dot(a, b) / (norm(a) * norm(b)), scale)
 
 
+def norm_expr(col: str) -> Column:
+    """sqrt(Σu²) of an array<float> column, double — the hoistable half of
+    ``cosine_expr``. Precompute it per SIDE of a pair join (one norm per
+    vector instead of one per pair) and combine with ``dot_expr`` via
+    ``cosine_from_parts``: the arithmetic is the identical double sequence
+    cosine_expr runs, just factored out of the join, so rounded values are
+    bit-equal while per-pair flops drop ~3x."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda u: u.cast("double") * u.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Σ aᵢ·bᵢ of two array<float> columns in double (the per-pair part)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda u, v: u.cast("double") * v.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_from_parts(dot: Column, na: Column, nb: Column, scale: int = 6) -> Column:
+    """round(dot/(na·nb), 6) — cosine_expr's tail over hoisted parts."""
+    return F.round(dot / (na * nb), scale)
+
+
 def _cos_sql(a: str, b: str) -> str:
     return (
         f"ROUND(list_sum(list_transform(list_zip({a}, {b}),"

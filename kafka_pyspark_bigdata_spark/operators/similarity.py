@@ -40,7 +40,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.batch import load_table, parallelize_scan
-from .dedup import COSINE_DUP_THRESHOLD, _cos_sql, cosine_expr
+from .dedup import (
+    COSINE_DUP_THRESHOLD,
+    _cos_sql,
+    cosine_expr,
+    cosine_from_parts,
+    dot_expr,
+    norm_expr,
+)
 
 TOP_K = 5
 N_QUERIES = 10  # query set = vec_id < 10
@@ -93,13 +100,25 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for each of the first 10 vectors."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm_expr("embedding").alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        norm_expr("embedding").alias("cn"),
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine_expr("qv", "cv").alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_parts(
+                dot_expr("qv", "cv"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -137,16 +156,28 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", bucket_expr("embedding").alias("bucket")
     )
     q = with_bucket.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm_expr("embedding").alias("qn"),
+        "bucket",
     )
     c = with_bucket.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        norm_expr("embedding").alias("cn"),
+        "bucket",
     )
     scored = (
         F.broadcast(q)
         .join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine_expr("qv", "cv").alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_parts(
+                dot_expr("qv", "cv"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -250,19 +281,33 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band_idx", "bk"),
     )
     lhs = bands_long.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "band_idx", "bk"
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        norm_expr("embedding").alias("na"),
+        "band_idx",
+        "bk",
     )
     rhs = bands_long.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "band_idx", "bk"
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        norm_expr("embedding").alias("nb"),
+        "band_idx",
+        "bk",
     )
     cand = (
         lhs.join(rhs, ["band_idx", "bk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b", "va", "vb", "na", "nb")
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.select("id_a", "id_b", cosine_expr("va", "vb").alias("cosine"))
+        cand.select(
+            "id_a",
+            "id_b",
+            cosine_from_parts(
+                dot_expr("va", "vb"), F.col("na"), F.col("nb")
+            ).alias("cosine"),
+        )
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .orderBy("id_a", "id_b")
     )
@@ -324,15 +369,22 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     its generated code is reused across datasets (warm-up compiles it
     once).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_expr("embedding").alias("en")
+    )
     cents = emb.filter(F.col("vec_id") < IVF_NLIST).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("centv")
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").alias("centv"),
+        F.col("en").alias("cn"),
     )
     sims = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
+        "en",
         "cid",
-        cosine_expr("embedding", "centv").alias("sim"),
+        cosine_from_parts(
+            dot_expr("embedding", "centv"), F.col("en"), F.col("cn")
+        ).alias("sim"),
     )
     # argmax centroid per corpus vector: max struct orders by (sim, -cid),
     # i.e. highest similarity with ties toward the smallest centroid id —
@@ -345,10 +397,12 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias("m"),
             F.first("embedding").alias("cv"),
+            F.first("en").alias("cvn"),
         )
         .select(
             F.col("vec_id").alias("neighbor_id"),
             "cv",
+            "cvn",
             (-F.col("m.ncid")).cast("int").alias("list_id"),
         )
     )
@@ -358,18 +412,25 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
+            F.col("en").alias("qn"),
             "cid",
             "sim",
         )
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= IVF_NPROBE)
-        .select("query_id", "qv", F.col("cid").alias("list_id"))
+        .select("query_id", "qv", "qn", F.col("cid").alias("list_id"))
     )
     scored = (
         F.broadcast(probes)
         .join(corpus, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine_expr("qv", "cv").alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_parts(
+                dot_expr("qv", "cv"), F.col("qn"), F.col("cvn")
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -640,15 +701,27 @@ def emb_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query, neighbor); |Q|·k rows reach the final aggregate."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm_expr("embedding").alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        norm_expr("embedding").alias("cn"),
+    )
 
     def topk(qcol, ccol):
+        # full-width columns reuse the hoisted norms; truncated-dim scoring
+        # (MRL) norms its own slices inside cosine_expr as before
+        if isinstance(qcol, str) and isinstance(ccol, str) and (qcol, ccol) == ("qv", "cv"):
+            cos = cosine_from_parts(dot_expr("qv", "cv"), F.col("qn"), F.col("cn"))
+        else:
+            cos = cosine_expr(qcol, ccol)
         scored = (
             F.broadcast(q)
             .join(c, F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", cosine_expr(qcol, ccol).alias("cosine"))
+            .select("query_id", "neighbor_id", cos.alias("cosine"))
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cosine"), F.asc("neighbor_id")
@@ -1195,15 +1268,27 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
     wb = emb.select("vec_id", "embedding", bucket_expr("embedding").alias("bucket"))
     left = wb.select(
-        F.col("vec_id").alias("src_id"), F.col("embedding").alias("sv"), "bucket"
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("sv"),
+        norm_expr("embedding").alias("sn"),
+        "bucket",
     )
     right = wb.select(
-        F.col("vec_id").alias("dst_id"), F.col("embedding").alias("dv"), "bucket"
+        F.col("vec_id").alias("dst_id"),
+        F.col("embedding").alias("dv"),
+        norm_expr("embedding").alias("dn"),
+        "bucket",
     )
     scored = (
         left.join(right, "bucket")
         .filter(F.col("src_id") != F.col("dst_id"))
-        .select("src_id", "dst_id", cosine_expr("sv", "dv").alias("cosine"))
+        .select(
+            "src_id",
+            "dst_id",
+            cosine_from_parts(
+                dot_expr("sv", "dv"), F.col("sn"), F.col("dn")
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("dst_id"))
     return (
@@ -1454,15 +1539,24 @@ def semdedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", bucket_expr("embedding").alias("cluster")
     )
     a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cluster"
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        norm_expr("embedding").alias("na"),
+        "cluster",
     )
     b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "cluster"
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        norm_expr("embedding").alias("nb"),
+        "cluster",
     )
     drops = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine_expr("va", "vb") >= SEMDEDUP_THRESHOLD)
+        .filter(
+            cosine_from_parts(dot_expr("va", "vb"), F.col("na"), F.col("nb"))
+            >= SEMDEDUP_THRESHOLD
+        )
         .groupBy(F.col("id_b").alias("vec_id"))
         .agg(F.count(F.lit(1)).alias("n_dup_lower"))
     )
@@ -1613,29 +1707,40 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.batch import scratch_dir
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_expr("embedding").alias("en")
+    )
     cents = emb.filter(F.col("vec_id") < IVF_NLIST).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("centv")
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").alias("centv"),
+        F.col("en").alias("cn"),
     )
     sims = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
+        "en",
         "cid",
-        cosine_expr("embedding", "centv").alias("sim"),
+        cosine_from_parts(
+            dot_expr("embedding", "centv"), F.col("en"), F.col("cn")
+        ).alias("sim"),
     )
     corpus = (
         sims.groupBy("vec_id")
         .agg(
             F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias("m"),
             F.first("embedding").alias("cv"),
+            F.first("en").alias("cvn"),
         )
         .select(
             F.col("vec_id").alias("neighbor_id"),
             "cv",
+            "cvn",
             (-F.col("m.ncid")).cast("int").alias("list_id"),
         )
     )
     idx_path = os.path.join(scratch_dir("ivf_index", sf_dir), "index")
+    # the persisted index stores each vector's norm alongside it — what a
+    # real IVF index ships so query-time scoring never recomputes it
     corpus.write.mode("overwrite").partitionBy("list_id").parquet(idx_path)
 
     # query time: rank centroid sims for the query set only, then read
@@ -1646,19 +1751,26 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
+            F.col("en").alias("qn"),
             "cid",
             "sim",
         )
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= IVF_NPROBE)
-        .select("query_id", "qv", F.col("cid").alias("list_id"))
+        .select("query_id", "qv", "qn", F.col("cid").alias("list_id"))
     )
     idx = spark.read.parquet(idx_path)
     scored = (
         F.broadcast(probes)
         .join(idx, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine_expr("qv", "cv").alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_parts(
+                dot_expr("qv", "cv"), F.col("qn"), F.col("cvn")
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -1676,12 +1788,20 @@ def ann_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. One row per list with its share and max/mean ppm ratio; the
     assignment argmax is the same broadcast-relation pass as
     ``ann_ivf``, so the audit costs one aggregation over it."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_expr("embedding").alias("en")
+    )
     cents = emb.filter(F.col("vec_id") < IVF_NLIST).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("centv")
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").alias("centv"),
+        F.col("en").alias("cn"),
     )
     sims = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cid", cosine_expr("embedding", "centv").alias("sim")
+        "vec_id",
+        "cid",
+        cosine_from_parts(
+            dot_expr("embedding", "centv"), F.col("en"), F.col("cn")
+        ).alias("sim"),
     )
     assign = (
         sims.groupBy("vec_id")
@@ -1868,9 +1988,15 @@ def emb_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm_expr("embedding").alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        norm_expr("embedding").alias("cn"),
+    )
 
     def dot6(a: str, b: str) -> Column:
         return F.round(
@@ -1888,7 +2014,9 @@ def emb_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            cosine_expr("qv", "cv").alias("cos"),
+            cosine_from_parts(dot_expr("qv", "cv"), F.col("qn"), F.col("cn")).alias(
+                "cos"
+            ),
             dot6("qv", "cv").alias("dot"),
         )
     )
