@@ -523,7 +523,24 @@ def cluster_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # The scaled corpus is read by ITERS+1 assignment jobs; cache it once
     # — dim longs per row, the working set every k-means pins in memory.
-    vecs = emb.select("vec_id", _scaled_vec_expr("embedding").alias("v")).cache()
+    # ‖x‖² is hoisted alongside (one integer per row): with the exact
+    # identity ‖x−c‖² = ‖x‖² + ‖c‖² − 2·x·c (BIGINT arithmetic — no
+    # float rounding, so sq_dist is bit-identical to the oracle's direct
+    # (a−b)² fold), each of the K per-pair distances costs one dot
+    # product instead of a subtract-square-sum, and the two norms are
+    # computed once per row / once per centroid instead of K× / n×.
+    vecs = (
+        emb.select("vec_id", _scaled_vec_expr("embedding").alias("v"))
+        .withColumn(
+            "xx",
+            F.aggregate(
+                F.transform("v", lambda a: a * a),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .cache()
+    )
 
     cents: list[tuple[int, list[int]]] = [
         (int(r["vec_id"]), [int(x) for x in r["v"]])
@@ -540,13 +557,15 @@ def cluster_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # vector per row — the same one-struct-per-row exchange as
         # ann_ivf's list assignment.
         cents_df = spark.createDataFrame(
-            [(cid, cv) for cid, cv in cents_], "cid int, c array<bigint>"
+            [(cid, cv, sum(x * x for x in cv)) for cid, cv in cents_],
+            "cid int, c array<bigint>, cc bigint",
         )
-        dist = F.aggregate(
-            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        dot = F.aggregate(
+            F.zip_with("v", "c", lambda a, b: a * b),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
+        dist = F.col("xx") + F.col("cc") - 2 * dot
         scored = vecs.crossJoin(F.broadcast(cents_df)).select(
             "vec_id", "v", "cid", dist.alias("d")
         )
