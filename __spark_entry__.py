@@ -98,6 +98,7 @@ _PRIORITY = [
     "emb_bitpack_recall_eval",
     "emb_cosine_histogram",
     "text_bigram_lm_score",
+    "q_join_skew_audit",
     "q_encoding_stats_sharded",
     "ann_topk_gemm",
     "ml_knn_classifier_eval",

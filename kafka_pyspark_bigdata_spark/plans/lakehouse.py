@@ -572,6 +572,62 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+SKEW_AUDIT_TOP = 10
+SKEW_SALT_RATIO_X100 = 400  # flag keys holding >= 4x the mean rows/key
+
+
+def q_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the planning-time input to
+    ``q_salted_join_agg``'s fix: per hot key of the events⋈users join
+    column, its row count, corpus share, and ratio to the mean rows/key,
+    with the ``needs_salt`` verdict at the 4× threshold. On a real
+    cluster this table IS the decision of which keys get salted and how
+    AQE's skew-split thresholds are tuned; run it on every fact join
+    key before a 100 TB backfill, because a reducer handed a
+    double-digit-share key defines the job's wall clock.
+
+    One partial-agg shuffle on the key (counts collapse map-side), a
+    1-row broadcast of the totals, and a TakeOrdered top-10 — the audit
+    costs one scan regardless of corpus size. All integer (ppm / x100
+    fixed point) — hash-exact."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = per_key.agg(
+        F.sum("n_rows").alias("n_total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            "user_id",
+            "n_rows",
+            F.expr("n_rows * 1000000 DIV n_total").alias("share_ppm"),
+            F.expr("n_rows * n_keys * 100 DIV n_total").alias("vs_mean_x100"),
+            F.expr(
+                f"n_rows * n_keys * 100 DIV n_total >= {SKEW_SALT_RATIO_X100}"
+            ).alias("needs_salt"),
+        )
+        .orderBy(F.desc("n_rows"), "user_id")
+        .limit(SKEW_AUDIT_TOP)
+    )
+
+
+SKEW_AUDIT_SQL = f"""
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+),
+totals AS (
+  SELECT SUM(n_rows) AS n_total, COUNT(*) AS n_keys FROM per_key
+)
+SELECT user_id, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_rows * 1000000 // n_total AS BIGINT) AS share_ppm,
+       CAST(n_rows * n_keys * 100 // n_total AS BIGINT) AS vs_mean_x100,
+       n_rows * n_keys * 100 // n_total >= {SKEW_SALT_RATIO_X100} AS needs_salt
+FROM per_key, totals
+ORDER BY n_rows DESC, user_id
+LIMIT {SKEW_AUDIT_TOP}
+"""
+
+
 IVM_D1 = "1996-01-01"
 IVM_D2 = "1997-01-01"
 
@@ -1817,6 +1873,7 @@ QUERIES = {
     "q_zorder_layout": q_zorder_layout,
     "q_ivm_join_delta": q_ivm_join_delta,
     "q_salted_join_agg": q_salted_join_agg,
+    "q_join_skew_audit": q_join_skew_audit,
 }
 
 ORACLES = {
@@ -1839,4 +1896,5 @@ ORACLES = {
     "q_zorder_layout": ZORDER_SQL,
     "q_ivm_join_delta": IVM_SQL,
     "q_salted_join_agg": SALTED_JOIN_SQL,
+    "q_join_skew_audit": SKEW_AUDIT_SQL,
 }
