@@ -99,6 +99,7 @@ _PRIORITY = [
     "emb_cosine_histogram",
     "text_bigram_lm_score",
     "q_join_skew_audit",
+    "q_retention_sweep",
     "q_encoding_stats_sharded",
     "ann_topk_gemm",
     "ml_knn_classifier_eval",

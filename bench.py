@@ -48,6 +48,7 @@ def main() -> None:
         "q_bloom_prune",
         "q_ivm_join_delta",
         "q_join_skew_audit",
+        "q_retention_sweep",
         "q_quantiles_exact",
         "q_gapfill_interpolate",
         "q_partial_agg_merge",

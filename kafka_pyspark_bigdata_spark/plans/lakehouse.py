@@ -925,6 +925,74 @@ COMPACT_SMALL_FILES = 64
 COMPACT_TARGET_FILES = 4
 
 
+RETENTION_ASOF = "2024-01-25 00:00:00"  # policy evaluation instant (fixture mid)
+RETENTION_POLICY = [  # per-event-type TTL days — the broadcast policy table
+    ("click", 7),
+    ("view", 14),
+    ("purchase", 3650),
+]
+
+
+def q_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level retention (TTL) sweep — the GC pass a governed lakehouse
+    runs nightly: every row's age against its type's TTL policy, reported
+    per event type as kept/expired counts and the reclaimable share in
+    ppm. The policy rides as a BROADCAST relation (policies are dozens of
+    rows; the fact table never shuffles — the sweep is one scan + one
+    partial agg), and the real deletion is this same predicate handed to
+    a partition-pruned rewrite, so the audit's counts are exactly the
+    rewrite's row budget. Ages compare in whole epoch-days (integer,
+    UTC), so both engines agree to the row."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    policy = spark.createDataFrame(RETENTION_POLICY, "event_type string, ttl_days int")
+    aged = ev.join(F.broadcast(policy), "event_type").select(
+        "event_type",
+        "ttl_days",
+        (
+            F.expr(f"CAST(to_unix_timestamp(TIMESTAMP '{RETENTION_ASOF}') AS BIGINT) DIV 86400")
+            - F.expr("CAST(to_unix_timestamp(ts) AS BIGINT) DIV 86400")
+        ).alias("age_days"),
+    )
+    return (
+        aged.groupBy("event_type", "ttl_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("age_days") > F.col("ttl_days")).cast("long")).alias(
+                "n_expired"
+            ),
+        )
+        .select(
+            "event_type",
+            "ttl_days",
+            "n_rows",
+            "n_expired",
+            F.expr("n_expired * 1000000 DIV n_rows").alias("reclaim_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+RETENTION_SQL = f"""
+WITH {_EV_US},
+policy AS (
+  SELECT * FROM (VALUES {", ".join(f"('{t}', {d})" for t, d in RETENTION_POLICY)})
+    AS p(event_type, ttl_days)
+),
+aged AS (
+  SELECT e.event_type, p.ttl_days,
+         CAST(epoch(TIMESTAMP '{RETENTION_ASOF}') AS BIGINT) // 86400
+           - CAST(epoch(e.ts) AS BIGINT) // 86400 AS age_days
+  FROM ev e JOIN policy p ON e.event_type = p.event_type
+)
+SELECT event_type, CAST(ttl_days AS INTEGER) AS ttl_days,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN age_days > ttl_days THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+       CAST(SUM(CASE WHEN age_days > ttl_days THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS reclaim_ppm
+FROM aged GROUP BY event_type, ttl_days ORDER BY event_type
+"""
+
+
 def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction — the lakehouse maintenance job every
     streaming ingest needs: a micro-batched writer lands N tiny files
@@ -1874,6 +1942,7 @@ QUERIES = {
     "q_ivm_join_delta": q_ivm_join_delta,
     "q_salted_join_agg": q_salted_join_agg,
     "q_join_skew_audit": q_join_skew_audit,
+    "q_retention_sweep": q_retention_sweep,
 }
 
 ORACLES = {
@@ -1897,4 +1966,5 @@ ORACLES = {
     "q_ivm_join_delta": IVM_SQL,
     "q_salted_join_agg": SALTED_JOIN_SQL,
     "q_join_skew_audit": SKEW_AUDIT_SQL,
+    "q_retention_sweep": RETENTION_SQL,
 }
