@@ -100,6 +100,7 @@ _PRIORITY = [
     "text_bigram_lm_score",
     "q_join_skew_audit",
     "q_retention_sweep",
+    "dedup_lsh_tuning_curve",
     "q_encoding_stats_sharded",
     "ann_topk_gemm",
     "ml_knn_classifier_eval",

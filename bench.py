@@ -165,6 +165,7 @@ def main() -> None:
         "corpus_ngram_novelty",
         "cluster_kmeans_fixed",
         "dedup_threshold_sweep",
+        "dedup_lsh_tuning_curve",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
     ]

@@ -2173,6 +2173,171 @@ LIMIT {LINKPRED_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# LSH band-configuration tuning curve
+# ---------------------------------------------------------------------------
+
+LSH_TUNE_CONFIGS = [(8, 2), (4, 4), (2, 8)]  # (bands, rows) splits of 16 sigs
+
+
+def _capture_ppm(bands: int, rows: int, jacc_tenths: int = 7) -> int:
+    """Exact S-curve capture probability 1 - (1 - j^r)^b at j =
+    jacc_tenths/10, evaluated as an exact rational in Python ints and
+    floored to ppm — a config CONSTANT (embedded identically in the
+    Spark plan and the oracle), not data math."""
+    num, den = jacc_tenths**rows, 10**rows
+    cap_num, cap_den = den**bands - (den - num) ** bands, den**bands
+    return cap_num * 1_000_000 // cap_den
+
+
+def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH parameter-selection table: for each way of splitting the
+    16 MinHash signatures into (bands × rows) — (8×2), (4×4), (2×8) —
+    the measured candidate-pair count, the exact-Jaccard survivors at
+    the 0.7 threshold, the resulting precision, and the theoretical
+    S-curve capture probability 1−(1−j^r)^b at j=0.7. This table IS how
+    the production band config is chosen before a 100 TB dedup run:
+    more rows/band moves the S-curve right (fewer, cleaner candidates),
+    more bands moves it left (higher recall, more verify work) — the
+    measured precision column shows the trade on THIS corpus, the
+    theory column anchors it.
+
+    One signature pass is shared by all three configs (localCheckpoint —
+    sigs are the expensive part); each config adds one banded self-join
+    + one bounded exact-verify join, the same O(n·b) shuffle shape as
+    ``dedup_minhash_lsh`` — never all-pairs. Counts are integers;
+    theory values are config constants — hash-exact."""
+    sh = (
+        with_shingles(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "shingles")
+        .localCheckpoint()
+    )
+    sigs = minhash_sigs(sh).localCheckpoint()
+    out = None
+    for bands, rows in LSH_TUNE_CONFIGS:
+        band_keys = [
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "|", *[f"sig{b * rows + r}" for r in range(rows)]
+                    ),
+                    "UTF-8",
+                )
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+        long = sigs.select("doc_id", *band_keys).select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[f"band{b}" for b in range(bands)])
+            ).alias("band_idx", "bk"),
+        )
+        cand = (
+            long.select(F.col("doc_id").alias("doc_a"), "band_idx", "bk")
+            .join(
+                long.select(F.col("doc_id").alias("doc_b"), "band_idx", "bk"),
+                ["band_idx", "bk"],
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .dropDuplicates()
+        )
+        verified = _verify_jaccard(cand, sh, MINHASH_VERIFY_THRESHOLD)
+        row = (
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(verified.agg(F.count(F.lit(1)).alias("n_verified")))
+            .select(
+                F.lit(bands).alias("n_bands"),
+                F.lit(rows).alias("rows_per_band"),
+                "n_candidates",
+                "n_verified",
+                F.expr("n_verified * 1000000 DIV n_candidates").alias(
+                    "precision_ppm"
+                ),
+                F.lit(_capture_ppm(bands, rows)).alias("theory_capture_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_bands")
+
+
+def _lsh_tuning_sql() -> str:
+    sig_exprs = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {_MH_P}) AS sig{i}"
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    )
+    per_config = []
+    for bands, rows in LSH_TUNE_CONFIGS:
+        band_exprs = ", ".join(
+            "md5("
+            + " || '|' || ".join(
+                f"CAST(sig{b * rows + r} AS VARCHAR)" for r in range(rows)
+            )
+            + f") AS band{b}"
+            for b in range(bands)
+        )
+        band_union = "\n    UNION ALL\n".join(
+            f"    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
+            f" FROM bands_{bands}x{rows} a JOIN bands_{bands}x{rows} b"
+            f" ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+            for b in range(bands)
+        )
+        per_config.append(
+            f"""bands_{bands}x{rows} AS (
+  SELECT doc_id, {band_exprs} FROM sigs
+),
+cand_{bands}x{rows} AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+{band_union}
+  )
+),
+ver_{bands}x{rows} AS (
+  SELECT COUNT(*) AS n_verified FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+           / (len(x.shingles) + len(y.shingles)
+              - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+    FROM cand_{bands}x{rows} c
+    JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+  ) WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+),
+row_{bands}x{rows} AS (
+  SELECT {bands} AS n_bands, {rows} AS rows_per_band,
+         (SELECT COUNT(*) FROM cand_{bands}x{rows}) AS n_candidates,
+         (SELECT n_verified FROM ver_{bands}x{rows}) AS n_verified
+)"""
+        )
+    rows_union = "\nUNION ALL\n".join(
+        f"SELECT * FROM row_{bands}x{rows}" for bands, rows in LSH_TUNE_CONFIGS
+    )
+    theory = " ".join(
+        f"WHEN {bands} THEN {_capture_ppm(bands, rows)}"
+        for bands, rows in LSH_TUNE_CONFIGS
+    )
+    return f"""
+WITH {SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id,
+         {sig_exprs}
+  FROM (
+    SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+    FROM (SELECT doc_id, UNNEST(shingles) AS s FROM sh)
+  )
+  GROUP BY doc_id
+),
+{",".join(per_config)}
+SELECT CAST(n_bands AS INTEGER) AS n_bands,
+       CAST(rows_per_band AS INTEGER) AS rows_per_band,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_verified AS BIGINT) AS n_verified,
+       CAST(n_verified * 1000000 // n_candidates AS BIGINT) AS precision_ppm,
+       CAST(CASE n_bands {theory} END AS BIGINT) AS theory_capture_ppm
+FROM ({rows_union})
+ORDER BY n_bands
+"""
+
+
+
 QUERIES = {
     "graph_link_prediction": graph_link_prediction,
     "graph_kcore": graph_kcore,
@@ -2197,6 +2362,7 @@ QUERIES = {
     "graph_pagerank": graph_pagerank,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_lsh_tuning_curve": dedup_lsh_tuning_curve,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
@@ -2225,6 +2391,7 @@ ORACLES = {
     "graph_pagerank": _pagerank_sql(),
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_lsh_tuning_curve": _lsh_tuning_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
 }
