@@ -719,12 +719,19 @@ def q_corr_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     vx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
     vy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
     slope = cov / vx
+    # The moment sums are identical doubles in both engines (decimal-exact
+    # before the cast), but the final expression is where compilers may
+    # fuse multiplies (FMA) differently — observed as a 2e-19 drift in
+    # pearson_r and 7e-12 in the intercept at sf0.1. Round each readout
+    # to a scale matched to its magnitude (r ∈ [-1,1] → 12 decimals;
+    # slope/intercept are O(10³) → 6 decimals ≈ 10 significant digits)
+    # so contraction-level noise is erased in both engines.
     return m.select(
-        (cov / F.sqrt(vx * vy)).alias("pearson_r"),
-        slope.alias("ols_slope"),
-        (F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n")).alias(
-            "ols_intercept"
-        ),
+        F.round(cov / F.sqrt(vx * vy), 12).alias("pearson_r"),
+        F.round(slope, 6).alias("ols_slope"),
+        F.round(
+            F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 6
+        ).alias("ols_intercept"),
         F.col("n").cast("long").alias("n_rows"),
     )
 
@@ -742,9 +749,9 @@ WITH m AS (
                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
   FROM lineitem
 )
-SELECT (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS pearson_r,
-       (sxy - sx * sy / n) / (sxx - sx * sx / n) AS ols_slope,
-       sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx / n AS ols_intercept,
+SELECT ROUND((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 12) AS pearson_r,
+       ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS ols_slope,
+       ROUND(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx / n, 6) AS ols_intercept,
        CAST(n AS BIGINT) AS n_rows
 FROM m
 """
