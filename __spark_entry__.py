@@ -101,6 +101,7 @@ _PRIORITY = [
     "q_join_skew_audit",
     "q_retention_sweep",
     "dedup_lsh_tuning_curve",
+    "q_chi2_independence",
     "q_encoding_stats_sharded",
     "ann_topk_gemm",
     "ml_knn_classifier_eval",

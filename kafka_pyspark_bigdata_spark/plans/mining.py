@@ -549,6 +549,102 @@ BENFORD_PPM = {
 }
 
 
+CHI2_SEGMENTS = 4  # user_id % 4 — the deterministic cohort split
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and user
+    cohort (user_id mod 4) — the categorical counterpart to
+    ``q_ab_test_conversion``'s z-test, and the standard "is behavior
+    uniform across cohorts" audit before trusting a segmented metric.
+
+    The statistic is EXACT RATIONAL end to end: with o the observed
+    cell count, rt/ct the row/column totals and n the grand total, each
+    cell's contribution (o − rt·ct/n)²/(rt·ct/n) clears denominators to
+    (o·n − rt·ct)² / (rt·ct·n) — all BIGINT (DECIMAL(38,0)/HUGEINT for
+    the squared numerator, which leaves 64 bits at corpus scale), each
+    cell independently floored to ppm, so the sum is order-independent
+    and both engines agree to the integer. Output is one row per cell
+    (observed, expected_x100, contrib_ppm) plus the grand statistic via
+    a cross-join of the 1-row total — dof = (R−1)(C−1) alongside.
+
+    Plan: one partial-agg shuffle on (type, cohort) — ≤ R·C cells —
+    then broadcast joins of the tiny row/column margins. The fact table
+    is scanned once."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.pmod(F.col("user_id"), F.lit(CHI2_SEGMENTS)).alias("cohort")
+    )
+    cells = ev.groupBy("event_type", "cohort").agg(F.count(F.lit(1)).alias("o"))
+    row_t = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    col_t = cells.groupBy("cohort").agg(F.sum("o").alias("ct"))
+    n_t = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("cohort").alias("n_cohorts"),
+    )
+    scored = (
+        cells.join(F.broadcast(row_t), "event_type")
+        .join(F.broadcast(col_t), "cohort")
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "event_type",
+            "cohort",
+            "o",
+            F.expr("rt * ct * 100 DIV n").alias("expected_x100"),
+            F.expr(
+                "CAST((o * CAST(n AS DECIMAL(38,0)) - rt * ct)"
+                " * (o * n - rt * ct) * 1000000 DIV (rt * ct * n) AS BIGINT)"
+            ).alias("contrib_ppm"),
+            F.expr("(n_types - 1) * (n_cohorts - 1)").alias("dof"),
+        )
+    )
+    total = scored.agg(F.sum("contrib_ppm").alias("chi2_ppm"))
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "cohort",
+            "o",
+            "expected_x100",
+            "contrib_ppm",
+            "dof",
+            "chi2_ppm",
+        )
+        .orderBy("event_type", "cohort")
+    )
+
+
+CHI2_SQL = f"""
+WITH ev AS (
+  SELECT event_type, user_id % {CHI2_SEGMENTS} AS cohort FROM events
+),
+cells AS (
+  SELECT event_type, cohort, COUNT(*) AS o FROM ev GROUP BY event_type, cohort
+),
+row_t AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY event_type),
+col_t AS (SELECT cohort, SUM(o) AS ct FROM cells GROUP BY cohort),
+n_t AS (
+  SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS n_types,
+         COUNT(DISTINCT cohort) AS n_cohorts
+  FROM cells
+),
+scored AS (
+  SELECT c.event_type, c.cohort, c.o,
+         CAST(rt * ct * 100 // n AS BIGINT) AS expected_x100,
+         CAST((c.o * CAST(n AS HUGEINT) - rt * ct)
+              * (c.o * n - rt * ct) * 1000000 // (rt * ct * n) AS BIGINT)
+           AS contrib_ppm,
+         CAST((n_types - 1) * (n_cohorts - 1) AS BIGINT) AS dof
+  FROM cells c JOIN row_t USING (event_type) JOIN col_t USING (cohort), n_t
+),
+total AS (SELECT SUM(contrib_ppm) AS chi2_ppm FROM scored)
+SELECT event_type, CAST(cohort AS BIGINT) AS cohort, o, expected_x100,
+       contrib_ppm, dof, CAST(chi2_ppm AS BIGINT) AS chi2_ppm
+FROM scored, total
+ORDER BY event_type, cohort
+"""
+
+
 def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-significant-digit audit over order totals — the
     classic data-forensics screen (fabricated or capped numeric columns
@@ -1199,6 +1295,7 @@ QUERIES = {
     "q_benford_audit": q_benford_audit,
     "q_market_basket_pairs": q_market_basket_pairs,
     "q_ab_test_conversion": q_ab_test_conversion,
+    "q_chi2_independence": q_chi2_independence,
     "q_attribution_last_touch": q_attribution_last_touch,
     "q_rolling_median": q_rolling_median,
     "q_asof_forward": q_asof_forward,
@@ -1218,6 +1315,7 @@ ORACLES = {
     "q_benford_audit": _benford_sql(),
     "q_market_basket_pairs": Q_BASKET_SQL,
     "q_ab_test_conversion": Q_AB_TEST_SQL,
+    "q_chi2_independence": CHI2_SQL,
     "q_attribution_last_touch": Q_ATTRIBUTION_SQL,
     "q_rolling_median": Q_ROLLING_MEDIAN_SQL,
     "q_asof_forward": Q_ASOF_FWD_SQL,
