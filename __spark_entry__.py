@@ -102,6 +102,7 @@ _PRIORITY = [
     "q_retention_sweep",
     "dedup_lsh_tuning_curve",
     "q_chi2_independence",
+    "text_boilerplate_spans",
     "q_encoding_stats_sharded",
     "ann_topk_gemm",
     "ml_knn_classifier_eval",

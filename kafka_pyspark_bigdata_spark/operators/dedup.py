@@ -1281,6 +1281,60 @@ ORDER BY t.doc_id
 """
 
 
+BOILERPLATE_TOP = 20
+BOILERPLATE_MIN_DOCS = 3
+
+
+def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate SPAN detection — which exact 3-gram spans recur across
+    the most documents (headers, footers, templates, license blurbs):
+    the span-level cleaning step (CCNet/Gopher-style repeated-passage
+    removal) that doc-level dedup misses, since boilerplate rides inside
+    otherwise-distinct documents. Reports the top spans by distinct-doc
+    reach with their corpus share in ppm; the removal pass is this same
+    table broadcast back as a filter.
+
+    One explode → partial-agg shuffle on the span (counts collapse
+    map-side; the exchange carries the span VOCABULARY, not the token
+    stream), one tiny doc-count broadcast, TakeOrdered top-20. Reach
+    ties break lexicographically — deterministic in both engines."""
+    sh = with_shingles(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "shingles"
+    )
+    inv = sh.select("doc_id", F.explode("shingles").alias("span"))
+    per_span = inv.groupBy("span").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    n_docs = sh.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        per_span.filter(F.col("n_docs_with") >= BOILERPLATE_MIN_DOCS)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "span",
+            "n_docs_with",
+            F.expr("n_docs_with * 1000000 DIV n_docs").alias("reach_ppm"),
+        )
+        .orderBy(F.desc("n_docs_with"), "span")
+        .limit(BOILERPLATE_TOP)
+    )
+
+
+BOILERPLATE_SQL = f"""
+WITH {SHINGLES_CTE},
+inv AS (SELECT doc_id, UNNEST(shingles) AS span FROM sh),
+per_span AS (
+  SELECT span, COUNT(DISTINCT doc_id) AS n_docs_with FROM inv GROUP BY span
+),
+n_d AS (SELECT COUNT(*) AS n_docs FROM sh)
+SELECT span, n_docs_with,
+       CAST(n_docs_with * 1000000 // n_docs AS BIGINT) AS reach_ppm
+FROM per_span, n_d
+WHERE n_docs_with >= {BOILERPLATE_MIN_DOCS}
+ORDER BY n_docs_with DESC, span
+LIMIT {BOILERPLATE_TOP}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Incremental MinHash dedup (new batch probed against the corpus index)
 # ---------------------------------------------------------------------------
@@ -2349,6 +2403,7 @@ QUERIES = {
     "sketch_minhash_error": sketch_minhash_error,
     "dedup_shingle_coverage": dedup_shingle_coverage,
     "corpus_ngram_novelty": corpus_ngram_novelty,
+    "text_boilerplate_spans": text_boilerplate_spans,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "corpus_dup_source_matrix": corpus_dup_source_matrix,
     "dedup_containment": dedup_containment,
@@ -2378,6 +2433,7 @@ ORACLES = {
     "sketch_minhash_error": _minhash_error_sql(),
     "dedup_shingle_coverage": DEDUP_COVERAGE_SQL,
     "corpus_ngram_novelty": CORPUS_NOVELTY_SQL,
+    "text_boilerplate_spans": BOILERPLATE_SQL,
     "dedup_simhash_pairs": _simhash_pairs_sql(),
     "corpus_dup_source_matrix": _dup_source_matrix_sql(),
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
