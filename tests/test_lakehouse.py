@@ -235,3 +235,47 @@ def test_hilbert_layout_comparable_to_morton(spark):
     assert len(rows) == 6
     assert rows[("hilbert", "suppkey")] <= rows[("linear", "suppkey")]
     assert rows[("zorder", "suppkey")] <= rows[("linear", "suppkey")]
+
+
+def test_retention_sweep_counts_and_policy_join(spark):
+    """Retention sweep: one row per policied event type, kept+expired
+    consistent, reclaim share exact, and a 3650-day TTL expires nothing
+    in the 2024 fixture."""
+    from kafka_pyspark_bigdata_spark.plans.lakehouse import (
+        RETENTION_POLICY,
+        q_retention_sweep,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.event_type: r for r in q_retention_sweep(spark, sf).collect()}
+    assert set(rows) <= {t for t, _ in RETENTION_POLICY}
+    for r in rows.values():
+        assert 0 <= r.n_expired <= r.n_rows
+        assert r.reclaim_ppm == r.n_expired * 1_000_000 // r.n_rows
+    if "purchase" in rows:
+        assert rows["purchase"].n_expired == 0  # 10-year TTL
+
+
+def test_join_skew_audit_flags_and_shares(spark):
+    """Skew audit: rows ordered by count desc, shares and vs-mean ratios
+    exact against a recompute, and needs_salt consistent with the 4x
+    threshold."""
+    from kafka_pyspark_bigdata_spark.plans.lakehouse import (
+        SKEW_SALT_RATIO_X100,
+        q_join_skew_audit,
+    )
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_join_skew_audit(spark, sf).collect()
+    assert rows
+    counts = [r.n_rows for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    ev = load_table(spark, sf, "events")
+    n_total = ev.count()
+    n_keys = ev.select("user_id").distinct().count()
+    for r in rows:
+        assert r.share_ppm == r.n_rows * 1_000_000 // n_total
+        assert r.vs_mean_x100 == r.n_rows * n_keys * 100 // n_total
+        assert r.needs_salt == (r.vs_mean_x100 >= SKEW_SALT_RATIO_X100)

@@ -178,3 +178,27 @@ def test_modality_coverage_tiles_both_tables(spark):
     ne = _d.sql("SELECT COUNT(*) FROM '/root/testdata/sf0.01/embeddings.parquet'").fetchone()[0]
     assert r.n_matched + r.n_docs_unembedded == nd
     assert r.n_matched + r.n_orphan_vectors == ne
+
+
+def test_chi2_cells_reconcile_and_stat_is_sum(spark):
+    """Chi-square audit: cells cover the full contingency table, observed
+    counts sum to the event count, dof=(R-1)(C-1), and the grand
+    statistic equals the sum of per-cell contributions."""
+    from kafka_pyspark_bigdata_spark.plans.mining import (
+        CHI2_SEGMENTS,
+        q_chi2_independence,
+    )
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_chi2_independence(spark, sf).collect()
+    assert rows
+    n_events = load_table(spark, sf, "events").count()
+    assert sum(r.o for r in rows) == n_events
+    types = {r.event_type for r in rows}
+    cohorts = {r.cohort for r in rows}
+    assert cohorts <= set(range(CHI2_SEGMENTS))
+    expect_dof = (len(types) - 1) * (len(cohorts) - 1)
+    assert all(r.dof == expect_dof for r in rows)
+    assert all(r.chi2_ppm == sum(x.contrib_ppm for x in rows) for r in rows)
+    assert all(r.contrib_ppm >= 0 for r in rows)

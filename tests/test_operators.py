@@ -782,3 +782,54 @@ def test_cosine_histogram_is_deterministic_sample_and_sums_to_total(spark):
     assert 1_000_000 - len(rows) <= share <= 1_000_000
     again = emb_cosine_histogram(spark, sf).collect()
     assert [(r.bin, r.n) for r in rows] == [(r.bin, r.n) for r in again]
+
+
+def test_lsh_tuning_curve_monotone_in_bands(spark):
+    """LSH tuning: more bands (fewer rows/band) must never DECREASE the
+    candidate count, theory capture is monotone increasing in bands, and
+    verified survivors never exceed candidates."""
+    from kafka_pyspark_bigdata_spark.operators.dedup import (
+        dedup_lsh_tuning_curve,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        dedup_lsh_tuning_curve(spark, sf).collect(), key=lambda r: r.n_bands
+    )
+    assert [r.n_bands * r.rows_per_band for r in rows] == [16, 16, 16]
+    for r in rows:
+        assert 0 <= r.n_verified <= r.n_candidates
+    cands = [r.n_candidates for r in rows]
+    theory = [r.theory_capture_ppm for r in rows]
+    assert cands == sorted(cands)
+    assert theory == sorted(theory)
+
+
+def test_boilerplate_spans_reach_recompute(spark):
+    """Boilerplate spans: reach counts match a Python recompute of
+    distinct-doc frequency over 3-gram shingles."""
+    from collections import defaultdict
+
+    from kafka_pyspark_bigdata_spark.operators.dedup import (
+        BOILERPLATE_MIN_DOCS,
+        text_boilerplate_spans,
+    )
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = text_boilerplate_spans(spark, sf).collect()
+    assert rows
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    reach = defaultdict(set)
+    n_docs = 0
+    for d in docs:
+        toks = [t for t in d.text.lower().split() if t]
+        if len(toks) < 3:
+            continue
+        n_docs += 1
+        for i in range(len(toks) - 2):
+            reach[" ".join(toks[i : i + 3])].add(d.doc_id)
+    for r in rows:
+        assert r.n_docs_with == len(reach[r.span]), r.span
+        assert r.n_docs_with >= BOILERPLATE_MIN_DOCS
+        assert r.reach_ppm == r.n_docs_with * 1_000_000 // n_docs
