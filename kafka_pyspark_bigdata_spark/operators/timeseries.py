@@ -79,6 +79,11 @@ def _dense_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         users.crossJoin(F.broadcast(days))
         .join(daily, ["user_id", "di", "nd"], "left")
         .na.fill(0, ["v"])
+        # Every consumer reads this densified grid at least twice (series
+        # + PAA segments / trend + residual passes), and the chain above
+        # is itself multi-branch (daily feeds 3 subplans). Spark has no
+        # cross-branch subplan reuse — pin once, read many.
+        .localCheckpoint()
     )
 
 

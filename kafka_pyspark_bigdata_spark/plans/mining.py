@@ -60,6 +60,12 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        # The distinct projection feeds FOUR consumers (both self-join
+        # sides, part counts, order count); Spark has no cross-branch
+        # subplan reuse, so without pinning the scan+distinct shuffle
+        # runs 4x. localCheckpoint = write once, read 4x — at 100 TB the
+        # difference between one fact-table pass and four.
+        .localCheckpoint()
     )
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
