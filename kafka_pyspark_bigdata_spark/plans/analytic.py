@@ -349,6 +349,9 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type").isin("click", "purchase"))
         .select("event_type", "user_id")
         .distinct()
+        # 3 sketch builds read this distinct audience — pin: one
+        # scan+distinct shuffle, not three
+        .localCheckpoint()
     )
     hv = (
         F.conv(

@@ -46,6 +46,9 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("signup_ts"))
+        # feeds 3 consumers (stage-2 join, stage-3 lineage, the final
+        # counts) — pin so the event scan runs once, not per branch
+        .localCheckpoint()
     )
     c = (
         ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
@@ -115,6 +118,9 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("signup_ts"))
+        # feeds 3 consumers (stage-2 join, stage-3 lineage, the final
+        # counts) — pin so the event scan runs once, not per branch
+        .localCheckpoint()
     )
     within = lambda lo: (  # noqa: E731
         F.unix_micros(F.col("ts")) - F.unix_micros(F.col(lo))
@@ -410,10 +416,11 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "d", "value")
     )
     bounds = ev.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    # multi-consumer grid — pin so the bounds scan runs once
     grid = bounds.select(
         F.col("user_id").alias("g_user"),
         F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("grid_day"),
-    )
+    ).localCheckpoint()
     g = grid.join(
         dayv,
         (grid.g_user == dayv.user_id) & (grid.grid_day == dayv.d),
@@ -721,12 +728,18 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("d"),
         F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
     )
-    dayv = ev.groupBy("user_id", "d").agg(F.sum("cents").alias("v_fp"))
+    # dayv and the densified grid each feed multiple joins below; pin so
+    # the event scan + per-day aggregation run once, not per consumer
+    dayv = (
+        ev.groupBy("user_id", "d")
+        .agg(F.sum("cents").alias("v_fp"))
+        .localCheckpoint()
+    )
     bounds = ev.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     grid = bounds.select(
         F.col("user_id").alias("g_user"),
         F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("grid_day"),
-    )
+    ).localCheckpoint()
     g = grid.join(
         dayv,
         (grid.g_user == dayv.user_id) & (grid.grid_day == dayv.d),

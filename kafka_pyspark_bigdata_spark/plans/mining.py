@@ -580,7 +580,13 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.pmod(F.col("user_id"), F.lit(CHI2_SEGMENTS)).alias("cohort")
     )
-    cells = ev.groupBy("event_type", "cohort").agg(F.count(F.lit(1)).alias("o"))
+    # cells feeds 4 consumers (margins x2, totals, the scored join) —
+    # pin the <=RxC-row table so the event scan runs once
+    cells = (
+        ev.groupBy("event_type", "cohort")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint()
+    )
     row_t = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
     col_t = cells.groupBy("cohort").agg(F.sum("o").alias("ct"))
     n_t = cells.agg(
