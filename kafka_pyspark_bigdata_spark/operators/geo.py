@@ -309,9 +309,6 @@ def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .join(ncnt, F.col("user_id") == F.col("u"), "left")
         .select("user_id", F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"))
-        # consumed by the core/border/noise branches — pin so the
-        # neighbor-count join runs once, not per class
-        .localCheckpoint()
     )
     cores = base.filter(F.col("n_neighbors") >= DBSCAN_MINPTS).select(
         F.col("user_id").alias("core_id")

@@ -79,18 +79,15 @@ def _dense_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         users.crossJoin(F.broadcast(days))
         .join(daily, ["user_id", "di", "nd"], "left")
         .na.fill(0, ["v"])
-        # Every consumer reads this densified grid at least twice (series
-        # + PAA segments / trend + residual passes), and the chain above
-        # is itself multi-branch (daily feeds 3 subplans). Spark has no
-        # cross-branch subplan reuse — pin once, read many.
-        .localCheckpoint()
     )
 
 
 def ts_similarity_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top closest user pairs by exact Euclidean distance on daily-sum
     series, candidates from PAA band agreement (docstring above)."""
-    dense = _dense_daily(spark, sf_dir)
+    # the PAA query reads the densified grid TWICE (full series + segment
+    # sums); pin so the multi-join densification chain runs once
+    dense = _dense_daily(spark, sf_dir).localCheckpoint()
     series = dense.groupBy("user_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("di", "v"))), lambda s: s["v"]
@@ -217,7 +214,9 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row array expressions — autocorrelation at any number of lags
     adds zero shuffles.
     """
-    dense = _dense_daily(spark, sf_dir)
+    # the PAA query reads the densified grid TWICE (full series + segment
+    # sums); pin so the multi-join densification chain runs once
+    dense = _dense_daily(spark, sf_dir).localCheckpoint()
     series = dense.groupBy("user_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("di", "v"))), lambda s: s["v"]

@@ -416,11 +416,10 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "d", "value")
     )
     bounds = ev.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
-    # multi-consumer grid — pin so the bounds scan runs once
     grid = bounds.select(
         F.col("user_id").alias("g_user"),
         F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("grid_day"),
-    ).localCheckpoint()
+    )
     g = grid.join(
         dayv,
         (grid.g_user == dayv.user_id) & (grid.grid_day == dayv.d),
@@ -728,18 +727,12 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("d"),
         F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
     )
-    # dayv and the densified grid each feed multiple joins below; pin so
-    # the event scan + per-day aggregation run once, not per consumer
-    dayv = (
-        ev.groupBy("user_id", "d")
-        .agg(F.sum("cents").alias("v_fp"))
-        .localCheckpoint()
-    )
+    dayv = ev.groupBy("user_id", "d").agg(F.sum("cents").alias("v_fp"))
     bounds = ev.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     grid = bounds.select(
         F.col("user_id").alias("g_user"),
         F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("grid_day"),
-    ).localCheckpoint()
+    )
     g = grid.join(
         dayv,
         (grid.g_user == dayv.user_id) & (grid.grid_day == dayv.d),

@@ -57,11 +57,9 @@ def q2_min_metric_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "n_name", "s_acctbal")
         .dropDuplicates(["p_partkey", "s_suppkey"])
     )
-    # min-balance table is consumed by multiple branches; pin so the
-    # supplier-pairs join runs once
     mins = pairs.groupBy(F.col("p_partkey").alias("pk")).agg(
         F.min("s_acctbal").alias("min_bal")
-    ).localCheckpoint()
+    )
     return (
         pairs.join(
             mins,
