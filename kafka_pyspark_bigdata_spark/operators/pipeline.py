@@ -490,7 +490,12 @@ def corpus_length_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs_kept",
             "n_chars_kept",
             F.expr("n_docs_kept * 1000000 DIV t_docs").alias("docs_ppm"),
-            F.expr("n_chars_kept * 1000000 DIV t_chars").alias("chars_ppm"),
+            # char totals at 100 TB (~1e14) wrap a BIGINT·1e6 product —
+            # run the ppm wide, re-narrow at the end
+            F.expr(
+                "CAST(CAST(n_chars_kept AS DECIMAL(38,0)) * 1000000"
+                " DIV t_chars AS BIGINT)"
+            ).alias("chars_ppm"),
         )
         .orderBy("cutoff")
     )
@@ -510,7 +515,7 @@ tot AS (
 )
 SELECT cutoff, n_docs_kept, n_chars_kept,
        CAST(n_docs_kept * 1000000 // t_docs AS BIGINT) AS docs_ppm,
-       CAST(n_chars_kept * 1000000 // t_chars AS BIGINT) AS chars_ppm
+       CAST(CAST(n_chars_kept AS HUGEINT) * 1000000 // t_chars AS BIGINT) AS chars_ppm
 FROM per_cut CROSS JOIN tot
 ORDER BY cutoff
 """

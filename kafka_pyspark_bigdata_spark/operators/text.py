@@ -785,9 +785,13 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_tokens",
             "n_distinct",
-            F.expr("sum_sq * 1000000000 DIV (n_tokens * n_tokens)").alias(
-                "simpson_ppb"
-            ),
+            # wide arithmetic: per-lang token counts at corpus scale make
+            # both sum_sq·1e9 and n_tokens² wrap BIGINT (n_tokens ~ 1e12
+            # at 100 TB); DECIMAL(38,0)/HUGEINT keeps the ppb exact
+            F.expr(
+                "CAST(CAST(sum_sq AS DECIMAL(38,0)) * 1000000000"
+                " DIV (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)"
+            ).alias("simpson_ppb"),
         )
         .orderBy("lang")
     )
@@ -801,7 +805,8 @@ WITH toks AS (
 )
 SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens,
        COUNT(*) AS n_distinct,
-       CAST(SUM(n * n) * 1000000000 // (SUM(n) * SUM(n)) AS BIGINT) AS simpson_ppb
+       CAST(CAST(SUM(n * n) AS HUGEINT) * 1000000000
+            // (CAST(SUM(n) AS HUGEINT) * SUM(n)) AS BIGINT) AS simpson_ppb
 FROM per_tok GROUP BY lang ORDER BY lang
 """
 

@@ -601,9 +601,15 @@ def q_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "n_rows",
             F.expr("n_rows * 1000000 DIV n_total").alias("share_ppm"),
-            F.expr("n_rows * n_keys * 100 DIV n_total").alias("vs_mean_x100"),
+            # hot-key count × key cardinality wraps BIGINT at fact scale
+            # (1e12 rows × 1e9 keys) — compute the ratio wide
             F.expr(
-                f"n_rows * n_keys * 100 DIV n_total >= {SKEW_SALT_RATIO_X100}"
+                "CAST(CAST(n_rows AS DECIMAL(38,0)) * n_keys * 100"
+                " DIV n_total AS BIGINT)"
+            ).alias("vs_mean_x100"),
+            F.expr(
+                "CAST(n_rows AS DECIMAL(38,0)) * n_keys * 100 DIV n_total"
+                f" >= {SKEW_SALT_RATIO_X100}"
             ).alias("needs_salt"),
         )
         .orderBy(F.desc("n_rows"), "user_id")
@@ -620,8 +626,8 @@ totals AS (
 )
 SELECT user_id, CAST(n_rows AS BIGINT) AS n_rows,
        CAST(n_rows * 1000000 // n_total AS BIGINT) AS share_ppm,
-       CAST(n_rows * n_keys * 100 // n_total AS BIGINT) AS vs_mean_x100,
-       n_rows * n_keys * 100 // n_total >= {SKEW_SALT_RATIO_X100} AS needs_salt
+       CAST(CAST(n_rows AS HUGEINT) * n_keys * 100 // n_total AS BIGINT) AS vs_mean_x100,
+       CAST(n_rows AS HUGEINT) * n_keys * 100 // n_total >= {SKEW_SALT_RATIO_X100} AS needs_salt
 FROM per_key, totals
 ORDER BY n_rows DESC, user_id
 LIMIT {SKEW_AUDIT_TOP}

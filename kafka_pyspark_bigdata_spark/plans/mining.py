@@ -35,10 +35,11 @@ BASKET_TOP_N = 200
 
 _LIFT_DOC = """\
 lift_ppm = 1e6 * P(a,b) / (P(a) * P(b)) computed entirely in BIGINT:
-n_ab * n_orders * 1_000_000 DIV (n_a * n_b). All inputs nonnegative, so
-Spark's truncating DIV and DuckDB's flooring // agree. At sf0.01 the
-numerator tops out ~2e14 (BIGINT-safe); at true 100 TB scale swap the
-numerator to DECIMAL(38,0) — same plan shape."""
+n_ab * n_orders * 1_000_000 DIV (n_a * n_b), computed in
+DECIMAL(38,0)/HUGEINT: at 100 TB row counts the BIGINT numerator wraps
+(n_ab·n_orders·10⁶ passes 2⁶³ once n_orders ~ 1e10), so the product runs
+wide and only the final ppm re-narrows. All inputs nonnegative, so
+Spark's truncating DIV and DuckDB's flooring // agree."""
 
 
 def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,9 +100,10 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ab",
             "n_a",
             "n_b",
-            F.expr("n_ab * n_orders * 1000000 DIV (n_a * n_b)").alias(
-                "lift_ppm"
-            ),
+            F.expr(
+                "CAST(n_ab * CAST(n_orders AS DECIMAL(38,0)) * 1000000"
+                " DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
         .orderBy(F.desc("n_ab"), "p1", "p2")
         .limit(BASKET_TOP_N)
@@ -120,8 +122,8 @@ pairs AS (
 ),
 part_n AS (SELECT l_partkey, COUNT(*) AS n_part FROM li GROUP BY 1)
 SELECT p1, p2, n_ab, pa.n_part AS n_a, pb.n_part AS n_b,
-       CAST(n_ab * n_orders * 1000000 // (pa.n_part * pb.n_part) AS BIGINT)
-         AS lift_ppm
+       CAST(n_ab * CAST(n_orders AS HUGEINT) * 1000000
+            // (pa.n_part * pb.n_part) AS BIGINT) AS lift_ppm
 FROM pairs
 JOIN part_n pa ON pairs.p1 = pa.l_partkey
 JOIN part_n pb ON pairs.p2 = pb.l_partkey
