@@ -103,6 +103,7 @@ _PRIORITY = [
     "dedup_lsh_tuning_curve",
     "q_chi2_independence",
     "text_boilerplate_spans",
+    "ann_two_stage_rerank",
     "q_encoding_stats_sharded",
     "ann_topk_gemm",
     "ml_knn_classifier_eval",

@@ -95,6 +95,7 @@ def main() -> None:
         "ann_topk_bruteforce",
         "ann_lsh_bucketed",
         "emb_bitpack_hamming_topk",
+        "ann_two_stage_rerank",
         "emb_cosine_histogram",
         "ann_ivf",
         "emb_mrl_recall",

@@ -2455,6 +2455,133 @@ WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+RERANK_SHORTLIST = 50  # Hamming shortlist size feeding the exact re-rank
+
+
+def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production retrieval shape END TO END: a cheap binary-code
+    first pass shortlists candidates, full-precision cosine re-ranks
+    only the shortlist — coarse-filter + re-rank, the architecture
+    every billion-vector serving stack uses (bit codes in memory,
+    float vectors fetched only for the shortlist). Composes the two
+    rungs already measured separately here: ``emb_bitpack_hamming_topk``
+    (32× compressed scan) and exact scoring, with
+    ``emb_bitpack_recall_eval`` quantifying what the shortlist can miss.
+
+    Stage 1 scans only 8-byte codes (XOR+popcount) and keeps
+    {RERANK_SHORTLIST} per query; stage 2 fetches raw vectors for
+    shortlist rows ONLY — |Q|·{RERANK_SHORTLIST} vector reads instead
+    of |Q|·|corpus| — and re-ranks by exact 6-decimal cosine with
+    hoisted norms. Both stages are integer/rounded-exact, so the DuckDB
+    oracle hash-verifies the full two-stage result, including the
+    ham_rank → rank reordering the re-rank performs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id",
+        F.expr(_bitpack_expr(0)).alias("lo"),
+        F.expr(_bitpack_expr(32)).alias("hi"),
+    )
+    q = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("q_lo"),
+        F.col("hi").alias("q_hi"),
+    )
+    c = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("lo").alias("c_lo"),
+        F.col("hi").alias("c_hi"),
+    )
+    wham = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "CAST(bit_count(q_lo ^ c_lo) + bit_count(q_hi ^ c_hi) AS INT)"
+            ).alias("hamming"),
+        )
+        .withColumn("ham_rank", F.row_number().over(wham))
+        .filter(F.col("ham_rank") <= RERANK_SHORTLIST)
+    )
+    vecs = emb.select(
+        "vec_id", "embedding", norm_expr("embedding").alias("vn")
+    )
+    qv = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("vn").alias("qn"),
+    )
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("vn").alias("cn"),
+    )
+    wcos = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            "ham_rank",
+            cosine_from_parts(
+                dot_expr("qv", "cv"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wcos))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "hamming", "ham_rank", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_RERANK_SQL = f"""
+WITH codes AS (
+  SELECT vec_id,
+         CAST({_bitpack_sql(0)} AS BIGINT) AS lo,
+         CAST({_bitpack_sql(32)} AS BIGINT) AS hi
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, lo AS q_lo, hi AS q_hi FROM codes
+  WHERE vec_id < {N_QUERIES}
+), shortlist AS (
+  SELECT * FROM (
+    SELECT query_id, c.vec_id AS neighbor_id,
+           CAST(bit_count(xor(q_lo, c.lo)) + bit_count(xor(q_hi, c.hi)) AS INTEGER)
+             AS hamming,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY bit_count(xor(q_lo, c.lo)) + bit_count(xor(q_hi, c.hi)),
+                      c.vec_id
+           ) AS INTEGER) AS ham_rank
+    FROM q JOIN codes c ON query_id <> c.vec_id
+  ) WHERE ham_rank <= {RERANK_SHORTLIST}
+), reranked AS (
+  SELECT s.query_id, s.neighbor_id, s.hamming, s.ham_rank,
+         {_cos_sql('x.embedding', 'y.embedding')} AS cosine
+  FROM shortlist s
+  JOIN embeddings x ON x.vec_id = s.query_id
+  JOIN embeddings y ON y.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, hamming, ham_rank, cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  ) AS rank
+  FROM reranked
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 def emb_bitpack_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@K of the 1-bit sign codes against exact cosine ground truth
     — the accept/reject measurement for the 32× compression
@@ -2596,6 +2723,7 @@ QUERIES = {
     "ann_topk_gemm": ann_topk_gemm,
     "emb_bitpack_hamming_topk": emb_bitpack_hamming_topk,
     "emb_bitpack_recall_eval": emb_bitpack_recall_eval,
+    "ann_two_stage_rerank": ann_two_stage_rerank,
     "emb_cosine_histogram": emb_cosine_histogram,
     "ann_mrr_eval": ann_mrr_eval,
     "emb_rank_correlation": emb_rank_correlation,
@@ -2626,6 +2754,7 @@ ORACLES = {
     "ann_topk_gemm": ANN_GEMM_SQL,
     "emb_bitpack_hamming_topk": EMB_HAMMING_SQL,
     "emb_bitpack_recall_eval": EMB_BITPACK_RECALL_SQL,
+    "ann_two_stage_rerank": ANN_RERANK_SQL,
     "emb_cosine_histogram": EMB_COSHIST_SQL,
     "ann_ivf_balance_audit": _ivf_balance_sql(),
     "ann_ivf_persisted": ANN_IVF_SQL,

@@ -833,3 +833,37 @@ def test_boilerplate_spans_reach_recompute(spark):
         assert r.n_docs_with == len(reach[r.span]), r.span
         assert r.n_docs_with >= BOILERPLATE_MIN_DOCS
         assert r.reach_ppm == r.n_docs_with * 1_000_000 // n_docs
+
+
+def test_two_stage_rerank_subsets_shortlist_and_orders_by_cosine(spark):
+    """Two-stage rerank: every final hit must come from the Hamming
+    shortlist, ranks are cosine-ordered (not Hamming-ordered), and at
+    the tiny fixture the result matches full bruteforce top-K whenever
+    the shortlist covers the corpus (n-1 <= shortlist size)."""
+    from kafka_pyspark_bigdata_spark.operators.similarity import (
+        RERANK_SHORTLIST,
+        TOP_K,
+        ann_topk_bruteforce,
+        ann_two_stage_rerank,
+    )
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = ann_two_stage_rerank(spark, sf).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert 1 <= r.ham_rank <= RERANK_SHORTLIST
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, sel in per_q.items():
+        assert [r.rank for r in sel] == list(range(1, len(sel) + 1))
+        cosines = [r.cosine for r in sel]
+        assert cosines == sorted(cosines, reverse=True)
+    n = load_table(spark, sf, "embeddings").count()
+    if n - 1 <= RERANK_SHORTLIST:
+        bf = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ann_topk_bruteforce(spark, sf).collect()
+        }
+        rr = {(r.query_id, r.neighbor_id, r.rank) for r in rows}
+        assert bf == rr
