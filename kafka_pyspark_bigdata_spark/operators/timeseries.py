@@ -214,9 +214,7 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row array expressions — autocorrelation at any number of lags
     adds zero shuffles.
     """
-    # the PAA query reads the densified grid TWICE (full series + segment
-    # sums); pin so the multi-join densification chain runs once
-    dense = _dense_daily(spark, sf_dir).localCheckpoint()
+    dense = _dense_daily(spark, sf_dir)
     series = dense.groupBy("user_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("di", "v"))), lambda s: s["v"]
