@@ -104,6 +104,7 @@ _PRIORITY = [
     "q_chi2_independence",
     "text_boilerplate_spans",
     "ann_two_stage_rerank",
+    "ts_cross_correlation",
     "q_encoding_stats_sharded",
     "ann_topk_gemm",
     "ml_knn_classifier_eval",

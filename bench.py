@@ -74,6 +74,7 @@ def main() -> None:
         "geo_dbscan_core",
         "ts_similarity_paa",
         "ts_autocorr",
+        "ts_cross_correlation",
         "q_tz_daily_rollup",
         # text / similarity / multimodal / dedup extensions — ordered
         # light→heavy: the multi-shuffle dedup queries run LAST so their

@@ -795,6 +795,138 @@ ORDER BY dev.event_type
 """
 
 
+XCORR_LAGS = (0, 1, 2, 3, 7)
+XCORR_A = "click"
+XCORR_B = "purchase"
+
+
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD-LAG analysis: Pearson correlation between the corpus-wide
+    daily click total and the purchase total L days LATER, for L in
+    {XCORR_LAGS} — the do-clicks-precede-purchases question every
+    marketing/capacity team asks of an event stream, and the
+    cross-series counterpart to ``ts_autocorr``.
+
+    Exactness: both series reduce to one row of day-indexed cent
+    arrays; for each lag the overlap window [0, n−L) is centered by the
+    integer transform m·x − S (m = overlap length, S = overlap sum), so
+    numerator Σ ca·cb and the two denominators Σ ca², Σ cb² are EXACT
+    integers — accumulated in DECIMAL(38,0) (corpus-wide daily cents
+    square past 2⁶³; HUGEINT on the oracle side) — and the final r
+    rounds to 9 decimals after one correctly-rounded double division.
+
+    Plan: one (day, type)-keyed partial agg over the scan, a 1-row
+    collect into arrays, then per-lag pure array expressions against a
+    5-row lag relation — adding lags adds zero shuffles, and nothing
+    downstream of the first aggregation scales with the event count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"), _cents("value").alias("cents")
+    )
+    bounds = ev.agg(F.min("d").alias("d0"))
+    daily = (
+        ev.crossJoin(F.broadcast(bounds))
+        .filter(F.col("event_type").isin(XCORR_A, XCORR_B))
+        .groupBy(F.datediff("d", "d0").alias("di"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == XCORR_A, F.col("cents")).otherwise(0)
+            ).alias("ac"),
+            F.sum(
+                F.when(F.col("event_type") == XCORR_B, F.col("cents")).otherwise(0)
+            ).alias("pc"),
+        )
+    )
+    row = daily.agg(
+        F.array_sort(F.collect_list(F.struct("di", "ac", "pc"))).alias("z")
+    ).select(
+        F.transform("z", lambda t: t["ac"]).alias("avec"),
+        F.transform("z", lambda t: t["pc"]).alias("pvec"),
+        F.size("z").alias("n"),
+    )
+    lags = spark.createDataFrame([(l,) for l in XCORR_LAGS], "lag int")
+    j = F.broadcast(row).crossJoin(lags).selectExpr(
+        "lag",
+        "n - lag AS m",
+        "slice(avec, 1, n - lag) AS aw",
+        "slice(pvec, 1 + lag, n - lag) AS bw",
+    )
+    dec = "CAST(0 AS DECIMAL(38,0))"
+    centered = j.selectExpr(
+        "lag",
+        "m",
+        f"aggregate(aw, {dec}, (acc, x) -> acc + x) AS sa",
+        f"aggregate(bw, {dec}, (acc, x) -> acc + x) AS sb",
+        "aw",
+        "bw",
+    ).selectExpr(
+        "lag",
+        "m",
+        "transform(aw, x -> CAST(m AS DECIMAL(38,0)) * x - sa) AS ca",
+        "transform(bw, x -> CAST(m AS DECIMAL(38,0)) * x - sb) AS cb",
+    )
+    stats = centered.selectExpr(
+        "lag",
+        "m",
+        f"aggregate(zip_with(ca, cb, (x, y) -> x * y), {dec}, (acc, v) -> acc + v) AS num",
+        f"aggregate(transform(ca, x -> x * x), {dec}, (acc, v) -> acc + v) AS da",
+        f"aggregate(transform(cb, x -> x * x), {dec}, (acc, v) -> acc + v) AS db",
+    )
+    return stats.selectExpr(
+        "lag",
+        "CAST(m AS INT) AS n_overlap",
+        "ROUND(CAST(num AS DOUBLE) / sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE)), 9) AS r",
+    ).orderBy("lag")
+
+
+TS_XCORR_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (SELECT MIN(d) AS d0 FROM ev),
+daily AS (
+  SELECT datediff('day', d0, d) AS di,
+         SUM(CASE WHEN event_type = '{XCORR_A}' THEN cents ELSE 0 END) AS ac,
+         SUM(CASE WHEN event_type = '{XCORR_B}' THEN cents ELSE 0 END) AS pc
+  FROM ev, bounds
+  WHERE event_type IN ('{XCORR_A}', '{XCORR_B}')
+  GROUP BY 1
+),
+vecs AS (
+  SELECT list(ac ORDER BY di) AS avec, list(pc ORDER BY di) AS pvec,
+         COUNT(*) AS n
+  FROM daily
+),
+lagged AS (
+  SELECT lag, n - lag AS m,
+         list_slice(avec, 1, n - lag) AS aw,
+         list_slice(pvec, 1 + lag, n) AS bw
+  FROM vecs, (SELECT UNNEST({list(XCORR_LAGS)}) AS lag)
+),
+centered AS (
+  SELECT lag, m,
+         list_transform(aw, x -> CAST(m AS HUGEINT) * x
+           - CAST(list_sum(aw) AS HUGEINT)) AS ca,
+         list_transform(bw, x -> CAST(m AS HUGEINT) * x
+           - CAST(list_sum(bw) AS HUGEINT)) AS cb
+  FROM lagged
+),
+stats AS (
+  SELECT lag, m,
+         CAST(list_sum(list_transform(list_zip(ca, cb), p -> p[1] * p[2]))
+              AS HUGEINT) AS num,
+         CAST(list_sum(list_transform(ca, x -> x * x)) AS HUGEINT) AS da,
+         CAST(list_sum(list_transform(cb, x -> x * x)) AS HUGEINT) AS db
+  FROM centered
+)
+SELECT lag, CAST(m AS INTEGER) AS n_overlap,
+       ROUND(CAST(num AS DOUBLE) / sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE)), 9) AS r
+FROM stats ORDER BY lag
+"""
+
+
+
 QUERIES = {
     "ts_downsample_lttb": ts_downsample_lttb,
     "ts_forecast_eval_mase": ts_forecast_eval_mase,
@@ -802,6 +934,7 @@ QUERIES = {
     "ts_trend_forecast": ts_trend_forecast,
     "ts_similarity_paa": ts_similarity_paa,
     "ts_autocorr": ts_autocorr,
+    "ts_cross_correlation": ts_cross_correlation,
     "ts_stl_lite": ts_stl_lite,
 }
 
@@ -812,5 +945,6 @@ ORACLES = {
     "ts_trend_forecast": TS_TREND_SQL,
     "ts_similarity_paa": TS_SIMILARITY_SQL,
     "ts_autocorr": _autocorr_sql(),
+    "ts_cross_correlation": TS_XCORR_SQL,
     "ts_stl_lite": TS_STL_SQL,
 }
