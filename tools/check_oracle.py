@@ -12,6 +12,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
@@ -82,9 +83,21 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from kafka_pyspark_bigdata_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("ORACLE_BARE_SESSION"):
+        # Driver-parity mode: the driver imports __spark_entry__ with its
+        # OWN bare SparkSession — default confs, ANSI on, 200 shuffle
+        # partitions, no engine factory. Sweeping in this mode proves no
+        # query depends on session.get_spark's tuning.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").appName(
+            "oracle-check-bare"
+        ).getOrCreate()
+    else:
+        from kafka_pyspark_bigdata_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
