@@ -68,3 +68,17 @@ def test_registry_has_no_cross_module_name_collisions():
     assert set(os_) <= set(qs)
     env_gated = {"streaming_tws_sessions"}
     assert set(em._PRIORITY) - set(qs) <= env_gated
+
+
+def test_rows_only_list_matches_oracle_gap_exactly():
+    """ROWS_ONLY documents the oracle-less entries for the driver record;
+    it must equal queries() minus oracle_sql() EXACTLY — a new oracle-less
+    query must be consciously added here (or given an oracle), never
+    silently recorded as `no_oracle`."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+
+    gap = set(em.queries()) - set(em.oracle_sql())
+    assert gap == set(em.ROWS_ONLY), gap ^ set(em.ROWS_ONLY)
