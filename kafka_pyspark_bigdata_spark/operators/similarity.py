@@ -2096,7 +2096,7 @@ FROM ranked GROUP BY query_id ORDER BY query_id
 
 
 
-KNN_K = 5
+KNN_EVAL_K = 5  # renamed: a second module-level KNN_K shadowed the graph op's K=3
 KNN_EVAL_MOD = 5  # vec_id % 5 == 0 -> eval split
 
 
@@ -2172,7 +2172,7 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             # score_ppm ∈ [-1e6, 1e6] (21 bits) shifted past a 2^40 id space —
             # local top-K decides EXACTLY like the global window's orderBy.
             key = score_ppm * (1 << 40) - ids[:, None]
-            k = min(KNN_K, key.shape[0])
+            k = min(KNN_EVAL_K, key.shape[0])
             top = np.argpartition(-key, kth=k - 1, axis=0)[:k, :]
             yield pd.DataFrame(
                 {
@@ -2194,7 +2194,7 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("score_ppm"), F.asc("train_id")
     )
     topk = local.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= KNN_K
+        F.col("rank") <= KNN_EVAL_K
     )
     true_labels = spark.createDataFrame(
         [(int(r.vec_id), int(r.label)) for r in ev_rows],
@@ -2246,7 +2246,7 @@ WITH ev AS (
     SELECT eval_id, true_label, nn_label,
            row_number() OVER (PARTITION BY eval_id ORDER BY cos DESC, train_id) AS rank
     FROM scored
-  ) WHERE rank <= {KNN_K}
+  ) WHERE rank <= {KNN_EVAL_K}
 ), votes AS (
   SELECT eval_id, true_label, nn_label, COUNT(*) AS votes
   FROM topk GROUP BY eval_id, true_label, nn_label
