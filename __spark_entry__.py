@@ -105,6 +105,7 @@ _PRIORITY = [
     "text_boilerplate_spans",
     "ann_two_stage_rerank",
     "ts_cross_correlation",
+    "emb_knn_outlier_score",
     "q_encoding_stats_sharded",
     "ann_topk_gemm",
     "ml_knn_classifier_eval",

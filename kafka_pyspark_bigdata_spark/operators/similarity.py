@@ -2719,6 +2719,65 @@ FROM binned, total GROUP BY bin ORDER BY bin
 """
 
 
+OUTLIER_COS_PPM = 50_000  # mean-kNN-cosine floor: below ≈ isolated in space
+
+
+def emb_knn_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space OUTLIER detection — the noise/mislabel filter a
+    training pipeline runs before trusting vectors for retrieval or
+    dedup: a vector whose mean cosine to its own k nearest neighbors is
+    low sits isolated in the space (corrupt text, wrong modality, OOD),
+    the LOF-lite signal without LOF's second-order density ratio. Built
+    ON the banded kNN graph (``knn_graph_lsh``) — no extra scoring pass:
+    score = mean neighbor cosine in exact ppm, vectors that found NO
+    in-bucket neighbor score −1 and are outliers by definition (nothing
+    near them even at the bucket level).
+
+    Plan: the graph's bucket equi-join + one per-source fold + a left
+    join back to the corpus id list — everything after the graph moves
+    ≤ k rows per vector. Threshold is a fixed config ({OUTLIER_COS_PPM}
+    ppm ≈ the fixture's 5th percentile), deterministic in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    g = knn_graph_lsh(spark, sf_dir)
+    scores = g.groupBy(F.col("src_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(cosine * 1000000) AS BIGINT)) DIV COUNT(1)"
+            " AS BIGINT)"
+        ).alias("avg_cos_ppm"),
+    )
+    return (
+        emb.join(scores, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_neighbors", F.lit(0)).cast("int").alias("n_neighbors"),
+            F.coalesce("avg_cos_ppm", F.lit(-1)).alias("avg_cos_ppm"),
+            (
+                F.coalesce("avg_cos_ppm", F.lit(-1)) < OUTLIER_COS_PPM
+            ).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _knn_outlier_sql() -> str:
+    return f"""
+WITH g AS ({_knn_graph_sql().strip()}),
+scores AS (
+  SELECT src_id AS vec_id, COUNT(*) AS n_neighbors,
+         CAST(SUM(CAST(ROUND(cosine * 1000000) AS BIGINT)) // COUNT(*) AS BIGINT)
+           AS avg_cos_ppm
+  FROM g GROUP BY src_id
+)
+SELECT e.vec_id,
+       CAST(COALESCE(n_neighbors, 0) AS INTEGER) AS n_neighbors,
+       CAST(COALESCE(avg_cos_ppm, -1) AS BIGINT) AS avg_cos_ppm,
+       COALESCE(avg_cos_ppm, -1) < {OUTLIER_COS_PPM} AS is_outlier
+FROM embeddings e LEFT JOIN scores s ON e.vec_id = s.vec_id
+ORDER BY e.vec_id
+"""
+
+
 QUERIES = {
     "ann_topk_gemm": ann_topk_gemm,
     "emb_bitpack_hamming_topk": emb_bitpack_hamming_topk,
@@ -2747,6 +2806,7 @@ QUERIES = {
     "cluster_kmeans_fixed": cluster_kmeans_fixed,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "knn_graph_lsh": knn_graph_lsh,
+    "emb_knn_outlier_score": emb_knn_outlier_score,
     "emb_quantize_int8": emb_quantize_int8,
 }
 
@@ -2768,6 +2828,7 @@ ORACLES = {
     "ann_pq_recall_eval": _pq_recall_sql(),
     "ann_dot_pandas_udf": _pudf_sql(),
     "knn_graph_lsh": _knn_graph_sql(),
+    "emb_knn_outlier_score": _knn_outlier_sql(),
     "emb_quantize_int8": EMB_QUANTIZE_SQL,
     "ann_recall_eval": _ann_recall_sql(),
     "ann_mrr_eval": _ann_mrr_sql(),
