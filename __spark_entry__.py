@@ -106,6 +106,7 @@ _PRIORITY = [
     "ann_two_stage_rerank",
     "ts_cross_correlation",
     "emb_knn_outlier_score",
+    "q_session_window_dynamic",
     "q_encoding_stats_sharded",
     "ann_topk_gemm",
     "ml_knn_classifier_eval",

@@ -60,6 +60,7 @@ def main() -> None:
         "q_profile_columns",
         "q_hist_equidepth",
         "q_session_window_native",
+        "q_session_window_dynamic",
         "q_attribution_last_touch",
         "q_market_basket_pairs",
         "q_benford_audit",

@@ -617,6 +617,91 @@ ORDER BY user_id, session_start
 """
 
 
+DYN_GAPS_S = {"click": 1800, "view": 600, "purchase": 3600}
+
+
+def q_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a PER-EVENT gap — Spark's dynamic-gap
+    ``session_window`` (the gap is an interval EXPRESSION evaluated per
+    row: clicks keep a session alive 30 min, views 10, purchases 60).
+    This is how real engagement models sessionize: different activity
+    types carry different intent half-lives, and the fixed-gap variant
+    (``q_session_window_native``) over- or under-merges them.
+
+    Semantics under merge: each event spans [ts, ts+gap(type)); Spark
+    merges overlapping spans per user, so the batch-SQL oracle is
+    interval-union island detection — a running MAX of span ends over
+    preceding events (variable gaps mean an EARLIER long-gap event can
+    bridge past a short-gap one, so the plain lag-vs-prev test is wrong
+    — the running max is the correct general form), new session when
+    the next start reaches it. One shuffle on user_id either way.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    # dynamic gaps must be CalendarIntervalType (ANSI INTERVAL literals
+    # are DayTimeIntervalType and rejected) — make_interval produces it
+    gap = (
+        F.when(
+            F.col("event_type") == "click",
+            F.expr("make_interval(0, 0, 0, 0, 0, 0, 1800)"),
+        )
+        .when(
+            F.col("event_type") == "view",
+            F.expr("make_interval(0, 0, 0, 0, 0, 0, 600)"),
+        )
+        .otherwise(F.expr("make_interval(0, 0, 0, 0, 0, 0, 3600)"))
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+Q_SESSION_DYNAMIC_SQL = f"""
+WITH {_EV_US},
+spans AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) AS ts_us,
+         epoch_us(ts) + 1000000::BIGINT * CASE event_type
+            WHEN 'click' THEN {DYN_GAPS_S['click']}
+            WHEN 'view' THEN {DYN_GAPS_S['view']}
+            ELSE {DYN_GAPS_S['purchase']} END AS end_us
+  FROM ev
+),
+flagged AS (
+  SELECT user_id, ts, ts_us, end_us,
+         CASE WHEN MAX(end_us) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR ts_us >= MAX(end_us) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              )
+         THEN 1 ELSE 0 END AS new_sess
+  FROM spans
+),
+s AS (
+  SELECT user_id, ts, end_us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, end_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(make_timestamp(MAX(end_us)), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
 def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median per group via rank arithmetic (portable across engines,
     unlike interpolating percentile built-ins whose rounding differs):
@@ -1117,6 +1202,7 @@ QUERIES = {
     "q_sessionize": q_sessionize,
     "q_sql_sessionize": q_sql_sessionize,
     "q_session_window_native": q_session_window_native,
+    "q_session_window_dynamic": q_session_window_dynamic,
     "q_exact_median": q_exact_median,
 }
 
@@ -1143,5 +1229,6 @@ ORACLES = {
     "q_sessionize": Q_SESSIONIZE_SQL,
     "q_sql_sessionize": Q_SESSIONIZE_SQL,
     "q_session_window_native": Q_SESSION_WINDOW_NATIVE_SQL,
+    "q_session_window_dynamic": Q_SESSION_DYNAMIC_SQL,
     "q_exact_median": Q_EXACT_MEDIAN_SQL,
 }
