@@ -105,8 +105,15 @@ def main() -> int:
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    items = list(qs.items())
+    if os.environ.get("ORACLE_REVERSE"):
+        # ordering-dependence shake: session state leaking between queries
+        # (cached relations, registered names, observation managers) shows
+        # up as a result that depends on sweep ORDER — run reversed to prove
+        # there is none.
+        items = items[::-1]
     n_ok = n_bad = 0
-    for name, fn in qs.items():
+    for name, fn in items:
         if only and name not in only:
             continue
         t0 = time.time()
