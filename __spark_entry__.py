@@ -107,6 +107,7 @@ _PRIORITY = [
     "ts_cross_correlation",
     "emb_knn_outlier_score",
     "q_session_window_dynamic",
+    "corpus_importance_sampling",
     "q_encoding_stats_sharded",
     "ann_topk_gemm",
     "ml_knn_classifier_eval",

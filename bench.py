@@ -158,6 +158,7 @@ def main() -> None:
         "dedup_record_linkage",
         "corpus_shard_manifest",
         "corpus_temperature_sampling",
+        "corpus_importance_sampling",
         "q_dpp_prune",
         "sketch_ams_f2",
         # graph_modularity is correctness-gated but not a headline: it runs

@@ -660,6 +660,82 @@ FROM shards, total ORDER BY shard
 """
 
 
+IMP_HALF_PPM = 500_000  # an average-length doc keeps with p = 0.5
+
+
+def corpus_importance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOC-LEVEL importance sampling — the quality/length-weighted keep
+    decision (the DCLM/quality-classifier resampling shape), made
+    REPRODUCIBLE: each document's keep probability is proportional to
+    its length relative to the corpus mean (capped at 1), and the
+    "draw" is a content-addressed uniform — the first 6 hex digits of
+    md5(doc_id) mod 10⁶ — compared against that probability as exact
+    integers. No rand(): the same doc gets the same verdict on any
+    engine, run, or cluster size, which is what makes sampled corpora
+    auditable. Complements ``corpus_temperature_sampling`` (source-level
+    re-weighting) with the per-document rung.
+
+    Output is the per-source audit: realized keep rate vs the expected
+    rate (Σ keep_ppm), the check that the hash-uniform is behaving.
+    Plan: 1-row mean broadcast, map-side verdicts, one partial agg per
+    source — a single scan at any corpus size."""
+    docs = load_documents(spark, sf_dir).select("doc_id", "source", "n_chars")
+    mean = docs.agg(
+        F.expr("CAST(SUM(n_chars) DIV COUNT(1) AS BIGINT)").alias("avg_chars")
+    )
+    scored = docs.crossJoin(F.broadcast(mean)).select(
+        "source",
+        F.expr(
+            f"LEAST(CAST(1000000 AS BIGINT),"
+            f" n_chars * {IMP_HALF_PPM} DIV avg_chars)"
+        ).alias("keep_ppm"),
+        F.expr(
+            "CAST(CONV(SUBSTRING(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10)"
+            " AS BIGINT) % 1000000"
+        ).alias("u_ppm"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("u_ppm") < F.col("keep_ppm")).cast("long")).alias(
+                "n_kept"
+            ),
+            F.expr("CAST(SUM(keep_ppm) DIV 1000000 AS BIGINT)").alias(
+                "expected_kept"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "expected_kept",
+            F.expr("n_kept * 1000000 DIV n_docs").alias("kept_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_IMPORTANCE_SQL = f"""
+WITH mean AS (
+  SELECT CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS avg_chars FROM documents
+),
+scored AS (
+  SELECT source,
+         LEAST(1000000::BIGINT, n_chars * {IMP_HALF_PPM} // avg_chars) AS keep_ppm,
+         ('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+           % 1000000 AS u_ppm
+  FROM documents, mean
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN u_ppm < keep_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(keep_ppm) // 1000000 AS BIGINT) AS expected_kept,
+       CAST(SUM(CASE WHEN u_ppm < keep_ppm THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS kept_ppm
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
 TEMP_SQRT_SCALE = 100_000_000  # fixed-point sqrt: 4 decimal digits
 
 
@@ -926,6 +1002,7 @@ QUERIES = {
     "corpus_epoch_shuffle": corpus_epoch_shuffle,
     "corpus_span_corruption": corpus_span_corruption,
     "corpus_temperature_sampling": corpus_temperature_sampling,
+    "corpus_importance_sampling": corpus_importance_sampling,
     "corpus_shard_manifest": corpus_shard_manifest,
     "corpus_cap_per_source": corpus_cap_per_source,
     "corpus_preprocess_e2e": corpus_preprocess_e2e,
@@ -945,6 +1022,7 @@ ORACLES = {
     "corpus_epoch_shuffle": CORPUS_EPOCH_SQL,
     "corpus_span_corruption": CORPUS_SPAN_SQL,
     "corpus_temperature_sampling": CORPUS_TEMPERATURE_SQL,
+    "corpus_importance_sampling": CORPUS_IMPORTANCE_SQL,
     "corpus_shard_manifest": CORPUS_SHARD_SQL,
     "corpus_cap_per_source": CORPUS_CAP_SQL,
     "corpus_token_budget": CORPUS_TOKEN_BUDGET_SQL,
