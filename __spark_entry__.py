@@ -108,6 +108,7 @@ _PRIORITY = [
     "emb_knn_outlier_score",
     "q_session_window_dynamic",
     "corpus_importance_sampling",
+    "q_python_datasource_writer",
     "q_encoding_stats_sharded",
     "ann_topk_gemm",
     "ml_knn_classifier_eval",
