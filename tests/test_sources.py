@@ -36,3 +36,36 @@ def test_variant_shred_typed_extraction(spark):
         F.get_json_object("props", "$.k").cast("int").alias("s"),
     )
     assert both.filter(~F.col("v").eqNullSafe(F.col("s"))).count() == 0
+
+
+def test_python_datasource_writer_manifest_hides_stray_files(spark):
+    """The custom sink's read-back must go through the manifest ONLY: a
+    stray (uncommitted) file dropped into the directory after commit
+    must not change the result — the exactly-once property the staged-
+    files + manifest protocol exists to provide."""
+    import json
+    import os
+
+    from kafka_pyspark_bigdata_spark.sources.batch import scratch_dir
+    from kafka_pyspark_bigdata_spark.sources.queries import (
+        q_python_datasource_writer,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    first = q_python_datasource_writer(spark, sf).collect()[0]
+    out_dir = os.path.join(
+        "/tmp", "kpbd_scratch", "pyds_writer_sf0.001", "ledger"
+    )
+    manifest = json.load(open(os.path.join(out_dir, "_MANIFEST.json")))
+    assert manifest["rows"] == first.n_rows
+    assert all(os.path.exists(p) for p in manifest["files"])
+    # drop a stray file a failed/speculative task might leave behind
+    stray = os.path.join(out_dir, "part-stray.jsonl")
+    with open(stray, "w") as fh:
+        fh.write('{"k": 999999, "cents": 123456}\n')
+    back = (
+        spark.read.schema("k bigint, cents bigint")
+        .json(manifest["files"])
+        .count()
+    )
+    assert back == first.n_rows  # stray file invisible via the manifest
