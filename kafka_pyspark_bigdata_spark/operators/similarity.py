@@ -2640,13 +2640,13 @@ def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarities, binned at 0.1 width — the anisotropy check run before
     trusting cosine retrieval at all (a mass concentrated near +1 means
     a collapsed embedding space where ranking is noise; healthy spaces
-    center near 0). Reported over a DETERMINISTIC 1/{M} sample of
+    center near 0). Reported over a DETERMINISTIC 1/COSHIST_MOD sample of
     unordered pairs chosen by congruence class: pair (a, b) is kept iff
-    31·a + 17·b ≡ 0 (mod {M}) — and that predicate is planned as an
+    31·a + 17·b ≡ 0 (mod COSHIST_MOD) — and that predicate is planned as an
     EQUI-JOIN on the residue keys ((M − 31a mod M) mod M = 17b mod M),
     so the n²/M sampled pairs are generated directly; the n² cross
     space is never enumerated. Sampling, binning, and counting are all
-    integer/equi-join shapes; M scales with n²/budget at 100 TB. Both
+    integer/equi-join shapes; COSHIST_MOD scales with n²/budget at 100 TB. Both
     engines compute the identical pair set and 6-decimal cosines —
     hash-exact.
     """
