@@ -668,8 +668,11 @@ def corpus_importance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision (the DCLM/quality-classifier resampling shape), made
     REPRODUCIBLE: each document's keep probability is proportional to
     its length relative to the corpus mean (capped at 1), and the
-    "draw" is a content-addressed uniform — the first 6 hex digits of
-    md5(doc_id) mod 10⁶ — compared against that probability as exact
+    "draw" is a content-addressed uniform — the first 5 hex digits of
+    md5(doc_id), scaled 16⁵ → 10⁶ by exact integer arithmetic (a
+    ``% 10⁶`` of a hex prefix would over-weight residues below the
+    remainder by ~6% relative, since 16⁶ is not a multiple of 10⁶) —
+    compared against that probability as exact
     integers. No rand(): the same doc gets the same verdict on any
     engine, run, or cluster size, which is what makes sampled corpora
     auditable. Complements ``corpus_temperature_sampling`` (source-level
@@ -690,8 +693,8 @@ def corpus_importance_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" n_chars * {IMP_HALF_PPM} DIV avg_chars)"
         ).alias("keep_ppm"),
         F.expr(
-            "CAST(CONV(SUBSTRING(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10)"
-            " AS BIGINT) % 1000000"
+            "CAST(CONV(SUBSTRING(md5(CAST(doc_id AS STRING)), 1, 5), 16, 10)"
+            " AS BIGINT) * 1000000 DIV 1048576"
         ).alias("u_ppm"),
     )
     return (
@@ -723,8 +726,8 @@ WITH mean AS (
 scored AS (
   SELECT source,
          LEAST(1000000::BIGINT, n_chars * {IMP_HALF_PPM} // avg_chars) AS keep_ppm,
-         ('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
-           % 1000000 AS u_ppm
+         ('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 5))::BIGINT
+           * 1000000 // 1048576 AS u_ppm
   FROM documents, mean
 )
 SELECT source, COUNT(*) AS n_docs,

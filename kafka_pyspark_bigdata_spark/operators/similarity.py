@@ -2097,6 +2097,42 @@ FROM ranked GROUP BY query_id ORDER BY query_id
 
 
 KNN_EVAL_K = 5  # renamed: a second module-level KNN_K shadowed the graph op's K=3
+GEMM_SELECT_SLACK = 16  # local preselect overshoot covering BLAS jitter
+
+
+def _fold_norms(mat):
+    """sqrt(Σx²) per row with a dim-SEQUENTIAL float64 fold (vectorized
+    across rows, ordered over dims) — bit-identical to the scalar fold
+    ``F.aggregate`` / DuckDB ``list_sum`` run, unlike np.linalg.norm's
+    pairwise/blocked reduction."""
+    acc = np.zeros(mat.shape[0])
+    for t in range(mat.shape[1]):
+        acc = acc + mat[:, t] * mat[:, t]
+    return np.sqrt(acc)
+
+
+def _fold_dot_pairs(emat, qmat, rows):
+    """Σ eᵢqᵢ for candidate pairs with the same dim-sequential fold.
+    ``rows`` is a (k, Q) index matrix into ``emat``; column j pairs with
+    ``qmat[j]``. Returns a (k, Q) float64 dot matrix."""
+    cand = emat[rows]  # (k, Q, d)
+    acc = np.zeros(rows.shape)
+    for t in range(emat.shape[1]):
+        acc = acc + cand[:, :, t] * qmat[None, :, t]
+    return acc
+
+
+def _round_half_away(y):
+    """Exact round-half-away-from-zero (C ``std::round`` / DuckDB
+    ``ROUND`` / Spark ``round``) for |y| < 2**52. ``np.rint`` is
+    half-to-EVEN and disagrees with the SQL engines on exact halves;
+    ``floor(y + 0.5)`` mis-rounds when ``y + 0.5`` itself rounds up.
+    ``y - floor(y)`` is exact below 2**52, so the comparison is exact."""
+    fl = np.floor(y)
+    frac = y - fl
+    return fl + ((frac > 0.5) | ((frac == 0.5) & (y >= 0)))
+
+
 KNN_EVAL_MOD = 5  # vec_id % 5 == 0 -> eval split
 
 
@@ -2118,13 +2154,16 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``KNN_EVAL_MAX_ROWS``) — is collected once, normalized, and closed
     over; ``mapInPandas`` streams the TRAIN corpus in Arrow batches, each
     batch computing all batch×eval cosines as one BLAS GEMM and keeping
-    its LOCAL per-eval top-K, so the shuffle carries ≤ K·|eval| rows per
-    batch instead of the |eval|×|train| score stream. Oracle-exactness is
-    preserved by fixed-point rounding INSIDE the kernel: cosines quantize
-    to ppm (the same 6-decimal contract as ``cosine_expr``) before any
-    top-K decision, and local selection orders by the exact
-    (score_ppm DESC, train_id ASC) composite key the global window and
-    the DuckDB oracle use — so no boundary candidate is ever dropped.
+    its LOCAL per-eval top-(K+slack), so the shuffle carries
+    ≤ (K+slack)·|eval| rows per batch instead of the |eval|×|train|
+    score stream. Oracle-exactness: the GEMM is used for candidate
+    SELECTION only (overshooting by ``GEMM_SELECT_SLACK`` so BLAS
+    summation-order jitter can never evict a true top-K row); survivors
+    are RESCORED with the dim-sequential float64 fold the oracle's
+    ``list_sum`` runs and quantized to ppm with exact
+    half-away-from-zero rounding (``_round_half_away`` — ``np.rint``'s
+    half-to-even disagrees with SQL ROUND on exact halves), so the
+    emitted score is the same double sequence both engines compute.
 
     After scoring: global per-eval top-K window over ≤ K rows per (eval,
     batch), vote count, majority via a tiny window (votes DESC, label ASC
@@ -2151,7 +2190,7 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     eval_ids = np.array([r.vec_id for r in ev_rows], dtype=np.int64)
     q_mat = np.array([r.embedding for r in ev_rows], dtype=np.float64)
-    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm = _fold_norms(q_mat)
     bc = spark.sparkContext.broadcast((eval_ids, q_mat, q_norm))
 
     def gen(batches):
@@ -2162,24 +2201,29 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             e_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             labels = pdf["label"].to_numpy(dtype=np.int32)
-            e_norm = np.linalg.norm(e_mat, axis=1)
-            # GEMM on the RAW vectors, then one divide by the norm product —
-            # the exact expression shape of cosine_expr/_cos_sql (dot/(|u||v|)),
-            # so post-rounding values match the oracle bit-for-bit.
+            e_norm = _fold_norms(e_mat)
+            # GEMM for candidate SELECTION only: pick K+slack by the
+            # approximate (rint-quantized) composite key — jitter-tolerant
+            # because the slack absorbs any half-boundary crossing.
             cos = (e_mat @ b_q.T) / (e_norm[:, None] * b_qn[None, :])
-            score_ppm = np.rint(cos * 1_000_000).astype(np.int64)
-            # Composite key (score_ppm DESC, train_id ASC) as one int64:
-            # score_ppm ∈ [-1e6, 1e6] (21 bits) shifted past a 2^40 id space —
-            # local top-K decides EXACTLY like the global window's orderBy.
-            key = score_ppm * (1 << 40) - ids[:, None]
-            k = min(KNN_EVAL_K, key.shape[0])
-            top = np.argpartition(-key, kth=k - 1, axis=0)[:k, :]
+            sel_key = np.rint(cos * 1_000_000).astype(np.int64) * (
+                1 << 40
+            ) - ids[:, None]
+            k = min(KNN_EVAL_K + GEMM_SELECT_SLACK, sel_key.shape[0])
+            top = np.argpartition(-sel_key, kth=k - 1, axis=0)[:k, :]
+            # EXACT rescore of survivors: dot/(|u||v|) with the oracle's
+            # dim-sequential fold, half-away ppm quantization — the global
+            # (score_ppm DESC, train_id ASC) window then decides exactly.
+            dot = _fold_dot_pairs(e_mat, b_q, top)
+            score_ppm = _round_half_away(
+                dot / (e_norm[top] * b_qn[None, :]) * 1_000_000
+            ).astype(np.int64)
             yield pd.DataFrame(
                 {
                     "eval_id": np.repeat(b_ids[None, :], k, axis=0).ravel(),
                     "train_id": ids[top].ravel(),
                     "nn_label": labels[top.ravel()],
-                    "score_ppm": np.take_along_axis(score_ppm, top, axis=0).ravel(),
+                    "score_ppm": score_ppm.ravel(),
                 }
             )
 
@@ -2275,14 +2319,17 @@ def ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the throughput shape for exact search at scale: one vectorized
     kernel per batch instead of |batch|·|Q| expression-tree dot products,
-    and the shuffle carries K rows per (query, batch) — not the corpus.
-    Same neighbor contract as ``ann_topk_bruteforce``, and ORACLE-EXACT:
-    the kernel computes dot/(|u||v|) in the same expression shape as
-    ``cosine_expr`` and quantizes to ppm (the 6-decimal contract) BEFORE
-    any top-K decision, with local selection ordered by the exact
-    (score_ppm DESC, neighbor_id ASC) composite key the global window and
-    the DuckDB oracle use — so BLAS summation-order jitter is rounded away
-    and no boundary candidate is ever dropped locally.
+    and the shuffle carries K+slack rows per (query, batch) — not the
+    corpus. Same neighbor contract as ``ann_topk_bruteforce``, and
+    ORACLE-EXACT by construction, not by luck: the GEMM only SELECTS
+    candidates (overshooting by ``GEMM_SELECT_SLACK`` so BLAS
+    summation-order jitter can never evict a true top-K row); survivors
+    are RESCORED with the dim-sequential float64 fold the oracle's
+    ``list_sum`` runs and quantized with exact half-away-from-zero
+    rounding (``np.rint``'s half-to-even disagrees with SQL ROUND on
+    exact halves), so the emitted score_ppm is the same double sequence
+    both engines compute and the global (score_ppm DESC, neighbor_id
+    ASC) window decides identically.
     """
     import numpy as np
     import pandas as pd
@@ -2295,7 +2342,7 @@ def ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
-    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm = _fold_norms(q_mat)
 
     def gen(batches):
         for pdf in batches:
@@ -2303,23 +2350,28 @@ def ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             e_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            e_norm = np.linalg.norm(e_mat, axis=1)
-            # GEMM on raw vectors, ONE divide by the norm product — the
-            # exact dot/(|u||v|) shape of cosine_expr/_cos_sql.
+            e_norm = _fold_norms(e_mat)
+            # GEMM for candidate SELECTION only (K+slack by approximate key).
             cos = (e_mat @ q_mat.T) / (e_norm[:, None] * q_norm[None, :])
-            score_ppm = np.rint(cos * 1_000_000).astype(np.int64)
+            sel_ppm = np.rint(cos * 1_000_000).astype(np.int64)
             # Self-match mask: sentinel below the -1e6 cosine floor.
-            score_ppm[ids[:, None] == qids[None, :]] = -2_000_000
-            # Composite key (score_ppm DESC, neighbor_id ASC) as one int64
-            # so the local top-K decides exactly like the global window.
-            key = score_ppm * (1 << 40) - ids[:, None]
-            k = min(TOP_K, key.shape[0])
-            top = np.argpartition(-key, kth=k - 1, axis=0)[:k, :]
+            self_mask = ids[:, None] == qids[None, :]
+            sel_ppm[self_mask] = -2_000_000
+            sel_key = sel_ppm * (1 << 40) - ids[:, None]
+            k = min(TOP_K + GEMM_SELECT_SLACK, sel_key.shape[0])
+            top = np.argpartition(-sel_key, kth=k - 1, axis=0)[:k, :]
+            # EXACT rescore of survivors: oracle's sequential fold +
+            # half-away ppm; re-mask self matches on the rescored values.
+            dot = _fold_dot_pairs(e_mat, q_mat, top)
+            score_ppm = _round_half_away(
+                dot / (e_norm[top] * q_norm[None, :]) * 1_000_000
+            ).astype(np.int64)
+            score_ppm[ids[top] == qids[None, :]] = -2_000_000
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(qids[None, :], k, axis=0).ravel(),
                     "neighbor_id": ids[top].ravel(),
-                    "score_ppm": np.take_along_axis(score_ppm, top, axis=0).ravel(),
+                    "score_ppm": score_ppm.ravel(),
                 }
             )
 

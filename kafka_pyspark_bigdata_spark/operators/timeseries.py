@@ -818,7 +818,13 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one (day, type)-keyed partial agg over the scan, a 1-row
     collect into arrays, then per-lag pure array expressions against a
     5-row lag relation — adding lags adds zero shuffles, and nothing
-    downstream of the first aggregation scales with the event count."""
+    downstream of the first aggregation scales with the event count.
+
+    The day axis is DENSIFIED onto the calendar grid (day index 0 =
+    corpus-wide min date, zero-filled through the max observed
+    click/purchase day) so lag L means "L calendar days later" even
+    when some day has no such events — matching the ``_dense_daily``
+    convention used by the other ts_* operators."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("d"), _cents("value").alias("cents")
     )
@@ -836,12 +842,17 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pc"),
         )
     )
+    # densify: map observed days, then read the full 0..max(di) calendar
+    # range with zero fills (a missing day is a 0-cent day, not a gap)
     row = daily.agg(
-        F.array_sort(F.collect_list(F.struct("di", "ac", "pc"))).alias("z")
-    ).select(
-        F.transform("z", lambda t: t["ac"]).alias("avec"),
-        F.transform("z", lambda t: t["pc"]).alias("pvec"),
-        F.size("z").alias("n"),
+        F.map_from_entries(
+            F.collect_list(F.struct("di", F.struct("ac", "pc")))
+        ).alias("m"),
+        (F.max("di") + F.lit(1)).alias("n"),
+    ).selectExpr(
+        "transform(sequence(0, n - 1), i -> coalesce(m[i].ac, CAST(0 AS BIGINT))) AS avec",
+        "transform(sequence(0, n - 1), i -> coalesce(m[i].pc, CAST(0 AS BIGINT))) AS pvec",
+        "CAST(n AS INT) AS n",
     )
     lags = spark.createDataFrame([(l,) for l in XCORR_LAGS], "lag int")
     j = F.broadcast(row).crossJoin(lags).selectExpr(
@@ -893,10 +904,17 @@ daily AS (
   WHERE event_type IN ('{XCORR_A}', '{XCORR_B}')
   GROUP BY 1
 ),
+grid AS (
+  SELECT UNNEST(range(0, (SELECT MAX(di) FROM daily) + 1)) AS di
+),
+dense AS (
+  SELECT g.di, COALESCE(ac, 0) AS ac, COALESCE(pc, 0) AS pc
+  FROM grid g LEFT JOIN daily ON g.di = daily.di
+),
 vecs AS (
   SELECT list(ac ORDER BY di) AS avec, list(pc ORDER BY di) AS pvec,
          COUNT(*) AS n
-  FROM daily
+  FROM dense
 ),
 lagged AS (
   SELECT lag, n - lag AS m,

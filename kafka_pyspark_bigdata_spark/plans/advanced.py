@@ -675,7 +675,7 @@ spans AS (
   FROM ev
 ),
 flagged AS (
-  SELECT user_id, ts, ts_us, end_us,
+  SELECT user_id, ts, event_id, ts_us, end_us,
          CASE WHEN MAX(end_us) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
@@ -688,8 +688,11 @@ flagged AS (
   FROM spans
 ),
 s AS (
+  -- cumsum MUST share the running-max window's (ts, event_id) tie order:
+  -- ordering by (ts, end_us) misassigns a short-gap event that ties on ts
+  -- with a long-gap one, and end_us ties are nondeterministic.
   SELECT user_id, ts, end_us,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, end_us
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )

@@ -624,9 +624,18 @@ def q_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verified end to end: lineitem cents written through the sink, read
     back via the manifest, aggregated — the hash must equal the oracle's
     direct aggregation of the table, proving no row was lost, duplicated,
-    or read from an unpublished file at any parallelism."""
+    or read from an unpublished file at any parallelism.
+
+    Filesystem contract: the writer ``open()``s ``path`` on executors,
+    which assumes a filesystem shared between driver and executors
+    (true on local[*] and NFS-backed clusters; a production deployment
+    would route staging through an object-store/HDFS client instead).
+    Each run stages into a fresh ``run-<uuid>/`` subdirectory and the
+    parent ledger dir is cleared first, so repeated runs (bench +
+    oracle sweep + tests) cannot accumulate orphaned staged files."""
     import json as _json
     import os as _os
+    import shutil as _shutil
     import uuid as _uuid
 
     from pyspark.sql.datasource import (
@@ -635,7 +644,9 @@ def q_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         WriterCommitMessage,
     )
 
-    out_dir = _os.path.join(scratch_dir("pyds_writer", sf_dir), "ledger")
+    base_dir = _os.path.join(scratch_dir("pyds_writer", sf_dir), "ledger")
+    _shutil.rmtree(base_dir, ignore_errors=True)
+    out_dir = _os.path.join(base_dir, f"run-{_uuid.uuid4().hex}")
     _os.makedirs(out_dir, exist_ok=True)
 
     class LedgerCommit(WriterCommitMessage):

@@ -53,9 +53,14 @@ def test_python_datasource_writer_manifest_hides_stray_files(spark):
 
     sf = "/root/testdata/sf0.001"
     first = q_python_datasource_writer(spark, sf).collect()[0]
-    out_dir = os.path.join(
+    ledger = os.path.join(
         "/tmp", "kpbd_scratch", "pyds_writer_sf0.001", "ledger"
     )
+    # each run stages into a fresh run-<uuid>/ dir and clears the parent
+    # first, so repeated runs cannot accumulate orphaned staged files
+    runs = sorted(os.listdir(ledger))
+    assert len(runs) == 1 and runs[0].startswith("run-")
+    out_dir = os.path.join(ledger, runs[0])
     manifest = json.load(open(os.path.join(out_dir, "_MANIFEST.json")))
     assert manifest["rows"] == first.n_rows
     assert all(os.path.exists(p) for p in manifest["files"])
