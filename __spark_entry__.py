@@ -86,63 +86,25 @@ def _modules():
     return mods
 
 
-# Round-4 rotation: the driver's correctness sweep covers only a ~50-name
-# prefix of this registry per round. Head = every operator CHANGED this
-# round (bug fixes / rewrites that must re-verify), then the 172 names no
-# driver round has ever checked (r01+r02+r03 union = 117 distinct), with
-# the known-slow sweep entries (>5s at sf0.01) deferred to the tail of the
-# rotation so the driver's time budget covers a full 50.
+# Round-5 rotation: the driver's correctness sweep covers only a ~50-name
+# prefix of this registry per round. Head = the 8 operators CHANGED this
+# round (ADVICE fixes + perf rewrites that must re-verify under the
+# driver), then the 144 names no driver round has ever checked
+# (r01..r04 union = 162 distinct), with the known-slow rows-only ml_*
+# sweep entries (2.7-5.8s each at sf0.01: ml_classifier_auc,
+# ml_quality_classifier, ml_grid_search, ml_incremental_versions)
+# deferred to the tail so the driver's time budget covers a full ~50.
 _PRIORITY = [
-    "text_bm25_topk",
-    "emb_bitpack_hamming_topk",
-    "emb_bitpack_recall_eval",
-    "emb_cosine_histogram",
-    "text_bigram_lm_score",
-    "q_join_skew_audit",
-    "q_retention_sweep",
-    "dedup_lsh_tuning_curve",
-    "q_chi2_independence",
-    "text_boilerplate_spans",
-    "ann_two_stage_rerank",
-    "ts_cross_correlation",
-    "emb_knn_outlier_score",
+    # -- changed this round (re-verify) --
     "q_session_window_dynamic",
+    "ts_cross_correlation",
     "corpus_importance_sampling",
-    "q_python_datasource_writer",
-    "q_encoding_stats_sharded",
+    "emb_cosine_histogram",
     "ann_topk_gemm",
     "ml_knn_classifier_eval",
-    "text_bpe_pair_merges",
-    "emb_rank_correlation",
-    "ml_permutation_importance",
-    "streaming_python_source",
-    "q_winsorized_mean",
-    "ts_trend_forecast",
-    "geo_knn_join",
-    "corpus_shard_manifest",
-    "q_dpp_prune",
-    "sketch_ams_f2",
-    "corpus_temperature_sampling",
-    "semdedup_bucketed",
-    "emb_mrl_recall",
-    "emb_pca_power_iter",
-    "emb_gram_matrix",
-    "sketch_minhash_error",
-    "dedup_shingle_coverage",
-    "dedup_containment",
-    "dedup_incremental_minhash",
-    "corpus_dup_source_matrix",
-    "corpus_survivorship",
-    "sketch_hll_error",
-    "q_gapfill_interpolate",
-    "q_event_transition_matrix",
-    "q_rfm_segmentation",
-    "q_wow_growth",
-    "q_cumulative_distinct_users",
-    "q_click_no_purchase",
-    "q_compact_small_files",
-    "q_scd2_asof_lookup",
-    "q_orc_roundtrip",
+    "q_python_datasource_writer",
+    "graph_kcore",
+    # -- never driver-verified (r01..r04), priority order --
     "ml_lift_deciles",
     "ann_pq_adc",
     "ann_pq_recall_eval",
@@ -165,7 +127,6 @@ _PRIORITY = [
     "streaming_chained_windows",
     "corpus_length_survival",
     "q_ab_test_conversion",
-    "ml_classifier_auc",
     "q_cusum_anomaly",
     "emb_jl_projection_eval",
     "q_time_weighted_avg",
@@ -283,6 +244,7 @@ _PRIORITY = [
     "q_except_parts",
     "q_union_distinct_parts",
     "q_scalar_functions",
+    "ml_classifier_auc",
     "ml_quality_classifier",
     "dedup_simhash_pairs",
     "ml_grid_search",

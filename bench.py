@@ -216,6 +216,16 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
+    # Full per-query map as a committed on-disk artifact: the driver's
+    # stdout window truncates long lines from the head (r04 kept only 69
+    # of 122 per-query timings), so the durable per-query record lives
+    # here and stdout only needs to end with a short parseable line.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     print(json.dumps(payload))
     # The driver keeps only the last ~2000 chars of stdout; the full payload
     # above (111+ per-query timings) exceeds that, so the record's tail starts

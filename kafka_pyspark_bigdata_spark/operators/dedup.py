@@ -2021,26 +2021,41 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point variant is the same loop with a convergence guard —
     same per-round cost).
 
-    Each round is one degree aggregate + two semi-join-shaped edge
-    filters over the (small) edge list; ``localCheckpoint`` pins each
-    round's edges so the lineage doesn't recompute the whole peel per
-    reference. The DuckDB oracle is the same unroll as MATERIALIZED
-    CTEs (without materialization the CTE tree re-executes
+    Each round is ONE shuffle: the degree aggregate. The per-round
+    (n_nodes, n_edges) readout is derived from that same degree frame
+    (n_nodes = |deg|, n_edges = Σdeg/2 — each edge contributes 2) rather
+    than separate countDistinct/count aggregations, and the two
+    endpoint filters broadcast the surviving-node list (node cardinality
+    ≪ edge cardinality — the degree table of a co-purchase graph is the
+    part table's size, broadcastable at any SF; were it not, the joins
+    degrade gracefully to shuffle hash joins). ``localCheckpoint`` pins
+    each round's deg/edges so the lineage doesn't recompute the whole
+    peel per reference. The DuckDB oracle is the same unroll as
+    MATERIALIZED CTEs (without materialization the CTE tree re-executes
     exponentially — mirrored lesson in the plan here).
     """
-    li = (
+    # Edge build: ONE shuffle (groupBy order) instead of distinct + a
+    # keyed self-join — collect_set dedups parts within the order, and
+    # the unordered pairs explode MAP-SIDE from the sorted part array
+    # (order basket size is bounded, so the per-row explosion is O(1);
+    # the oracle's DISTINCT-self-join is the same pair multiset).
+    per_order = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
     )
     pairs = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= KCORE_SUPPORT)
         .select("pa", "pb")
@@ -2052,19 +2067,24 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         und = edges.unionByName(
             edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
         )
-        row = (
-            und.agg(F.countDistinct("pa").alias("n_nodes"))
-            .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
-            .select(F.lit(it).alias("iter"), "n_nodes", "n_edges")
+        # one shuffle per round; deg is reused for readout, filter, AND
+        # the next round's edge prune, so pin it
+        deg = (
+            und.groupBy("pa")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint()
         )
+        row = deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        ).select(F.lit(it).alias("iter"), "n_nodes", "n_edges")
         out.append(row)
         if it == KCORE_ROUNDS:
             break
-        deg = und.groupBy("pa").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= KCORE_K).select(F.col("pa").alias("node"))
         edges = (
-            edges.join(keep.withColumnRenamed("node", "pa"), "pa")
-            .join(keep.withColumnRenamed("node", "pb"), "pb")
+            edges.join(F.broadcast(keep.withColumnRenamed("node", "pa")), "pa")
+            .join(F.broadcast(keep.withColumnRenamed("node", "pb")), "pb")
             .select("pa", "pb")
             .localCheckpoint()
         )

@@ -2684,7 +2684,23 @@ GROUP BY t.query_id ORDER BY t.query_id
 """
 
 
-COSHIST_MOD = 10  # keep 1/M of all unordered pairs (congruence classes)
+COSHIST_PAIR_BUDGET = 20_000  # target sampled-pair count at ANY corpus size
+
+
+def _coshist_mod(n: int) -> int:
+    """Sampling modulus M for the pair-geometry audit, derived from the
+    corpus count so the sampled-pair count n(n−1)/2M stays ≈
+    ``COSHIST_PAIR_BUDGET`` at every scale (fixed M would grow the
+    sample quadratically). M is nudged off multiples of 17 and 31 (the
+    congruence multipliers) so both residue maps stay bijective and the
+    kept-pair density really is 1/M; among any {m0, m0+1, m0+2} at most
+    one is divisible by 17 and one by 31, so one of the three qualifies.
+    The oracle SQL derives the identical M from COUNT(*)."""
+    m0 = max(1, (n * (n - 1) // 2) // COSHIST_PAIR_BUDGET)
+    for m in (m0, m0 + 1, m0 + 2):
+        if m % 17 != 0 and m % 31 != 0:
+            return m
+    raise AssertionError("unreachable: three consecutive excluded moduli")
 
 
 def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2692,17 +2708,21 @@ def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarities, binned at 0.1 width — the anisotropy check run before
     trusting cosine retrieval at all (a mass concentrated near +1 means
     a collapsed embedding space where ranking is noise; healthy spaces
-    center near 0). Reported over a DETERMINISTIC 1/COSHIST_MOD sample of
+    center near 0). Reported over a DETERMINISTIC 1/M sample of
     unordered pairs chosen by congruence class: pair (a, b) is kept iff
-    31·a + 17·b ≡ 0 (mod COSHIST_MOD) — and that predicate is planned as an
+    31·a + 17·b ≡ 0 (mod M) — and that predicate is planned as an
     EQUI-JOIN on the residue keys ((M − 31a mod M) mod M = 17b mod M),
     so the n²/M sampled pairs are generated directly; the n² cross
-    space is never enumerated. Sampling, binning, and counting are all
-    integer/equi-join shapes; COSHIST_MOD scales with n²/budget at 100 TB. Both
-    engines compute the identical pair set and 6-decimal cosines —
-    hash-exact.
+    space is never enumerated. M is BUDGET-DERIVED (``_coshist_mod``):
+    both engines compute M = n(n−1)/2 ÷ COSHIST_PAIR_BUDGET from
+    COUNT(*), so the audit costs O(budget) pairs at any corpus size —
+    the sample thins as the corpus grows instead of the cost
+    quadrupling per doubling. Sampling, binning, and counting are all
+    integer/equi-join shapes. Both engines compute the identical pair
+    set and 6-decimal cosines — hash-exact.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    mod = _coshist_mod(emb.count())
     # Norms are precomputed ONCE per vector on each join side (the oracle
     # recomputes them per pair — identical doubles either way), so the
     # per-pair work inside the join is the dot product alone.
@@ -2717,15 +2737,13 @@ def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("av"),
         norm.alias("na"),
-        F.expr(
-            f"(({COSHIST_MOD} - (31 * vec_id) % {COSHIST_MOD}) % {COSHIST_MOD})"
-        ).alias("res"),
+        F.expr(f"(({mod} - (31 * vec_id) % {mod}) % {mod})").alias("res"),
     )
     b = emb.select(
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("bv"),
         norm.alias("nb"),
-        F.expr(f"(17 * vec_id) % {COSHIST_MOD}").alias("res"),
+        F.expr(f"(17 * vec_id) % {mod}").alias("res"),
     )
     pairs = a.join(b, "res").filter(F.col("a_id") < F.col("b_id"))
     dot = F.aggregate(
@@ -2753,14 +2771,22 @@ def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMB_COSHIST_SQL = f"""
-WITH a AS (
+WITH mm AS (
+  SELECT CASE WHEN m0 % 17 <> 0 AND m0 % 31 <> 0 THEN m0
+              WHEN (m0 + 1) % 17 <> 0 AND (m0 + 1) % 31 <> 0 THEN m0 + 1
+              ELSE m0 + 2 END AS m
+  FROM (
+    SELECT GREATEST(1, (n * (n - 1) // 2) // {COSHIST_PAIR_BUDGET}) AS m0
+    FROM (SELECT COUNT(*) AS n FROM embeddings)
+  )
+), a AS (
   SELECT vec_id AS a_id, embedding AS av,
-         (({COSHIST_MOD} - (31 * vec_id) % {COSHIST_MOD}) % {COSHIST_MOD}) AS res
-  FROM embeddings
+         ((m - (31 * vec_id) % m) % m) AS res
+  FROM embeddings, mm
 ), b AS (
   SELECT vec_id AS b_id, embedding AS bv,
-         (17 * vec_id) % {COSHIST_MOD} AS res
-  FROM embeddings
+         (17 * vec_id) % m AS res
+  FROM embeddings, mm
 ), binned AS (
   SELECT CAST(FLOOR({_cos_sql('av', 'bv')} * 10) AS INTEGER) AS bin
   FROM a JOIN b USING (res) WHERE a_id < b_id

@@ -758,7 +758,7 @@ def test_cosine_histogram_is_deterministic_sample_and_sums_to_total(spark):
     pair count matches the congruence-class predicate exactly, and the
     histogram is identical across two runs (deterministic sampling)."""
     from kafka_pyspark_bigdata_spark.operators.similarity import (
-        COSHIST_MOD,
+        _coshist_mod,
         emb_cosine_histogram,
     )
     from kafka_pyspark_bigdata_spark.sources.batch import load_table
@@ -771,11 +771,12 @@ def test_cosine_histogram_is_deterministic_sample_and_sums_to_total(spark):
     ids = [
         r.vec_id for r in load_table(spark, sf, "embeddings").select("vec_id").collect()
     ]
+    mod = _coshist_mod(len(ids))
     expected_pairs = sum(
         1
         for i, a in enumerate(ids)
         for b in ids[i + 1 :]
-        if (31 * min(a, b) + 17 * max(a, b)) % COSHIST_MOD == 0
+        if (31 * min(a, b) + 17 * max(a, b)) % mod == 0
     )
     assert n_total == expected_pairs
     share = sum(r.share_ppm for r in rows)

@@ -309,7 +309,7 @@ def test_no_unpartitioned_windows_over_unreduced_input(spark):
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as em
-    from tools.explain_audit import _global_windows
+    from tools.explain_audit import _global_windows, _unbounded_nl_joins
 
     qs = em.queries()
     src = open("/root/repo/bench.py").read()
@@ -323,7 +323,13 @@ def test_no_unpartitioned_windows_over_unreduced_input(spark):
         for name in dict.fromkeys(names):
             if name.startswith(skip_prefixes):
                 continue
-            hits = _global_windows(qs[name](spark, SF))
+            df = qs[name](spark, SF)
+            hits = _global_windows(df)
             assert hits == 0, f"{name} plans {hits} unpartitioned window(s)"
+            # NLJoin invariant (same pass): no cartesian/nested-loop join
+            # where NEITHER side is bounded by an aggregate/limit/literal —
+            # the fact×fact O(n·m) shape that cannot survive 100 TB.
+            nl = _unbounded_nl_joins(df)
+            assert nl == 0, f"{name} plans {nl} unbounded nested-loop join(s)"
             checked += 1
     assert checked >= 90

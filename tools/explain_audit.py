@@ -58,6 +58,74 @@ def _global_windows(df) -> int:
     return hits
 
 
+_BOUNDED_NODES = (
+    "Aggregate",
+    "GlobalLimit",
+    "Deduplicate",
+    "LocalRelation",
+    "OneRowRelation",
+)
+
+
+def _unbounded_nl_joins(df) -> int:
+    """Count Join nodes with NO equi-conjunct (the shapes Spark must plan
+    as CartesianProduct / BroadcastNestedLoopJoin) where NEITHER side is
+    bounded. A side counts as bounded if (a) structurally reduced — an
+    Aggregate / GlobalLimit / Deduplicate / LocalRelation /
+    OneRowRelation below it — or (b) carrying an EXPLICIT broadcast()
+    hint: the hint is an author-signed size contract (it also survives
+    ``localCheckpoint``, which erases the structural evidence by
+    rewriting the subtree to a LogicalRDD). A cross join against a 1-row
+    aggregate or a hinted centroid table is the engine's standard
+    scalar-broadcast idiom and fine at any scale; an UNHINTED,
+    unreduced fact × fact with no equality is the accidental O(n·m)
+    hazard this column must keep at 0."""
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    def expr_walk(e):
+        yield e
+        ch = e.children()
+        for i in range(ch.size()):
+            yield from expr_walk(ch.apply(i))
+
+    def bounded(side) -> bool:
+        return any(
+            d.getClass().getSimpleName() in _BOUNDED_NODES for d in walk(side)
+        )
+
+    def hinted_broadcast(opt_hint) -> bool:
+        if not opt_hint.isDefined():
+            return False
+        strategy = opt_hint.get().strategy()
+        return strategy.isDefined() and "broadcast" in str(
+            strategy.get().toString()
+        ).lower()
+
+    plan = df._jdf.queryExecution().optimizedPlan()
+    hits = 0
+    for node in walk(plan):
+        if node.getClass().getSimpleName() != "Join":
+            continue
+        cond = node.condition()
+        has_equi = bool(cond.isDefined()) and any(
+            x.getClass().getSimpleName() in ("EqualTo", "EqualNullSafe")
+            for x in expr_walk(cond.get())
+        )
+        if has_equi:
+            continue
+        jh = node.hint()
+        left_ok = bounded(node.left()) or hinted_broadcast(jh.leftHint())
+        right_ok = bounded(node.right()) or hinted_broadcast(jh.rightHint())
+        if not left_ok and not right_ok:
+            hits += 1
+    return hits
+
+
 def plan_stats(df) -> dict:
     jvm = df.sparkSession._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
@@ -76,6 +144,7 @@ def plan_stats(df) -> dict:
         "python_rows": ops.count("BatchEvalPython"),
         "arrow": ops.count("ArrowEvalPython") + ops.count("MapInPandas"),
         "global_win": _global_windows(df),
+        "nl_join": _unbounded_nl_joins(df),
     }
 
 
@@ -113,31 +182,33 @@ def main() -> None:
         "(scans with pushed filters), PyRow (row-at-a-time Python — must",
         "be 0), Arrow (vectorized pandas exchanges — intentional only),",
         "GWin (no-partition windows over un-reduced input — single-task",
-        "sorts; must be 0 except flagged oracle baselines).",
+        "sorts; must be 0 except flagged oracle baselines), NLJoin",
+        "(cartesian/nested-loop joins where NEITHER side is bounded by an",
+        "aggregate/limit/literal — fact×fact O(n·m) shapes; must be 0).",
         "",
-        "| query | Exchanges | BHJ | SMJ | WSCG | Pushed | PyRow | Arrow | GWin |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| query | Exchanges | BHJ | SMJ | WSCG | Pushed | PyRow | Arrow | GWin | NLJoin |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     totals: dict[str, int] = {}
     for name in names:
         try:
             s = plan_stats(qs[name](spark, sf_dir))
         except Exception as exc:  # noqa: BLE001
-            lines.append(f"| {name} | ERROR: {type(exc).__name__} | | | | | | | |")
+            lines.append(f"| {name} | ERROR: {type(exc).__name__} | | | | | | | | |")
             continue
         for k, v in s.items():
             totals[k] = totals.get(k, 0) + v
         lines.append(
             f"| {name} | {s['exchanges']} | {s['bcast_joins']} | {s['smj']} |"
             f" {s['wscg']} | {s['pushed']} | {s['python_rows']} | {s['arrow']} |"
-            f" {s['global_win']} |"
+            f" {s['global_win']} | {s['nl_join']} |"
         )
     lines.append(
         f"| **total ({len(names)})** | {totals.get('exchanges', 0)} |"
         f" {totals.get('bcast_joins', 0)} | {totals.get('smj', 0)} |"
         f" {totals.get('wscg', 0)} | {totals.get('pushed', 0)} |"
         f" {totals.get('python_rows', 0)} | {totals.get('arrow', 0)} |"
-        f" {totals.get('global_win', 0)} |"
+        f" {totals.get('global_win', 0)} | {totals.get('nl_join', 0)} |"
     )
     lines.append("")
     out = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
