@@ -104,6 +104,10 @@ _PRIORITY = [
     "ml_knn_classifier_eval",
     "q_python_datasource_writer",
     "graph_kcore",
+    # -- new this round (never verified) --
+    "graph_label_propagation",
+    "emb_hard_negatives",
+    "ann_mmr_diversified",
     # -- never driver-verified (r01..r04), priority order --
     "ml_lift_deciles",
     "ann_pq_adc",

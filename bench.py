@@ -98,6 +98,7 @@ def main() -> None:
         "ann_lsh_bucketed",
         "emb_bitpack_hamming_topk",
         "ann_two_stage_rerank",
+        "emb_hard_negatives",
         "emb_cosine_histogram",
         "ann_ivf",
         "emb_mrl_recall",
@@ -119,6 +120,7 @@ def main() -> None:
         "ts_downsample_lttb",
         "q_lateral_topk",
         "ann_topk_gemm",
+        "ann_mmr_diversified",
         "q_nested_roundtrip",
         "q_array_analytics",
         "ml_target_encoding",
@@ -142,6 +144,7 @@ def main() -> None:
         "ann_mrr_eval",
         "ts_mad_outliers",
         "graph_kcore",
+        "graph_label_propagation",
         "q_not_in_null_trap",
         "q_table_checksum",
         "emb_rank_correlation",

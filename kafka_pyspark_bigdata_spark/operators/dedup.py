@@ -925,6 +925,107 @@ SELECT doc_id, pr AS pagerank_scaled FROM {prev} ORDER BY doc_id
 """
 
 
+LPA_ROUNDS = 3
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by LABEL PROPAGATION over the near-dup pair
+    graph (Raghavan et al. 2007, public literature) — the cheap
+    community pass run before choosing canonical documents per
+    duplication cluster: each node starts labeled with its own id and,
+    for LPA_ROUNDS synchronous rounds, adopts the most common label
+    among its neighbors (ties toward the SMALLEST label — the
+    deterministic variant; the randomized tie-break of the paper is
+    unreproducible across engines). Complements ``dedup_clusters``
+    (exact connected components): LPA splits bridged chains that CC
+    merges, at the same per-round cost.
+
+    Scale shape per round: one equi-join of the edge list against the
+    node-sized label table + one (node, label) partial-agg count + a
+    per-node argmax via ``max(struct(count, -label))`` — shuffles carry
+    the edge list once per round, labels never leave node cardinality;
+    ``localCheckpoint`` pins each round. The output is the top-20
+    community census (size, id range), stable under (n_members DESC,
+    community) ordering. Oracle: the identical unroll as MATERIALIZED
+    CTEs with a ROW_NUMBER argmax."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(LPA_ROUNDS):
+        counts = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("n2"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.groupBy(F.col("n2").alias("node"))
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .select(
+            F.col("label").alias("community"), "n_members", "min_node", "max_node"
+        )
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(20)
+    )
+
+
+def _lpa_sql() -> str:
+    prev = "l0"
+    rounds = []
+    for k in range(1, LPA_ROUNDS + 1):
+        rounds.append(f""",
+c{k} AS MATERIALIZED (
+  SELECT e.doc_a AS node, l.label, COUNT(*) AS c
+  FROM edges e JOIN {prev} l ON e.doc_b = l.node
+  GROUP BY 1, 2
+),
+l{k} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM c{k}
+  ) WHERE rn = 1
+)""")
+        prev = f"l{k}"
+    return f"""
+WITH {_minhash_ctes()},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+),
+edges AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT doc_a AS node, doc_a AS label FROM edges
+){"".join(rounds)}
+SELECT label AS community, COUNT(*) AS n_members,
+       MIN(node) AS min_node, MAX(node) AS max_node
+FROM {prev} GROUP BY label
+ORDER BY n_members DESC, community LIMIT 20
+"""
+
+
 KHOP_HOPS = 3
 
 
@@ -2435,6 +2536,7 @@ QUERIES = {
     "graph_khop_reach": graph_khop_reach,
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
+    "graph_label_propagation": graph_label_propagation,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_tuning_curve": dedup_lsh_tuning_curve,
@@ -2465,6 +2567,7 @@ ORACLES = {
     "graph_khop_reach": _khop_sql(),
     "graph_triangle_count": GRAPH_TRIANGLES_SQL,
     "graph_pagerank": _pagerank_sql(),
+    "graph_label_propagation": _lpa_sql(),
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_lsh_tuning_curve": _lsh_tuning_sql(),

@@ -211,6 +211,287 @@ WHERE rank <= {TOP_K} ORDER BY query_id, rank
 """
 
 
+HN_K = 5  # hard negatives kept per query
+HN_LO_PPM = 200_000  # band floor: below = easy negative, no training signal
+HN_HI_PPM = 450_000  # band ceiling: above = near-dup risk (false negative)
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive embedding training — for
+    each anchor, the top-K corpus vectors that are similar-but-not-
+    duplicate: cosine inside [{HN_LO_PPM}, {HN_HI_PPM}) ppm. Random
+    in-batch negatives are mostly too easy (cosine ≈ 0 teaches
+    nothing); vectors ABOVE the band are near-dup/positive risks that
+    would poison the loss as false negatives — the band is the
+    public-recipe operating window (ANCE/RocketQA-style mining,
+    public literature), made deterministic.
+
+    Candidate generation is the 100 TB path, not brute force: anchors
+    only score their own SRP-LSH bucket (``bucket_expr`` — the same
+    hyperplane literals the oracle replays), so the join is a broadcast
+    equi-join on bucket id and per-anchor work is corpus/2^bits. The
+    band filter and the (cos_ppm DESC, neg_id) top-K window run on the
+    bucket-bounded candidate set only. Exact ppm arithmetic end to end
+    — hash-checked against the oracle's identical bucket + band + rank
+    pipeline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    wb = emb.select(
+        "vec_id",
+        "embedding",
+        bucket_expr("embedding").alias("bucket"),
+        norm_expr("embedding").alias("nm"),
+    )
+    q = wb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nm").alias("qn"),
+        "bucket",
+    )
+    c = wb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nm").alias("cn"),
+        "bucket",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neg_id"))
+        .select(
+            "query_id",
+            "neg_id",
+            F.round(
+                cosine_from_parts(
+                    dot_expr("qv", "cv"), F.col("qn"), F.col("cn")
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("cos_ppm"),
+        )
+    )
+    banded = scored.filter(
+        (F.col("cos_ppm") >= HN_LO_PPM) & (F.col("cos_ppm") < HN_HI_PPM)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_ppm"), F.asc("neg_id")
+    )
+    return (
+        banded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HN_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hard_negatives_sql() -> str:
+    return f"""
+WITH wb AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM wb WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT query_id, c.vec_id AS neg_id,
+         CAST(ROUND({_cos_sql('qv', 'c.embedding')} * 1000000) AS BIGINT) AS cos_ppm
+  FROM q JOIN wb c USING (bucket)
+  WHERE query_id <> c.vec_id
+),
+banded AS (
+  SELECT * FROM scored WHERE cos_ppm >= {HN_LO_PPM} AND cos_ppm < {HN_HI_PPM}
+),
+ranked AS (
+  SELECT query_id, neg_id, cos_ppm,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_ppm DESC, neg_id
+         ) AS INTEGER) AS rank
+  FROM banded
+)
+SELECT query_id, neg_id, cos_ppm, rank FROM ranked
+WHERE rank <= {HN_K} ORDER BY query_id, rank
+"""
+
+
+MMR_K = 5  # results returned per query
+MMR_POOL = 15  # relevance-ranked candidate pool fed to the greedy selector
+# λ = 0.7 as exact integers: mmr_score = 7·rel_ppm − 3·maxsim_ppm (the
+# common /10 is omitted — argmax is scale-invariant, and integer division
+# of negatives rounds differently across engines: Spark `div` truncates,
+# DuckDB `//` floors).
+MMR_REL_W = 7
+MMR_DIV_W = 3
+
+
+def ann_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIVERSIFIED top-K retrieval by Maximal Marginal Relevance
+    (Carbonell & Goldstein 1998, public literature): greedily pick the
+    candidate maximizing λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s) —
+    the de-redundancy re-rank every RAG/serving stack applies so the
+    K results aren't five paraphrases of the same document. Plain
+    cosine top-K (``ann_topk_bruteforce``) is the relevance-only
+    degenerate case; this is its λ=0.7 diversified counterpart.
+
+    Scale shape: the expensive part — scoring the corpus — happens ONCE
+    (broadcast query join, identical to the brute-force path; swap in
+    any ANN candidate generator above it at 100 TB). The greedy loop is
+    inherently sequential in K, so it runs INSIDE one
+    ``applyInPandas`` over the plan-time-bounded pool (MMR_POOL rows
+    per query): one shuffle on query_id, then the per-group kernel
+    recomputes the pool's pairwise cosines with the oracle's
+    dim-sequential float64 fold + half-away ppm rounding (the same
+    exactness contract as the GEMM rescore path) and replays the greedy
+    in exact int64 — no unrolled multi-stage rounds, no per-round
+    scheduling overhead. Ties break on candidate id, so the greedy
+    trajectory is engine-deterministic and the DuckDB oracle replays it
+    move for move (unrolled CTEs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm_expr("embedding").alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        norm_expr("embedding").alias("cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "cv",
+            F.round(
+                cosine_from_parts(
+                    dot_expr("qv", "cv"), F.col("qn"), F.col("cn")
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("rel_ppm"),
+        )
+    )
+    wrel = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_ppm"), F.asc("cand_id")
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wrel))
+        .filter(F.col("rn") <= MMR_POOL)
+        .drop("rn")
+    )
+
+    def mmr_group(pdf):
+        V = np.array(pdf["cv"].tolist(), dtype=np.float64)
+        n = len(pdf)
+        norms = _fold_norms(V)
+        # pairwise dots with the dim-SEQUENTIAL fold (outer product per
+        # dim, accumulated in dim order — bit-identical to the scalar
+        # fold the oracle's list_sum runs)
+        acc = np.zeros((n, n))
+        for t in range(V.shape[1]):
+            acc = acc + V[:, t][:, None] * V[:, t][None, :]
+        sim = _round_half_away(
+            acc / (norms[:, None] * norms[None, :]) * 1_000_000
+        ).astype(np.int64)
+        rel = pdf["rel_ppm"].to_numpy(np.int64)
+        ids = pdf["cand_id"].to_numpy(np.int64)
+        qid = int(pdf["query_id"].iloc[0])
+        avail = np.ones(n, dtype=bool)
+        sel_idx: list[int] = []
+        rows = []
+        for r in range(1, min(MMR_K, n) + 1):
+            if r == 1:
+                score = MMR_REL_W * rel
+            else:
+                score = MMR_REL_W * rel - MMR_DIV_W * sim[:, sel_idx].max(
+                    axis=1
+                )
+            order = np.lexsort((ids, -score))  # score DESC, cand_id ASC
+            i = next(int(j) for j in order if avail[j])
+            sel_idx.append(i)
+            avail[i] = False
+            rows.append((qid, int(ids[i]), int(rel[i]), int(score[i]), r))
+        return pd.DataFrame(
+            rows,
+            columns=["query_id", "cand_id", "rel_ppm", "mmr_score", "rank"],
+        )
+
+    return (
+        cand.groupBy("query_id")
+        .applyInPandas(
+            mmr_group,
+            "query_id long, cand_id long, rel_ppm long, mmr_score long,"
+            " rank int",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _mmr_sql() -> str:
+    rounds = []
+    prev = "sel1"
+    for r in range(2, MMR_K + 1):
+        rounds.append(f""",
+r{r} AS MATERIALIZED (
+  SELECT c.query_id, c.cand_id, c.rel_ppm,
+         {MMR_REL_W} * c.rel_ppm - {MMR_DIV_W} * MAX(p.sim_ppm) AS mmr_score
+  FROM cand c
+  JOIN psim p ON p.query_id = c.query_id AND p.ca = c.cand_id
+  JOIN {prev} s ON s.query_id = p.query_id AND s.cand_id = p.cb
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {prev} x
+    WHERE x.query_id = c.query_id AND x.cand_id = c.cand_id
+  )
+  GROUP BY c.query_id, c.cand_id, c.rel_ppm
+),
+p{r} AS (
+  SELECT query_id, cand_id, rel_ppm, mmr_score, CAST({r} AS INTEGER) AS rank
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY mmr_score DESC, cand_id
+    ) AS rn FROM r{r}
+  ) WHERE rn = 1
+),
+sel{r} AS MATERIALIZED (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM p{r}
+)""")
+        prev = f"sel{r}"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT query_id, c.vec_id AS cand_id, c.embedding AS cv,
+         CAST(ROUND({_cos_sql('qv', 'c.embedding')} * 1000000) AS BIGINT) AS rel_ppm
+  FROM q JOIN embeddings c ON query_id <> c.vec_id
+),
+cand AS MATERIALIZED (
+  SELECT query_id, cand_id, cv, rel_ppm FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY rel_ppm DESC, cand_id
+    ) AS rn FROM scored
+  ) WHERE rn <= {MMR_POOL}
+),
+psim AS MATERIALIZED (
+  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+         CAST(ROUND({_cos_sql('a.cv', 'b.cv')} * 1000000) AS BIGINT) AS sim_ppm
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+),
+sel1 AS MATERIALIZED (
+  SELECT query_id, cand_id, rel_ppm,
+         {MMR_REL_W} * rel_ppm AS mmr_score, CAST(1 AS INTEGER) AS rank
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY rel_ppm DESC, cand_id
+    ) AS rn FROM cand
+  ) WHERE rn = 1
+){"".join(rounds)}
+SELECT query_id, cand_id, rel_ppm, mmr_score, rank
+FROM {prev} ORDER BY query_id, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # Banded SRP-LSH embedding dedup (the scale path for near-dup PAIRS)
 # ---------------------------------------------------------------------------
@@ -2880,6 +3161,8 @@ QUERIES = {
     "emb_label_centroids": emb_label_centroids,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "emb_hard_negatives": emb_hard_negatives,
+    "ann_mmr_diversified": ann_mmr_diversified,
     "ann_ivf": ann_ivf,
     "cluster_kmeans_fixed": cluster_kmeans_fixed,
     "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -2916,6 +3199,8 @@ ORACLES = {
     "cluster_kmeans_fixed": _kmeans_sql(),
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_lsh_bucketed": _ann_lsh_sql(),
+    "emb_hard_negatives": _hard_negatives_sql(),
+    "ann_mmr_diversified": _mmr_sql(),
     "ann_ivf": ANN_IVF_SQL,
     "dedup_embedding_lsh": _dedup_lsh_sql(),
 }

@@ -978,3 +978,149 @@ def test_dynamic_session_window_merges_by_interval_union(spark):
     n_by_user = {u: len(v) for u, v in ends.items()}
     for u, sess in per_user.items():
         assert sum(s.n_events for s in sess) == n_by_user[u]
+
+
+def test_label_propagation_matches_python_replica(spark):
+    """LPA: replay the 3 synchronous rounds (most-common neighbor label,
+    ties to the smallest) in pure Python over the collected near-dup
+    pair graph and compare the top-20 community census exactly."""
+    from collections import Counter, defaultdict
+
+    from kafka_pyspark_bigdata_spark.operators.dedup import (
+        LPA_ROUNDS,
+        dedup_minhash_lsh,
+        graph_label_propagation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b").collect()
+    nbrs = defaultdict(list)
+    for p in pairs:
+        nbrs[p.doc_a].append(p.doc_b)
+        nbrs[p.doc_b].append(p.doc_a)
+    label = {n: n for n in nbrs}
+    for _ in range(LPA_ROUNDS):
+        nxt = {}
+        for n, ns in nbrs.items():
+            c = Counter(label[m] for m in ns)
+            # count DESC, label ASC
+            nxt[n] = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        label = nxt
+    census = Counter(label.values())
+    expect = sorted(
+        ((lab, cnt) for lab, cnt in census.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:20]
+    got = graph_label_propagation(spark, sf).collect()
+    assert [(r.community, r.n_members) for r in got] == expect
+    members = defaultdict(list)
+    for n, lab in label.items():
+        members[lab].append(n)
+    for r in got:
+        assert r.min_node == min(members[r.community])
+        assert r.max_node == max(members[r.community])
+
+
+def test_hard_negatives_band_bucket_and_rank_contract(spark):
+    """Hard negatives: every emitted negative shares the anchor's SRP
+    bucket, sits inside [HN_LO, HN_HI) ppm, ranks are dense and ordered
+    by (cos_ppm DESC, neg_id), and no in-band same-bucket candidate
+    outscoring an emitted one is missing."""
+    from kafka_pyspark_bigdata_spark.operators.similarity import (
+        HN_HI_PPM,
+        HN_K,
+        HN_LO_PPM,
+        bucket_expr,
+        emb_hard_negatives,
+    )
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = emb_hard_negatives(spark, sf).collect()
+    assert rows
+    buckets = {
+        r.vec_id: r.b
+        for r in load_table(spark, sf, "embeddings")
+        .select("vec_id", bucket_expr("embedding").alias("b"))
+        .collect()
+    }
+    per_q = {}
+    for r in rows:
+        assert HN_LO_PPM <= r.cos_ppm < HN_HI_PPM
+        assert buckets[r.neg_id] == buckets[r.query_id]
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, lst in per_q.items():
+        assert [r.rank for r in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= HN_K
+        keys = [(-r.cos_ppm, r.neg_id) for r in lst]
+        assert keys == sorted(keys)
+
+
+def test_mmr_matches_python_greedy_replica(spark):
+    """MMR: replicate pool construction and the greedy λ=0.7 selection in
+    Python (same sequential-fold cosines, same half-away ppm rounding,
+    same tie-breaks) and compare all K picks per query exactly."""
+    import numpy as np
+
+    from kafka_pyspark_bigdata_spark.operators.similarity import (
+        MMR_DIV_W,
+        MMR_K,
+        MMR_POOL,
+        MMR_REL_W,
+        N_QUERIES,
+        _fold_norms,
+        _round_half_away,
+        ann_mmr_diversified,
+    )
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+    ids = sorted(emb)
+    mat = np.array([emb[i] for i in ids])
+    norms = _fold_norms(mat)
+    nrm = dict(zip(ids, norms))
+
+    def cos_ppm(a, b):
+        acc = 0.0
+        for t in range(len(emb[a])):
+            acc = acc + emb[a][t] * emb[b][t]
+        return int(
+            _round_half_away(
+                np.array([acc / (nrm[a] * nrm[b]) * 1_000_000])
+            )[0]
+        )
+
+    expect = []
+    for q in [i for i in ids if i < N_QUERIES]:
+        pool = sorted(
+            ((cos_ppm(q, c), c) for c in ids if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:MMR_POOL]
+        sel = []
+        avail = {c: rel for rel, c in pool}
+        for r in range(1, MMR_K + 1):
+            best = None
+            for c, rel in avail.items():
+                if r == 1:
+                    score = MMR_REL_W * rel
+                else:
+                    score = MMR_REL_W * rel - MMR_DIV_W * max(
+                        cos_ppm(c, s) for s, _, _ in sel
+                    )
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, rel, score)
+            _, c, rel, score = best
+            sel.append((c, rel, score))
+            del avail[c]
+            expect.append((q, c, rel, score, r))
+    got = [
+        (r.query_id, r.cand_id, r.rel_ppm, r.mmr_score, r.rank)
+        for r in ann_mmr_diversified(spark, sf).collect()
+    ]
+    assert got == expect
