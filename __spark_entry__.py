@@ -108,6 +108,7 @@ _PRIORITY = [
     "graph_label_propagation",
     "emb_hard_negatives",
     "ann_mmr_diversified",
+    "cluster_stability_rand",
     # -- never driver-verified (r01..r04), priority order --
     "ml_lift_deciles",
     "ann_pq_adc",

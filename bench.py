@@ -121,6 +121,7 @@ def main() -> None:
         "q_lateral_topk",
         "ann_topk_gemm",
         "ann_mmr_diversified",
+        "cluster_stability_rand",
         "q_nested_roundtrip",
         "q_array_analytics",
         "ml_target_encoding",

@@ -2177,7 +2177,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         row = deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),
-            (F.sum("deg") / 2).cast("long").alias("n_edges"),
+            # COALESCE: a fully-peeled (empty) core must read 0 edges, not
+            # NULL — SUM over zero rows is NULL and would both mismatch the
+            # oracle's COUNT(*)=0 and poison the column dtype
+            F.expr("CAST(COALESCE(SUM(deg), 0) DIV 2 AS BIGINT)").alias(
+                "n_edges"
+            ),
         ).select(F.lit(it).alias("iter"), "n_nodes", "n_edges")
         out.append(row)
         if it == KCORE_ROUNDS:

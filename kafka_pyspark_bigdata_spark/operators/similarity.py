@@ -310,6 +310,157 @@ WHERE rank <= {HN_K} ORDER BY query_id, rank
 """
 
 
+STAB_K = 8  # centroids per half in the stability probe
+
+
+def cluster_stability_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTERING STABILITY eval — the Rand index / Adjusted Rand Index
+    between two clusterings induced by DISJOINT deterministic centroid
+    samples (the K smallest even vs odd vec_ids): if assigning the
+    corpus to either sample's nearest centroid yields near-identical
+    partitions, the cluster structure is a property of the DATA; if the
+    two halves disagree, any single k-means run is an artifact of its
+    init. This is the sample-split stability protocol (Ben-Hur et al.
+    2002, public literature) reduced to its assignment step so the
+    whole eval is closed-form EXACT: both indices come from the
+    contingency table's pair counts — pure integer arithmetic (widened
+    to DECIMAL(38,0)/HUGEINT; pair counts square the corpus size), one
+    final correctly-rounded double division each.
+
+    Plan: two broadcast-centroid argmax assignments (map-side cross
+    join + one small-struct partial agg each — the ``ann_ivf``
+    assignment shape), an id-keyed join of the two label columns, a
+    (ca, cb) contingency agg over ≤ K² cells, then scalar arithmetic.
+    Nothing after the two assignment aggs scales with the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_expr("embedding").alias("en")
+    )
+
+    def assign(parity: int, out: str) -> DataFrame:
+        cents = emb.filter(
+            (F.col("vec_id") % 2 == parity) & (F.col("vec_id") < 2 * STAB_K)
+        ).select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("embedding").alias("cv"),
+            F.col("en").alias("cn"),
+        )
+        sims = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cid",
+            cosine_from_parts(
+                dot_expr("embedding", "cv"), F.col("en"), F.col("cn")
+            ).alias("sim"),
+        )
+        return (
+            sims.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))
+                ).alias("m")
+            )
+            .select("vec_id", (-F.col("m.nc")).cast("int").alias(out))
+        )
+
+    cont = (
+        assign(0, "ca")
+        .join(assign(1, "cb"), "vec_id")
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).alias("nij"))
+    )
+    dec = "CAST(nij AS DECIMAL(38,0))"
+    stats = cont.agg(
+        F.expr(f"CAST(SUM(nij) AS DECIMAL(38,0))").alias("n"),
+        F.expr(f"SUM({dec} * (nij - 1) DIV 2)").alias("snij"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    sa = (
+        cont.groupBy("ca")
+        .agg(F.sum("nij").alias("ai"))
+        .agg(F.expr("SUM(CAST(ai AS DECIMAL(38,0)) * (ai - 1) DIV 2)").alias("sa"))
+    )
+    sb = (
+        cont.groupBy("cb")
+        .agg(F.sum("nij").alias("bj"))
+        .agg(F.expr("SUM(CAST(bj AS DECIMAL(38,0)) * (bj - 1) DIV 2)").alias("sb"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n",
+            f"CAST({STAB_K} AS INT) AS k",
+            "CAST(n_cells AS BIGINT) AS n_cells",
+            # c2 = n(n-1)/2 total pairs; Rand = (c2 + 2·Σnij2 − Sa − Sb)/c2
+            "CAST(ROUND(CAST(n * (n - 1) DIV 2 + 2 * snij - sa - sb AS DOUBLE)"
+            " / CAST(n * (n - 1) DIV 2 AS DOUBLE) * 1000000) AS BIGINT)"
+            " AS rand_ppm",
+            # ARI = 2(c2·Σnij2 − Sa·Sb) / (c2(Sa+Sb) − 2·Sa·Sb)
+            "CAST(ROUND(CAST(2 * ((n * (n - 1) DIV 2) * snij - sa * sb) AS DOUBLE)"
+            " / CAST((n * (n - 1) DIV 2) * (sa + sb) - 2 * sa * sb AS DOUBLE)"
+            " * 1000000) AS BIGINT) AS ari_ppm",
+        )
+    )
+
+
+CLUSTER_STABILITY_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+ca_cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM emb
+  WHERE vec_id % 2 = 0 AND vec_id < {2 * STAB_K}
+),
+cb_cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM emb
+  WHERE vec_id % 2 = 1 AND vec_id < {2 * STAB_K}
+),
+a AS (
+  SELECT vec_id, cid AS ca FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid
+           ) AS rn
+    FROM emb e CROSS JOIN ca_cents c
+  ) WHERE rn = 1
+),
+b AS (
+  SELECT vec_id, cid AS cb FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.cid
+           ) AS rn
+    FROM emb e CROSS JOIN cb_cents c
+  ) WHERE rn = 1
+),
+cont AS (
+  SELECT ca, cb, COUNT(*) AS nij FROM a JOIN b USING (vec_id) GROUP BY 1, 2
+),
+stats AS (
+  SELECT CAST(SUM(nij) AS HUGEINT) AS n,
+         CAST(SUM(CAST(nij AS HUGEINT) * (nij - 1) // 2) AS HUGEINT) AS snij,
+         COUNT(*) AS n_cells
+  FROM cont
+),
+sa AS (
+  SELECT CAST(SUM(CAST(ai AS HUGEINT) * (ai - 1) // 2) AS HUGEINT) AS sa
+  FROM (SELECT SUM(nij) AS ai FROM cont GROUP BY ca)
+),
+sb AS (
+  SELECT CAST(SUM(CAST(bj AS HUGEINT) * (bj - 1) // 2) AS HUGEINT) AS sb
+  FROM (SELECT SUM(nij) AS bj FROM cont GROUP BY cb)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST({STAB_K} AS INTEGER) AS k,
+       CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(ROUND(CAST(n * (n - 1) // 2 + 2 * snij - sa - sb AS DOUBLE)
+            / CAST(n * (n - 1) // 2 AS DOUBLE) * 1000000) AS BIGINT) AS rand_ppm,
+       CAST(ROUND(CAST(2 * ((n * (n - 1) // 2) * snij - sa * sb) AS DOUBLE)
+            / CAST((n * (n - 1) // 2) * (sa + sb) - 2 * sa * sb AS DOUBLE)
+            * 1000000) AS BIGINT) AS ari_ppm
+FROM stats, sa, sb
+"""
+
+
 MMR_K = 5  # results returned per query
 MMR_POOL = 15  # relevance-ranked candidate pool fed to the greedy selector
 # λ = 0.7 as exact integers: mmr_score = 7·rel_ppm − 3·maxsim_ppm (the
@@ -3163,6 +3314,7 @@ QUERIES = {
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "emb_hard_negatives": emb_hard_negatives,
     "ann_mmr_diversified": ann_mmr_diversified,
+    "cluster_stability_rand": cluster_stability_rand,
     "ann_ivf": ann_ivf,
     "cluster_kmeans_fixed": cluster_kmeans_fixed,
     "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -3201,6 +3353,7 @@ ORACLES = {
     "ann_lsh_bucketed": _ann_lsh_sql(),
     "emb_hard_negatives": _hard_negatives_sql(),
     "ann_mmr_diversified": _mmr_sql(),
+    "cluster_stability_rand": CLUSTER_STABILITY_SQL,
     "ann_ivf": ANN_IVF_SQL,
     "dedup_embedding_lsh": _dedup_lsh_sql(),
 }

@@ -1124,3 +1124,80 @@ def test_mmr_matches_python_greedy_replica(spark):
         for r in ann_mmr_diversified(spark, sf).collect()
     ]
     assert got == expect
+
+
+def test_cluster_stability_rand_matches_python_replica(spark):
+    """Rand/ARI stability: replicate both centroid assignments and the
+    contingency pair arithmetic with exact Python ints and compare."""
+    from collections import Counter
+
+    import numpy as np
+
+    from kafka_pyspark_bigdata_spark.operators.similarity import (
+        STAB_K,
+        _fold_norms,
+        _round_half_away,
+        cluster_stability_rand,
+    )
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_table(spark, sf, "embeddings").collect()
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    ids = sorted(emb)
+    mat = np.array([emb[i] for i in ids])
+    nrm = dict(zip(ids, _fold_norms(mat)))
+
+    def cos6(a, b):
+        acc = 0.0
+        for t in range(len(emb[a])):
+            acc = acc + emb[a][t] * emb[b][t]
+        # round(x, 6) == half-away(x*1e6)/1e6 on the same double
+        return _round_half_away(
+            np.array([acc / (nrm[a] * nrm[b]) * 1e6])
+        )[0] / 1e6
+
+    def assign(parity):
+        cents = [i for i in ids if i % 2 == parity and i < 2 * STAB_K]
+        out = {}
+        for v in ids:
+            out[v] = min(cents, key=lambda c: (-cos6(v, c), c))
+        return out
+
+    a, b = assign(0), assign(1)
+    cont = Counter((a[v], b[v]) for v in ids)
+    n = sum(cont.values())
+    c2 = n * (n - 1) // 2
+    snij = sum(x * (x - 1) // 2 for x in cont.values())
+    ai = Counter()
+    bj = Counter()
+    for (x, y), v in cont.items():
+        ai[x] += v
+        bj[y] += v
+    sa = sum(x * (x - 1) // 2 for x in ai.values())
+    sb = sum(x * (x - 1) // 2 for x in bj.values())
+    rand_ppm = int(_round_half_away(np.array([(c2 + 2 * snij - sa - sb) / c2 * 1e6]))[0])
+    ari_ppm = int(
+        _round_half_away(
+            np.array([2 * (c2 * snij - sa * sb) / (c2 * (sa + sb) - 2 * sa * sb) * 1e6])
+        )[0]
+    )
+    got = cluster_stability_rand(spark, sf).collect()[0]
+    assert got.n == n
+    assert got.n_cells == len(cont)
+    assert got.rand_ppm == rand_ppm
+    assert got.ari_ppm == ari_ppm
+    assert 0 <= got.ari_ppm <= got.rand_ppm <= 1_000_000
+
+
+def test_kcore_empty_core_reads_zero_not_null(spark, monkeypatch):
+    """A fully-peeled core must report (n_nodes=0, n_edges=0) — SUM over
+    an empty degree frame is NULL and must be coalesced (regression: at
+    sf0.1 the real core empties by the last round and a NULL poisoned
+    the column dtype)."""
+    monkeypatch.setattr(dedup, "KCORE_K", 10**9)
+    rows = dedup.graph_kcore(spark, "/root/testdata/sf0.001").collect()
+    assert rows[0].n_edges > 0
+    for r in rows[1:]:
+        assert r.n_nodes == 0 and r.n_edges == 0
+        assert r.n_edges is not None
