@@ -109,6 +109,8 @@ _PRIORITY = [
     "emb_hard_negatives",
     "ann_mmr_diversified",
     "cluster_stability_rand",
+    "ann_multiprobe_lsh",
+    "ann_ivf_nprobe_recall",
     # -- never driver-verified (r01..r04), priority order --
     "ml_lift_deciles",
     "ann_pq_adc",

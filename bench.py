@@ -122,6 +122,8 @@ def main() -> None:
         "ann_topk_gemm",
         "ann_mmr_diversified",
         "cluster_stability_rand",
+        "ann_multiprobe_lsh",
+        "ann_ivf_nprobe_recall",
         "q_nested_roundtrip",
         "q_array_analytics",
         "ml_target_encoding",

@@ -1131,6 +1131,289 @@ GROUP BY bf.query_id ORDER BY bf.query_id
 
 
 # ---------------------------------------------------------------------------
+# Multiprobe LSH (probe neighboring buckets instead of adding tables)
+# ---------------------------------------------------------------------------
+
+# Probe masks: the home bucket (xor 0) plus every Hamming-distance-1
+# perturbation (flip one sign bit). 1 + LSH_BITS probes per query — the
+# multiprobe trick (Lv et al., VLDB 2007, public literature): recover the
+# recall that extra hash TABLES would buy by probing ADJACENT buckets of
+# the one table, at zero extra index storage.
+MP_MASKS: list[int] = [0] + [1 << j for j in range(LSH_BITS)]
+
+
+def ann_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe-LSH top-5: each query scans its own SRP bucket PLUS the
+    LSH_BITS buckets at Hamming distance 1 (one sign bit flipped) — the
+    buckets a borderline vector most likely fell into.
+
+    Scale shape: identical to ``ann_lsh_bucketed`` — the corpus is
+    bucketed once (map-side, deterministic literal hyperplanes) and the
+    probe side is a broadcast of |Q|·(1+bits) rows equi-joined on the
+    bucket id; candidates grow from n/2^bits to (1+bits)·n/2^bits per
+    query, still a vanishing fraction of the corpus at 100 TB. A corpus
+    vector lives in exactly ONE bucket and the probe masks are distinct,
+    so a (query, neighbor) pair appears at most once — no dedup needed
+    before the final top-k window (the only all-to-all exchange)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    wb = emb.select(
+        "vec_id",
+        "embedding",
+        norm_expr("embedding").alias("nn"),
+        bucket_expr("embedding").alias("bucket"),
+    )
+    probes = (
+        wb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("nn").alias("qn"),
+            "bucket",
+            F.explode(F.array(*[F.lit(m) for m in MP_MASKS])).alias("m"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            F.col("bucket").bitwiseXOR(F.col("m")).alias("bucket"),
+        )
+    )
+    c = wb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nn").alias("cn"),
+        "bucket",
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_parts(
+                dot_expr("qv", "cv"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ann_multiprobe_sql() -> str:
+    masks = ", ".join(str(m) for m in MP_MASKS)
+    return f"""
+WITH wb AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, xor(bucket, m) AS bucket
+  FROM wb CROSS JOIN (SELECT unnest([{masks}]) AS m) ms
+  WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('qv', 'c.embedding')} AS cosine
+  FROM probes JOIN wb c USING (bucket)
+  WHERE query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe→recall curve (the ANN tuning measurement)
+# ---------------------------------------------------------------------------
+
+NPROBE_LEVELS = [1, 2, 4, 8]  # lists probed per query, ≤ IVF_NLIST
+
+
+def ann_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF TUNING CURVE — recall@{TOP_K} of IVF-Flat as a function of
+    nprobe ∈ {NPROBE_LEVELS}, against exact brute-force ground truth.
+    This is the measurement every ANN deployment makes before picking its
+    operating point: recall rises with nprobe while scanned candidates
+    grow linearly, and the curve says where the knee is.
+
+    Scale shape: the sims/assignment stages are computed ONCE (identical
+    to ``ann_ivf``: broadcast centroids, one small struct per corpus
+    vector shuffled); each candidate carries its probe rank ``pr`` and is
+    fanned out only to the levels with nprobe ≥ pr via an in-row array
+    filter + explode (≤ |levels| copies of |Q|-bounded candidate rows —
+    no re-scan per level, no extra corpus pass). Ground truth is the
+    brute-force scan, also once. Everything downstream of the two scans
+    is |Q|·k-sized."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_expr("embedding").alias("en")
+    )
+    cents = emb.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").alias("centv"),
+        F.col("en").alias("cn"),
+    )
+    sims = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "en",
+        "cid",
+        cosine_from_parts(
+            dot_expr("embedding", "centv"), F.col("en"), F.col("cn")
+        ).alias("sim"),
+    )
+    corpus = (
+        sims.groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias("m"),
+            F.first("embedding").alias("cv"),
+            F.first("en").alias("cvn"),
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cv",
+            "cvn",
+            (-F.col("m.ncid")).cast("int").alias("list_id"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probes = (
+        sims.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("en").alias("qn"),
+            "cid",
+            "sim",
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= max(NPROBE_LEVELS))
+        .select("query_id", "qv", "qn", F.col("cid").alias("list_id"), "pr")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(corpus, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "pr",
+            cosine_from_parts(
+                dot_expr("qv", "cv"), F.col("qn"), F.col("cvn")
+            ).alias("cosine"),
+        )
+    )
+    # fan each candidate out to every level that would have probed its
+    # list: an in-row array filter, not a join — the level table never
+    # touches the shuffle.
+    levels_arr = F.array(*[F.lit(l) for l in NPROBE_LEVELS])
+    per_level = cand.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.explode(
+            F.filter(levels_arr, lambda l: l >= F.col("pr"))
+        ).alias("nprobe"),
+    )
+    wl = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    approx = (
+        per_level.withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= TOP_K)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    bf = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    total = bf.agg(F.count(F.lit(1)).alias("bf_total"))
+    return (
+        approx.join(bf, ["query_id", "neighbor_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).alias("n_sel"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "nprobe",
+            "n_sel",
+            "n_hits",
+            F.expr("n_hits * 1000000 DIV bf_total").alias("recall_ppm"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def _ann_ivf_nprobe_sql() -> str:
+    levels = ", ".join(str(l) for l in NPROBE_LEVELS)
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_NLIST}
+),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_cos_sql('e.embedding', 'c.cv')} AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, cid AS list_id FROM (
+    SELECT vec_id, embedding, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid AS list_id, rn AS pr FROM (
+    SELECT vec_id, embedding, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {max(NPROBE_LEVELS)}
+),
+cand AS (
+  SELECT query_id, neighbor_id, pr, {_cos_sql('qv', 'cv')} AS cosine
+  FROM probes JOIN assigned USING (list_id)
+  WHERE query_id <> neighbor_id
+),
+per_level AS (
+  SELECT l.nprobe, c.query_id, c.neighbor_id, c.cosine
+  FROM cand c JOIN (SELECT unnest([{levels}]) AS nprobe) l ON c.pr <= l.nprobe
+),
+approx AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT nprobe, query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY nprobe, query_id ORDER BY cosine DESC, neighbor_id
+           ) AS rank
+    FROM per_level
+  ) WHERE rank <= {TOP_K}
+),
+bf AS ({{bf}}),
+total AS (SELECT COUNT(*) AS bf_total FROM bf)
+SELECT a.nprobe,
+       COUNT(*) AS n_sel,
+       CAST(SUM(CASE WHEN bf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST((SUM(CASE WHEN bf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+            // ANY_VALUE(total.bf_total) AS BIGINT) AS recall_ppm
+FROM approx a
+LEFT JOIN bf ON a.query_id = bf.query_id AND a.neighbor_id = bf.neighbor_id
+CROSS JOIN total
+GROUP BY a.nprobe ORDER BY a.nprobe
+""".replace("{bf}", ANN_TOPK_SQL.strip())
+
+
+# ---------------------------------------------------------------------------
 # Matryoshka truncation recall (dimension-reduction quality eval)
 # ---------------------------------------------------------------------------
 
@@ -3315,6 +3598,8 @@ QUERIES = {
     "emb_hard_negatives": emb_hard_negatives,
     "ann_mmr_diversified": ann_mmr_diversified,
     "cluster_stability_rand": cluster_stability_rand,
+    "ann_multiprobe_lsh": ann_multiprobe_lsh,
+    "ann_ivf_nprobe_recall": ann_ivf_nprobe_recall,
     "ann_ivf": ann_ivf,
     "cluster_kmeans_fixed": cluster_kmeans_fixed,
     "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -3354,6 +3639,8 @@ ORACLES = {
     "emb_hard_negatives": _hard_negatives_sql(),
     "ann_mmr_diversified": _mmr_sql(),
     "cluster_stability_rand": CLUSTER_STABILITY_SQL,
+    "ann_multiprobe_lsh": _ann_multiprobe_sql(),
+    "ann_ivf_nprobe_recall": _ann_ivf_nprobe_sql(),
     "ann_ivf": ANN_IVF_SQL,
     "dedup_embedding_lsh": _dedup_lsh_sql(),
 }

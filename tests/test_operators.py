@@ -1201,3 +1201,46 @@ def test_kcore_empty_core_reads_zero_not_null(spark, monkeypatch):
     for r in rows[1:]:
         assert r.n_nodes == 0 and r.n_edges == 0
         assert r.n_edges is not None
+
+
+def test_multiprobe_lsh_dominates_single_bucket(spark):
+    """Multiprobe candidates are a strict superset of the single-bucket
+    LSH candidates (home bucket = xor 0 probe), so at every rank the
+    multiprobe cosine must be >= the single-bucket cosine, and multiprobe
+    recall vs brute force must be >= single-bucket recall."""
+    sf = "/root/testdata/sf0.001"
+    mp = {
+        (r.query_id, r.rank): (r.cosine, r.neighbor_id)
+        for r in similarity.ann_multiprobe_lsh(spark, sf).collect()
+    }
+    single = {
+        (r.query_id, r.rank): (r.cosine, r.neighbor_id)
+        for r in similarity.ann_lsh_bucketed(spark, sf).collect()
+    }
+    assert mp
+    for key, (cos_s, _) in single.items():
+        assert key in mp
+        assert mp[key][0] >= cos_s
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_topk_bruteforce(spark, sf).collect()
+    }
+    hits_mp = sum(1 for (q, _), (_, n) in mp.items() if (q, n) in bf)
+    hits_s = sum(1 for (q, _), (_, n) in single.items() if (q, n) in bf)
+    assert hits_mp >= hits_s
+
+
+def test_ivf_nprobe_recall_curve_is_monotone_and_caps(spark):
+    """More probed lists can only add candidates: n_sel and recall_ppm
+    are non-decreasing in nprobe, recall is within [0, 1e6], and the
+    curve reports every configured level in order."""
+    rows = similarity.ann_ivf_nprobe_recall(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r.nprobe for r in rows] == similarity.NPROBE_LEVELS
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_sel >= prev.n_sel
+        assert cur.recall_ppm >= prev.recall_ppm
+    for r in rows:
+        assert 0 <= r.recall_ppm <= 1_000_000
+        assert r.n_hits <= r.n_sel
