@@ -111,6 +111,10 @@ _PRIORITY = [
     "cluster_stability_rand",
     "ann_multiprobe_lsh",
     "ann_ivf_nprobe_recall",
+    "q_compaction_plan",
+    "q_interval_overlap_join",
+    "graph_ktruss",
+    "emb_cka_alignment",
     # -- never driver-verified (r01..r04), priority order --
     "ml_lift_deciles",
     "ann_pq_adc",

@@ -124,6 +124,10 @@ def main() -> None:
         "cluster_stability_rand",
         "ann_multiprobe_lsh",
         "ann_ivf_nprobe_recall",
+        "emb_cka_alignment",
+        "q_compaction_plan",
+        "q_interval_overlap_join",
+        "graph_ktruss",
         "q_nested_roundtrip",
         "q_array_analytics",
         "ml_target_encoding",

@@ -456,7 +456,11 @@ def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(verdict, "doc_id")
     )
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=64)
-    feats = tf.transform(docs)
+    # localCheckpoint: the verdict-gate pipeline above (a full quality
+    # query + tokenize + join) feeds THREE consumers (LR fit, held-out
+    # scoring, the n_train count) — pin its output once instead of
+    # recomputing the gate per consumer. Eager + tiny (one row per doc).
+    feats = tf.transform(docs).localCheckpoint()
     train = feats.filter(F.col("bucket") < TRAIN_BUCKETS)
     evald = feats.filter(F.col("bucket") >= TRAIN_BUCKETS)
     # 12 iterations converge this 64-feature LR to the same held-out

@@ -2227,6 +2227,148 @@ SELECT {it} AS iter,
     return "".join(parts) + "\nSELECT * FROM (" + " UNION ALL ".join(selects) + ") ORDER BY iter"
 
 
+KTRUSS_K = 4        # keep edges in >= K-2 triangles
+KTRUSS_ROUNDS = 2   # fixed peel unroll (readout rows: rounds + 1)
+KTRUSS_SINCE = "2000-06-01"  # recent-window subgraph (bounds the slice)
+
+
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss decomposition by support peeling over the recent-window
+    co-purchase graph: repeatedly drop every edge in fewer than K-2
+    triangles — the EDGE-centric cousin of k-core (graph_kcore) that
+    isolates cohesive communities far more tightly (an edge survives
+    only if its endpoints share K-2 common neighbors; bridges and hubs
+    die immediately). Output is the per-iteration (n_edges,
+    n_triangles) trajectory, a fixed KTRUSS_ROUNDS unroll like k-core.
+
+    Per round: ONE triangle enumeration (the canonical a<b<c two-join
+    over the edge list keyed on node ids — each triangle produced
+    once), a map-side explode of its 3 edges, one partial-agg shuffle
+    for per-edge support, and a broadcast left join-back to peel
+    (support table <= edge table; at dimension-breaking sizes it
+    degrades to a shuffle hash join on the canonical pair key).
+    n_triangles is derived from the SAME pinned support frame
+    (sum(support) DIV 3 — each triangle contributes 3), so the readout
+    costs no extra pass. The recent-window filter is partition pruning
+    at 100 TB (ship-date is the natural table partition key); the
+    oracle mirrors the unroll as MATERIALIZED CTEs."""
+    per_order = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit(KTRUSS_SINCE).cast("timestamp"))
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    edges = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .distinct()
+        .localCheckpoint()
+    )
+    out = []
+    for it in range(KTRUSS_ROUNDS + 1):
+        e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        e2 = edges.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
+        e3 = edges.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))
+        tri = (
+            e1.join(e2, F.col("b") == F.col("b2"))
+            .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+            .select("a", "b", "c")
+        )
+        support = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("pa"), F.col("b").alias("pb")),
+                        F.struct(F.col("b").alias("pa"), F.col("c").alias("pb")),
+                        F.struct(F.col("a").alias("pa"), F.col("c").alias("pb")),
+                    )
+                ).alias("e")
+            )
+            .groupBy(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
+            .agg(F.count(F.lit(1)).alias("support"))
+            .localCheckpoint()
+        )
+        row = (
+            edges.agg(F.count(F.lit(1)).alias("n_edges"))
+            .crossJoin(
+                support.agg(
+                    F.expr(
+                        "CAST(COALESCE(SUM(support), 0) DIV 3 AS BIGINT)"
+                    ).alias("n_triangles")
+                )
+            )
+            .select(F.lit(it).alias("iter"), "n_edges", "n_triangles")
+        )
+        out.append(row)
+        if it == KTRUSS_ROUNDS:
+            break
+        edges = (
+            edges.join(F.broadcast(support), ["pa", "pb"], "left")
+            .filter(F.coalesce(F.col("support"), F.lit(0)) >= KTRUSS_K - 2)
+            .select("pa", "pb")
+            .localCheckpoint()
+        )
+    res = out[0]
+    for r in out[1:]:
+        res = res.unionByName(r)
+    return res.orderBy("iter")
+
+
+def _ktruss_sql() -> str:
+    base = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{KTRUSS_SINCE}'
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+    parts = [base]
+    for it in range(KTRUSS_ROUNDS + 1):
+        parts.append(f""",
+t{it} AS MATERIALIZED (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM e{it} e1 JOIN e{it} e2 ON e1.pb = e2.pa
+  JOIN e{it} e3 ON e1.pa = e3.pa AND e2.pb = e3.pb
+),
+s{it} AS MATERIALIZED (
+  SELECT pa, pb, COUNT(*) AS sup FROM (
+    SELECT a AS pa, b AS pb FROM t{it}
+    UNION ALL SELECT b, c FROM t{it}
+    UNION ALL SELECT a, c FROM t{it}
+  ) GROUP BY pa, pb
+)""")
+        if it < KTRUSS_ROUNDS:
+            parts.append(f""",
+e{it + 1} AS MATERIALIZED (
+  SELECT e.pa, e.pb FROM e{it} e
+  LEFT JOIN s{it} s ON e.pa = s.pa AND e.pb = s.pb
+  WHERE COALESCE(s.sup, 0) >= {KTRUSS_K - 2}
+)""")
+    selects = []
+    for it in range(KTRUSS_ROUNDS + 1):
+        selects.append(f"""
+SELECT {it} AS iter,
+       (SELECT COUNT(*) FROM e{it}) AS n_edges,
+       (SELECT CAST(COALESCE(SUM(sup), 0) // 3 AS BIGINT) FROM s{it}) AS n_triangles""")
+    return (
+        "".join(parts)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(selects)
+        + ") ORDER BY iter"
+    )
+
+
 LINKPRED_TOP = 20
 LINKPRED_SUPPORT = 2  # min co-purchase count for a graph edge
 
@@ -2521,6 +2663,7 @@ ORDER BY n_bands
 QUERIES = {
     "graph_link_prediction": graph_link_prediction,
     "graph_kcore": graph_kcore,
+    "graph_ktruss": graph_ktruss,
     "graph_modularity": graph_modularity,
     "dedup_record_linkage": dedup_record_linkage,
     "dedup_savings_summary": dedup_savings_summary,
@@ -2552,6 +2695,7 @@ QUERIES = {
 ORACLES = {
     "graph_link_prediction": _linkpred_sql(),
     "graph_kcore": _kcore_sql(),
+    "graph_ktruss": _ktruss_sql(),
     "graph_modularity": GRAPH_MODULARITY_SQL,
     "dedup_record_linkage": RECORD_LINKAGE_SQL,
     "dedup_savings_summary": _savings_sql(),

@@ -1884,6 +1884,130 @@ GROUP BY 1, 2 ORDER BY i, j
 
 
 # ---------------------------------------------------------------------------
+# Linear CKA between the two dimension halves (representation alignment)
+# ---------------------------------------------------------------------------
+
+CKA_SPLIT = 32  # dims [0, 32) = view X, dims [32, 64) = view Y
+
+
+def emb_cka_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear Centered Kernel Alignment between the embedding's two
+    dimension halves — the representation-similarity audit (Kornblith
+    et al., ICML 2019) behind "can I truncate / which layers agree":
+    CKA(X, Y) = ‖Xc'Yc‖²_F / (‖Xc'Xc‖_F · ‖Yc'Yc‖_F) over
+    column-centered views, 1.0 = same geometry up to rotation/scale.
+    Here the views are dims [0,{CKA_SPLIT}) vs [{CKA_SPLIT},64) — the
+    question MRL truncation asks (does the tail half encode anything
+    the head half doesn't?).
+
+    EXACT distributed form: quantize to integer fixed point
+    (round(x·2^10), the emb_gram_matrix convention), then every centered
+    Gram entry comes from raw sums via C = n·Σxy − Σx·Σy — no per-row
+    centering pass, no float accumulation. One upper-triangle dim-pair
+    explode (in-row), ONE partial-agg shuffle keyed by the ~d²/2 pairs
+    where each group reduces G=Σxᵢxⱼ, Sᵢ=Σxᵢ, Sⱼ=Σxⱼ, n together, then a
+    d²-row final fold. The fold squares the SCALE-FREE reduced moment
+    r = |C| div n² (≈ S²·cov, corpus-size-independent, < 2²¹): every
+    term and every sum then stays below 2⁵³, so BIGINT arithmetic is
+    exact AND the final cast to double is exact in both engines —
+    casting a wider decimal to double turned out to differ by 1 ulp
+    between Spark (Java BigDecimal) and DuckDB (int128), which is why
+    the fold deliberately never leaves 53-bit territory. The corpus is
+    read ONCE; everything after the first shuffle is dimension-sized."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode(
+            F.expr(
+                f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+                f" * {PCA_X_SCALE}, 0) AS BIGINT))"
+            )
+        ).alias("i", "xi"),
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+            f" * {PCA_X_SCALE}, 0) AS BIGINT))"
+        ).alias("xs"),
+    )
+    pairs = e.select("i", "xi", F.posexplode("xs").alias("j", "xj")).filter(
+        F.col("j") >= F.col("i")
+    )
+    stats = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("xi") * F.col("xj")).alias("g"),
+        F.sum("xi").alias("si"),
+        F.sum("xj").alias("sj"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # centered cross-moment (scaled by n): C = n·G − Si·Sj, exact BIGINT;
+    # reduced |C| div n² is scale-free (≈ S²·cov) so its square sums
+    # stay under 2^53 at any corpus size
+    cent = stats.select(
+        "i",
+        "j",
+        "n",
+        F.expr("abs(n * g - si * sj) div (n * n)").alias("r"),
+    )
+    sq = F.col("r") * F.col("r")
+    w_sym = F.when(F.col("i") == F.col("j"), F.lit(1)).otherwise(F.lit(2))
+    in_x = F.col("j") < CKA_SPLIT          # i <= j < split  → XX block
+    in_y = F.col("i") >= CKA_SPLIT         # split <= i <= j → YY block
+    in_xy = (F.col("i") < CKA_SPLIT) & (F.col("j") >= CKA_SPLIT)
+    folded = cent.agg(
+        F.max("n").alias("n_vecs"),
+        F.sum(F.when(in_xy, sq).otherwise(F.lit(0))).alias("hsic_xy"),
+        F.sum(F.when(in_x, w_sym * sq).otherwise(F.lit(0))).alias("hsic_xx"),
+        F.sum(F.when(in_y, w_sym * sq).otherwise(F.lit(0))).alias("hsic_yy"),
+    )
+    return folded.select(
+        "n_vecs",
+        F.col("hsic_xy").cast("long").alias("hsic_xy"),
+        F.col("hsic_xx").cast("long").alias("hsic_xx"),
+        F.col("hsic_yy").cast("long").alias("hsic_yy"),
+        (
+            F.col("hsic_xy").cast("double")
+            / F.sqrt(F.col("hsic_xx").cast("double") * F.col("hsic_yy").cast("double"))
+        ).alias("cka"),
+    )
+
+
+def _cka_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) - 1 AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {PCA_X_SCALE}, 0)
+              AS BIGINT) AS xi
+  FROM embeddings
+),
+stats AS (
+  SELECT a.i, b.i AS j,
+         CAST(SUM(a.xi * b.xi) AS BIGINT) AS g,
+         CAST(SUM(a.xi) AS BIGINT) AS si,
+         CAST(SUM(b.xi) AS BIGINT) AS sj,
+         COUNT(*) AS n
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+  GROUP BY 1, 2
+),
+cent AS (
+  SELECT i, j, n, abs(n * g - si * sj) // (n * n) AS r FROM stats
+),
+folded AS (
+  SELECT MAX(n) AS n_vecs,
+         CAST(SUM(CASE WHEN i < {CKA_SPLIT} AND j >= {CKA_SPLIT}
+                  THEN r * r ELSE 0 END) AS BIGINT) AS hsic_xy,
+         CAST(SUM(CASE WHEN j < {CKA_SPLIT}
+                  THEN (CASE WHEN i = j THEN 1 ELSE 2 END) * r * r
+                  ELSE 0 END) AS BIGINT) AS hsic_xx,
+         CAST(SUM(CASE WHEN i >= {CKA_SPLIT}
+                  THEN (CASE WHEN i = j THEN 1 ELSE 2 END) * r * r
+                  ELSE 0 END) AS BIGINT) AS hsic_yy
+  FROM cent
+)
+SELECT CAST(n_vecs AS BIGINT) AS n_vecs, hsic_xy, hsic_xx, hsic_yy,
+       CAST(hsic_xy AS DOUBLE)
+         / sqrt(CAST(hsic_xx AS DOUBLE) * CAST(hsic_yy AS DOUBLE)) AS cka
+FROM folded
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-label embedding centroids (decimal-exact distributed vector mean)
 # ---------------------------------------------------------------------------
 
@@ -3600,6 +3724,7 @@ QUERIES = {
     "cluster_stability_rand": cluster_stability_rand,
     "ann_multiprobe_lsh": ann_multiprobe_lsh,
     "ann_ivf_nprobe_recall": ann_ivf_nprobe_recall,
+    "emb_cka_alignment": emb_cka_alignment,
     "ann_ivf": ann_ivf,
     "cluster_kmeans_fixed": cluster_kmeans_fixed,
     "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -3641,6 +3766,7 @@ ORACLES = {
     "cluster_stability_rand": CLUSTER_STABILITY_SQL,
     "ann_multiprobe_lsh": _ann_multiprobe_sql(),
     "ann_ivf_nprobe_recall": _ann_ivf_nprobe_sql(),
+    "emb_cka_alignment": _cka_sql(),
     "ann_ivf": ANN_IVF_SQL,
     "dedup_embedding_lsh": _dedup_lsh_sql(),
 }

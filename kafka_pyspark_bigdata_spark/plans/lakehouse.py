@@ -1057,6 +1057,92 @@ ORDER BY phase
 """
 
 
+# --- Compaction PLANNER (bin-packing over the file ledger) -----------------
+
+COMPACT_PLAN_DOCS_PER_FILE = 20     # ledger granularity: one "file" per 20 docs
+COMPACT_PLAN_TARGET_BYTES = 16_384  # close a compaction group once it reaches this
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE bin-packing PLANNER — the decision step before
+    `q_compact_small_files`'s rewrite: given a per-partition file ledger
+    (file id, byte size), group small files into compaction jobs that
+    each reach a target output size, smallest-first (the Delta/Iceberg
+    OPTIMIZE strategy: packing ascending by size minimizes the count of
+    undersized leftover groups to one per partition).
+
+    Grouping rule (exact, engine-portable): within a partition order
+    files by (bytes ASC, file_id ASC) and assign
+    ``group_id = cumulative_bytes_BEFORE_this_file DIV target`` — a
+    group closes the moment its running total crosses the target, so
+    every group except the last is >= target once closed, and a file
+    straddling the boundary stays with the group it started in (bins
+    may exceed target by < one file — the same slack real OPTIMIZE
+    accepts rather than splitting a file).
+
+    Scale shape: the ledger is METADATA — one row per data file, built
+    here with one partial-agg shuffle over documents (at 100 TB the
+    ledger comes free from the table manifest). The pack window is
+    partitioned by the table partition (`source`), never global, and
+    all arithmetic is BIGINT. Output is one row per planned compaction
+    job."""
+    docs = load_table(spark, sf_dir, "documents")
+    ledger = (
+        docs.groupBy(
+            "source",
+            (F.col("doc_id") / COMPACT_PLAN_DOCS_PER_FILE)
+            .cast("long")
+            .alias("file_id"),
+        )
+        .agg(F.sum("n_chars").alias("bytes"))
+    )
+    packed = ledger.withColumn(
+        "group_id",
+        F.expr(
+            "(sum(bytes) over ("
+            "partition by source order by bytes asc, file_id asc "
+            "rows between unbounded preceding and current row) - bytes)"
+            f" div {COMPACT_PLAN_TARGET_BYTES}"
+        ),
+    )
+    return (
+        packed.groupBy("source", "group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("group_bytes"),
+        )
+        .withColumn(
+            "reaches_target",
+            F.col("group_bytes") >= COMPACT_PLAN_TARGET_BYTES,
+        )
+        .orderBy("source", "group_id")
+    )
+
+
+COMPACT_PLAN_SQL = f"""
+WITH ledger AS (
+  SELECT source,
+         CAST(doc_id // {COMPACT_PLAN_DOCS_PER_FILE} AS BIGINT) AS file_id,
+         CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1, 2
+),
+packed AS (
+  SELECT source, file_id, bytes,
+         (SUM(bytes) OVER (
+            PARTITION BY source ORDER BY bytes ASC, file_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes)
+           // {COMPACT_PLAN_TARGET_BYTES} AS group_id
+  FROM ledger
+)
+SELECT source, CAST(group_id AS BIGINT) AS group_id,
+       COUNT(*) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS group_bytes,
+       CAST(SUM(bytes) AS BIGINT) >= {COMPACT_PLAN_TARGET_BYTES} AS reaches_target
+FROM packed
+GROUP BY source, group_id ORDER BY source, group_id
+"""
+
+
 def sketch_bloom_fpr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured false-positive rate of the q_bloom_prune filter — the
     sketch-accuracy evaluation that closes the bloom story the way
@@ -1937,6 +2023,7 @@ QUERIES = {
     "q_merge_upsert": q_merge_upsert,
     "q_partial_agg_merge": q_partial_agg_merge,
     "q_compact_small_files": q_compact_small_files,
+    "q_compaction_plan": q_compaction_plan,
     "sketch_bloom_fpr_eval": sketch_bloom_fpr_eval,
     "q_medallion_audit": q_medallion_audit,
     "q_scd2_asof_lookup": q_scd2_asof_lookup,
@@ -1961,6 +2048,7 @@ ORACLES = {
     "q_merge_upsert": MERGE_UPSERT_SQL,
     "q_partial_agg_merge": PARTIAL_AGG_MERGE_SQL,
     "q_compact_small_files": COMPACT_SQL,
+    "q_compaction_plan": COMPACT_PLAN_SQL,
     "sketch_bloom_fpr_eval": _bloom_fpr_sql(),
     "q_medallion_audit": MEDALLION_SQL,
     "q_scd2_asof_lookup": _scd2_asof_sql(),

@@ -1296,8 +1296,104 @@ GROUP BY n_a, n_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Binned interval-overlap join (distributed range join)
+# ---------------------------------------------------------------------------
+
+IVL_BIN_DAYS = 7      # temporal bin width: every interval spans <= 2 bins
+IVL_MAX_DUR_DAYS = 5  # interval length derived from the key: 1..5 days
+IVL_PRIORITY = "1-URGENT"
+
+
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal interval-overlap self-join via BINNING — the distributed
+    range-join pattern for when there is no equi-key: find every pair of
+    concurrently-open urgent orders (order interval = [orderdate,
+    orderdate + 1..5 days], closed ends) and report the overlap-pair
+    count per calendar week.
+
+    Spark has no native range-join optimizer, so the naive plan is a
+    cartesian filter. The standard fix (same trick as Databricks' range
+    join hint): replicate each interval to every {IVL_BIN_DAYS}-day bin
+    it touches (<= 2 copies, since durations are capped below the bin
+    width), equi-join on the bin id, verify true overlap exactly, and
+    attribute each pair to ONE bin — the bin of the LATER start — so a
+    pair overlapping across a bin boundary is counted exactly once
+    without a dedup shuffle.
+
+    Scale shape: one explode (<= 2x), one equi-join on bin, one
+    partial-agg shuffle. Candidate work per bin is (intervals touching
+    the bin)^2 — the knob is bin width vs interval density, and for a
+    count-only readout at extreme densities the sweep-line form (sort
+    starts/ends, count active) replaces enumeration; this operator
+    keeps enumeration because per-pair verification is what a real
+    conflict-detection job needs."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == IVL_PRIORITY)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+            ).alias("s"),
+        )
+        .withColumn("e", F.col("s") + F.col("k") % IVL_MAX_DUR_DAYS + 1)
+    )
+    binned = o.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {IVL_BIN_DAYS}"), F.expr(f"e div {IVL_BIN_DAYS}")
+            )
+        ),
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bin") == F.col("b.bin"))
+        & (F.col("a.k") < F.col("b.k"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e"))
+        & (
+            F.col("a.bin")
+            == F.expr(f"greatest(a.s, b.s) div {IVL_BIN_DAYS}")
+        ),
+    ).select(F.col("a.bin").alias("bin_id"))
+    return (
+        pairs.groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "bin_id",
+            (F.col("bin_id") * IVL_BIN_DAYS).alias("bin_start_day"),
+            "n_pairs",
+        )
+        .orderBy("bin_id")
+    )
+
+
+Q_INTERVAL_OVERLAP_SQL = f"""
+WITH ivl AS (
+  SELECT o_orderkey AS k,
+         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS s,
+         CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+           + o_orderkey % {IVL_MAX_DUR_DAYS} + 1 AS e
+  FROM orders WHERE o_orderpriority = '{IVL_PRIORITY}'
+),
+pairs AS (
+  SELECT CAST(greatest(a.s, b.s) // {IVL_BIN_DAYS} AS INTEGER) AS bin_id
+  FROM ivl a JOIN ivl b
+    ON a.k < b.k AND a.s <= b.e AND b.s <= a.e
+)
+SELECT bin_id,
+       CAST(bin_id * {IVL_BIN_DAYS} AS INTEGER) AS bin_start_day,
+       COUNT(*) AS n_pairs
+FROM pairs GROUP BY bin_id ORDER BY bin_id
+"""
+
+
 QUERIES = {
     "q_ks_drift": q_ks_drift,
+    "q_interval_overlap_join": q_interval_overlap_join,
     "q_winsorized_mean": q_winsorized_mean,
     "q_keyset_page": q_keyset_page,
     "q_trimmed_mean_pandas": q_trimmed_mean_pandas,
@@ -1318,6 +1414,7 @@ QUERIES = {
 
 ORACLES = {
     "q_ks_drift": Q_KS_SQL,
+    "q_interval_overlap_join": Q_INTERVAL_OVERLAP_SQL,
     "q_winsorized_mean": Q_WINSOR_SQL,
     "q_keyset_page": Q_KEYSET_SQL,
     "q_trimmed_mean_pandas": Q_TRIMMED_MEAN_SQL,

@@ -279,3 +279,35 @@ def test_join_skew_audit_flags_and_shares(spark):
         assert r.share_ppm == r.n_rows * 1_000_000 // n_total
         assert r.vs_mean_x100 == r.n_rows * n_keys * 100 // n_total
         assert r.needs_salt == (r.vs_mean_x100 >= SKEW_SALT_RATIO_X100)
+
+
+def test_compaction_plan_packs_to_target(spark):
+    """Bin-packing invariants: within each source every group except the
+    highest-numbered one reaches the target size, file counts and bytes
+    are conserved against the raw ledger, and group ids are dense from 0."""
+    rows = lakehouse.q_compaction_plan(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    totals = {
+        r["source"]: (r["nf"], r["bytes"])
+        for r in docs.groupBy("source")
+        .agg(
+            F.countDistinct(
+                (F.col("doc_id") / lakehouse.COMPACT_PLAN_DOCS_PER_FILE).cast("long")
+            ).alias("nf"),
+            F.sum("n_chars").alias("bytes"),
+        )
+        .collect()
+    }
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert set(by_source) == set(totals)
+    for src, grp in by_source.items():
+        grp.sort(key=lambda r: r.group_id)
+        assert [g.group_id for g in grp] == sorted({g.group_id for g in grp})
+        assert grp[0].group_id == 0
+        assert sum(g.n_files for g in grp) == totals[src][0]
+        assert sum(g.group_bytes for g in grp) == totals[src][1]
+        for g in grp[:-1]:
+            assert g.reaches_target
+            assert g.group_bytes >= lakehouse.COMPACT_PLAN_TARGET_BYTES

@@ -202,3 +202,32 @@ def test_chi2_cells_reconcile_and_stat_is_sum(spark):
     assert all(r.dof == expect_dof for r in rows)
     assert all(r.chi2_ppm == sum(x.contrib_ppm for x in rows) for r in rows)
     assert all(r.contrib_ppm >= 0 for r in rows)
+
+
+def test_interval_overlap_matches_bruteforce(spark):
+    """The binned range join reproduces the quadratic reference count
+    exactly, with every pair attributed to the bin of the later start."""
+    from collections import Counter
+
+    rows = mining.q_interval_overlap_join(spark, SF_SMOKE).collect()
+    o = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_orderpriority") == mining.IVL_PRIORITY)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("s"),
+        )
+        .collect()
+    )
+    ivls = [(r.k, r.s, r.s + r.k % mining.IVL_MAX_DUR_DAYS + 1) for r in o]
+    ref = Counter()
+    for ai, (ka, sa, ea) in enumerate(ivls):
+        for kb, sb, eb in ivls[ai + 1:]:
+            if sa <= eb and sb <= ea:
+                ref[max(sa, sb) // mining.IVL_BIN_DAYS] += 1
+    got = {r.bin_id: r.n_pairs for r in rows}
+    assert got == dict(ref)
+    for r in rows:
+        assert r.bin_start_day == r.bin_id * mining.IVL_BIN_DAYS

