@@ -1903,37 +1903,73 @@ def emb_cka_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT distributed form: quantize to integer fixed point
     (round(x·2^10), the emb_gram_matrix convention), then every centered
     Gram entry comes from raw sums via C = n·Σxy − Σx·Σy — no per-row
-    centering pass, no float accumulation. One upper-triangle dim-pair
-    explode (in-row), ONE partial-agg shuffle keyed by the ~d²/2 pairs
-    where each group reduces G=Σxᵢxⱼ, Sᵢ=Σxᵢ, Sⱼ=Σxⱼ, n together, then a
-    d²-row final fold. The fold squares the SCALE-FREE reduced moment
-    r = |C| div n² (≈ S²·cov, corpus-size-independent, < 2²¹): every
-    term and every sum then stays below 2⁵³, so BIGINT arithmetic is
-    exact AND the final cast to double is exact in both engines —
-    casting a wider decimal to double turned out to differ by 1 ulp
-    between Spark (Java BigDecimal) and DuckDB (int128), which is why
-    the fold deliberately never leaves 53-bit territory. The corpus is
-    read ONCE; everything after the first shuffle is dimension-sized."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        F.posexplode(
-            F.expr(
-                f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
-                f" * {PCA_X_SCALE}, 0) AS BIGINT))"
+    centering pass. The raw sums are PER-PARTITION GEMM PARTIALS: each
+    ``mapInPandas`` task folds its Arrow batches into one d×d integer
+    XᵀX (float64 BLAS per batch — exact, since a batch's Σxᵢxⱼ is
+    < 2⁵³ — accumulated across batches in int64) plus column sums and a
+    count, then emits ONE upper-triangle frame (d²/2 rows) per task. The
+    shuffle carries partitions·d²/2 accumulator rows — never row-scaled —
+    into a (i,j)-keyed agg, then a d²-row final fold. The fold squares
+    the SCALE-FREE reduced moment r = |C| div n² (≈ S²·cov,
+    corpus-size-independent, < 2²¹): every term and every sum then stays
+    below 2⁵³, so BIGINT arithmetic is exact AND the final cast to
+    double is exact in both engines — casting a wider decimal to double
+    turned out to differ by 1 ulp between Spark (Java BigDecimal) and
+    DuckDB (int128), which is why the fold deliberately never leaves
+    53-bit territory. The corpus is read ONCE; everything after the map
+    side is dimension-sized. (The expression-tree twin of the GEMM
+    stage — double posexplode + (i,j) partial agg — is what
+    emb_gram_matrix keeps; at d=64 it shuffles d²/2 rows per ROW GROUP
+    worth of input instead of per task, ~30× more map-side work.)"""
+    scale = float(PCA_X_SCALE)
+
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        gram = None
+        colsum = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _round_half_away(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * scale
             )
-        ).alias("i", "xi"),
-        F.expr(
-            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
-            f" * {PCA_X_SCALE}, 0) AS BIGINT))"
-        ).alias("xs"),
-    )
-    pairs = e.select("i", "xi", F.posexplode("xs").alias("j", "xj")).filter(
-        F.col("j") >= F.col("i")
-    )
-    stats = pairs.groupBy("i", "j").agg(
-        F.sum(F.col("xi") * F.col("xj")).alias("g"),
-        F.sum("xi").alias("si"),
-        F.sum("xj").alias("sj"),
-        F.count(F.lit(1)).alias("n"),
+            g = x.T @ x  # exact: batch Σ|xi·xj| << 2^53
+            if gram is None:
+                gram = g.astype(np.int64)
+                colsum = x.sum(axis=0).astype(np.int64)
+            else:
+                gram += g.astype(np.int64)
+                colsum += x.sum(axis=0).astype(np.int64)
+            n += len(pdf)
+        if n == 0:
+            return
+        d = gram.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": iu.astype(np.int32),
+                "j": ju.astype(np.int32),
+                "g": gram[iu, ju],
+                "si": colsum[iu],
+                "sj": colsum[ju],
+                "n": np.full(len(iu), n, dtype=np.int64),
+            }
+        )
+
+    stats = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .mapInPandas(gram_partials, "i int, j int, g long, si long, sj long, n long")
+        .groupBy("i", "j")
+        .agg(
+            F.sum("g").alias("g"),
+            F.sum("si").alias("si"),
+            F.sum("sj").alias("sj"),
+            F.sum("n").alias("n"),
+        )
     )
     # centered cross-moment (scaled by n): C = n·G − Si·Sj, exact BIGINT;
     # reduced |C| div n² is scale-free (≈ S²·cov) so its square sums
