@@ -115,6 +115,10 @@ _PRIORITY = [
     "q_interval_overlap_join",
     "graph_ktruss",
     "emb_cka_alignment",
+    "text_kneser_ney_bigram",
+    "q_skyline_grouped",
+    "corpus_curriculum_schedule",
+    "q_bitemporal_asof",
     # -- never driver-verified (r01..r04), priority order --
     "ml_lift_deciles",
     "ann_pq_adc",

@@ -128,6 +128,10 @@ def main() -> None:
         "q_compaction_plan",
         "q_interval_overlap_join",
         "graph_ktruss",
+        "text_kneser_ney_bigram",
+        "q_skyline_grouped",
+        "corpus_curriculum_schedule",
+        "q_bitemporal_asof",
         "q_nested_roundtrip",
         "q_array_analytics",
         "ml_target_encoding",

@@ -1000,7 +1000,81 @@ FROM flagged GROUP BY lang ORDER BY lang
 """
 
 
+# --- Curriculum schedule (rank-quantile phase assignment) -------------------
+
+CURRICULUM_PHASES = 4  # easy -> hard training phases
+
+
+def corpus_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum schedule: assign every document to one of
+    {CURRICULUM_PHASES} training phases by its global difficulty rank
+    (n_chars ASC — short/easy first, the curriculum-learning shape of
+    Bengio et al. 2009), phases sized equal-by-COUNT so every phase is
+    the same number of optimizer steps:
+
+        phase = (rank − 1) · {CURRICULUM_PHASES} DIV n_docs
+
+    Readout is the schedule manifest a dataloader consumes: per (phase,
+    source) doc counts, char totals, and the phase's difficulty band
+    [min, max n_chars] — the audit that the curriculum is monotone and
+    no source is starved in early phases.
+
+    Scale: the global rank is the shard-manifest two-phase construction
+    — bucket by ``n_chars DIV 64``, turn the tiny per-bucket count
+    table into offsets with one post-aggregate window, rank within
+    buckets only (ties cannot straddle a bucket boundary) — so there is
+    no whole-corpus window; the 1-row n_docs rides a broadcast cross
+    join and the output is ({CURRICULUM_PHASES} × sources) rows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    docs = docs.withColumn("b", F.expr("n_chars DIV 64"))
+    per_b = docs.groupBy("b").agg(F.count(F.lit(1)).alias("bn"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    offsets = per_b.select(
+        "b", (F.sum("bn").over(wb) - F.col("bn")).alias("roff")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs_total"))
+    return (
+        docs.join(F.broadcast(offsets), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_chars",
+            F.expr(
+                f"(roff + (ROW_NUMBER() OVER (PARTITION BY b ORDER BY"
+                f" n_chars, doc_id)) - 1) * {CURRICULUM_PHASES}"
+                f" DIV n_docs_total"
+            ).alias("phase"),
+        )
+        .groupBy("phase", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("phase", "source")
+    )
+
+
+CORPUS_CURRICULUM_SQL = f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1)
+           * {CURRICULUM_PHASES} // (SELECT COUNT(*) FROM documents) AS phase
+  FROM documents
+)
+SELECT CAST(phase AS BIGINT) AS phase, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM ranked GROUP BY 1, 2 ORDER BY phase, source
+"""
+
+
 QUERIES = {
+    "corpus_curriculum_schedule": corpus_curriculum_schedule,
     "corpus_ablation_grid": corpus_ablation_grid,
     "corpus_epoch_shuffle": corpus_epoch_shuffle,
     "corpus_span_corruption": corpus_span_corruption,
@@ -1021,6 +1095,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_curriculum_schedule": CORPUS_CURRICULUM_SQL,
     "corpus_ablation_grid": CORPUS_ABLATION_SQL,
     "corpus_epoch_shuffle": CORPUS_EPOCH_SQL,
     "corpus_span_corruption": CORPUS_SPAN_SQL,

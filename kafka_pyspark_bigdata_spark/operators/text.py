@@ -1549,7 +1549,108 @@ ORDER BY c.labeled, predicted
 """
 
 
+KN_TOPK = 20  # readout: the K most frequent bigrams with their KN prob
+
+
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    Chen & Goodman 1999) — the smoothing every production n-gram LM
+    uses, and the statistic behind KenLM-style perplexity filtering of
+    training corpora. For a seen bigram (w1, w2) with discount
+    d = 3/4:
+
+        P_KN(w2 | w1) = (c12 − d)/c1  +  (d·T1/c1) · (C2/T)
+
+    where c1 = Σ_w c(w1, w) (context total), T1 = |{w : c(w1,w) > 0}|
+    (continuation types of w1 — the backoff mass), C2 = |{w : c(w,w2)
+    > 0}| (contexts that precede w2 — the continuation probability's
+    numerator), and T = total distinct bigram types. With d = 3/4 the
+    whole expression is one exact rational:
+
+        kn_ppm = 10⁶ · ((4·c12 − 3)·T + 3·T1·C2)  div  (4·c1·T)
+
+    run in DECIMAL(38,0)/HUGEINT — at corpus scale c1·T leaves BIGINT
+    — so both engines produce the identical integer. No log, no float.
+
+    Plan: bigrams materialize per doc as an in-row array transform, the
+    type/context tables are three partial-agg shuffles over the bigram
+    count table (keyed by bigram, w1, w2 respectively — each carries
+    types, not tokens), the 1-row T rides a broadcast cross join, and
+    only the K most frequent bigrams (TakeOrdered, no global sort) join
+    back against the w1/w2 marginals. Readout: top-{KN_TOPK} bigrams by
+    count with their exact KN ppm."""
+    tokd = (
+        load_documents(spark, sf_dir)
+        .select("doc_id", tokens_expr().alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    bgs = tokd.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1,"
+                " element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    counts = bgs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left = counts.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("t1")
+    )
+    right = counts.groupBy("w2").agg(F.count(F.lit(1)).alias("c2_types"))
+    total = counts.agg(F.count(F.lit(1)).alias("t_types"))
+    top = counts.orderBy(F.desc("c12"), "w1", "w2").limit(KN_TOPK)
+    return (
+        F.broadcast(top)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "t1",
+            "c2_types",
+            F.expr(
+                "CAST((CAST(4 * c12 - 3 AS DECIMAL(38,0)) * t_types"
+                " + CAST(3 AS DECIMAL(38,0)) * t1 * c2_types) * 1000000"
+                " DIV (CAST(4 AS DECIMAL(38,0)) * c1 * t_types) AS BIGINT)"
+            ).alias("kn_ppm"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+    )
+
+
+TEXT_KNESER_NEY_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+bgs AS (
+  SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM tokd WHERE len(toks) >= 2
+),
+counts AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgs GROUP BY 1, 2),
+lft AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS t1 FROM counts GROUP BY 1),
+rgt AS (SELECT w2, COUNT(*) AS c2_types FROM counts GROUP BY 1),
+total AS (SELECT COUNT(*) AS t_types FROM counts),
+top AS (
+  SELECT w1, w2, c12 FROM counts ORDER BY c12 DESC, w1, w2 LIMIT {KN_TOPK}
+)
+SELECT top.w1, top.w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+       CAST(t1 AS BIGINT) AS t1, CAST(c2_types AS BIGINT) AS c2_types,
+       CAST((CAST(4 * c12 - 3 AS HUGEINT) * t_types
+             + CAST(3 AS HUGEINT) * t1 * c2_types) * 1000000
+            // (CAST(4 AS HUGEINT) * c1 * t_types) AS BIGINT) AS kn_ppm
+FROM top
+JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN total
+ORDER BY c12 DESC, w1, w2
+"""
+
+
 QUERIES = {
+    "text_kneser_ney_bigram": text_kneser_ney_bigram,
     "corpus_langid_confusion": corpus_langid_confusion,
     "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
     "text_source_divergence": text_source_divergence,
@@ -1576,6 +1677,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_kneser_ney_bigram": TEXT_KNESER_NEY_SQL,
     "corpus_langid_confusion": CORPUS_LANGID_CONFUSION_SQL,
     "corpus_tokenizer_fertility": CORPUS_FERTILITY_SQL,
     "text_source_divergence": TEXT_SOURCE_DIVERGENCE_SQL,

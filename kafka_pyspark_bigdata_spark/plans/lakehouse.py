@@ -2013,7 +2013,128 @@ ORDER BY layout, probe_dim
 """
 
 
+# --- Bitemporal as-of (valid time x transaction/ingestion time) ------------
+
+BTEMP_DELAY_MOD = 49        # simulated ingestion delay: (event_id % 49 + 1) min
+BTEMP_SNAPSHOT_LAG_US = 3_600_000_000  # snapshot K0 = max event time - 1 h
+
+
+def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL as-of lookup — the time-travel-consistent join every
+    lakehouse with late-arriving data needs: versions carry BOTH a
+    valid time (when the purchase happened) and a transaction time
+    (when it was ingested — here a deterministic (event_id %
+    {BTEMP_DELAY_MOD} + 1)-minute delay), and the query answers "for
+    each click, the latest purchase amount that was ALREADY INGESTED at
+    snapshot K0" (K0 = max event time − 1 h). Versions whose tx time is
+    after K0 are invisible even though their valid time qualifies —
+    exactly what a Delta/Iceberg `VERSION AS OF` read over an as-of
+    join produces, and what a valid-time-only as-of silently gets wrong
+    on late data.
+
+    Plan: the 1-row K0 broadcasts into a map-side tx-time gate (the
+    transaction dimension costs a filter, not a join), then the
+    remaining valid-time as-of is the union-and-carry-forward pattern
+    (plans/advanced.q_asof_click_purchase): one shuffle on user_id, one
+    linear window pass, no inequality join. Ties at identical valid
+    times: versions order before probes (tag 0 < 1), same-time versions
+    resolve to the highest event_id — deterministic on any engine. All
+    times move as BIGINT microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    k0 = ev.agg(
+        (F.max(F.unix_micros("ts")) - F.lit(BTEMP_SNAPSHOT_LAG_US)).alias("k0_us")
+    )
+    vers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t_us"),
+            F.col("event_id").alias("eid"),
+            F.expr(
+                f"unix_micros(ts) + ((event_id % {BTEMP_DELAY_MOD}) + 1)"
+                " * 60000000"
+            ).alias("tx_us"),
+            F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+            F.lit(0).alias("tag"),
+        )
+        .crossJoin(F.broadcast(k0))
+        .filter(F.col("tx_us") <= F.col("k0_us"))
+        .select("user_id", "t_us", "eid", "cents", "tag")
+    )
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.col("event_id").alias("eid"),
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "tag", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_v = F.col("tag") == 0
+    carried = vers.unionByName(probes).select(
+        "user_id",
+        "t_us",
+        "eid",
+        "tag",
+        F.last(F.when(is_v, F.col("cents")), ignorenulls=True)
+        .over(w)
+        .alias("asof_cents"),
+        F.last(F.when(is_v, F.col("t_us")), ignorenulls=True)
+        .over(w)
+        .alias("asof_valid_us"),
+    )
+    return (
+        carried.filter(F.col("tag") == 1)
+        .select(
+            F.col("eid").alias("probe_id"),
+            "user_id",
+            "asof_cents",
+            (F.col("t_us") - F.col("asof_valid_us")).alias("staleness_us"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+BTEMP_ASOF_SQL = f"""
+WITH {_EV_US},
+k0 AS (
+  SELECT MAX(epoch_us(ts)) - {BTEMP_SNAPSHOT_LAG_US} AS k0_us FROM ev
+),
+vers AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_id AS eid,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents, 0 AS tag
+  FROM ev, k0
+  WHERE event_type = 'purchase'
+    AND epoch_us(ts) + ((event_id % {BTEMP_DELAY_MOD}) + 1) * 60000000
+          <= k0_us
+),
+u AS (
+  SELECT * FROM vers
+  UNION ALL
+  SELECT user_id, epoch_us(ts), event_id, NULL, 1
+  FROM ev WHERE event_type = 'click'
+),
+c AS (
+  SELECT user_id, t_us, eid, tag,
+         LAST_VALUE(CASE WHEN tag = 0 THEN cents END IGNORE NULLS)
+           OVER w AS asof_cents,
+         LAST_VALUE(CASE WHEN tag = 0 THEN t_us END IGNORE NULLS)
+           OVER w AS asof_valid_us
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, tag, eid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT eid AS probe_id, user_id, asof_cents,
+       t_us - asof_valid_us AS staleness_us
+FROM c WHERE tag = 1 ORDER BY probe_id
+"""
+
+
 QUERIES = {
+    "q_bitemporal_asof": q_bitemporal_asof,
     "q_encoding_stats": q_encoding_stats,
     "q_encoding_stats_sharded": q_encoding_stats_sharded,
     "q_observe_metrics": q_observe_metrics,
@@ -2039,6 +2160,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_bitemporal_asof": BTEMP_ASOF_SQL,
     "q_encoding_stats": Q_ENCODING_SQL,
     "q_encoding_stats_sharded": Q_ENCODING_SHARDED_SQL,
     "q_observe_metrics": Q_OBSERVE_SQL,

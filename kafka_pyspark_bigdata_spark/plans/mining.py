@@ -1391,7 +1391,125 @@ FROM pairs GROUP BY bin_id ORDER BY bin_id
 """
 
 
+# --- Pareto skyline (per-nation dominance frontier) ------------------------
+
+SKYLINE_XBAND = 1_000_000  # spend-cents band for the two-phase prefix max
+
+
+def q_skyline_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED skyline (Börzsönyi et al., ICDE 2001): per nation, the
+    customers on the Pareto frontier of (total spend, order count) —
+    nobody in the same nation is >= on both metrics and > on at least
+    one. The sibling ``plans.analytic.q_skyline_pareto`` exploits a
+    BOUNDED date domain; this one handles the general case — grouped,
+    both metrics unbounded — so the frontier scan itself must be made
+    distributed (the banded two-phase prefix max below).
+
+    Distributed formulation — never the O(n²) dominance self-join. Sort
+    conceptually by spend DESC; a customer is dominated iff (a) some
+    strictly-higher spender has >= orders, or (b) a same-spend customer
+    has strictly more orders. Both reduce to per-group maxima:
+
+      gm  = max(orders) over equal-spend peers — one (nation, spend)
+            partial agg, metadata-sized (one row per distinct value);
+      bp  = max(gm) over strictly-higher spend — a PREFIX max over the
+            distinct-spend frame, computed TWO-PHASE like the shard
+            manifest's rank (no per-nation whole-data window): band
+            spend DIV {SKYLINE_XBAND}, prefix-max the tiny per-band
+            maxima table with one post-aggregate window, then a window
+            WITHIN each band; higher bands always mean strictly higher
+            spend, and same-band strictly-higher rows are 1-preceding
+            in the band-local window.
+
+    skyline ⇔ orders = gm AND orders > coalesce(bp, −1). Equal (spend,
+    orders) pairs tie — neither dominates — and both rows surface. The
+    customer-level frames move once (agg shuffle + one (nation, spend)
+    join-back); every window runs on distinct-value frames."""
+    cents = "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+            ),
+            "o_custkey",
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.expr(f"SUM({cents})").alias("spend_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    gm = per_cust.groupBy("c_nationkey", "spend_cents").agg(
+        F.max("n_orders").alias("gm")
+    )
+    banded = gm.withColumn("band", F.expr(f"spend_cents DIV {SKYLINE_XBAND}"))
+    per_band = banded.groupBy("c_nationkey", "band").agg(
+        F.max("gm").alias("band_max")
+    )
+    w_bands = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.desc("band"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    band_prefix = per_band.select(
+        "c_nationkey", "band", F.max("band_max").over(w_bands).alias("hi_bp")
+    )
+    w_in_band = (
+        Window.partitionBy("c_nationkey", "band")
+        .orderBy(F.desc("spend_cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_bp = (
+        banded.withColumn("in_bp", F.max("gm").over(w_in_band))
+        .join(F.broadcast(band_prefix), ["c_nationkey", "band"])
+        .select(
+            "c_nationkey",
+            "spend_cents",
+            "gm",
+            F.greatest(
+                F.coalesce("in_bp", F.lit(-1)), F.coalesce("hi_bp", F.lit(-1))
+            ).alias("bp"),
+        )
+    )
+    return (
+        per_cust.join(with_bp, ["c_nationkey", "spend_cents"])
+        .filter((F.col("n_orders") == F.col("gm")) & (F.col("n_orders") > F.col("bp")))
+        .select("c_nationkey", "o_custkey", "spend_cents", "n_orders")
+        .orderBy("c_nationkey", F.desc("spend_cents"), "o_custkey")
+    )
+
+
+Q_SKYLINE_GROUPED_SQL = """
+WITH per_cust AS (
+  SELECT c_nationkey, o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS spend_cents,
+         COUNT(*) AS n_orders
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY 1, 2
+),
+gm AS (
+  SELECT c_nationkey, spend_cents, MAX(n_orders) AS gm
+  FROM per_cust GROUP BY 1, 2
+),
+with_bp AS (
+  SELECT c_nationkey, spend_cents, gm,
+         COALESCE(MAX(gm) OVER (
+           PARTITION BY c_nationkey ORDER BY spend_cents DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS bp
+  FROM gm
+)
+SELECT p.c_nationkey, o_custkey, spend_cents, n_orders
+FROM per_cust p
+JOIN with_bp USING (c_nationkey, spend_cents)
+WHERE n_orders = gm AND n_orders > bp
+ORDER BY c_nationkey, spend_cents DESC, o_custkey
+"""
+
+
 QUERIES = {
+    "q_skyline_grouped": q_skyline_grouped,
     "q_ks_drift": q_ks_drift,
     "q_interval_overlap_join": q_interval_overlap_join,
     "q_winsorized_mean": q_winsorized_mean,
@@ -1413,6 +1531,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_skyline_grouped": Q_SKYLINE_GROUPED_SQL,
     "q_ks_drift": Q_KS_SQL,
     "q_interval_overlap_join": Q_INTERVAL_OVERLAP_SQL,
     "q_winsorized_mean": Q_WINSOR_SQL,

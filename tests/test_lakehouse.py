@@ -311,3 +311,35 @@ def test_compaction_plan_packs_to_target(spark):
         for g in grp[:-1]:
             assert g.reaches_target
             assert g.group_bytes >= lakehouse.COMPACT_PLAN_TARGET_BYTES
+
+
+def test_bitemporal_asof_matches_bruteforce(spark):
+    """Each probe's answer equals the brute-force argmax over versions
+    satisfying BOTH time predicates (valid <= probe, tx <= K0)."""
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us"), "event_type",
+        F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    ).collect()
+    k0 = max(r.t_us for r in ev) - lakehouse.BTEMP_SNAPSHOT_LAG_US
+    vers = {}
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        tx = r.t_us + ((r.event_id % lakehouse.BTEMP_DELAY_MOD) + 1) * 60_000_000
+        if tx <= k0:
+            vers.setdefault(r.user_id, []).append((r.t_us, r.event_id, r.cents))
+    expected = {}
+    for r in ev:
+        if r.event_type != "click":
+            continue
+        cands = [v for v in vers.get(r.user_id, []) if v[0] <= r.t_us]
+        if cands:
+            t, _, cents = max(cands)
+            expected[r.event_id] = (cents, r.t_us - t)
+        else:
+            expected[r.event_id] = (None, None)
+    got = {
+        r.probe_id: (r.asof_cents, r.staleness_us)
+        for r in lakehouse.q_bitemporal_asof(spark, SF_SMOKE).collect()
+    }
+    assert got == expected

@@ -231,3 +231,43 @@ def test_interval_overlap_matches_bruteforce(spark):
     assert got == dict(ref)
     for r in rows:
         assert r.bin_start_day == r.bin_id * mining.IVL_BIN_DAYS
+
+
+def test_skyline_matches_bruteforce_dominance(spark):
+    """Every returned customer is undominated within its nation, every
+    omitted one is dominated — checked against the O(n^2) definition."""
+    per_cust = (
+        load_table(spark, SF_SMOKE, "orders")
+        .join(
+            load_table(spark, SF_SMOKE, "customer").select(
+                F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+            ),
+            "o_custkey",
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.expr(
+                "SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))"
+            ).alias("x"),
+            F.count(F.lit(1)).alias("y"),
+        )
+        .collect()
+    )
+    by_nation = {}
+    for r in per_cust:
+        by_nation.setdefault(r.c_nationkey, []).append((r.o_custkey, r.x, r.y))
+    expected = set()
+    for nat, pts in by_nation.items():
+        for k, x, y in pts:
+            dominated = any(
+                (x2 >= x and y2 >= y and (x2 > x or y2 > y))
+                for k2, x2, y2 in pts
+                if k2 != k
+            )
+            if not dominated:
+                expected.add((nat, k))
+    got = {
+        (r.c_nationkey, r.o_custkey)
+        for r in mining.q_skyline_grouped(spark, SF_SMOKE).collect()
+    }
+    assert got == expected

@@ -1272,3 +1272,36 @@ def test_cka_alignment_bounds_and_self_consistency(spark):
     assert row.n_vecs == n
     assert row.hsic_xx > 0 and row.hsic_yy > 0 and row.hsic_xy >= 0
     assert 0.0 <= row.cka <= 1.01
+
+
+def test_kneser_ney_matches_python_reference(spark):
+    """kn_ppm recomputed from scratch in Python (floor-exact rational)."""
+    from collections import Counter
+
+    docs = [
+        r.text.lower().split()
+        for r in text.load_documents(spark, "/root/testdata/sf0.001")
+        .select("text")
+        .collect()
+    ]
+    c12 = Counter()
+    for toks in docs:
+        toks = [t for t in toks if t]
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] += 1
+    c1 = Counter()
+    t1 = Counter()
+    c2t = Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        t1[a] += 1
+        c2t[b] += 1
+    t_types = len(c12)
+    rows = text.text_kneser_ney_bigram(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == text.KN_TOPK
+    top = sorted(c12.items(), key=lambda kv: (-kv[1], kv[0]))[: text.KN_TOPK]
+    assert [(r.w1, r.w2) for r in rows] == [bg for bg, _ in top]
+    for r in rows:
+        num = (4 * r.c12 - 3) * t_types + 3 * t1[r.w1] * c2t[r.w2]
+        assert r.kn_ppm == num * 1_000_000 // (4 * c1[r.w1] * t_types)
+        assert 0 < r.kn_ppm <= 1_000_000

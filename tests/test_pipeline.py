@@ -168,3 +168,23 @@ def test_ablation_grid_cells_are_additive(spark):
         r.n_docs for k, r in cell.items() if -1 not in k
     )
     assert grand.n_docs == leaf_sum
+
+
+def test_curriculum_phases_balanced_and_monotone(spark):
+    rows = pipeline.corpus_curriculum_schedule(spark, SF).collect()
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    n_total = load_table(spark, SF, "documents").count()
+    phases = sorted({r.phase for r in rows})
+    assert phases == list(range(pipeline.CURRICULUM_PHASES))
+    per_phase = {
+        p: sum(r.n_docs for r in rows if r.phase == p) for p in phases
+    }
+    assert sum(per_phase.values()) == n_total
+    assert max(per_phase.values()) - min(per_phase.values()) <= 1
+    # curriculum is monotone: a phase's hardest doc never exceeds the
+    # next phase's easiest (ties may share the boundary value)
+    for p in phases[:-1]:
+        hi = max(r.max_chars for r in rows if r.phase == p)
+        lo = min(r.min_chars for r in rows if r.phase == p + 1)
+        assert hi <= lo

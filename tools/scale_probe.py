@@ -60,6 +60,10 @@ PROBES = [
     "q_compaction_plan",         # metadata-ledger bin packing
     "q_interval_overlap_join",   # binned range self-join
     "graph_ktruss",              # per-round triangle support peel
+    "text_kneser_ney_bigram",    # KN marginals: 3 partial-agg shuffles
+    "q_skyline_grouped",         # banded two-phase prefix max
+    "corpus_curriculum_schedule",# two-phase global rank
+    "q_bitemporal_asof",         # tx gate + carry-forward window
     "ts_cross_correlation",      # lead-lag array fold
     "dedup_lsh_tuning_curve",    # 3-config banded joins
     "q_join_skew_audit",         # key-skew partial agg
