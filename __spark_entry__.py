@@ -119,6 +119,8 @@ _PRIORITY = [
     "q_skyline_grouped",
     "corpus_curriculum_schedule",
     "q_bitemporal_asof",
+    "q_delta_log_replay",
+    "emb_zscore_outliers",
     # -- never driver-verified (r01..r04), priority order --
     "ml_lift_deciles",
     "ann_pq_adc",

@@ -132,6 +132,8 @@ def main() -> None:
         "q_skyline_grouped",
         "corpus_curriculum_schedule",
         "q_bitemporal_asof",
+        "q_delta_log_replay",
+        "emb_zscore_outliers",
         "q_nested_roundtrip",
         "q_array_analytics",
         "ml_target_encoding",

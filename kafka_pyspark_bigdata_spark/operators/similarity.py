@@ -3731,7 +3731,112 @@ ORDER BY e.vec_id
 """
 
 
+ZSCORE_TOPK = 20       # outlier readout size
+ZSCORE_RES = 10_000    # per-dim score resolution (1e4 = basis-point z²)
+
+
+def emb_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-Mahalanobis (per-dimension z-score) embedding outliers —
+    the cheap distribution-based OOD filter a training pipeline runs
+    before the kNN/LOF pass (``emb_knn_outlier_score``): vectors whose
+    coordinates sit far from the corpus mean in units of that
+    dimension's variance. Catches corrupted encodes, wrong-modality
+    rows, and collapsed (all-zero) embeddings that density methods
+    price per-pair.
+
+    EXACT integer form, both engines: quantize xi = round(x·2^10); the
+    per-dim stats reduce to scale-free REDUCED moments (the CKA trick —
+    every value stays < 2^53 at any corpus size):
+
+        dev_i = (n·xi − Si) div n              ≈ xi − mean_i
+        var_i = (n·Qi − Si²) div n²            ≈ E[(x−μ)²] fixed-point
+
+    score = Σ_i dev_i²·{ZSCORE_RES} div var_i (zero-variance dims
+    contribute 0). The stats fold runs n·Qi and Si² in DECIMAL(38,0)/
+    HUGEINT — those DO leave BIGINT at corpus scale — then the reduced
+    moments come back down.
+
+    Plan: one posexplode partial agg for the d-row stats (shuffle
+    carries dim-keyed accumulators only), stats re-enter as literal
+    arrays (the quantize_int8 / k-means driver-literal pattern — d·16
+    bytes of model state), and scoring is a single NARROW in-row
+    aggregate over the corpus — no second shuffle; the top-{ZSCORE_TOPK}
+    readout is TakeOrdered."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = f"CAST(round(CAST(val AS DOUBLE) * {PCA_X_SCALE}, 0) AS BIGINT)"
+    stats = (
+        emb.select(F.posexplode("embedding").alias("dim", "val"))
+        .select("dim", F.expr(q).alias("v"))
+        .groupBy("dim")
+        .agg(
+            F.sum("v").alias("s"),
+            F.expr("SUM(CAST(v AS DECIMAL(38,0)) * v)").alias("qsum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("dim")
+        .collect()
+    )
+    n = int(stats[0].n)
+    s_arr = "array(%s)" % ", ".join(str(int(r.s)) + "L" for r in stats)
+    v_arr = "array(%s)" % ", ".join(
+        str(int((n * int(r.qsum) - int(r.s) ** 2) // (n * n))) + "L"
+        for r in stats
+    )
+    qx = (
+        f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+        f" * {PCA_X_SCALE}, 0) AS BIGINT))"
+    )
+    score = (
+        f"aggregate(zip_with({qx}, sequence(1, {EMB_DIM}), (x, i) ->"
+        f" named_struct('x', x, 'i', i)), CAST(0 AS BIGINT), (acc, p) ->"
+        f" acc + CASE WHEN element_at({v_arr}, p.i) <= 0 THEN CAST(0 AS BIGINT)"
+        f" ELSE (abs({n}L * p.x - element_at({s_arr}, p.i)) DIV {n}L)"
+        f" * (abs({n}L * p.x - element_at({s_arr}, p.i)) DIV {n}L)"
+        f" * {ZSCORE_RES}L DIV element_at({v_arr}, p.i) END)"
+    )
+    return (
+        emb.select("vec_id", F.expr(score).alias("zscore_e4"))
+        .orderBy(F.desc("zscore_e4"), "vec_id")
+        .limit(ZSCORE_TOPK)
+    )
+
+
+def _zscore_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {PCA_X_SCALE}, 0)
+              AS BIGINT) AS v
+  FROM embeddings
+),
+stats AS (
+  SELECT dim, CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS qsum,
+         COUNT(*) AS n
+  FROM e GROUP BY dim
+),
+red AS (
+  SELECT dim, s, n,
+         CAST((n * qsum - CAST(s AS HUGEINT) * s) // (CAST(n AS HUGEINT) * n)
+              AS BIGINT) AS var_red
+  FROM stats
+),
+scored AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN var_red <= 0 THEN 0
+                  ELSE (abs(n * v - s) // n) * (abs(n * v - s) // n)
+                       * {ZSCORE_RES} // var_red END) AS BIGINT) AS zscore_e4
+  FROM e JOIN red USING (dim)
+  GROUP BY vec_id
+)
+SELECT vec_id, zscore_e4 FROM scored
+ORDER BY zscore_e4 DESC, vec_id LIMIT {ZSCORE_TOPK}
+"""
+
+
 QUERIES = {
+    "emb_zscore_outliers": emb_zscore_outliers,
     "ann_topk_gemm": ann_topk_gemm,
     "emb_bitpack_hamming_topk": emb_bitpack_hamming_topk,
     "emb_bitpack_recall_eval": emb_bitpack_recall_eval,
@@ -3770,6 +3875,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_zscore_outliers": _zscore_sql(),
     "ann_topk_gemm": ANN_GEMM_SQL,
     "emb_bitpack_hamming_topk": EMB_HAMMING_SQL,
     "emb_bitpack_recall_eval": EMB_BITPACK_RECALL_SQL,

@@ -2133,7 +2133,119 @@ FROM c WHERE tag = 1 ORDER BY probe_id
 """
 
 
+# --- Transaction-log replay (time travel over an add/remove file log) ------
+
+LOG_VERSIONS = 8            # the log spans versions 0..7
+LOG_SNAPSHOT_V = 4          # readout replays to VERSION AS OF 4
+
+
+def q_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta/Iceberg-style TRANSACTION-LOG REPLAY: reconstruct every
+    table version's live file set from an append-only log of
+    add/remove-file actions — the metadata computation behind `VERSION
+    AS OF` time travel, VACUUM eligibility, and snapshot-size charts.
+
+    The log is derived deterministically from the compaction planner's
+    file ledger: file f is ADDED at version f % {LOG_VERSIONS} and
+    REMOVED (rewritten away) at add_v + 1 + f % 3 when that lands
+    within the log's {LOG_VERSIONS} versions — removes always follow
+    their add. Readout: one row per (source, version) with that
+    VERSION'S live-file count and bytes (adds minus removes,
+    cumulative), plus the version's own add/remove action counts —
+    the time-travel series; the `is_snapshot` flag marks `VERSION AS
+    OF {LOG_SNAPSHOT_V}`.
+
+    Scale: the log is METADATA (two rows max per data file). Everything
+    is one partial agg keyed (source, version) over the ledger followed
+    by a cumulative window over the tiny (sources × versions) frame —
+    post-aggregate, never data-sized. At 100 TB the ledger comes free
+    from the table manifest; no data file is opened."""
+    docs = load_table(spark, sf_dir, "documents")
+    ledger = (
+        docs.groupBy(
+            "source",
+            (F.col("doc_id") / COMPACT_PLAN_DOCS_PER_FILE)
+            .cast("long")
+            .alias("file_id"),
+        )
+        .agg(F.sum("n_chars").alias("bytes"))
+        .withColumn("add_v", F.expr(f"file_id % {LOG_VERSIONS}"))
+        .withColumn("rm_v", F.expr("add_v + 1 + file_id % 3"))
+    )
+    adds = ledger.select(
+        "source", F.col("add_v").alias("version"), F.lit(1).alias("n_add"),
+        F.lit(0).alias("n_remove"), F.col("bytes").alias("delta_bytes"),
+        F.lit(1).alias("delta_files"),
+    )
+    removes = ledger.filter(F.col("rm_v") < LOG_VERSIONS).select(
+        "source", F.col("rm_v").alias("version"), F.lit(0).alias("n_add"),
+        F.lit(1).alias("n_remove"), (-F.col("bytes")).alias("delta_bytes"),
+        F.lit(-1).alias("delta_files"),
+    )
+    per_v = (
+        adds.unionByName(removes)
+        .groupBy("source", "version")
+        .agg(
+            F.sum("n_add").alias("n_adds"),
+            F.sum("n_remove").alias("n_removes"),
+            F.sum("delta_files").alias("d_files"),
+            F.sum("delta_bytes").alias("d_bytes"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("version")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_v.select(
+        "source",
+        "version",
+        "n_adds",
+        "n_removes",
+        F.sum("d_files").over(w).alias("live_files"),
+        F.sum("d_bytes").over(w).alias("live_bytes"),
+        (F.col("version") == LOG_SNAPSHOT_V).alias("is_snapshot"),
+    ).orderBy("source", "version")
+
+
+DELTA_LOG_SQL = f"""
+WITH ledger AS (
+  SELECT source,
+         CAST(doc_id // {COMPACT_PLAN_DOCS_PER_FILE} AS BIGINT) AS file_id,
+         CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1, 2
+),
+log AS (
+  SELECT source, file_id % {LOG_VERSIONS} AS version, bytes,
+         1 AS n_add, 0 AS n_remove, bytes AS d_bytes, 1 AS d_files
+  FROM ledger
+  UNION ALL
+  SELECT source, file_id % {LOG_VERSIONS} + 1 + file_id % 3, bytes,
+         0, 1, -bytes, -1
+  FROM ledger
+  WHERE file_id % {LOG_VERSIONS} + 1 + file_id % 3 < {LOG_VERSIONS}
+),
+per_v AS (
+  SELECT source, CAST(version AS BIGINT) AS version,
+         CAST(SUM(n_add) AS BIGINT) AS n_adds,
+         CAST(SUM(n_remove) AS BIGINT) AS n_removes,
+         CAST(SUM(d_files) AS BIGINT) AS d_files,
+         CAST(SUM(d_bytes) AS BIGINT) AS d_bytes
+  FROM log GROUP BY 1, 2
+)
+SELECT source, version, n_adds, n_removes,
+       CAST(SUM(d_files) OVER w AS BIGINT) AS live_files,
+       CAST(SUM(d_bytes) OVER w AS BIGINT) AS live_bytes,
+       version = {LOG_SNAPSHOT_V} AS is_snapshot
+FROM per_v
+WINDOW w AS (PARTITION BY source ORDER BY version
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY source, version
+"""
+
+
 QUERIES = {
+    "q_delta_log_replay": q_delta_log_replay,
     "q_bitemporal_asof": q_bitemporal_asof,
     "q_encoding_stats": q_encoding_stats,
     "q_encoding_stats_sharded": q_encoding_stats_sharded,
@@ -2160,6 +2272,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_delta_log_replay": DELTA_LOG_SQL,
     "q_bitemporal_asof": BTEMP_ASOF_SQL,
     "q_encoding_stats": Q_ENCODING_SQL,
     "q_encoding_stats_sharded": Q_ENCODING_SHARDED_SQL,

@@ -343,3 +343,29 @@ def test_bitemporal_asof_matches_bruteforce(spark):
         for r in lakehouse.q_bitemporal_asof(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_delta_log_replay_invariants(spark):
+    """Live counts never negative, version-7 live set equals adds-minus-
+    removes computed independently, snapshot flag marks exactly V=4."""
+    rows = lakehouse.q_delta_log_replay(spark, SF_SMOKE).collect()
+    assert all(r.live_files >= 0 and r.live_bytes >= 0 for r in rows)
+    assert {r.version for r in rows if r.is_snapshot} <= {lakehouse.LOG_SNAPSHOT_V}
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    ledger = {}
+    for d in docs:
+        fid = d.doc_id // lakehouse.COMPACT_PLAN_DOCS_PER_FILE
+        ledger[(d.source, fid)] = ledger.get((d.source, fid), 0) + d.n_chars
+    final = {}
+    for (src, fid), b in ledger.items():
+        add_v = fid % lakehouse.LOG_VERSIONS
+        rm_v = add_v + 1 + fid % 3
+        if rm_v >= lakehouse.LOG_VERSIONS:  # still live at the log tip
+            n, tot = final.get(src, (0, 0))
+            final[src] = (n + 1, tot + b)
+    tip = {
+        r.source: (r.live_files, r.live_bytes)
+        for r in rows
+        if r.version == max(x.version for x in rows if x.source == r.source)
+    }
+    assert tip == final

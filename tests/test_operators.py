@@ -1305,3 +1305,47 @@ def test_kneser_ney_matches_python_reference(spark):
         num = (4 * r.c12 - 3) * t_types + 3 * t1[r.w1] * c2t[r.w2]
         assert r.kn_ppm == num * 1_000_000 // (4 * c1[r.w1] * t_types)
         assert 0 < r.kn_ppm <= 1_000_000
+
+
+def test_zscore_outliers_match_python_reference(spark):
+    """Top-K ids and scores recomputed from scratch with exact ints."""
+    vecs = {
+        r.vec_id: r.embedding
+        for r in similarity.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    import math
+
+    def q(x):
+        y = x * 1024.0
+        fl = math.floor(y)
+        return int(fl + ((y - fl > 0.5) or (y - fl == 0.5 and y >= 0)))
+
+    qv = {k: [q(float(x)) for x in v] for k, v in vecs.items()}
+    n = len(qv)
+    d = len(next(iter(qv.values())))
+    s = [sum(v[i] for v in qv.values()) for i in range(d)]
+    qs = [sum(v[i] * v[i] for v in qv.values()) for i in range(d)]
+    var = [(n * qs[i] - s[i] * s[i]) // (n * n) for i in range(d)]
+    scores = {
+        k: sum(
+            0
+            if var[i] <= 0
+            else (abs(n * v[i] - s[i]) // n) ** 2
+            * similarity.ZSCORE_RES
+            // var[i]
+            for i in range(d)
+        )
+        for k, v in qv.items()
+    }
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : similarity.ZSCORE_TOPK
+    ]
+    got = [
+        (r.vec_id, r.zscore_e4)
+        for r in similarity.emb_zscore_outliers(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+    assert got == exp
