@@ -1593,7 +1593,17 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
-    counts = bgs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # localCheckpoint: the bigram-count table feeds FOUR consumers (both
+    # marginals, the type total, and the top-K readout) — pin it once
+    # instead of re-tokenizing the corpus per consumer. It is the
+    # tokenize-reduce output (|distinct bigrams| rows, far smaller than
+    # the corpus); at 100 TB the same role is played by writing the
+    # count table to a scratch dataset.
+    counts = (
+        bgs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint()
+    )
     left = counts.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("t1")
     )

@@ -1439,6 +1439,9 @@ def q_skyline_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"SUM({cents})").alias("spend_cents"),
             F.count(F.lit(1)).alias("n_orders"),
         )
+        # pinned: feeds both the frontier derivation and the final
+        # join-back — one orders scan + one agg shuffle, not two
+        .localCheckpoint()
     )
     gm = per_cust.groupBy("c_nationkey", "spend_cents").agg(
         F.max("n_orders").alias("gm")
