@@ -121,6 +121,7 @@ _PRIORITY = [
     "q_bitemporal_asof",
     "q_delta_log_replay",
     "emb_zscore_outliers",
+    "q_attribution_linear",
     # -- never driver-verified (r01..r04), priority order --
     "ml_lift_deciles",
     "ann_pq_adc",

@@ -134,6 +134,7 @@ def main() -> None:
         "q_bitemporal_asof",
         "q_delta_log_replay",
         "emb_zscore_outliers",
+        "q_attribution_linear",
         "q_nested_roundtrip",
         "q_array_analytics",
         "ml_target_encoding",

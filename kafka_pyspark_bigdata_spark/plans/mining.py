@@ -223,6 +223,113 @@ GROUP BY 1 ORDER BY campaign
 """
 
 
+ATTR_LINEAR_LOOKBACK_US = 3 * 86_400 * 1_000_000  # 3-day credit window
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — the complement of
+    ``q_attribution_last_touch``: every touch (click/view) by the same
+    user in the {ATTR_LINEAR_LOOKBACK_US}-µs window before (or at) a
+    purchase shares the purchase's revenue EQUALLY. Equal thirds of
+    1001 cents don't exist in integers, so credit splits by the
+    LARGEST-REMAINDER rule: each of the n touches gets cents DIV n and
+    the earliest (cents MOD n) touches get one extra cent — Σcredits ==
+    cents exactly, per purchase, on any engine (the conservation the
+    float version silently violates). Purchases with no touch in the
+    window credit campaign −1 in full.
+
+    Plan: touches⋈purchases is the bounded range join
+    (q_range_join_error_context's argument): the user_id equi-half
+    drives ONE hash join, the time predicate filters post-join, and
+    per-key fanout is bounded by the lookback window. Ranking touches
+    within a purchase is a purchase-keyed window (never global), and
+    the readout is one campaign-keyed partial agg. JSON campaign
+    extraction is JVM-side ``get_json_object``."""
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin(*TOUCH_TYPES)).select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.col("event_id").alias("tid"),
+        F.get_json_object("props", "$.k").cast("int").alias("camp"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.col("event_id").alias("pid"),
+        F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    matched = purchases.join(touches, "user_id").filter(
+        (F.col("t_us") <= F.col("p_us"))
+        & (F.col("t_us") > F.col("p_us") - ATTR_LINEAR_LOOKBACK_US)
+    )
+    # purchases with no touch in the window (including users with no
+    # touches at all) re-attach as unattributed via LEFT ANTI
+    unmatched = purchases.join(
+        matched.select("pid").distinct(), "pid", "left_anti"
+    )
+    w = Window.partitionBy("pid").orderBy("t_us", "tid")
+    credited = matched.select(
+        "pid",
+        "cents",
+        "camp",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("pid")).alias("n"),
+    ).select(
+        F.col("camp").alias("campaign"),
+        (
+            F.expr("cents DIV n")
+            + (F.col("rn") <= F.expr("cents % n")).cast("long")
+        ).alias("credit"),
+    )
+    full = credited.unionByName(
+        unmatched.select(
+            F.lit(-1).alias("campaign"), F.col("cents").alias("credit")
+        )
+    )
+    return (
+        full.groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("credit").alias("credited_cents"),
+        )
+        .orderBy("campaign")
+    )
+
+
+Q_ATTR_LINEAR_SQL = f"""
+WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   event_type, value, props FROM events),
+touches AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_id AS tid,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS camp
+  FROM ev WHERE event_type IN {TOUCH_TYPES!r}
+),
+purchases AS (
+  SELECT user_id, epoch_us(ts) AS p_us, event_id AS pid,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM ev WHERE event_type = 'purchase'
+),
+matched AS (
+  SELECT pid, cents, camp,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY t_us, tid) AS rn,
+         COUNT(*) OVER (PARTITION BY pid) AS n
+  FROM purchases JOIN touches USING (user_id)
+  WHERE t_us <= p_us AND t_us > p_us - {ATTR_LINEAR_LOOKBACK_US}
+),
+credited AS (
+  SELECT camp AS campaign,
+         cents // n + CASE WHEN rn <= cents % n THEN 1 ELSE 0 END AS credit
+  FROM matched
+  UNION ALL
+  SELECT -1, cents FROM purchases
+  WHERE pid NOT IN (SELECT DISTINCT pid FROM matched)
+)
+SELECT campaign, COUNT(*) AS n_credits,
+       CAST(SUM(credit) AS BIGINT) AS credited_cents
+FROM credited GROUP BY 1 ORDER BY campaign
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact rolling median
 # ---------------------------------------------------------------------------
@@ -1528,6 +1635,7 @@ QUERIES = {
     "q_ab_test_conversion": q_ab_test_conversion,
     "q_chi2_independence": q_chi2_independence,
     "q_attribution_last_touch": q_attribution_last_touch,
+    "q_attribution_linear": q_attribution_linear,
     "q_rolling_median": q_rolling_median,
     "q_asof_forward": q_asof_forward,
     "q_profile_columns": q_profile_columns,
@@ -1550,6 +1658,7 @@ ORACLES = {
     "q_ab_test_conversion": Q_AB_TEST_SQL,
     "q_chi2_independence": CHI2_SQL,
     "q_attribution_last_touch": Q_ATTRIBUTION_SQL,
+    "q_attribution_linear": Q_ATTR_LINEAR_SQL,
     "q_rolling_median": Q_ROLLING_MEDIAN_SQL,
     "q_asof_forward": Q_ASOF_FWD_SQL,
     "q_profile_columns": Q_PROFILE_SQL,

@@ -271,3 +271,19 @@ def test_skyline_matches_bruteforce_dominance(spark):
         for r in mining.q_skyline_grouped(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_linear_attribution_conserves_revenue(spark):
+    """Largest-remainder splitting: total credited cents equals total
+    purchase cents exactly, and every campaign credit is nonnegative."""
+    rows = mining.q_attribution_linear(spark, SF_SMOKE).collect()
+    total_purchases = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("c"))
+        .agg(F.sum("c").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert sum(r.credited_cents for r in rows) == total_purchases
+    assert all(r.credited_cents >= 0 and r.n_credits > 0 for r in rows)
