@@ -64,6 +64,7 @@ PROBES = [
     "q_skyline_grouped",         # banded two-phase prefix max
     "corpus_curriculum_schedule",# two-phase global rank
     "q_bitemporal_asof",         # tx gate + carry-forward window
+    "q_attribution_linear",      # bounded range join + remainder split
     "ts_cross_correlation",      # lead-lag array fold
     "dedup_lsh_tuning_curve",    # 3-config banded joins
     "q_join_skew_audit",         # key-skew partial agg
