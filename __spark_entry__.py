@@ -122,6 +122,7 @@ _PRIORITY = [
     "q_delta_log_replay",
     "emb_zscore_outliers",
     "q_attribution_linear",
+    "q_recursive_cte_native",
     # -- never driver-verified (r01..r04), priority order --
     "ml_lift_deciles",
     "ann_pq_adc",

@@ -135,6 +135,7 @@ def main() -> None:
         "q_delta_log_replay",
         "emb_zscore_outliers",
         "q_attribution_linear",
+        "q_recursive_cte_native",
         "q_nested_roundtrip",
         "q_array_analytics",
         "ml_target_encoding",

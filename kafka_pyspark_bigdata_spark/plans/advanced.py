@@ -815,6 +815,39 @@ def q_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recursive_cte_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME bill-of-materials rollup through Spark 4.1's NATIVE
+    ``WITH RECURSIVE`` (SPARK-24497) — the SQL front door for
+    ``q_recursive_bom``'s hand-built iterative-join plan, proving
+    front-door parity for recursive SQL the way ``q_lateral_topk`` does
+    for LATERAL and ``q_sql_sessionize`` for windows. Catalyst lowers
+    the recursion to the same BFS-ascent loop (UnionLoop): each level is
+    one equi-join of the shrinking frontier against the node table, and
+    the walk terminates when the frontier empties — no unroll-depth
+    precomputation needed, which is exactly what the native primitive
+    buys over the manual loop. Depth is log₈(max key) (≈5 here, 14 at
+    2^40 keys), far under the default recursion-level limit."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(f"""
+WITH RECURSIVE walk AS (
+  SELECT p_partkey AS node, p_partkey AS anc, 0 AS depth FROM part
+  UNION ALL
+  SELECT w.node, p.p_partkey AS anc, w.depth + 1
+  FROM walk w JOIN part p ON p.p_partkey = w.anc DIV {BOM_FANOUT}
+  WHERE w.anc >= {BOM_FANOUT}
+),
+assign AS (
+  SELECT node, anc AS root_key, depth FROM walk WHERE anc < {BOM_FANOUT}
+)
+SELECT root_key, COUNT(*) AS n_nodes,
+       CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS subtree_cents,
+       MAX(depth) AS height
+FROM assign JOIN part ON p_partkey = node
+GROUP BY root_key ORDER BY root_key
+""")
+
+
 Q_RECURSIVE_BOM_SQL = f"""
 WITH RECURSIVE walk AS (
   SELECT p_partkey AS node, p_partkey AS anc, 0 AS depth FROM part
@@ -1191,6 +1224,7 @@ QUERIES = {
     "q_arrow_udf_checksum": q_arrow_udf_checksum,
     "q_not_in_null_trap": q_not_in_null_trap,
     "q_recursive_bom": q_recursive_bom,
+    "q_recursive_cte_native": q_recursive_cte_native,
     "q12_priority_counts": q12_priority_counts,
     "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -1218,6 +1252,7 @@ ORACLES = {
     "q_arrow_udf_checksum": Q_ARROW_UDF_SQL,
     "q_not_in_null_trap": Q_NOT_IN_SQL,
     "q_recursive_bom": Q_RECURSIVE_BOM_SQL,
+    "q_recursive_cte_native": Q_RECURSIVE_BOM_SQL,
     "q12_priority_counts": Q12_SQL,
     "q14_promo_revenue": Q14_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
