@@ -756,9 +756,11 @@ BOM_DEPTH_CAP = 16  # safety bound; real depth is log_8(max key) (~14 at 2^40 ke
 
 
 def q_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bill-of-materials rollup over a recursive part hierarchy — the
-    ``WITH RECURSIVE`` workload Spark has no native primitive for,
-    expressed as the standard log-depth iterative-join plan.
+    """Bill-of-materials rollup over a recursive part hierarchy,
+    expressed as the standard log-depth iterative-join plan — the
+    hand-built form of the ``WITH RECURSIVE`` workload (Spark 4.1 also
+    runs it natively: see ``q_recursive_cte_native``, the front-door
+    twin sharing this query's oracle).
 
     The hierarchy is synthesized deterministically from the contiguous
     part keys: ``parent(p) = p DIV 8``, so keys 0..7 are the 8 root
