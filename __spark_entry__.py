@@ -86,68 +86,22 @@ def _modules():
     return mods
 
 
-# Round-5 rotation: the driver's correctness sweep covers only a ~50-name
-# prefix of this registry per round. Head = the 8 operators CHANGED this
-# round (ADVICE fixes + perf rewrites that must re-verify under the
-# driver), then the 144 names no driver round has ever checked
-# (r01..r04 union = 162 distinct), with the known-slow rows-only ml_*
-# sweep entries (2.7-5.8s each at sf0.01: ml_classifier_auc,
-# ml_quality_classifier, ml_grid_search, ml_incremental_versions)
-# deferred to the tail so the driver's time budget covers a full ~50.
+# Round-6 rotation: the driver's correctness sweep covers only a ~50-name
+# prefix of this registry per round. Head = the 3 operators whose
+# BEHAVIOR/PLAN changed this round (cluster_stability_rand's doubled
+# decimal pair counts, graph_link_prediction's adjacency-explode rewrite,
+# graph_kcore's lazy edge chain) and must re-verify under the driver,
+# then the 120 names no driver round has ever checked (r01..r05 union =
+# 204 distinct), with the known-slow rows-only ml_* sweep entries
+# (2.7-5.8s each at sf0.01: ml_classifier_auc, ml_quality_classifier,
+# ml_grid_search, ml_incremental_versions) deferred to the tail so the
+# driver's time budget drains the maximum number of first-time names.
 _PRIORITY = [
     # -- changed this round (re-verify) --
-    "q_session_window_dynamic",
-    "ts_cross_correlation",
-    "corpus_importance_sampling",
-    "emb_cosine_histogram",
-    "ann_topk_gemm",
-    "ml_knn_classifier_eval",
-    "q_python_datasource_writer",
-    "graph_kcore",
-    # -- new this round (never verified) --
-    "graph_label_propagation",
-    "emb_hard_negatives",
-    "ann_mmr_diversified",
     "cluster_stability_rand",
-    "ann_multiprobe_lsh",
-    "ann_ivf_nprobe_recall",
-    "q_compaction_plan",
-    "q_interval_overlap_join",
-    "graph_ktruss",
-    "emb_cka_alignment",
-    "text_kneser_ney_bigram",
-    "q_skyline_grouped",
-    "corpus_curriculum_schedule",
-    "q_bitemporal_asof",
-    "q_delta_log_replay",
-    "emb_zscore_outliers",
-    "q_attribution_linear",
-    "q_recursive_cte_native",
-    # -- never driver-verified (r01..r04), priority order --
-    "ml_lift_deciles",
-    "ann_pq_adc",
-    "ann_pq_recall_eval",
-    "streaming_static_join",
-    "q_rolling_wau",
-    "corpus_filter_verdict",
-    "q_medallion_audit",
-    "q_market_basket_pairs",
-    "q_attribution_last_touch",
-    "q_rolling_median",
-    "q_asof_forward",
-    "q_profile_columns",
-    "corpus_ngram_novelty",
-    "q_hist_equidepth",
-    "corpus_token_budget",
-    "q_session_window_native",
-    "sketch_bloom_fpr_eval",
-    "geo_cell_stats",
-    "geo_grid_pairs",
-    "streaming_chained_windows",
-    "corpus_length_survival",
-    "q_ab_test_conversion",
-    "q_cusum_anomaly",
-    "emb_jl_projection_eval",
+    "graph_link_prediction",
+    "graph_kcore",
+    # -- never driver-verified (r01..r05), priority order --
     "q_time_weighted_avg",
     "q_ohlc_bars",
     "streaming_stream_outer_join",

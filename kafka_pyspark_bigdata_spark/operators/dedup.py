@@ -2128,10 +2128,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     than separate countDistinct/count aggregations, and the two
     endpoint filters broadcast the surviving-node list (node cardinality
     ≪ edge cardinality — the degree table of a co-purchase graph is the
-    part table's size, broadcastable at any SF; were it not, the joins
-    degrade gracefully to shuffle hash joins). ``localCheckpoint`` pins
-    each round's deg/edges so the lineage doesn't recompute the whole
-    peel per reference. The DuckDB oracle is the same unroll as
+    part table's size, broadcastable at any SF). Note ``F.broadcast()``
+    is a MANDATORY hint Spark honors regardless of size — an oversized
+    node table would pressure the driver, not fall back; deployments
+    where nodes outgrow driver memory should drop the hint and let
+    ``spark.sql.autoBroadcastJoinThreshold`` choose (which does fall
+    back to a shuffle hash join). ``localCheckpoint`` pins the initial
+    pair build and each round's deg frame; the edge frame itself stays
+    LAZY — it is only ever the pinned pairs under a short map-side
+    broadcast-filter chain, and re-running that chain per degree job
+    beats materializing the edge list every round. The DuckDB oracle
+    is the same unroll as
     MATERIALIZED CTEs (without materialization the CTE tree re-executes
     exponentially — mirrored lesson in the plan here).
     """
@@ -2188,11 +2195,21 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         if it == KCORE_ROUNDS:
             break
         keep = deg.filter(F.col("deg") >= KCORE_K).select(F.col("pa").alias("node"))
+        # Deliberately NOT checkpointed (r06): edges_r is the pinned pairs
+        # frame under r pairs of MAP-SIDE broadcast-filter joins (each keep
+        # list derives from a PINNED deg frame, so the lineage stays shallow
+        # and re-running the map chain inside the next degree job avoids
+        # eagerly materializing a shrinking copy of the edge list every
+        # round — at cluster scale that is 4 fewer full edge-list writes;
+        # at sf0.1 the two shapes time within noise of each other. (A
+        # cache()-based variant is NOT equivalent: without checkpoint's
+        # lineage truncation the logical plan nests per round and
+        # optimizer/plan-string costs blow up superlinearly — measured
+        # 18 s vs 2.4 s at sf0.1.)
         edges = (
             edges.join(F.broadcast(keep.withColumnRenamed("node", "pa")), "pa")
             .join(F.broadcast(keep.withColumnRenamed("node", "pb")), "pb")
             .select("pa", "pb")
-            .localCheckpoint()
         )
     res = out[0]
     for r in out[1:]:
@@ -2244,9 +2261,13 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per round: ONE triangle enumeration (the canonical a<b<c two-join
     over the edge list keyed on node ids — each triangle produced
     once), a map-side explode of its 3 edges, one partial-agg shuffle
-    for per-edge support, and a broadcast left join-back to peel
-    (support table <= edge table; at dimension-breaking sizes it
-    degrades to a shuffle hash join on the canonical pair key).
+    for per-edge support, and a broadcast left join-back to peel.
+    The ``F.broadcast()`` on the support frame is a MANDATORY hint
+    (Spark honors it regardless of size); it is sound here because
+    peeling shrinks support monotonically, but a deployment whose
+    surviving-support table outgrows driver memory should drop the
+    hint so ``autoBroadcastJoinThreshold`` can fall back to a shuffle
+    hash join on the canonical pair key.
     n_triangles is derived from the SAME pinned support frame
     (sum(support) DIV 3 — each triangle contributes 3), so the readout
     costs no extra pass. The recent-window filter is partition pruning
@@ -2387,29 +2408,40 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     clique components have no open wedges, so its link-prediction
     output is empty by construction.)
 
-    Plan: the bounded per-order self-join builds the edge list (same
-    fan-out argument as q_market_basket_pairs: Σ C(k,2), k ≤ order line
-    count), then everything downstream moves only node-id pairs: wedge
-    self-join on the shared endpoint (u < v canonicalizes), LEFT ANTI
-    against existing edges, one partial-agg shuffle for CN counts, and
-    a broadcast degree join-back. jaccard_ppm = 10^6·|CN| / (deg_u +
-    deg_v − |CN|) in BIGINT — engine-exact.
+    Plan (r06 rewrite — the previous shape's per-wedge anti-join +
+    countDistinct was the slowest headline at 2.9 s): the edge list
+    explodes MAP-SIDE from each order's sorted part array (one shuffle,
+    the kcore/q_market_basket_pairs fan-out argument: Σ C(k,2), k ≤
+    order line count), then wedges explode MAP-SIDE from each center
+    node's sorted adjacency array — no und⋈und self-join, and because
+    every (center w, pair u<v) is produced exactly ONCE, the CN count
+    is a plain partial-aggregating COUNT(*), not a two-phase
+    countDistinct. The existing-edge anti-join runs AFTER the CN
+    aggregation (|candidate pairs| rows, not |wedges| rows — same
+    result, the filter is per (u,v) key either way). deg comes free as
+    size(adjacency) from the same grouped frame. jaccard_ppm =
+    10^6·|CN| / (deg_u + deg_v − |CN|) in BIGINT — engine-exact.
+
+    Scale note: per-center wedge fan-out is C(deg,2) — the same Σdeg²
+    total the self-join shape moves, produced without shuffling the
+    und table twice. A 100 TB deployment with power-law hubs caps or
+    samples hub adjacency before the explode (standard for CN scoring;
+    a 10⁶-degree hub is 10¹² wedges under EITHER enumeration).
     """
-    li = (
+    per_order = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform({0}, (x, i) -> transform("
+        "slice({0}, i + 2, size({0})), y -> struct(x AS pa, y AS pb))))"
     )
     pairs = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        per_order.select(F.explode(F.expr(pair_expr.format("ps"))).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= LINKPRED_SUPPORT)
         .select("pa", "pb")
@@ -2418,28 +2450,24 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = pairs.unionByName(
         pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
     )
-    deg = und.groupBy(F.col("pa").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
+    # One shuffle builds BOTH the per-node adjacency (wedge source) and
+    # the degree table (size of the same array). collect_set == the
+    # neighbor set exactly: und rows are unique by construction.
+    adj = und.groupBy(F.col("pa").alias("w")).agg(
+        F.array_sort(F.collect_set("pb")).alias("nb")
     )
-    wedges = (
-        und.alias("e1")
-        .join(
-            und.alias("e2"),
-            (F.col("e1.pb") == F.col("e2.pa"))
-            & (F.col("e1.pa") < F.col("e2.pb")),
-        )
-        .select(
-            F.col("e1.pa").alias("u"),
-            F.col("e2.pb").alias("v"),
-            F.col("e1.pb").alias("w"),
-        )
+    deg = adj.select(F.col("w").alias("node"), F.size("nb").alias("deg"))
+    cand = (
+        adj.filter(F.size("nb") >= 2)
+        .select(F.explode(F.expr(pair_expr.format("nb"))).alias("p"))
+        .groupBy(F.col("p.pa").alias("u"), F.col("p.pb").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cn"))
     )
-    non_edges = wedges.join(
+    cn = cand.join(
         pairs,
         (F.col("u") == F.col("pa")) & (F.col("v") == F.col("pb")),
         "left_anti",
     )
-    cn = non_edges.groupBy("u", "v").agg(F.countDistinct("w").alias("cn"))
     return (
         cn.join(F.broadcast(deg.withColumnRenamed("node", "u")), "u")
         .withColumnRenamed("deg", "deg_u")

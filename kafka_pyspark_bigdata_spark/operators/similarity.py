@@ -323,9 +323,16 @@ def cluster_stability_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
     init. This is the sample-split stability protocol (Ben-Hur et al.
     2002, public literature) reduced to its assignment step so the
     whole eval is closed-form EXACT: both indices come from the
-    contingency table's pair counts — pure integer arithmetic (widened
-    to DECIMAL(38,0)/HUGEINT; pair counts square the corpus size), one
-    final correctly-rounded double division each.
+    contingency table's pair counts — pure integer arithmetic, one
+    final correctly-rounded double division each. The Spark side
+    carries DOUBLED pair counts (``n·(n-1)`` without the ``/2`` —
+    both indices are ratios, invariant under consistently doubling
+    every term) so every step stays in DECIMAL(38,0): Spark's ``DIV``
+    operator always returns BIGINT, so a ``dec * (nij-1) DIV 2``
+    halving would silently downcast to LONG and overflow past ~4.3e9
+    rows. With the halving gone the exactness ceiling is DECIMAL(38,0)
+    itself (~10^38, i.e. corpora to ~10^9.5 rows for the ARI cross
+    terms, matching the DuckDB HUGEINT oracle's own 128-bit bound).
 
     Plan: two broadcast-centroid argmax assignments (map-side cross
     join + one small-struct partial agg each — the ``ann_ivf``
@@ -367,21 +374,26 @@ def cluster_stability_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ca", "cb")
         .agg(F.count(F.lit(1)).alias("nij"))
     )
+    # DOUBLED pair counts: snij2 = Σ nij(nij−1) = 2·Σ C(nij,2), and
+    # likewise sa2/sb2/c22 — no DIV anywhere, so everything stays in
+    # DECIMAL(38,0) (Spark's DIV would downcast to BIGINT). Both index
+    # formulas below are the standard ones with every pair-count term
+    # doubled; the doubling cancels in the ratios.
     dec = "CAST(nij AS DECIMAL(38,0))"
     stats = cont.agg(
-        F.expr(f"CAST(SUM(nij) AS DECIMAL(38,0))").alias("n"),
-        F.expr(f"SUM({dec} * (nij - 1) DIV 2)").alias("snij"),
+        F.expr("CAST(SUM(nij) AS DECIMAL(38,0))").alias("n"),
+        F.expr(f"SUM({dec} * (nij - 1))").alias("snij2"),
         F.count(F.lit(1)).alias("n_cells"),
     )
     sa = (
         cont.groupBy("ca")
         .agg(F.sum("nij").alias("ai"))
-        .agg(F.expr("SUM(CAST(ai AS DECIMAL(38,0)) * (ai - 1) DIV 2)").alias("sa"))
+        .agg(F.expr("SUM(CAST(ai AS DECIMAL(38,0)) * (ai - 1))").alias("sa2"))
     )
     sb = (
         cont.groupBy("cb")
         .agg(F.sum("nij").alias("bj"))
-        .agg(F.expr("SUM(CAST(bj AS DECIMAL(38,0)) * (bj - 1) DIV 2)").alias("sb"))
+        .agg(F.expr("SUM(CAST(bj AS DECIMAL(38,0)) * (bj - 1))").alias("sb2"))
     )
     return (
         stats.crossJoin(F.broadcast(sa))
@@ -390,13 +402,14 @@ def cluster_stability_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n AS BIGINT) AS n",
             f"CAST({STAB_K} AS INT) AS k",
             "CAST(n_cells AS BIGINT) AS n_cells",
-            # c2 = n(n-1)/2 total pairs; Rand = (c2 + 2·Σnij2 − Sa − Sb)/c2
-            "CAST(ROUND(CAST(n * (n - 1) DIV 2 + 2 * snij - sa - sb AS DOUBLE)"
-            " / CAST(n * (n - 1) DIV 2 AS DOUBLE) * 1000000) AS BIGINT)"
+            # c22 = n(n−1) = 2·c2; Rand = (c22 + 2·snij2 − sa2 − sb2)/c22
+            "CAST(ROUND(CAST(n * (n - 1) + 2 * snij2 - sa2 - sb2 AS DOUBLE)"
+            " / CAST(n * (n - 1) AS DOUBLE) * 1000000) AS BIGINT)"
             " AS rand_ppm",
-            # ARI = 2(c2·Σnij2 − Sa·Sb) / (c2(Sa+Sb) − 2·Sa·Sb)
-            "CAST(ROUND(CAST(2 * ((n * (n - 1) DIV 2) * snij - sa * sb) AS DOUBLE)"
-            " / CAST((n * (n - 1) DIV 2) * (sa + sb) - 2 * sa * sb AS DOUBLE)"
+            # ARI = 2(c22·snij2 − sa2·sb2) / (c22(sa2+sb2) − 2·sa2·sb2)
+            # (same shape as the halved form — doubling cancels)
+            "CAST(ROUND(CAST(2 * ((n * (n - 1)) * snij2 - sa2 * sb2) AS DOUBLE)"
+            " / CAST((n * (n - 1)) * (sa2 + sb2) - 2 * sa2 * sb2 AS DOUBLE)"
             " * 1000000) AS BIGINT) AS ari_ppm",
         )
     )
@@ -3033,7 +3046,11 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ (K+slack)·|eval| rows per batch instead of the |eval|×|train|
     score stream. Oracle-exactness: the GEMM is used for candidate
     SELECTION only (overshooting by ``GEMM_SELECT_SLACK`` so BLAS
-    summation-order jitter can never evict a true top-K row); survivors
+    summation-order jitter is absorbed for any realistic input — the
+    guarantee is probabilistic, not absolute: if more than SLACK
+    candidates tie inside the ±1-ppm rint-quantization band at the
+    local selection cut, a true top-K row could still be dropped
+    before the exact rescore); survivors
     are RESCORED with the dim-sequential float64 fold the oracle's
     ``list_sum`` runs and quantized to ppm with exact
     half-away-from-zero rounding (``_round_half_away`` — ``np.rint``'s
@@ -3079,7 +3096,8 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             e_norm = _fold_norms(e_mat)
             # GEMM for candidate SELECTION only: pick K+slack by the
             # approximate (rint-quantized) composite key — jitter-tolerant
-            # because the slack absorbs any half-boundary crossing.
+            # because the slack absorbs realistic half-boundary crossings
+            # (>SLACK-way ppm ties at the cut are the residual risk).
             cos = (e_mat @ b_q.T) / (e_norm[:, None] * b_qn[None, :])
             sel_key = np.rint(cos * 1_000_000).astype(np.int64) * (
                 1 << 40
@@ -3198,7 +3216,11 @@ def ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. Same neighbor contract as ``ann_topk_bruteforce``, and
     ORACLE-EXACT by construction, not by luck: the GEMM only SELECTS
     candidates (overshooting by ``GEMM_SELECT_SLACK`` so BLAS
-    summation-order jitter can never evict a true top-K row); survivors
+    summation-order jitter is absorbed for any realistic input — the
+    guarantee is probabilistic, not absolute: if more than SLACK
+    candidates tie inside the ±1-ppm rint-quantization band at the
+    local selection cut, a true top-K row could still be dropped
+    before the exact rescore); survivors
     are RESCORED with the dim-sequential float64 fold the oracle's
     ``list_sum`` runs and quantized with exact half-away-from-zero
     rounding (``np.rint``'s half-to-even disagrees with SQL ROUND on
