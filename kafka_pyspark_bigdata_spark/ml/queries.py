@@ -224,6 +224,9 @@ def ml_eval_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LIFT_DECILES = 10
+# Range partitions for the two-phase exact-ntile rank: cluster-sized, not
+# data-sized (each holds ~1/P of the eval slice; raise with executor count).
+LIFT_RANGE_PARTS = 32
 
 
 def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,10 +237,19 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lift chart (is the model's top decile actually the biggest, and is
     it calibrated?).
 
-    The ntile window is global but over PREDICTIONS of the 20% eval
-    slice; at 100 TB replace with an approx-quantile bucket join — the
-    aggregate per decile stays a one-shuffle partial agg. All compute
-    is distributed; only the 10-row table reaches the driver."""
+    Exact ntile WITHOUT a global window (r06): a single-partition sort
+    over the scored eval slice was the registry's one remaining
+    fact-proportional GWin. The scale shape is the two-phase ranged
+    rank (the q_weighted_median pattern): repartitionByRange on
+    (prediction DESC, tie ASC) — range boundaries come from Spark's
+    sampler, and their placement cannot change any rank, only which
+    partition computes it — then per-partition row_number (partitioned
+    window), plus a prefix-sum offset from the per-partition counts
+    (a <=P-row aggregate). global_rank = offset + local rank, and the
+    decile is SQL NTILE's exact remainder rule (first n%D buckets get
+    one extra row) as integer arithmetic. Values are bit-identical to
+    the F.ntile window form; every stage is distributed and only the
+    10-row table reaches the driver."""
     from pyspark.sql.window import Window
 
     from ..operators.pipeline import TRAIN_BUCKETS, hash_bucket_expr
@@ -254,12 +266,49 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         LINEITEM_LABEL,
         keep=["tie"],
     )
-    w = Window.orderBy(F.desc("prediction"), F.asc("tie"))
-    scored = model.transform(prepared).withColumn(
-        "decile", F.ntile(LIFT_DECILES).over(w)
+    scored = (
+        model.transform(prepared)
+        .select("prediction", "tie", LINEITEM_LABEL)
+        .repartitionByRange(
+            LIFT_RANGE_PARTS, F.desc("prediction"), F.asc("tie")
+        )
+        .withColumn("pid", F.spark_partition_id())
+    )
+    counts = scored.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # prefix-sum over <=LIFT_RANGE_PARTS aggregate rows (reduced input —
+    # not a fact-scale window), broadcast back with the exact total
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(
+            Window.orderBy("pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        F.desc("prediction"), F.asc("tie")
+    )
+    ranked = (
+        scored.withColumn("rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("rank", F.col("off") + F.col("rn"))
+    )
+    # SQL NTILE(D) with n rows: q = n DIV D, r = n % D; the first r
+    # buckets hold q+1 rows. ceil-division written as (x + d - 1) DIV d.
+    d = LIFT_DECILES
+    ntile = (
+        f"CASE WHEN rank <= (n_total % {d}) * (n_total DIV {d} + 1) "
+        f"THEN (rank + n_total DIV {d}) DIV (n_total DIV {d} + 1) "
+        f"ELSE (n_total % {d}) + (rank - (n_total % {d}) * (n_total DIV {d} + 1) "
+        f"+ n_total DIV {d} - 1) DIV (n_total DIV {d}) END"
     )
     return (
-        scored.groupBy("decile")
+        ranked.withColumn("decile", F.expr(ntile).cast("int"))
+        .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.avg("prediction").alias("avg_pred"),
