@@ -86,69 +86,21 @@ def _modules():
     return mods
 
 
-# Round-6 rotation: the driver's correctness sweep covers only a ~50-name
-# prefix of this registry per round. Head = the 3 operators whose
-# BEHAVIOR/PLAN changed this round (cluster_stability_rand's doubled
-# decimal pair counts, graph_link_prediction's adjacency-explode rewrite,
-# graph_kcore's lazy edge chain) and must re-verify under the driver,
-# then the 120 names no driver round has ever checked (r01..r05 union =
-# 204 distinct), with the known-slow rows-only ml_* sweep entries
-# (2.7-5.8s each at sf0.01: ml_classifier_auc, ml_quality_classifier,
-# ml_grid_search, ml_incremental_versions) deferred to the tail so the
-# driver's time budget drains the maximum number of first-time names.
+# Round-7 rotation: the driver's correctness sweep covers only a ~50-name
+# prefix of this registry per round (r01..r06 union = 251 of 324 distinct
+# names, all green). Head = the 2 operators whose PLAN changed this round
+# (dedup_ngram_jaccard's PPJoin position filter, ml_lift_deciles'
+# localCheckpoint-pinned two-phase ntile) and must re-verify under the
+# driver, then the 73 names no driver round has ever checked, with the
+# known-slow rows-only ml_* sweep entries (2.7-5.8s each at sf0.01:
+# ml_classifier_auc, ml_quality_classifier, ml_grid_search,
+# ml_incremental_versions) deferred to the tail so the driver's time
+# budget drains the maximum number of first-time names.
 _PRIORITY = [
     # -- changed this round (re-verify) --
-    "cluster_stability_rand",
-    "graph_link_prediction",
-    "graph_kcore",
-    # -- never driver-verified (r01..r05), priority order --
-    "q_time_weighted_avg",
-    "q_ohlc_bars",
-    "streaming_stream_outer_join",
-    "text_vocab_growth",
-    "q_dau_mau_stickiness",
-    "dedup_threshold_sweep",
-    "corpus_quality_floor",
-    "sketch_kmv_setops",
-    "q_partial_agg_merge",
-    "sketch_gk_quantile_eval",
-    "q_text_lines_roundtrip",
-    "q_binaryfile_scan",
-    "q_tz_daily_rollup",
-    "ann_ivf_persisted",
-    "emb_norm_stats",
-    "text_source_divergence",
-    "ts_similarity_paa",
-    "ts_autocorr",
-    "ts_stl_lite",
-    "mm_modality_router",
-    "text_keyphrase_rake",
-    "corpus_cap_per_source",
-    "geo_dbscan_core",
-    "q_benford_audit",
-    "corpus_tokenizer_fertility",
-    "q_gini_concentration",
-    "q_lorenz_deciles",
-    "ann_ivf_balance_audit",
-    "q_sql_sessionize",
-    "q_funnel_windowed",
-    "corpus_langid_confusion",
-    "q_hdr_histogram",
-    "q_weighted_median",
-    "corpus_modality_coverage",
-    "streaming_hll_windowed",
-    "q_trimmed_mean_pandas",
-    "mm_arrow_byte_stats",
-    "q_bot_flag",
-    "q_top_paths",
-    "q_keyset_page",
-    "graph_cc_two_phase",
-    "graph_modularity",
-    "dedup_savings_summary",
-    "q_ewma_decay",
-    "q_cohort_retention",
-    "q_resample_locf",
-    "q_hypertable_rollup",
+    "dedup_ngram_jaccard",
+    "ml_lift_deciles",
+    # -- never driver-verified (r01..r06), priority order --
     "dedup_blocked_levenshtein",
     "dedup_clusters",
     "graph_khop_reach",

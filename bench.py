@@ -230,10 +230,14 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"run: {type(exc).__name__}: {exc}"[:300]
         passes.append(pass_t)
+    # Policy: a name is EITHER timed or errored, never both. A query that
+    # succeeds in pass 1 but throws in pass 2 is recorded as an error and
+    # dropped from timings (a flaky headline must surface as a failure,
+    # not silently contribute its lucky pass to the total).
     timings: dict[str, float] = {
         name: min(p[name] for p in passes if name in p)
         for name in headline
-        if any(name in p for p in passes)
+        if any(name in p for p in passes) and name not in errors
     }
 
     total = round(sum(timings.values()), 3)
@@ -258,7 +262,20 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as fh:
-        json.dump({**payload, "passes": passes}, fh, indent=1, sort_keys=True)
+        json.dump(
+            {
+                **payload,
+                "passes": passes,
+                "timing_policy": (
+                    "min-of-2 whole-list passes; a name appearing in errors "
+                    "is excluded from timings and the headline total even if "
+                    "one pass succeeded"
+                ),
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
         fh.write("\n")
     print(json.dumps(payload))
     # The driver keeps only the last ~2000 chars of stdout; the full payload

@@ -229,6 +229,59 @@ LIFT_DECILES = 10
 LIFT_RANGE_PARTS = 32
 
 
+def two_phase_ntile(scored: DataFrame, d: int) -> DataFrame:
+    """Exact NTILE(d) over (prediction DESC, tie ASC) WITHOUT a global
+    window: repartitionByRange + per-partition row_number + a <=P-row
+    prefix-sum offset, then SQL NTILE's remainder rule as integer
+    arithmetic. Returns the input columns plus `decile`. Factored out of
+    ml_lift_deciles so the bit-identity test (tests/test_ml.py) can
+    compare THIS assignment against `F.ntile` on the same frame."""
+    from pyspark.sql.window import Window
+
+    ranged = (
+        scored.repartitionByRange(LIFT_RANGE_PARTS, F.desc("prediction"), F.asc("tie"))
+        .withColumn("pid", F.spark_partition_id())
+        # Pin the range partitioning ONCE (graph_kcore pattern): this frame
+        # feeds two plan subtrees (counts -> broadcast offsets, and ranked).
+        # RangePartitioner samples boundaries with an RDD-lineage-derived
+        # seed; without pinning, correctness would rest on ReuseExchange
+        # deduplicating the two shuffle instances — an optimizer rule, not
+        # the query shape. localCheckpoint materializes one physical
+        # partitioning that both consumers read.
+        .localCheckpoint(eager=False)
+    )
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # prefix-sum over <=LIFT_RANGE_PARTS aggregate rows (reduced input —
+    # not a fact-scale window), broadcast back with the exact total
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(
+            Window.orderBy("pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    w_local = Window.partitionBy("pid").orderBy(F.desc("prediction"), F.asc("tie"))
+    ranked = (
+        ranged.withColumn("rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("rank", F.col("off") + F.col("rn"))
+    )
+    # SQL NTILE(D) with n rows: q = n DIV D, r = n % D; the first r
+    # buckets hold q+1 rows. ceil-division written as (x + d - 1) DIV d.
+    ntile = (
+        f"CASE WHEN rank <= (n_total % {d}) * (n_total DIV {d} + 1) "
+        f"THEN (rank + n_total DIV {d}) DIV (n_total DIV {d} + 1) "
+        f"ELSE (n_total % {d}) + (rank - (n_total % {d}) * (n_total DIV {d} + 1) "
+        f"+ n_total DIV {d} - 1) DIV (n_total DIV {d}) END"
+    )
+    return ranked.withColumn("decile", F.expr(ntile).cast("int")).drop(
+        "pid", "rn", "off", "n_total", "rank"
+    )
+
+
 def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile lift / calibration table on the held-out split: score the
     eval frame, rank by prediction into 10 ntile buckets (deterministic
@@ -247,11 +300,12 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     window), plus a prefix-sum offset from the per-partition counts
     (a <=P-row aggregate). global_rank = offset + local rank, and the
     decile is SQL NTILE's exact remainder rule (first n%D buckets get
-    one extra row) as integer arithmetic. Values are bit-identical to
-    the F.ntile window form; every stage is distributed and only the
-    10-row table reaches the driver."""
-    from pyspark.sql.window import Window
-
+    one extra row) as integer arithmetic. The decile ASSIGNMENT is
+    bit-identical to the F.ntile window form (asserted per-row by
+    tests/test_ml.py::test_lift_deciles_bit_identical_to_ntile_window;
+    the per-decile float averages agree up to partial-agg summation
+    order); every stage is distributed and only the 10-row table
+    reaches the driver."""
     from ..operators.pipeline import TRAIN_BUCKETS, hash_bucket_expr
 
     df = load_table(spark, sf_dir, "lineitem").withColumn(
@@ -266,48 +320,9 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         LINEITEM_LABEL,
         keep=["tie"],
     )
-    scored = (
-        model.transform(prepared)
-        .select("prediction", "tie", LINEITEM_LABEL)
-        .repartitionByRange(
-            LIFT_RANGE_PARTS, F.desc("prediction"), F.asc("tie")
-        )
-        .withColumn("pid", F.spark_partition_id())
-    )
-    counts = scored.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    # prefix-sum over <=LIFT_RANGE_PARTS aggregate rows (reduced input —
-    # not a fact-scale window), broadcast back with the exact total
-    w_off = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "pid",
-        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
-        F.sum("cnt").over(
-            Window.orderBy("pid").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n_total"),
-    )
-    w_local = Window.partitionBy("pid").orderBy(
-        F.desc("prediction"), F.asc("tie")
-    )
-    ranked = (
-        scored.withColumn("rn", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), "pid")
-        .withColumn("rank", F.col("off") + F.col("rn"))
-    )
-    # SQL NTILE(D) with n rows: q = n DIV D, r = n % D; the first r
-    # buckets hold q+1 rows. ceil-division written as (x + d - 1) DIV d.
-    d = LIFT_DECILES
-    ntile = (
-        f"CASE WHEN rank <= (n_total % {d}) * (n_total DIV {d} + 1) "
-        f"THEN (rank + n_total DIV {d}) DIV (n_total DIV {d} + 1) "
-        f"ELSE (n_total % {d}) + (rank - (n_total % {d}) * (n_total DIV {d} + 1) "
-        f"+ n_total DIV {d} - 1) DIV (n_total DIV {d}) END"
-    )
+    scored = model.transform(prepared).select("prediction", "tie", LINEITEM_LABEL)
     return (
-        ranked.withColumn("decile", F.expr(ntile).cast("int"))
+        two_phase_ntile(scored, LIFT_DECILES)
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -172,6 +172,89 @@ def test_lift_deciles_structure_and_pred_monotone(spark):
     assert all(r.n > 0 for r in rows)
 
 
+def test_lift_deciles_bit_identical_to_ntile_window(spark):
+    """The two-phase ranged rank (ml/queries.py: repartitionByRange +
+    per-partition row_number + prefix-sum offset + NTILE remainder
+    arithmetic) claims bit-identity to the single-partition
+    `F.ntile(10)` global-window form. Prove it: build the SAME scored
+    frame, bucket it both ways, and compare the 10-row tables exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kafka_pyspark_bigdata_spark.ml import trainer
+    from kafka_pyspark_bigdata_spark.ml.queries import (
+        LIFT_DECILES,
+        LINEITEM_FEATURES,
+        LINEITEM_LABEL,
+        ml_lift_deciles,
+    )
+    from kafka_pyspark_bigdata_spark.operators.pipeline import (
+        TRAIN_BUCKETS,
+        hash_bucket_expr,
+    )
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    df = load_table(spark, sf_dir, "lineitem").withColumn(
+        "bucket", hash_bucket_expr("l_orderkey")
+    )
+    model = trainer.train(
+        df.filter(F.col("bucket") < TRAIN_BUCKETS), LINEITEM_FEATURES, LINEITEM_LABEL
+    )
+    prepared = trainer.cast_prune(
+        df.filter(F.col("bucket") >= TRAIN_BUCKETS).withColumn(
+            "tie", F.expr("l_orderkey * 10 + l_linenumber")
+        ),
+        LINEITEM_FEATURES,
+        LINEITEM_LABEL,
+        keep=["tie"],
+    )
+    scored = model.transform(prepared).select("prediction", "tie", LINEITEM_LABEL)
+    w = Window.orderBy(F.desc("prediction"), F.asc("tie"))
+    with_ntile = scored.withColumn("decile", F.ntile(LIFT_DECILES).over(w))
+    ntile_rows = (
+        with_ntile.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("prediction").alias("avg_pred"),
+            F.avg(LINEITEM_LABEL).alias("avg_actual"),
+        )
+        .orderBy("decile")
+        .collect()
+    )
+    two_phase_rows = ml_lift_deciles(spark, sf_dir).collect()
+    assert len(two_phase_rows) == len(ntile_rows) == LIFT_DECILES
+    for a, b in zip(two_phase_rows, ntile_rows):
+        # decile MEMBERSHIP is the bit-identity claim: same decile ids,
+        # same row counts. The per-decile float averages sum the same
+        # values but in a different partial-agg order (range partitions
+        # vs one sorted partition), so they are compared to 1 ulp-scale
+        # tolerance rather than ==.
+        assert (a.decile, a.n) == (b.decile, b.n)
+        assert abs(a.avg_pred - b.avg_pred) <= 1e-12 * max(1.0, abs(b.avg_pred))
+        assert abs(a.avg_actual - b.avg_actual) <= 1e-12 * max(
+            1.0, abs(b.avg_actual)
+        )
+    # Assignment-level bit-identity. The synthetic lineitem has duplicate
+    # (l_orderkey, l_linenumber) keys, so (prediction, tie) is NOT a unique
+    # sort key — but an equal-key group occupies a contiguous rank interval
+    # under ANY total-order extension, so the multiset of deciles each
+    # distinct key receives is deterministic and must match exactly.
+    from kafka_pyspark_bigdata_spark.ml.queries import two_phase_ntile
+
+    def key_deciles(df):
+        return {
+            (r.prediction, r.tie, r.decile): r.c
+            for r in df.groupBy("prediction", "tie", "decile")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    assert key_deciles(two_phase_ntile(scored, LIFT_DECILES)) == key_deciles(
+        with_ntile
+    )
+
+
 def test_classifier_auc_bounds_and_counts(spark):
     """RF-classifier AUC eval: counts partition the eval split, AUC is a
     proper probability in [0, 1], and a trained classifier beats random

@@ -252,6 +252,12 @@ def main() -> None:
             if s["nl_join"] > 0:
                 if name in NLJOIN_EXCEPTIONS:
                     mark += " ‡"
+                    # accumulate the ACTUAL NLJoin count of excepted queries so
+                    # the registry-wide "un-excepted NLJoin" figure subtracts
+                    # real plan nodes, not the exception-list length
+                    totals["excepted_nl_join"] = (
+                        totals.get("excepted_nl_join", 0) + s["nl_join"]
+                    )
                 elif " **!**" not in mark:
                     violations.append(name)
                     mark += " **!**"
@@ -267,7 +273,7 @@ def main() -> None:
             f" {totals.get('python_rows', 0)} | {totals.get('arrow', 0)} |"
             f" {totals.get('global_win', 0)} | {totals.get('nl_join', 0)} |"
         )
-        return rows, totals, gwin_violations
+        return rows, totals, violations
 
     head_rows, head_totals, head_viol = audit_block(names)
     lines.extend(head_rows)
@@ -311,7 +317,7 @@ def main() -> None:
             f"**Registry-wide PyRow: "
             f"{head_totals.get('python_rows', 0) + rest_totals.get('python_rows', 0)}, "
             f"un-excepted NLJoin: "
-            f"{head_totals.get('nl_join', 0) + rest_totals.get('nl_join', 0) - sum(1 for n in NLJOIN_EXCEPTIONS)}**"
+            f"{head_totals.get('nl_join', 0) + rest_totals.get('nl_join', 0) - head_totals.get('excepted_nl_join', 0) - rest_totals.get('excepted_nl_join', 0)}**"
         )
         lines.append("")
 

@@ -43,6 +43,7 @@ PROBES = [
     "text_search_and_rank",      # inverted-index retrieval
     "q_market_basket_pairs",     # bounded self-join mining
     "graph_link_prediction",     # wedge join + anti
+    "cluster_stability_rand",    # decimal pair-count Rand/ARI fold
     "corpus_ablation_grid",      # CUBE expand
     "ts_downsample_lttb",        # bucketed downsampling
     "q_encoding_stats",          # global-sort window (oracle baseline)
