@@ -255,6 +255,51 @@ def test_lift_deciles_bit_identical_to_ntile_window(spark):
     )
 
 
+@pytest.mark.parametrize(
+    "n,d",
+    [
+        (0, 10),   # empty input -> empty output
+        (1, 10),   # n < d: each row its own bucket
+        (3, 10),
+        (25, 10),  # remainder rule: first 5 buckets get 3 rows, rest 2
+        (40, 10),  # exact multiple
+        (7, 3),
+    ],
+)
+def test_two_phase_ntile_matches_window_ntile_edge_cases(spark, n, d):
+    """two_phase_ntile vs F.ntile on crafted frames: n < d, n % d != 0,
+    duplicate sort keys, and empty input. Per distinct (prediction, tie)
+    key the decile multiset must match exactly (ties occupy a contiguous
+    rank interval under any order extension, so the multiset is
+    deterministic even where individual row assignment is not)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kafka_pyspark_bigdata_spark.ml.queries import two_phase_ntile
+
+    rows = [
+        # every third key duplicated; a run of fully-tied rows at the top
+        (float(10 - (i // 3)), int(i // 2), float(i))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "prediction double, tie long, label double"
+    ) if rows else spark.createDataFrame([], "prediction double, tie long, label double")
+
+    def key_deciles(frame):
+        return {
+            (r.prediction, r.tie, r.decile): r.c
+            for r in frame.groupBy("prediction", "tie", "decile")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    w = Window.orderBy(F.desc("prediction"), F.asc("tie"))
+    expected = key_deciles(df.withColumn("decile", F.ntile(d).over(w)))
+    got = key_deciles(two_phase_ntile(df, d))
+    assert got == expected
+
+
 def test_classifier_auc_bounds_and_counts(spark):
     """RF-classifier AUC eval: counts partition the eval split, AUC is a
     proper probability in [0, 1], and a trained classifier beats random
