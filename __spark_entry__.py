@@ -169,6 +169,10 @@ _PRIORITY = [
     "q_except_parts",
     "q_union_distinct_parts",
     "q_scalar_functions",
+    # -- new in r07 (never verified; after the backlog drain) --
+    "q_xml_roundtrip",
+    "q_bucketed_join",
+    # -- slow sweep tail (2.7-5.8s each at sf0.01) --
     "ml_classifier_auc",
     "ml_quality_classifier",
     "dedup_simhash_pairs",

@@ -56,6 +56,8 @@ def main() -> None:
         "sketch_kmv_setops",
         "q_text_lines_roundtrip",
         "q_binaryfile_scan",
+        "q_xml_roundtrip",
+        "q_bucketed_join",
         # mining / stats / geo (round-3 additions)
         "q_profile_columns",
         "q_hist_equidepth",

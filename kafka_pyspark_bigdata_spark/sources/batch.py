@@ -16,6 +16,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -100,7 +101,7 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def write_bucketed(
-    df: DataFrame, table: str, key: str, num_buckets: int = 32
+    df: DataFrame, table: str, key: str, num_buckets: int = 32, path: str | None = None
 ) -> None:
     """Persist a table hash-bucketed (and per-file sorted) on its join key.
 
@@ -110,12 +111,24 @@ def write_bucketed(
     co-partitioning from the catalog), turning the usual
     shuffle-sort-merge into a zero-movement per-bucket merge. Worth it for
     any join key used more than once — e.g. lineitem⋈orders on the order
-    key, which every TPC-H-shaped query in plans/ hits.
+    key, which every TPC-H-shaped query in plans/ hits. Exercised
+    end-to-end (write → catalog scan → exchange-free SMJ, value-hash
+    oracle) by ``sources/queries.q_bucketed_join``.
+
+    The frame is pre-repartitioned on the bucket hash so each bucket is
+    exactly ONE file — that is the condition under which the reader
+    trusts the per-bucket sort order, and it caps file count at
+    num_buckets instead of tasks × buckets. ``path`` makes the table
+    EXTERNAL at that location (scratch-friendly); bucketing metadata
+    still lives in the session catalog either way.
     """
-    (
-        df.write.bucketBy(num_buckets, key)
+    writer = (
+        df.repartition(num_buckets, F.col(key))
+        .write.bucketBy(num_buckets, key)
         .sortBy(key)
         .mode("overwrite")
         .format("parquet")
-        .saveAsTable(table)
     )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

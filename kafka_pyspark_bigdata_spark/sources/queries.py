@@ -26,7 +26,7 @@ from pyspark.sql.types import (
 
 from ..functions.numeric import dsum, dsum_sql
 from ..streaming.kafka import decode_json_stream, encode_json
-from .batch import load_table, read_csv, scratch_dir, write_csv
+from .batch import load_table, read_csv, scratch_dir, write_bucketed, write_csv
 
 _RT_SCHEMA = StructType(
     [
@@ -203,6 +203,92 @@ SELECT l_returnflag, COUNT(*) AS n_rows,
        COUNT(DISTINCT l_orderkey) AS n_orders
 FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
 GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → XML files (Spark 4's BUILT-IN xml source — one ``<row>``
+    element per record, SPARK-44265) → explicit-schema scan → aggregate.
+    The oracle aggregates the original parquet: a hash match proves the
+    XML codec (writer entity-escaping + shortest-round-trip doubles,
+    reader parse-back) loses nothing. Fifth interchange format after
+    parquet / CSV / JSON-lines / ORC; XML remains the wire format of
+    enterprise feeds (SEPA, FpML, sitemap/WARC metadata) a 100 TB
+    ingest layer still has to land. The scan is splittable by row tag,
+    so at scale each split is one task — same front-door economics as
+    the text reader."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = os.path.join(scratch_dir("xml_rt", sf_dir), "events_xml")
+    ev.write.format("xml").option("rowTag", "row").mode("overwrite").save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema(_RT_SCHEMA)
+        .load(out)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n_rows"), dsum("value").alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+# Bucket count is a CLUSTER knob, not a data knob: at 100 TB you size it
+# to executor-count × a small multiple (e.g. 4096) once, and every
+# co-located join on the key reuses the layout with zero shuffles.
+JOIN_BUCKETS = 8
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located fact⋈fact join via CATALOG-BUCKETED
+    tables: orders and lineitem are written once, bucketed
+    ``JOIN_BUCKETS`` ways on the order key (``bucketBy`` + ``sortBy``,
+    pre-repartitioned so each bucket is ONE file and the on-read sort
+    order is trusted), then joined with NO Exchange on either side —
+    the scan's bucket layout satisfies the join's hash-partitioning
+    requirement (tests/test_plans.py pins exactly one Exchange in the
+    whole plan: the 5-row priority rollup).
+
+    This is THE amortization pattern for a 100 TB lakehouse: every
+    downstream orderkey join (returns, billing, enrichment) reuses the
+    layout, turning the largest shuffle in the workload into a local
+    merge. The oracle joins the original parquet — value-hash equality
+    proves the bucketed layout is a pure physical rewrite."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = scratch_dir("bucketed_join", sf_dir)
+    t_orders, t_lineitem = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    ord_ = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    for name, df, key in (
+        (t_orders, ord_, "o_orderkey"),
+        (t_lineitem, li, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_bucketed(df, name, key, JOIN_BUCKETS, path=os.path.join(base, name))
+    o = spark.table(t_orders)
+    l = spark.table(t_lineitem)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_BUCKETED_JOIN_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_rows,
+       {dsum_sql('l_extendedprice')} AS sum_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
@@ -742,6 +828,8 @@ QUERIES = {
     "q_json_roundtrip": q_json_roundtrip,
     "q_jsonl_roundtrip": q_jsonl_roundtrip,
     "q_orc_roundtrip": q_orc_roundtrip,
+    "q_xml_roundtrip": q_xml_roundtrip,
+    "q_bucketed_join": q_bucketed_join,
 }
 
 ORACLES = {
@@ -759,4 +847,6 @@ ORACLES = {
     "q_json_roundtrip": Q_CSV_ROUNDTRIP_SQL,
     "q_jsonl_roundtrip": Q_CSV_ROUNDTRIP_SQL,
     "q_orc_roundtrip": Q_ORC_ROUNDTRIP_SQL,
+    "q_xml_roundtrip": Q_CSV_ROUNDTRIP_SQL,
+    "q_bucketed_join": Q_BUCKETED_JOIN_SQL,
 }

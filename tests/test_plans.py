@@ -112,6 +112,31 @@ def test_bloom_prune_filter_is_projection(spark):
     assert "array_contains" in plan, plan
 
 
+def test_bucketed_join_has_no_exchange_below_the_join(spark):
+    """The co-located bucketed join's whole point: with broadcast
+    disabled (both sides are facts at 100 TB) the orderkey join must be
+    a SortMergeJoin fed DIRECTLY by the two bucketed scans — zero
+    Exchange below the join. The only exchanges in the plan are the
+    5-row priority rollup and the final orderBy."""
+    from kafka_pyspark_bigdata_spark.sources.queries import q_bucketed_join
+
+    with _conf(
+        spark,
+        **{
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        plan = _plan(q_bucketed_join(spark, SF))
+    assert "SortMergeJoin" in plan, plan
+    # both scans select all 8 buckets; the join sits on top of them
+    assert plan.count("SelectedBucketsCount: 8 out of 8") == 2, plan
+    join_pos = plan.find("SortMergeJoin")
+    below = plan[join_pos:]
+    assert "Exchange" not in below, below
+    assert plan.count("Exchange") == 2, plan  # rollup hash + orderBy range
+
+
 def test_partitioned_scan_prunes_directories(spark):
     """The event_date predicate must prune at the source: the scan reads
     one partition directory, visible as PartitionFilters in the plan."""
