@@ -260,7 +260,10 @@ def main() -> None:
     # detail artifact also carries both raw timing passes so a regression
     # report can show whether a delta reproduced in BOTH samples; the
     # printed line stays min-of-2 only.
-    detail_path = os.path.join(
+    # SPARK_GRAFT_DETAIL overrides the artifact path so non-sf0.1 runs
+    # (e.g. the suite's sf0.001 harness guard) don't clobber the committed
+    # sf0.1 detail record the judge reads.
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as fh:
