@@ -44,6 +44,65 @@ def test_ngram_jaccard_finds_planted_dups(spark):
     assert len(pa) > 0
 
 
+def test_ngram_jaccard_position_filter_loses_no_pair(spark):
+    """The r07 PPJoin position filter is an EXACT optimization: rebuild
+    the candidate pipeline WITHOUT it (prefix + length filter only) and
+    assert the verified pair set is identical. This pins the filter's
+    integer bound (9*(1+min(na-ra, nb-rb)) >= 4*(na+nb)) against future
+    threshold changes — the bound's constants are tied to t=0.8."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kafka_pyspark_bigdata_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        load_table,
+        with_shingles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sh = (
+        with_shingles(load_table(spark, sf, "documents"))
+        .select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
+        .localCheckpoint()
+    )
+    inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    with_df = inv.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+    plen = F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + F.lit(1)
+    prefix = with_df.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= plen
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "s"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "s"
+    )
+    cand = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((4 * F.greatest("na", "nb")) <= (5 * F.least("na", "nb")))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = cand.join(x, "doc_a").join(y, "doc_b")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_common)
+    unfiltered = {
+        (r.doc_a, r.doc_b)
+        for r in verified.select("doc_a", "doc_b", jac.alias("j"))
+        .filter(F.col("j") >= JACCARD_THRESHOLD)
+        .collect()
+    }
+    shipped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_ngram_jaccard(spark, sf).collect()
+    }
+    assert shipped == unfiltered and len(shipped) > 0
+
+
 def test_pagerank_mass_bounds(spark):
     """Fixed-point PageRank: ranks positive and total mass ≤ n·SCALE
     (truncating division only LOSES mass, never creates it)."""
