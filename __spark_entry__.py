@@ -86,74 +86,23 @@ def _modules():
     return mods
 
 
-# Round-7 rotation: the driver's correctness sweep covers only a ~50-name
-# prefix of this registry per round (r01..r06 union = 251 of 324 distinct
-# names, all green). Head = the 2 operators whose PLAN changed this round
-# (dedup_ngram_jaccard's PPJoin position filter, ml_lift_deciles'
-# localCheckpoint-pinned two-phase ntile) and must re-verify under the
-# driver, then the 73 names no driver round has ever checked, with the
-# known-slow rows-only ml_* sweep entries (2.7-5.8s each at sf0.01:
-# ml_classifier_auc, ml_quality_classifier, ml_grid_search,
-# ml_incremental_versions) deferred to the tail so the driver's time
-# budget drains the maximum number of first-time names.
+# Round-8 rotation: the driver's correctness sweep covers a ~50-name prefix
+# of this registry per round (r01..r07 union = 299 of 326 distinct names,
+# all green). Head = the operators whose PLAN text changed this round
+# (dedup_ngram_jaccard's filters now derived from the shared JACCARD_NUM/DEN
+# rational; ml_lift_deciles' ntile ELSE divisor clamped with GREATEST —
+# both behavior-neutral, both must re-verify under the driver), then ALL 27
+# names no driver round has ever checked — 27 < 50, so this window CLOSES
+# the coverage gate (union -> 326/326). Known-slow rows-only ml_* entries
+# (2.7-5.8s each at sf0.01) sit at the tail of the 27 so the budget drains
+# first-time oracle-backed names first.
 _PRIORITY = [
-    # -- changed this round (re-verify) --
+    # -- plan text changed this round (re-verify) --
     "dedup_ngram_jaccard",
     "ml_lift_deciles",
-    # -- never driver-verified (r01..r06), priority order --
-    "dedup_blocked_levenshtein",
-    "dedup_clusters",
-    "graph_khop_reach",
-    "graph_triangle_count",
-    "graph_pagerank",
-    "ann_recall_eval",
-    "ann_dot_pandas_udf",
-    "emb_label_centroids",
-    "ann_ivf",
-    "cluster_kmeans_fixed",
-    "dedup_embedding_lsh",
-    "knn_graph_lsh",
-    "emb_quantize_int8",
-    "text_bigram_topnext",
-    "text_cooccurrence_pairs",
-    "text_chunk_windows",
-    "text_feature_hashing",
-    "text_cms_heavy_hitters",
-    "text_tfidf_topterms",
-    "text_token_bpe",
-    "text_winnow_fingerprint",
-    "text_repetition",
-    "text_pii_scrub",
-    "mm_resize_image",
-    "mm_audio_features",
-    "mm_phash_dedup",
-    "corpus_preprocess_e2e",
-    "corpus_mix_weighted",
-    "corpus_sample_hash",
-    "corpus_sample_stratified",
-    "corpus_split_stats",
-    "text_decontaminate",
-    "text_topk_terms",
-    "corpus_pack_greedy",
-    "q_scd2_intervals",
-    "q_cdc_diff",
-    "q_bloom_prune",
-    "q_constraint_audit",
-    "q_zorder_layout",
-    "q_ivm_join_delta",
-    "q_salted_join_agg",
-    "q_partitioned_scan",
-    "q_schema_evolution",
-    "q_csv_roundtrip",
-    "q_json_roundtrip",
-    "q_jsonl_roundtrip",
-    "streaming_upsert_latest",
-    "streaming_sliding_window",
-    "streaming_session_window",
-    "streaming_dedup_counts",
-    "streaming_stateful_totals",
-    "ml_eval_rmse",
-    "ml_predict_loaded",
+    # -- never driver-verified (r01..r07): all 27 remaining names --
+    "q_xml_roundtrip",
+    "q_bucketed_join",
     "q_mad_outliers",
     "q_value_histogram",
     "q_percent_rank",
@@ -169,16 +118,17 @@ _PRIORITY = [
     "q_except_parts",
     "q_union_distinct_parts",
     "q_scalar_functions",
-    # -- new in r07 (never verified; after the backlog drain) --
-    "q_xml_roundtrip",
-    "q_bucketed_join",
+    "streaming_session_window",
+    "streaming_dedup_counts",
+    "streaming_stateful_totals",
+    "dedup_simhash_pairs",
+    "ml_eval_rmse",
+    "ml_predict_loaded",
     # -- slow sweep tail (2.7-5.8s each at sf0.01) --
     "ml_classifier_auc",
     "ml_quality_classifier",
-    "dedup_simhash_pairs",
     "ml_grid_search",
     "ml_incremental_versions",
-    "streaming_count_batcher",
 ]
 
 

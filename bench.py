@@ -266,6 +266,12 @@ def main() -> None:
     detail_path = os.environ.get("SPARK_GRAFT_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    # Make a redirected artifact visible: if SPARK_GRAFT_DETAIL is left set
+    # during a real sf0.1 run, the committed BENCH_DETAIL.json silently
+    # stops updating — so the resolved path always appears in the payload
+    # and on stderr.
+    payload["detail_path"] = detail_path
+    print(f"[bench] detail artifact -> {detail_path}", file=sys.stderr)
     with open(detail_path, "w") as fh:
         json.dump(
             {

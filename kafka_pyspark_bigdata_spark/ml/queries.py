@@ -271,11 +271,16 @@ def two_phase_ntile(scored: DataFrame, d: int) -> DataFrame:
     )
     # SQL NTILE(D) with n rows: q = n DIV D, r = n % D; the first r
     # buckets hold q+1 rows. ceil-division written as (x + d - 1) DIV d.
+    # The ELSE divisor is clamped with GREATEST(q, 1) so the expression is
+    # total: when n_total < d, q = 0 and every rank satisfies the WHEN
+    # branch (rank <= n_total = r*1), but the clamp keeps the ELSE defined
+    # regardless of branch order or future edits (ANSI mode turns a dead
+    # 0-divisor into a runtime DIVIDE_BY_ZERO otherwise).
     ntile = (
         f"CASE WHEN rank <= (n_total % {d}) * (n_total DIV {d} + 1) "
         f"THEN (rank + n_total DIV {d}) DIV (n_total DIV {d} + 1) "
         f"ELSE (n_total % {d}) + (rank - (n_total % {d}) * (n_total DIV {d} + 1) "
-        f"+ n_total DIV {d} - 1) DIV (n_total DIV {d}) END"
+        f"+ n_total DIV {d} - 1) DIV GREATEST(n_total DIV {d}, 1) END"
     )
     return ranked.withColumn("decile", F.expr(ntile).cast("int")).drop(
         "pid", "rn", "off", "n_total", "rank"

@@ -54,6 +54,19 @@ _MH_PARAMS: list[tuple[int, int]] = [
 ]
 MINHASH_VERIFY_THRESHOLD = 0.7
 JACCARD_THRESHOLD = 0.8
+# Exact rational form of JACCARD_THRESHOLD (t = NUM/DEN). The three PPJoin
+# filter expressions in dedup_ngram_jaccard are integer inequalities that
+# must all move together if the threshold changes, so they are DERIVED from
+# this one pair rather than hardcoding 4/5/9 independently:
+#   prefix length:   n - ceil(t*n) + 1, with ceil(t*n) = (NUM*n + DEN-1) div DEN
+#   length filter:   NUM*max(na,nb) <= DEN*min(na,nb)          (t*max <= min)
+#   position filter: (NUM+DEN)*(1+suffix_min) >= NUM*(na+nb)
+#                    (overlap >= t/(1+t)*(na+nb), t/(1+t) = NUM/(NUM+DEN))
+JACCARD_NUM, JACCARD_DEN = 4, 5
+assert JACCARD_NUM / JACCARD_DEN == JACCARD_THRESHOLD, (
+    "JACCARD_NUM/JACCARD_DEN must equal JACCARD_THRESHOLD exactly — the "
+    "PPJoin integer filters are derived from the rational form"
+)
 COSINE_DUP_THRESHOLD = 0.45
 
 
@@ -139,10 +152,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     common token in the global (df, s) order lies in both prefixes
     (else the doc has fewer tokens left than the required overlap), and
     for that row the bound >= the true overlap, so the pair always
-    survives; integer form 9*(1+min) >= 4*(na+nb). Cuts candidate
-    volume before the dedup shuffle and the verify joins (sf0.1:
-    2.84 -> ~1.9 s end-to-end, output rows identical by construction
-    and re-verified hash-green).
+    survives; integer form (NUM+DEN)*(1+min) >= NUM*(na+nb), with the
+    rational (NUM, DEN) = JACCARD_NUM/JACCARD_DEN shared by all three
+    filters. Cuts candidate volume before the dedup shuffle and the
+    verify joins (sf0.1: 2.84 -> 2.38 s end-to-end per the committed
+    BENCH_DETAIL.json; output rows identical by construction and
+    re-verified hash-green).
     """
     # localCheckpoint: sh feeds five plan branches (inverted index ×2,
     # prefix, verify ×2) — materialize once instead of recomputing the
@@ -160,7 +175,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "df", F.count("*").over(Window.partitionBy("s"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
-    prefix_len = F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + F.lit(1)
+    # n - ceil(t*n) + 1 with t = JACCARD_NUM/JACCARD_DEN (integer-exact,
+    # both engines agree bit-wise)
+    prefix_len = (
+        F.col("n_sh")
+        - F.expr(
+            f"({JACCARD_NUM} * n_sh + {JACCARD_DEN - 1}) div {JACCARD_DEN}"
+        )
+        + F.lit(1)
+    )
     prefix = with_df.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= prefix_len
     )
@@ -179,18 +202,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         a.join(b, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        # PPJoin length filter: J >= 0.8 forces t·|A| <= |B| <= |A|/t,
-        # i.e. 4·max(na,nb) <= 5·min(na,nb) — integer-exact, prunes
+        # PPJoin length filter: J >= t forces t·|A| <= |B| <= |A|/t,
+        # i.e. NUM·max(na,nb) <= DEN·min(na,nb) — integer-exact, prunes
         # size-mismatched candidates before the (expensive) verify join.
         .filter(
-            (4 * F.greatest("na", "nb")) <= (5 * F.least("na", "nb"))
+            (JACCARD_NUM * F.greatest("na", "nb"))
+            <= (JACCARD_DEN * F.least("na", "nb"))
         )
         # PPJoin position filter (exact — see docstring): overlap is at
-        # most 1 + min(na-ra, nb-rb), and J >= 0.8 needs overlap >=
-        # 4(na+nb)/9; a true pair's first-common-token row always passes.
+        # most 1 + min(na-ra, nb-rb), and J >= t needs overlap >=
+        # t/(1+t)·(na+nb); a true pair's first-common-token row always
+        # passes. Integer form (NUM+DEN)·(1+min) >= NUM·(na+nb).
         .filter(
-            9 * (1 + F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")))
-            >= 4 * (F.col("na") + F.col("nb"))
+            (JACCARD_NUM + JACCARD_DEN)
+            * (1 + F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")))
+            >= JACCARD_NUM * (F.col("na") + F.col("nb"))
         )
         .select("doc_a", "doc_b")
         .dropDuplicates()
@@ -221,7 +247,7 @@ prefix AS (
   SELECT doc_id, s FROM (
     SELECT doc_id, s,
            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, s) AS rk,
-           n_sh - ((4 * n_sh + 4) // 5) + 1 AS plen
+           n_sh - (({JACCARD_NUM} * n_sh + {JACCARD_DEN - 1}) // {JACCARD_DEN}) + 1 AS plen
     FROM with_df
   ) WHERE rk <= plen
 ),

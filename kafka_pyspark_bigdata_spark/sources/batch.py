@@ -21,13 +21,15 @@ from pyspark.sql.types import StructType
 
 
 def scratch_dir(tag: str, sf_dir: str) -> str:
-    """Fixed per-(tag, sf) scratch path, WIPED on each call: repeated
-    driver/bench/oracle runs reuse one directory instead of leaking a new
-    mkdtemp per invocation."""
+    """Fixed per-(tag, sf, pid) scratch path, WIPED on each call: repeated
+    driver/bench/oracle runs in one process reuse one directory instead of
+    leaking a new mkdtemp per invocation, while the pid suffix keeps two
+    CONCURRENT processes against the same SF (e.g. bench + a verify sweep)
+    from racing on the same path during the wipe/overwrite."""
     base = os.path.join(
         tempfile.gettempdir(),
         "kpbd_scratch",
-        f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)

@@ -256,7 +256,10 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout, turning the largest shuffle in the workload into a local
     merge. The oracle joins the original parquet — value-hash equality
     proves the bucketed layout is a pure physical rewrite."""
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # pid-suffixed tag: catalog table names, like the scratch path, must not
+    # collide across two concurrent processes sweeping the same SF — the
+    # DROP/overwrite below would race on a shared metastore entry.
+    tag = f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_p{os.getpid()}"
     base = scratch_dir("bucketed_join", sf_dir)
     t_orders, t_lineitem = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
     ord_ = load_table(spark, sf_dir, "orders").select(
