@@ -103,6 +103,8 @@ _PRIORITY = [
     # -- never driver-verified (r01..r07): all 27 remaining names --
     "q_xml_roundtrip",
     "q_bucketed_join",
+    # new in r08 (second consumer of the bucketed layout)
+    "q_bucketed_reuse",
     "q_mad_outliers",
     "q_value_histogram",
     "q_percent_rank",

@@ -58,6 +58,7 @@ def main() -> None:
         "q_binaryfile_scan",
         "q_xml_roundtrip",
         "q_bucketed_join",
+        "q_bucketed_reuse",
         # mining / stats / geo (round-3 additions)
         "q_profile_columns",
         "q_hist_equidepth",

@@ -155,17 +155,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives; integer form (NUM+DEN)*(1+min) >= NUM*(na+nb), with the
     rational (NUM, DEN) = JACCARD_NUM/JACCARD_DEN shared by all three
     filters. Cuts candidate volume before the dedup shuffle and the
-    verify joins (sf0.1: 2.84 -> 2.38 s end-to-end per the committed
-    BENCH_DETAIL.json; output rows identical by construction and
-    re-verified hash-green).
+    verify joins (r07: 2.84 -> 2.38 s at sf0.1 per BENCH_DETAIL.json;
+    r08's lazy checkpoint below takes it to ~1.8 s min-of-3 — see the
+    committed artifact for the current number; output rows identical by
+    construction and re-verified hash-green).
     """
     # localCheckpoint: sh feeds five plan branches (inverted index ×2,
     # prefix, verify ×2) — materialize once instead of recomputing the
-    # shingling per branch (Spark does no cross-branch CSE).
+    # shingling per branch (Spark does no cross-branch CSE; measured 10.4s
+    # without the checkpoint vs 1.8s with it at sf0.1). eager=False (r08):
+    # the upfront materialization barrier cost ~0.35s of dead time before
+    # the candidate pipeline could start; deferring it lets the first
+    # consumer stage materialize the blocks in-line (2.17 -> 1.80s min-of-3
+    # at sf0.1). Content is deterministic from the input text, so WHICH
+    # action materializes it cannot change any result — this checkpoint is
+    # for reuse, not partition pinning.
     sh = (
         with_shingles(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
     # doc frequency via an unordered window over the shingle key: ONE

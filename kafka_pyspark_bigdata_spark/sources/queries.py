@@ -24,7 +24,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.numeric import dsum, dsum_sql
+from ..functions.numeric import davg, davg_sql, dsum, dsum_expr, dsum_sql
 from ..streaming.kafka import decode_json_stream, encode_json
 from .batch import load_table, read_csv, scratch_dir, write_bucketed, write_csv
 
@@ -241,6 +241,44 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_BUCKETS = 8
 
 
+# Process-local registry of already-written bucketed layouts, keyed by
+# normalized sf_dir: the WHOLE POINT of catalog bucketing is paying the
+# layout write once and reusing it across every subsequent orderkey join,
+# so the ensure helper only writes on first use per process. (Cross-process
+# staleness is a non-issue: the table names are pid-suffixed, so a fresh
+# process never resolves a dead process's catalog entries.)
+_BUCKETED_TABLES: dict[str, tuple[str, str]] = {}
+
+
+def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders/lineitem catalog-bucketed on the order key ONCE per
+    (process, sf_dir); return the (orders, lineitem) table names. The
+    written column set is the superset both bucketed consumers need."""
+    key = sf_dir.rstrip("/")
+    if key in _BUCKETED_TABLES:
+        return _BUCKETED_TABLES[key]
+    # pid-suffixed tag: catalog table names, like the scratch path, must not
+    # collide across two concurrent processes sweeping the same SF — the
+    # DROP/overwrite below would race on a shared metastore entry.
+    tag = f"{os.path.basename(key).replace('.', '_')}_p{os.getpid()}"
+    base = scratch_dir("bucketed_join", sf_dir)
+    t_orders, t_lineitem = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    ord_ = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_quantity"
+    )
+    for name, df, k in (
+        (t_orders, ord_, "o_orderkey"),
+        (t_lineitem, li, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_bucketed(df, name, k, JOIN_BUCKETS, path=os.path.join(base, name))
+    _BUCKETED_TABLES[key] = (t_orders, t_lineitem)
+    return t_orders, t_lineitem
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free co-located fact⋈fact join via CATALOG-BUCKETED
     tables: orders and lineitem are written once, bucketed
@@ -254,26 +292,11 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is THE amortization pattern for a 100 TB lakehouse: every
     downstream orderkey join (returns, billing, enrichment) reuses the
     layout, turning the largest shuffle in the workload into a local
-    merge. The oracle joins the original parquet — value-hash equality
-    proves the bucketed layout is a pure physical rewrite."""
-    # pid-suffixed tag: catalog table names, like the scratch path, must not
-    # collide across two concurrent processes sweeping the same SF — the
-    # DROP/overwrite below would race on a shared metastore entry.
-    tag = f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_p{os.getpid()}"
-    base = scratch_dir("bucketed_join", sf_dir)
-    t_orders, t_lineitem = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
-    ord_ = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority"
-    )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice"
-    )
-    for name, df, key in (
-        (t_orders, ord_, "o_orderkey"),
-        (t_lineitem, li, "l_orderkey"),
-    ):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        write_bucketed(df, name, key, JOIN_BUCKETS, path=os.path.join(base, name))
+    merge — ``q_bucketed_reuse`` below is exactly such a second
+    consumer, reading the SAME tables with no rewrite. The oracle joins
+    the original parquet — value-hash equality proves the bucketed
+    layout is a pure physical rewrite."""
+    t_orders, t_lineitem = _ensure_bucketed_tables(spark, sf_dir)
     o = spark.table(t_orders)
     l = spark.table(t_lineitem)
     return (
@@ -290,6 +313,47 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_BUCKETED_JOIN_SQL = f"""
 SELECT o_orderpriority, COUNT(*) AS n_rows,
        {dsum_sql('l_extendedprice')} AS sum_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_bucketed_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second consumer of the SAME bucketed layout ``q_bucketed_join``
+    writes — the billing rollup: per order priority, discounted revenue
+    (exact decimal l_extendedprice·(1−l_discount), the TPC-H revenue
+    expression) and mean line quantity. In-process the layout write is
+    amortized (``_ensure_bucketed_tables`` is a per-process singleton, so
+    this query pays ZERO write cost when anything bucketed ran before
+    it), and the join is again Exchange-free on both sides —
+    tests/test_plans.py pins one Exchange total AND that the second
+    consumer triggers no rewrite. This is the claim behind the pattern
+    made concrete: N co-located joins cost 1 layout write + N local
+    merges, vs N full shuffles of the fact table."""
+    t_orders, t_lineitem = _ensure_bucketed_tables(spark, sf_dir)
+    o = spark.table(t_orders)
+    l = spark.table(t_lineitem)
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum_expr(rev).alias("revenue"),
+            davg("l_quantity").alias("avg_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q_BUCKETED_REUSE_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+            AS DOUBLE) AS revenue,
+       {davg_sql('l_quantity')} AS avg_qty
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
@@ -833,6 +897,7 @@ QUERIES = {
     "q_orc_roundtrip": q_orc_roundtrip,
     "q_xml_roundtrip": q_xml_roundtrip,
     "q_bucketed_join": q_bucketed_join,
+    "q_bucketed_reuse": q_bucketed_reuse,
 }
 
 ORACLES = {
@@ -852,4 +917,5 @@ ORACLES = {
     "q_orc_roundtrip": Q_ORC_ROUNDTRIP_SQL,
     "q_xml_roundtrip": Q_CSV_ROUNDTRIP_SQL,
     "q_bucketed_join": Q_BUCKETED_JOIN_SQL,
+    "q_bucketed_reuse": Q_BUCKETED_REUSE_SQL,
 }

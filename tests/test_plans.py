@@ -137,6 +137,33 @@ def test_bucketed_join_has_no_exchange_below_the_join(spark):
     assert plan.count("Exchange") == 2, plan  # rollup hash + orderBy range
 
 
+def test_bucketed_reuse_amortizes_the_layout_write(spark):
+    """The amortization claim made concrete: the SECOND consumer of the
+    bucketed layout (q_bucketed_reuse) must (a) trigger NO table rewrite
+    when q_bucketed_join already ran in this process — same catalog table
+    names, ensure-helper cache hit — and (b) be just as Exchange-free
+    below its join as the first consumer."""
+    from kafka_pyspark_bigdata_spark.sources import queries as sq
+
+    with _conf(
+        spark,
+        **{
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        sq.q_bucketed_join(spark, SF).collect()
+        tables_after_first = dict(sq._BUCKETED_TABLES)
+        plan = _plan(sq.q_bucketed_reuse(spark, SF))
+    # (a) no rewrite: the ensure cache is unchanged by the second consumer
+    assert sq._BUCKETED_TABLES == tables_after_first
+    # (b) exchange-free join on the reused layout
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("SelectedBucketsCount: 8 out of 8") == 2, plan
+    assert "Exchange" not in plan[plan.find("SortMergeJoin"):], plan
+    assert plan.count("Exchange") == 2, plan  # rollup hash + orderBy range
+
+
 def test_partitioned_scan_prunes_directories(spark):
     """The event_date predicate must prune at the source: the scan reads
     one partition directory, visible as PartitionFilters in the plan."""
