@@ -59,6 +59,7 @@ def main() -> None:
         "q_xml_roundtrip",
         "q_bucketed_join",
         "q_bucketed_reuse",
+        "q_bucketed_agg",
         # mining / stats / geo (round-3 additions)
         "q_profile_columns",
         "q_hist_equidepth",
@@ -186,6 +187,7 @@ def main() -> None:
         # the minhash pair pipeline twice (pairs + clusters), so timing it
         # times the dedup chain again, not the modularity fold.
         "dedup_exact",
+        "dedup_dup_spans",
         "dedup_shingle_coverage",
         "corpus_ngram_novelty",
         "cluster_kmeans_fixed",

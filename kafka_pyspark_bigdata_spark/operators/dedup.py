@@ -278,6 +278,145 @@ ORDER BY doc_a, doc_b
 
 
 # ---------------------------------------------------------------------------
+# exact duplicated-span coverage (ExactSubstr-style)
+# ---------------------------------------------------------------------------
+
+# Window width in TOKENS: a duplicated run of >= DUP_SPAN_W consecutive
+# tokens is detected (the fixture's docs are short; Lee et al. 2022 use
+# 50 BPE tokens at corpus scale — same statistic, scaled-down n).
+DUP_SPAN_W = 5
+
+
+def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-SPAN coverage — the windowed form of Lee
+    et al. 2022's ExactSubstr deduplication: every ``DUP_SPAN_W``-token
+    window is hashed; a window occurring at >=2 (doc, pos) positions
+    corpus-wide is duplicated; per document, overlapping-or-touching
+    duplicated windows merge into maximal spans (gaps-and-islands with a
+    gap tolerance of W), and the output reports span count, duplicated
+    window count, covered tokens (exact interval-union length), and
+    fixed-point coverage.
+
+    Unlike the set-semantics diagnostics (``dedup_shingle_coverage``
+    counts distinct shingles), this is POSITIONAL: it measures how much
+    contiguous text is copied, which is what substring-level dedup cuts
+    out before training. The full ExactSubstr suffix array is replaced
+    by the windowed equi-join form because a distributed suffix array
+    is all-to-all on suffix rank, while windows keep the 100 TB shape
+    embarrassingly shardable: one shuffle on the window hash (df via an
+    unordered hash-key window — the dedup_ngram_jaccard pattern, one
+    exchange cheaper than groupBy + join-back), then one shuffle on
+    doc_id for the islands windows; everything else is map-side. The
+    trade-off is the detection floor: only duplicated runs of >= W
+    tokens are seen (ExactSubstr's own threshold plays the same role).
+
+    Engine parity: md5 window hashes, integer positions, LAG-based
+    island breaks, and ppm coverage as integer fixed-point DIV — no
+    floats anywhere in the compared values.
+    """
+    toks = (
+        with_tokens(parallelize_scan(load_table(spark, sf_dir, "documents")))
+        .filter(F.size("toks") >= DUP_SPAN_W)
+        .select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+    )
+    wins = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {DUP_SPAN_W}),"
+                f" i -> md5(concat_ws(' ', slice(toks, i + 1, {DUP_SPAN_W}))))"
+            )
+        ).alias("pos", "h"),
+    )
+    dup = wins.withColumn(
+        "dfh", F.count("*").over(Window.partitionBy("h"))
+    ).filter(F.col("dfh") > 1)
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w_doc) <= DUP_SPAN_W, F.lit(0))
+        .otherwise(F.lit(1)),
+    ).withColumn(
+        "isl_id",
+        F.sum("brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("doc_id", "isl_id").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(DUP_SPAN_W - 1)).alias("e"),
+        F.count(F.lit(1)).alias("nw"),
+    )
+    perdoc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("nw").alias("n_dup_windows"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("covered_tokens"),
+    )
+    return (
+        toks.select("doc_id", "n_tokens")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.expr(
+                "coalesce(covered_tokens, 0) * 1000000 div n_tokens"
+            ).alias("cov_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_SPANS_SQL = f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+base AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens FROM tok
+  WHERE len(toks) >= {DUP_SPAN_W}
+),
+wins AS (
+  SELECT doc_id, u.w.pos AS pos, u.w.h AS h
+  FROM base,
+       UNNEST([{{'pos': i - 1,
+                 'h': md5(array_to_string(toks[i:i + {DUP_SPAN_W - 1}], ' '))}}
+               for i in range(1, len(toks) - {DUP_SPAN_W} + 2)]) AS u(w)
+),
+dfh AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+dup AS (SELECT w.doc_id, w.pos FROM wins w JOIN dfh USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {DUP_SPAN_W} THEN 0 ELSE 1 END AS brk
+  FROM dup
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS isl_id
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, isl_id, MIN(pos) AS s, MAX(pos) + {DUP_SPAN_W - 1} AS e,
+         COUNT(*) AS nw
+  FROM isl2 GROUP BY doc_id, isl_id
+),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(nw) AS n_dup_windows,
+         SUM(e - s + 1) AS covered_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(COALESCE(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       CAST((COALESCE(covered_tokens, 0) * 1000000) // b.n_tokens AS BIGINT)
+         AS cov_ppm
+FROM base b LEFT JOIN perdoc USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
@@ -2778,6 +2917,7 @@ QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_label_propagation": graph_label_propagation,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_dup_spans": dedup_dup_spans,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_tuning_curve": dedup_lsh_tuning_curve,
     "dedup_simhash": dedup_simhash,
@@ -2810,6 +2950,7 @@ ORACLES = {
     "graph_pagerank": _pagerank_sql(),
     "graph_label_propagation": _lpa_sql(),
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_dup_spans": DUP_SPANS_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_lsh_tuning_curve": _lsh_tuning_sql(),
     "dedup_simhash": _simhash_sql(),

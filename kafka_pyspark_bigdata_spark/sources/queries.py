@@ -359,6 +359,49 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third consumer of the bucketed layout: the layout kills the
+    AGGREGATION shuffle, not just the join shuffle. A per-order rollup
+    (lines per order, order value) keyed on the bucket key runs with NO
+    Exchange before the aggregate — the bucketed scan already
+    hash-partitions by ``l_orderkey``, so Catalyst plans a single
+    complete HashAggregate per bucket instead of partial → shuffle →
+    final (tests/test_plans.py pins zero Exchange below the first
+    aggregate). At 100 TB this is the difference between a full
+    fact-table shuffle and a purely scan-local rollup every time a
+    per-entity aggregate on the layout key is needed. The readout is
+    the lines-per-order distribution (bounded: ≤7 rows on the fixture)
+    with order values carried as exact decimal states and only cast to
+    double at the end (the q_partial_agg_merge pattern), so the
+    value-hash comparison is summation-order-proof."""
+    _, t_lineitem = _ensure_bucketed_tables(spark, sf_dir)
+    l = spark.table(t_lineitem)
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).alias("price_state"),
+    )
+    return (
+        per_order.groupBy("n_lines")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_state").cast("double").alias("sum_order_value"),
+        )
+        .orderBy("n_lines")
+    )
+
+
+Q_BUCKETED_AGG_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines,
+         SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS price_state
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_lines, COUNT(*) AS n_orders,
+       CAST(SUM(price_state) AS DOUBLE) AS sum_order_value
+FROM per_order GROUP BY n_lines ORDER BY n_lines
+"""
+
+
 def q_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → ``write.text`` (one document per line — the raw-corpus
     interchange format every LLM data pipeline ingests) → ``read.text``
@@ -898,6 +941,7 @@ QUERIES = {
     "q_xml_roundtrip": q_xml_roundtrip,
     "q_bucketed_join": q_bucketed_join,
     "q_bucketed_reuse": q_bucketed_reuse,
+    "q_bucketed_agg": q_bucketed_agg,
 }
 
 ORACLES = {
@@ -918,4 +962,5 @@ ORACLES = {
     "q_xml_roundtrip": Q_CSV_ROUNDTRIP_SQL,
     "q_bucketed_join": Q_BUCKETED_JOIN_SQL,
     "q_bucketed_reuse": Q_BUCKETED_REUSE_SQL,
+    "q_bucketed_agg": Q_BUCKETED_AGG_SQL,
 }

@@ -1408,3 +1408,34 @@ def test_zscore_outliers_match_python_reference(spark):
         ).collect()
     ]
     assert got == exp
+
+
+def test_dup_spans_planted_duplicate_run(spark, tmp_path):
+    """A 7-token run shared verbatim by two docs must surface as ONE
+    maximal span of 3 duplicated 5-token windows covering exactly 7
+    tokens in each doc (the interval-union arithmetic, end-to-end); a
+    doc sharing no 5-token window reports zeros; cov_ppm is the exact
+    integer fixed-point of covered/n_tokens."""
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    rows = [
+        (1, shared + " one two three four five"),
+        (2, "x1 x2 x3 x4 x5 " + shared),
+        (3, "solo tokens only here nothing repeats anywhere ever at all"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in dedup.dedup_dup_spans(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    for d in (1, 2):
+        assert out[d].n_spans == 1
+        assert out[d].n_dup_windows == 3  # 7 - 5 + 1 windows in the run
+        assert out[d].covered_tokens == 7
+        assert out[d].cov_ppm == 7 * 1_000_000 // out[d].n_tokens
+    assert out[3].n_spans == 0
+    assert out[3].n_dup_windows == 0
+    assert out[3].covered_tokens == 0
+    assert out[3].cov_ppm == 0

@@ -164,6 +164,28 @@ def test_bucketed_reuse_amortizes_the_layout_write(spark):
     assert plan.count("Exchange") == 2, plan  # rollup hash + orderBy range
 
 
+def test_bucketed_agg_has_no_exchange_below_the_first_aggregate(spark):
+    """The layout kills the AGGREGATION shuffle too: the per-order rollup
+    keyed on the bucket key must aggregate directly on the bucketed scan —
+    the only exchanges in the plan are the tiny n_lines redistribution and
+    the final orderBy."""
+    from kafka_pyspark_bigdata_spark.sources.queries import q_bucketed_agg
+
+    with _conf(
+        spark,
+        **{
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        plan = _plan(q_bucketed_agg(spark, SF))
+    assert plan.count("Exchange") == 2, plan  # n_lines hash + orderBy range
+    # everything below the LAST exchange is the per-order aggregate fed
+    # directly by the bucketed scan
+    below = plan[plan.rfind("Exchange"):]
+    assert "SelectedBucketsCount: 8 out of 8" in below, below
+
+
 def test_partitioned_scan_prunes_directories(spark):
     """The event_date predicate must prune at the source: the scan reads
     one partition directory, visible as PartitionFilters in the plan."""
