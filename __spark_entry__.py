@@ -103,10 +103,11 @@ _PRIORITY = [
     # -- never driver-verified (r01..r07): all 27 remaining names --
     "q_xml_roundtrip",
     "q_bucketed_join",
-    # new in r08 (bucketed-layout consumers + ExactSubstr-style spans)
+    # new in r08 (bucketed-layout consumers, ExactSubstr-style spans, CDC)
     "q_bucketed_reuse",
     "q_bucketed_agg",
     "dedup_dup_spans",
+    "text_cdc_chunks",
     "q_mad_outliers",
     "q_value_histogram",
     "q_percent_rank",

@@ -188,6 +188,7 @@ def main() -> None:
         # times the dedup chain again, not the modularity fold.
         "dedup_exact",
         "dedup_dup_spans",
+        "text_cdc_chunks",
         "dedup_shingle_coverage",
         "corpus_ngram_novelty",
         "cluster_kmeans_fixed",

