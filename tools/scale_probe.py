@@ -76,6 +76,8 @@ PROBES = [
     "ts_mad_outliers",           # double order-statistic
     "q_table_checksum",          # map-side fingerprint sums
     "q_ingest_quarantine",       # corrupt-record parse split
+    "dedup_dup_spans",           # positional window-hash df + islands
+    "text_cdc_chunks",           # rolling-hash chunking + chunk-df window
 ]
 
 
