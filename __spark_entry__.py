@@ -108,6 +108,7 @@ _PRIORITY = [
     "q_bucketed_agg",
     "dedup_dup_spans",
     "text_cdc_chunks",
+    "q_ivm_agg_retract",
     "q_mad_outliers",
     "q_value_histogram",
     "q_percent_rank",

@@ -47,6 +47,7 @@ def main() -> None:
         "q_scd2_intervals",
         "q_bloom_prune",
         "q_ivm_join_delta",
+        "q_ivm_agg_retract",
         "q_join_skew_audit",
         "q_retention_sweep",
         "q_quantiles_exact",

@@ -701,6 +701,83 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+RETRACT_D1 = "1997-01-01"   # snapshot cutoff
+RETRACT_D2 = "1997-07-01"   # end of the CDC window
+RETRACT_PURGE_MOD = 13      # deterministic "purged orders" delete set
+
+
+def q_ivm_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance with RETRACTIONS — the delete half of
+    the delta rule that ``q_ivm_join_delta`` (insert-only) leaves out.
+    The per-returnflag rollup is rolled forward through a CDC batch that
+    both INSERTS (lineitems shipped in [D1, D2)) and DELETES (snapshot
+    rows of purged orders, l_orderkey % RETRACT_PURGE_MOD == 0): the deltas union
+    with a ±1 sign column, ONE partial-agg shuffle folds them into
+    signed (Δcount, Δsum) states, and a full-outer merge applies them to
+    the base view, dropping any group whose count reaches zero. The
+    oracle recomputes the post-CDC state directly from scratch, so the
+    hash check proves applied == recomputed — the invariant every
+    streaming materialized view / Delta-style MERGE pipeline rests on.
+
+    At 100 TB: the base view is a maintained table of group-count size;
+    only the CDC batch is scanned, and the retraction algebra is the
+    same partial-agg merge as inserts (sum of signed states) — count
+    via SUM(sign), sums via decimal qty·sign — so deletes cost no more
+    than inserts. Aggregates stay DECIMAL through the merge (adding two
+    rounded doubles would not equal the direct total).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    base = (
+        li.filter(F.col("l_shipdate") < F.lit(RETRACT_D1))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_b"), F.sum(qty).alias("q_b"))
+    )
+    inserts = li.filter(
+        (F.col("l_shipdate") >= F.lit(RETRACT_D1))
+        & (F.col("l_shipdate") < F.lit(RETRACT_D2))
+    ).withColumn("sign", F.lit(1))
+    deletes = li.filter(
+        (F.col("l_shipdate") < F.lit(RETRACT_D1))
+        & (F.col("l_orderkey") % RETRACT_PURGE_MOD == 0)
+    ).withColumn("sign", F.lit(-1))
+    dagg = (
+        inserts.unionByName(deletes)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("sign").alias("n_d"),
+            F.sum(qty * F.col("sign")).alias("q_d"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(28,2)")
+    return (
+        base.join(dagg, "l_returnflag", "full_outer")
+        .select(
+            "l_returnflag",
+            (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias(
+                "n_rows"
+            ),
+            (F.coalesce(F.col("q_b").cast("decimal(28,2)"), zero)
+             + F.coalesce(F.col("q_d").cast("decimal(28,2)"), zero))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .orderBy("l_returnflag")
+    )
+
+
+IVM_RETRACT_SQL = f"""
+SELECT l_returnflag, COUNT(*) AS n_rows, {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+WHERE (l_shipdate < DATE '{RETRACT_D1}' AND l_orderkey % {RETRACT_PURGE_MOD} <> 0)
+   OR (l_shipdate >= DATE '{RETRACT_D1}' AND l_shipdate < DATE '{RETRACT_D2}')
+GROUP BY l_returnflag HAVING COUNT(*) > 0 ORDER BY l_returnflag
+"""
+
+
 # Z-order: 8 bits per dimension interleaved. At 100 TB the dimensions
 # are range-binned into 2^bits buckets from column stats; the fixture's
 # small domains map directly.
@@ -2266,6 +2343,7 @@ QUERIES = {
     "q_constraint_audit": q_constraint_audit,
     "q_zorder_layout": q_zorder_layout,
     "q_ivm_join_delta": q_ivm_join_delta,
+    "q_ivm_agg_retract": q_ivm_agg_retract,
     "q_salted_join_agg": q_salted_join_agg,
     "q_join_skew_audit": q_join_skew_audit,
     "q_retention_sweep": q_retention_sweep,
@@ -2293,6 +2371,7 @@ ORACLES = {
     "q_constraint_audit": CONSTRAINT_AUDIT_SQL,
     "q_zorder_layout": ZORDER_SQL,
     "q_ivm_join_delta": IVM_SQL,
+    "q_ivm_agg_retract": IVM_RETRACT_SQL,
     "q_salted_join_agg": SALTED_JOIN_SQL,
     "q_join_skew_audit": SKEW_AUDIT_SQL,
     "q_retention_sweep": RETENTION_SQL,

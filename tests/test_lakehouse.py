@@ -152,6 +152,32 @@ def test_ivm_matches_direct_recompute(spark):
     assert inc.subtract(direct).count() == 0 and direct.subtract(inc).count() == 0
 
 
+def test_ivm_retract_is_not_vacuous_and_deletes_apply(spark):
+    """The retraction path must actually fire: the fixture's CDC batch
+    contains BOTH deletes (purged snapshot orders) and inserts, and the
+    applied view differs from base+inserts-only — i.e. the test would
+    catch an implementation that ignores the sign column."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    n_del = li.filter(
+        (F.col("l_shipdate") < F.lit(lakehouse.RETRACT_D1))
+        & (F.col("l_orderkey") % lakehouse.RETRACT_PURGE_MOD == 0)
+    ).count()
+    assert n_del > 0
+    applied = {
+        r.l_returnflag: r.n_rows
+        for r in lakehouse.q_ivm_agg_retract(spark, SF_SMOKE).collect()
+    }
+    no_retract = (
+        li.filter(
+            (F.col("l_shipdate") < F.lit(lakehouse.RETRACT_D2))
+        )
+        .groupBy("l_returnflag")
+        .count()
+    )
+    insert_only = {r.l_returnflag: r["count"] for r in no_retract.collect()}
+    assert sum(insert_only.values()) - sum(applied.values()) == n_del
+
+
 def test_salted_join_matches_plain(spark):
     """Salting redistributes the shuffle but never changes the result."""
     sj = lakehouse.q_salted_join_agg(spark, SF_SMOKE)
