@@ -86,51 +86,57 @@ def _modules():
     return mods
 
 
-# Round-8 rotation: the driver's correctness sweep covers a ~50-name prefix
-# of this registry per round (r01..r07 union = 299 of 326 distinct names,
-# all green). Head = the operators whose PLAN text changed this round
-# (dedup_ngram_jaccard's filters now derived from the shared JACCARD_NUM/DEN
-# rational; ml_lift_deciles' ntile ELSE divisor clamped with GREATEST —
-# both behavior-neutral, both must re-verify under the driver), then ALL 27
-# names no driver round has ever checked — 27 < 50, so this window CLOSES
-# the coverage gate (union -> 326/326). Known-slow rows-only ml_* entries
-# (2.7-5.8s each at sf0.01) sit at the tail of the 27 so the budget drains
-# first-time oracle-backed names first.
+# Round-9 rotation. The coverage gate CLOSED in r08: the union of driver
+# rounds r01..r08 = all 331 then-registered names, every one green. This
+# round adds 2 queries (-> 333 = 320 oracle-backed + 13 rows-only). With no
+# never-verified backlog left, the ~50-name driver window is spent on:
+# (1) the 2 r09 additions, (2) the 4 names whose CODE PATH changed this
+# round (the bucketed-layout trio now validates its process-local cache
+# against the live catalog before reuse; q_csv_roundtrip as the
+# representative of the scratch-dir dead-pid pruning shared by the whole
+# roundtrip family — behavior-neutral, re-verify under the driver anyway),
+# then (3) re-verification depth: the 13 rows-only entries (slowest ml_*
+# last so the budget drains value-hash names first) and the oldest-verified
+# relational core (last driver-checked in r01/r02).
 _PRIORITY = [
-    # -- plan text changed this round (re-verify) --
-    "dedup_ngram_jaccard",
-    "ml_lift_deciles",
-    # -- never driver-verified (r01..r07): all 27 remaining names --
-    "q_xml_roundtrip",
+    # -- new in r09 --
+    "dedup_dup_spans_removal",
+    "streaming_exactly_once_sink",
+    # -- code path changed in r09 (catalog-cache validation; scratch prune) --
     "q_bucketed_join",
-    # new in r08 (bucketed-layout consumers, ExactSubstr-style spans, CDC)
     "q_bucketed_reuse",
     "q_bucketed_agg",
-    "dedup_dup_spans",
-    "text_cdc_chunks",
-    "q_ivm_agg_retract",
-    "q_mad_outliers",
-    "q_value_histogram",
-    "q_percent_rank",
-    "q_unpivot_order_stats",
-    "q_corr_ols",
-    "q_rank_with_ties",
-    "q_zscore_outliers",
-    "q_moving_avg",
-    "q_ntile_quartiles",
-    "sketch_kmv_distinct",
-    "q_sql_grouping_sets",
-    "q_intersect_parts",
-    "q_except_parts",
-    "q_union_distinct_parts",
-    "q_scalar_functions",
-    "streaming_session_window",
-    "streaming_dedup_counts",
-    "streaming_stateful_totals",
-    "dedup_simhash_pairs",
+    "q_csv_roundtrip",
+    # -- re-verification depth: rows-only contract entries (fast ones) --
+    "streaming_count_batcher",
+    "ml_feature_importances",
+    "ml_predict_grid",
+    "ml_sensitivity_quantity",
+    "ml_optimal_hour",
+    "ml_lift_deciles",
     "ml_eval_rmse",
     "ml_predict_loaded",
-    # -- slow sweep tail (2.7-5.8s each at sf0.01) --
+    # -- re-verification depth: oldest-verified relational/TPC-H core (r01/r02) --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_tz_daily_rollup",
+    "q_top_customers",
+    "q_rollup_acctbal",
+    "q_window_top_orders",
+    "q_semi_join",
+    "q_anti_join",
+    "q_distinct_flags",
+    "q_union_all",
+    "q_topk_orders",
+    "q_between_sort",
+    "q_cast_default_json",
+    "q_null_drop",
+    "q_mean_impute",
+    "q_sweep_hours",
+    "q_events_hourly",
+    # -- slow rows-only tail (2.7-6.6s each at sf0.01) --
+    "ml_permutation_importance",
     "ml_classifier_auc",
     "ml_quality_classifier",
     "ml_grid_search",

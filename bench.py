@@ -189,6 +189,11 @@ def main() -> None:
         # times the dedup chain again, not the modularity fold.
         "dedup_exact",
         "dedup_dup_spans",
+        "dedup_dup_spans_removal",
+        # streaming_exactly_once_sink is correctness-gated but not a
+        # headline: its wall time is two stream-query startups plus an
+        # injected crash/restart (fixed overhead), not data-path
+        # throughput — the checkpoint_resume precedent.
         "text_cdc_chunks",
         "dedup_shingle_coverage",
         "corpus_ngram_novelty",

@@ -156,20 +156,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     rational (NUM, DEN) = JACCARD_NUM/JACCARD_DEN shared by all three
     filters. Cuts candidate volume before the dedup shuffle and the
     verify joins (r07: 2.84 -> 2.38 s at sf0.1 per BENCH_DETAIL.json;
-    r08's lazy checkpoint below takes it to ~1.8 s min-of-3 — see the
-    committed artifact for the current number; output rows identical by
-    construction and re-verified hash-green).
+    r08's lazy checkpoint below: 2.38 -> 2.09 s in the driver's own
+    BENCH_r08 artifact, meeting the round-6 <= 2.3 s target; output rows
+    identical by construction and re-verified hash-green).
     """
     # localCheckpoint: sh feeds five plan branches (inverted index ×2,
     # prefix, verify ×2) — materialize once instead of recomputing the
-    # shingling per branch (Spark does no cross-branch CSE; measured 10.4s
-    # without the checkpoint vs 1.8s with it at sf0.1). eager=False (r08):
-    # the upfront materialization barrier cost ~0.35s of dead time before
-    # the candidate pipeline could start; deferring it lets the first
-    # consumer stage materialize the blocks in-line (2.17 -> 1.80s min-of-3
-    # at sf0.1). Content is deterministic from the input text, so WHICH
-    # action materializes it cannot change any result — this checkpoint is
-    # for reuse, not partition pinning.
+    # shingling per branch (Spark does no cross-branch CSE; without the
+    # checkpoint the query ran ~5x slower at sf0.1). eager=False (r08):
+    # the upfront materialization barrier cost dead time before the
+    # candidate pipeline could start; deferring it lets the first consumer
+    # stage materialize the blocks in-line (2.38 -> 2.09 s per the
+    # committed BENCH_r08/BENCH_DETAIL artifacts — repo convention: perf
+    # numbers in docstrings/comments cite committed artifacts only).
+    # Content is deterministic from the input text, so WHICH action
+    # materializes it cannot change any result — this checkpoint is for
+    # reuse, not partition pinning.
     sh = (
         with_shingles(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
@@ -413,6 +415,160 @@ SELECT b.doc_id, b.n_tokens,
          AS cov_ppm
 FROM base b LEFT JOIN perdoc USING (doc_id)
 ORDER BY b.doc_id
+"""
+
+
+def dedup_dup_spans_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ExactSubstr step ``dedup_dup_spans`` only measures:
+    EMIT THE CLEANED CORPUS. Every ``DUP_SPAN_W``-token window occurring
+    at >=2 (doc, pos) positions corpus-wide is duplicated; the FIRST
+    occurrence corpus-wide (min (doc_id, pos) per window hash) is
+    retained, every other occurrence is marked for removal; per document
+    the removal windows merge into maximal spans (gaps-and-islands) and
+    the covered tokens are CUT, keeping the rest in order — Lee et al.
+    2022's actual dedup transform (reference scope: the repo has no
+    dedup at all; this is the LLM-pipeline extension family). Output per
+    doc: token counts before/after, cut-span count, removed tokens, and
+    the reconstructed cleaned text (token-level rejoin — the transform
+    operates on the tokenized stream, as token-level pipelines do).
+
+    Scale shape — ONE extra shuffle over the measurement query: the
+    window-hash exchange computes df AND the first-occurrence tie-break
+    in the SAME unordered hash-key window (min over a (doc_id, pos)
+    struct — no sort, unlike row_number), the doc_id exchange drives the
+    island merge, span collection, and the join back onto the full
+    corpus (groupBys on (doc_id, isl_id) and doc_id reuse the doc_id
+    partitioning — subset-satisfied ClusteredDistribution, no new
+    exchange). Reconstruction is whole-array work per row:
+    ``filter(toks, (t, i) -> ...)`` with an ``exists`` over the doc's
+    collected span array — both arrays are JOIN/AGG output attributes
+    (O(1) reads inside the lambda), so the per-row cost is
+    O(tokens x spans), not the derived-expression re-evaluation trap
+    documented at operators/text.py:369. Docs shorter than W (or with
+    no duplicated window) pass through unchanged — the transform is
+    TOTAL over the corpus. All compared values are integers or exact
+    strings."""
+    toks_all = (
+        with_tokens(parallelize_scan(load_table(spark, sf_dir, "documents")))
+        .select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+    )
+    wins = toks_all.filter(F.col("n_tokens") >= DUP_SPAN_W).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {DUP_SPAN_W}),"
+                f" i -> md5(concat_ws(' ', slice(toks, i + 1, {DUP_SPAN_W}))))"
+            )
+        ).alias("pos", "h"),
+    )
+    w_h = Window.partitionBy("h")
+    occ = F.struct(F.col("doc_id"), F.col("pos"))
+    removal = (
+        wins.withColumn("dfh", F.count("*").over(w_h))
+        .withColumn("first_occ", F.min(occ).over(w_h))
+        .filter((F.col("dfh") > 1) & (occ != F.col("first_occ")))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = removal.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w_doc) <= DUP_SPAN_W, F.lit(0))
+        .otherwise(F.lit(1)),
+    ).withColumn(
+        "isl_id",
+        F.sum("brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("doc_id", "isl_id").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(DUP_SPAN_W - 1)).alias("e"),
+    )
+    perdoc = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"),
+        F.count(F.lit(1)).alias("n_cut_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("removed_tokens"),
+    )
+    kept = F.when(F.col("spans").isNull(), F.col("toks")).otherwise(
+        F.expr("filter(toks, (t, i) -> NOT exists(spans, sp -> i >= sp.s AND i <= sp.e))")
+    )
+    return (
+        toks_all.join(perdoc, "doc_id", "left")
+        .withColumn("kept", kept)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_cut_spans", F.lit(0)).cast("bigint").alias("n_cut_spans"),
+            F.coalesce("removed_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("removed_tokens"),
+            F.size("kept").cast("bigint").alias("kept_tokens"),
+            F.concat_ws(" ", F.col("kept")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_SPANS_REMOVAL_SQL = f"""
+WITH tok AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+base AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM tok),
+eligible AS (SELECT * FROM base WHERE n_tokens >= {DUP_SPAN_W}),
+wins AS (
+  SELECT doc_id, u.w.pos AS pos, u.w.h AS h
+  FROM eligible,
+       UNNEST([{{'pos': i - 1,
+                 'h': md5(array_to_string(toks[i:i + {DUP_SPAN_W - 1}], ' '))}}
+               for i in range(1, len(toks) - {DUP_SPAN_W} + 2)]) AS u(w)
+),
+marked AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY h) AS dfh,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM wins
+),
+removal AS (SELECT doc_id, pos FROM marked WHERE dfh > 1 AND rn > 1),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {DUP_SPAN_W} THEN 0 ELSE 1 END AS brk
+  FROM removal
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS isl_id
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, isl_id, MIN(pos) AS s, MAX(pos) + {DUP_SPAN_W - 1} AS e
+  FROM isl2 GROUP BY doc_id, isl_id
+),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_cut_spans, SUM(e - s + 1) AS removed_tokens
+  FROM spans GROUP BY doc_id
+),
+tokpos AS (
+  SELECT doc_id, u.i AS i, toks[CAST(u.i + 1 AS INTEGER)] AS tok
+  FROM base, UNNEST(range(0, n_tokens)) AS u(i)
+),
+kept AS (
+  SELECT tp.doc_id, tp.i, tp.tok
+  FROM tokpos tp
+  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = tp.doc_id
+                      AND tp.i BETWEEN sp.s AND sp.e)
+),
+keptagg AS (
+  SELECT doc_id, COUNT(*) AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY i) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(p.n_cut_spans, 0) AS BIGINT) AS n_cut_spans,
+       CAST(COALESCE(p.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+       CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       COALESCE(k.clean_text, '') AS clean_text
+FROM base b
+LEFT JOIN perdoc p USING (doc_id)
+LEFT JOIN keptagg k USING (doc_id)
+ORDER BY doc_id
 """
 
 
@@ -2918,6 +3074,7 @@ QUERIES = {
     "graph_label_propagation": graph_label_propagation,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_dup_spans": dedup_dup_spans,
+    "dedup_dup_spans_removal": dedup_dup_spans_removal,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_tuning_curve": dedup_lsh_tuning_curve,
     "dedup_simhash": dedup_simhash,
@@ -2951,6 +3108,7 @@ ORACLES = {
     "graph_label_propagation": _lpa_sql(),
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_dup_spans": DUP_SPANS_SQL,
+    "dedup_dup_spans_removal": DUP_SPANS_REMOVAL_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_lsh_tuning_curve": _lsh_tuning_sql(),
     "dedup_simhash": _simhash_sql(),

@@ -20,17 +20,47 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists but owned by someone else
+    return True
+
+
+def _prune_dead_siblings(parent: str, prefix: str) -> None:
+    """Remove sibling scratch dirs ``{prefix}p<pid>`` whose owning process
+    has exited. Repeated driver/bench/test runs each leave one per-pid dir
+    (some holding sizable sf0.1 roundtrip artifacts); without this, the
+    accumulation under /tmp/kpbd_scratch is unbounded."""
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        return
+    for name in entries:
+        if not name.startswith(prefix):
+            continue
+        suffix = name[len(prefix):]
+        if not suffix.isdigit() or int(suffix) == os.getpid():
+            continue
+        if not _pid_alive(int(suffix)):
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
 def scratch_dir(tag: str, sf_dir: str) -> str:
     """Fixed per-(tag, sf, pid) scratch path, WIPED on each call: repeated
     driver/bench/oracle runs in one process reuse one directory instead of
     leaking a new mkdtemp per invocation, while the pid suffix keeps two
     CONCURRENT processes against the same SF (e.g. bench + a verify sweep)
-    from racing on the same path during the wipe/overwrite."""
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "kpbd_scratch",
-        f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}",
-    )
+    from racing on the same path during the wipe/overwrite. Sibling dirs
+    left by EXITED pids are pruned on each call so the scratch root stays
+    bounded across runs."""
+    parent = os.path.join(tempfile.gettempdir(), "kpbd_scratch")
+    prefix = f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}_p"
+    _prune_dead_siblings(parent, prefix)
+    base = os.path.join(parent, f"{prefix}{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     return base

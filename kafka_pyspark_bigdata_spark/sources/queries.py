@@ -256,7 +256,17 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     written column set is the superset both bucketed consumers need."""
     key = sf_dir.rstrip("/")
     if key in _BUCKETED_TABLES:
-        return _BUCKETED_TABLES[key]
+        # Validate the hit against the LIVE catalog: the cache is keyed by
+        # sf_dir only, so an in-process SparkSession recreation (catalog
+        # reset) would otherwise return table names the new catalog doesn't
+        # have and spark.table() would fail. On a miss, fall through to a
+        # rewrite.
+        cached = _BUCKETED_TABLES[key]
+        if spark.catalog.tableExists(cached[0]) and spark.catalog.tableExists(
+            cached[1]
+        ):
+            return cached
+        del _BUCKETED_TABLES[key]
     # pid-suffixed tag: catalog table names, like the scratch path, must not
     # collide across two concurrent processes sweeping the same SF — the
     # DROP/overwrite below would race on a shared metastore entry.

@@ -607,6 +607,99 @@ FROM r WHERE rn = 1 ORDER BY user_id
 """
 
 
+EXACTLY_ONCE_SRC_FILES = 6  # replay in 6 micro-batches (maxFilesPerTrigger=1)
+EXACTLY_ONCE_FAIL_AT = 2  # inject the crash after THIS batch's sink commit
+
+
+def streaming_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END EXACTLY-ONCE under failure+replay — the idempotent
+    foreachBatch sink pattern (Delta's txnAppId/txnVersion, re-expressed
+    on plain parquet): each micro-batch lands at a DETERMINISTIC
+    batch-id-keyed path via write-to-tmp + atomic rename, so the rename
+    IS the transaction ledger — a replayed batch id finds its path
+    already committed and is SKIPPED instead of appended twice.
+
+    The failure is actually exercised, not assumed: the first run's
+    foreachBatch RAISES after batch ``EXACTLY_ONCE_FAIL_AT``'s sink
+    commit succeeds but before Structured Streaming writes the commit
+    log for it — exactly the crash window that makes a plain append
+    sink double-count. The restart (SAME checkpoint) re-executes that
+    batch id with the logged offsets; the txn guard sees the committed
+    path and skips. The returned aggregate over the sink equals the
+    plain batch aggregate over all events — the DuckDB value-hash match
+    is therefore a PROOF of no-double-count under replay.
+
+    At 100 TB this is the standing pattern for any non-transactional
+    sink fed by foreachBatch: per-batch output paths keyed by
+    (appId, batchId), rename-as-commit, replay-safe by construction;
+    on a lakehouse table format the same contract is one option
+    (txnAppId/txnVersion) on the writer. State appended per batch is
+    the batch's rows — the ledger adds zero scan cost downstream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    root = scratch_dir("exactly_once", sf_dir)
+    src_dir = os.path.join(root, "src")
+    ev.repartition(EXACTLY_ONCE_SRC_FILES).write.parquet(src_dir)
+    sink_dir = os.path.join(root, "sink")
+    tmp_root = os.path.join(root, "tmp")
+    ckpt = os.path.join(root, "_ckpt")
+    fail_flag = os.path.join(root, "fail_once")
+    os.makedirs(sink_dir, exist_ok=True)
+    open(fail_flag, "w").close()
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        final = os.path.join(sink_dir, f"txn_{batch_id}")
+        if os.path.exists(final):
+            return  # already committed by a previous attempt: idempotent skip
+        tmp = os.path.join(tmp_root, f"txn_{batch_id}")
+        batch_df.write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, final)  # rename-as-commit: the ledger entry
+        if batch_id == EXACTLY_ONCE_FAIL_AT and os.path.exists(fail_flag):
+            os.remove(fail_flag)
+            # crash AFTER the sink commit, BEFORE the streaming commit log:
+            # the exact window where a non-idempotent sink double-writes.
+            raise RuntimeError("injected crash between sink and checkpoint commit")
+
+    def _run() -> None:
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .writeStream.foreachBatch(_commit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        _run()
+        raise AssertionError("injected crash did not fire")  # pragma: no cover
+    except Exception as exc:  # noqa: BLE001 — StreamingQueryException expected
+        if "injected crash" not in str(exc):
+            raise
+    _run()  # restart, same checkpoint: replays the failed batch id, guard skips
+
+    return (
+        spark.read.parquet(os.path.join(sink_dir, "txn_*"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAMING_EXACTLY_ONCE_SQL = f"""
+WITH {_EV_US}
+SELECT event_type, COUNT(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM ev GROUP BY event_type ORDER BY event_type
+"""
+
+
 def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED stateful operators in one streaming query (supported since
     Spark 3.4, append mode only): a 15-minute tumbling count per event
@@ -1087,6 +1180,7 @@ QUERIES = {
     "streaming_chained_windows": streaming_chained_windows,
     "streaming_stream_outer_join": streaming_stream_outer_join,
     "streaming_upsert_latest": streaming_upsert_latest,
+    "streaming_exactly_once_sink": streaming_exactly_once_sink,
     "streaming_watermark_lates": streaming_watermark_lates,
     "streaming_sliding_window": streaming_sliding_window,
     "streaming_session_window": streaming_session_window,
@@ -1125,6 +1219,7 @@ ORACLES = {
     "streaming_chained_windows": STREAMING_CHAINED_SQL,
     "streaming_stream_outer_join": STREAMING_OUTER_JOIN_SQL,
     "streaming_upsert_latest": STREAMING_UPSERT_SQL,
+    "streaming_exactly_once_sink": STREAMING_EXACTLY_ONCE_SQL,
     "streaming_watermark_lates": STREAMING_WM_SQL,
     "streaming_sliding_window": STREAMING_SLIDING_SQL,
     "streaming_session_window": STREAMING_SESSION_SQL,

@@ -1441,6 +1441,48 @@ def test_dup_spans_planted_duplicate_run(spark, tmp_path):
     assert out[3].cov_ppm == 0
 
 
+def test_dup_spans_removal_first_occurrence_kept(spark, tmp_path):
+    """The cleaned-corpus contract: a 7-token run shared verbatim by two
+    docs is CUT from the later doc only — the corpus-wide first
+    occurrence (min (doc_id, pos) per window hash) is retained, so doc 1
+    passes through unchanged while doc 2 loses exactly the 7 shared
+    tokens; a doc sharing nothing and a doc shorter than W pass through
+    unchanged; removed + kept == n_tokens everywhere."""
+    from kafka_pyspark_bigdata_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    rows = [
+        (1, shared + " one two three four five"),
+        (2, "x1 x2 x3 x4 x5 " + shared),
+        (3, "solo tokens only here nothing repeats anywhere ever at all"),
+        (4, "tiny doc"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in dedup.dedup_dup_spans_removal(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1 holds the first occurrence: untouched
+    assert out[1].n_cut_spans == 0
+    assert out[1].clean_text == rows[0][1]
+    # doc 2 loses exactly the shared run (one span, 7 tokens)
+    assert out[2].n_cut_spans == 1
+    assert out[2].removed_tokens == 7
+    assert out[2].clean_text == "x1 x2 x3 x4 x5"
+    # untouched docs (no shared window / shorter than W) pass through
+    for d in (3, 4):
+        assert out[d].n_cut_spans == 0
+        assert out[d].removed_tokens == 0
+        assert out[d].clean_text == rows[d - 1][1]
+    # conservation on every doc
+    for r in out.values():
+        assert r.removed_tokens + r.kept_tokens == r.n_tokens
+        assert len([t for t in r.clean_text.split(" ") if t]) == r.kept_tokens
+
+
 def test_cdc_chunks_edit_locality_and_totality(spark, tmp_path):
     """The CDC contract: chunk boundaries are content-defined, so editing
     one region of a doc leaves the other doc's chunk hashes shared — the
@@ -1466,6 +1508,14 @@ def test_cdc_chunks_edit_locality_and_totality(spark, tmp_path):
     assert out[3].n_chunks == 1
     assert out[3].n_chars == 4
     assert out[3].n_dup_chunks == 0
-    # conservation: chunking is a partition of the normalized text
+    # conservation: chunking is a PARTITION of the normalized text —
+    # sum(chunk lens) == len(norm), asserted for EVERY doc by recomputing
+    # the normalization (lower + whitespace-collapse + trim) in Python
+    import re
+
+    norm_len = {
+        doc_id: len(re.sub(r"\s+", " ", t.lower()).strip()) for doc_id, t in rows
+    }
     for d, r in out.items():
-        assert r.n_chars > 0 and r.n_chunks >= 1
+        assert r.n_chunks >= 1
+        assert r.n_chars == norm_len[d]

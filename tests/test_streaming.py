@@ -351,6 +351,45 @@ def test_streaming_hll_within_published_bound(spark):
     assert all(r.exact_users > 0 for r in rows)
 
 
+def test_exactly_once_sink_replay_skips_committed_batch(spark):
+    """The txn-ledger foreachBatch sink under an injected crash: the first
+    run dies AFTER batch EXACTLY_ONCE_FAIL_AT's sink commit but BEFORE its
+    streaming commit log entry; the same-checkpoint restart must re-run
+    that batch id and SKIP the write. Proof obligations: the crash actually
+    fired (the fail flag was consumed), the ledger holds exactly one txn
+    dir per source file, and the union of txn dirs equals the input —
+    every event exactly once despite the replay."""
+    import tempfile
+
+    from kafka_pyspark_bigdata_spark.streaming.queries import (
+        EXACTLY_ONCE_SRC_FILES,
+        streaming_exactly_once_sink,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.event_type: r for r in streaming_exactly_once_sink(spark, sf).collect()}
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "kpbd_scratch",
+        f"exactly_once_{os.path.basename(sf)}_p{os.getpid()}",
+    )
+    assert not os.path.exists(os.path.join(root, "fail_once"))  # crash fired
+    txns = [d for d in os.listdir(os.path.join(root, "sink")) if d.startswith("txn_")]
+    assert len(txns) == EXACTLY_ONCE_SRC_FILES  # one commit per batch, no dup dir
+    sink_total = spark.read.parquet(os.path.join(root, "sink", "txn_*")).count()
+    ev = load_table(spark, sf, "events")
+    assert sink_total == ev.count()  # replayed batch skipped, none lost
+    truth = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert {t: r.n_events for t, r in out.items()} == {
+        t: r.n_events for t, r in truth.items()
+    }
+
+
 def test_checkpoint_resume_exactly_once(spark):
     """Second start against the same checkpoint must process ONLY files
     landed after the first run: sink holds every event exactly once."""

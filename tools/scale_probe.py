@@ -78,6 +78,11 @@ PROBES = [
     "q_ingest_quarantine",       # corrupt-record parse split
     "dedup_dup_spans",           # positional window-hash df + islands
     "text_cdc_chunks",           # rolling-hash chunking + chunk-df window
+    "q_ivm_agg_retract",         # signed-delta partial-agg merge (IVM)
+    "q_bucketed_agg",            # exchange-free bucketed aggregate
+    "q_bucketed_reuse",          # second consumer of the bucketed layout
+    "dedup_dup_spans_removal",   # ExactSubstr cut + first-occurrence keep
+    "streaming_exactly_once_sink",  # txn-ledger foreachBatch replay
 ]
 
 
