@@ -1483,6 +1483,35 @@ def test_dup_spans_removal_first_occurrence_kept(spark, tmp_path):
         assert len([t for t in r.clean_text.split(" ") if t]) == r.kept_tokens
 
 
+def test_dup_spans_removal_cleans_to_zero_coverage(spark, tmp_path):
+    """Fixed-point check: running the coverage MEASUREMENT over the
+    REMOVAL's output corpus reports zero duplicated windows — the cut
+    actually eliminated every cross-doc duplicated run (on this fixture;
+    in general a cut seam can mint new windows, which is why production
+    ExactSubstr does not re-join across cut boundaries)."""
+    from kafka_pyspark_bigdata_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    rows = [
+        (1, shared + " one two three four five"),
+        (2, "x1 x2 x3 x4 x5 " + shared),
+        (3, shared),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "in" / "documents.parquet"))
+    cleaned = dedup.dedup_dup_spans_removal(spark, str(tmp_path / "in"))
+    cleaned.selectExpr("doc_id", "clean_text AS text").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "out" / "documents.parquet"))
+    again = dedup.dedup_dup_spans(spark, str(tmp_path / "out")).collect()
+    assert all(r.n_dup_windows == 0 and r.covered_tokens == 0 for r in again)
+    # and the first occurrence survived exactly once corpus-wide
+    kept = {r.doc_id: r.clean_text for r in cleaned.collect()}
+    assert kept[1] == rows[0][1]
+    assert shared not in kept[2] and shared not in kept[3]
+
+
 def test_cdc_chunks_edit_locality_and_totality(spark, tmp_path):
     """The CDC contract: chunk boundaries are content-defined, so editing
     one region of a doc leaves the other doc's chunk hashes shared — the
