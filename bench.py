@@ -48,6 +48,7 @@ def main() -> None:
         "q_bloom_prune",
         "q_ivm_join_delta",
         "q_ivm_agg_retract",
+        "q_deletion_vectors",
         "q_join_skew_audit",
         "q_retention_sweep",
         "q_quantiles_exact",
@@ -80,6 +81,7 @@ def main() -> None:
         "geo_dbscan_core",
         "ts_similarity_paa",
         "ts_autocorr",
+        "ts_sax_symbols",
         "ts_cross_correlation",
         "q_tz_daily_rollup",
         # text / similarity / multimodal / dedup extensions — ordered
@@ -88,6 +90,7 @@ def main() -> None:
         # after them (observed ~3x inflation when a heavy query precedes
         # the ANN set).
         "corpus_quality_floor",
+        "quality_gopher_rules",
         "text_source_divergence",
         "text_keyphrase_rake",
         "corpus_cap_per_source",
@@ -139,6 +142,7 @@ def main() -> None:
         "q_bitemporal_asof",
         "q_delta_log_replay",
         "emb_zscore_outliers",
+        "emb_isotropy_score",
         "q_attribution_linear",
         "q_recursive_cte_native",
         "q_nested_roundtrip",
@@ -196,11 +200,13 @@ def main() -> None:
         # throughput — the checkpoint_resume precedent.
         "text_cdc_chunks",
         "dedup_shingle_coverage",
+        "corpus_soft_dedup_weights",
         "corpus_ngram_novelty",
         "cluster_kmeans_fixed",
         "dedup_threshold_sweep",
         "dedup_lsh_tuning_curve",
         "dedup_minhash_lsh",
+        "dedup_bbit_minhash",
         "dedup_ngram_jaccard",
     ]
     # Never let a stale name crash the bench (round-1 lesson): time only the

@@ -3047,7 +3047,133 @@ ORDER BY n_bands
 
 
 
+# ---------------------------------------------------------------------------
+# b-bit minwise hashing (Li & König 2010)
+# ---------------------------------------------------------------------------
+
+BBIT_B = 2  # bits kept per hash: 32x storage cut vs a 64-bit signature
+
+
+def dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing (Li & König, WWW 2010, public): store only
+    the lowest b=2 bits of each of the 16 minhashes — a
+    32× signature-storage cut vs 64-bit values — and recover Jaccard from
+    the matched-bit fraction with the paper's collision correction:
+    E[m/k] = C + (1−C)·J with C = 1/2^b, so Ĵ = (m·2^b − k) / (k·(2^b−1)).
+
+    The query is the estimator's AUDIT: for every LSH band candidate pair
+    it reports the b-bit estimate, the full-signature estimate (m64/k),
+    and the EXACT shingle Jaccard, all in integer ppm — fixed-point
+    rationals of match counts, engine-exact. Negative corrections clamp
+    to 0 via GREATEST (a pair can match fewer than k/2^b hashes by
+    chance).
+
+    Plan shape: the signature pass and band self-equi-join are the shared
+    minhash machinery (O(n·bands) shuffle keys, never all-pairs); the
+    audit join brings each side's 16 sigs + shingle set to the candidate
+    row — at 100 TB only the b-bit columns (4 bytes/doc packed) would
+    ship, which is the operator's entire point.
+    """
+    sh = (
+        with_shingles(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "shingles")
+        .localCheckpoint(eager=False)
+    )
+    sigs = minhash_sigs(sh)
+    bands_long = minhash_bands(sigs)
+    cand = (
+        bands_long.select(F.col("doc_id").alias("doc_a"), "band_idx", "bk")
+        .join(
+            bands_long.select(F.col("doc_id").alias("doc_b"), "band_idx", "bk"),
+            ["band_idx", "bk"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    mod = 1 << BBIT_B
+    a_sigs = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    b_sigs = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    m_bbit = sum(
+        (F.col(f"a{i}") % mod == F.col(f"b{i}") % mod).cast("int")
+        for i in range(NUM_HASHES)
+    )
+    m_full = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(NUM_HASHES)
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(a_sigs, "doc_a")
+        .join(b_sigs, "doc_b")
+        .join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            m_bbit.alias("m_bbit"),
+            inter.alias("n_common"),
+            (F.size("sh_a") + F.size("sh_b") - inter).alias("n_union"),
+            m_full.alias("m_full"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "m_bbit",
+            F.expr(
+                f"GREATEST(0, (m_bbit * {mod} - {NUM_HASHES}) * 1000000"
+                f" div ({NUM_HASHES} * {mod - 1}))"
+            ).alias("est_bbit_ppm"),
+            F.expr(f"m_full * 1000000 div {NUM_HASHES}").alias("est_full_ppm"),
+            F.expr("n_common * 1000000 div n_union").alias("exact_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _bbit_sql() -> str:
+    mod = 1 << BBIT_B
+    m_bbit = " + ".join(
+        f"CASE WHEN sa.sig{i} % {mod} = sb.sig{i} % {mod} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    m_full = " + ".join(
+        f"CASE WHEN sa.sig{i} = sb.sig{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH {_minhash_ctes()},
+audit AS (
+  SELECT c.doc_a, c.doc_b,
+         ({m_bbit}) AS m_bbit,
+         ({m_full}) AS m_full,
+         len(list_intersect(x.shingles, y.shingles)) AS n_common,
+         len(x.shingles) + len(y.shingles)
+           - len(list_intersect(x.shingles, y.shingles)) AS n_union
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, CAST(m_bbit AS INTEGER) AS m_bbit,
+       CAST(GREATEST(0, (m_bbit * {mod} - {NUM_HASHES}) * 1000000
+            // ({NUM_HASHES} * {mod - 1})) AS BIGINT) AS est_bbit_ppm,
+       CAST(m_full * 1000000 // {NUM_HASHES} AS BIGINT) AS est_full_ppm,
+       CAST(n_common * 1000000 // n_union AS BIGINT) AS exact_ppm
+FROM audit ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
+    "dedup_bbit_minhash": dedup_bbit_minhash,
     "graph_link_prediction": graph_link_prediction,
     "graph_kcore": graph_kcore,
     "graph_ktruss": graph_ktruss,
@@ -3082,6 +3208,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_bbit_minhash": _bbit_sql(),
     "graph_link_prediction": _linkpred_sql(),
     "graph_kcore": _kcore_sql(),
     "graph_ktruss": _ktruss_sql(),

@@ -1073,7 +1073,106 @@ FROM ranked GROUP BY 1, 2 ORDER BY phase, source
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_soft_dedup_weights — reweight-instead-of-drop dedup (SoftDeDup)
+# ---------------------------------------------------------------------------
+
+
+def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicate documents,
+    down-WEIGHT common ones (He et al. 2024, "SoftDedup: an Efficient Data
+    Reweighting Method for Speeding Up Language Model Pre-training", ACL —
+    public). A document's *commonness* is the mean document frequency of
+    its distinct 3-gram shingles (the same shingle contract as the dedup
+    family, ``with_shingles``); its sampling weight is the reciprocal, so
+    text whose n-grams saturate the corpus contributes proportionally
+    less training signal without hard-deleting borderline docs.
+
+    Fixed-point contract: commonness is kept in millis (``Σdf·1000 div
+    n_shingles``) and the reciprocal weight in ppm (``10⁹ div
+    commonness_milli``) — a fully-unique doc scores exactly 1 000 000 ppm,
+    and every value is an integer division of bigint counts, so the
+    per-source report is engine-exact.
+
+    Plan shape (inverted-index, never all-pairs): explode distinct
+    shingles → ONE partial-agg shuffle keyed by shingle (document
+    frequency) → join back to the exploded frame on shingle (AQE handles
+    the hot-shingle skew; a df-cap prefilter is the documented production
+    escape hatch) → per-doc partial agg → |sources|-row report. At 100 TB
+    the df table is the only corpus-wide state, and it aggregates
+    map-side first.
+    """
+    # Pin the COMPACT per-doc shingle arrays before exploding: the frame
+    # feeds both the df aggregate and the join-back, and without the pin
+    # the collapsed projection re-inlines the tokenize+shingle expression
+    # tree under the generator (the text.py HOF-inlining trap) — measured
+    # 11.4 s -> ~1.8 s per fresh invocation at sf0.1.
+    compact = (
+        with_shingles(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "source", "shingles")
+        .localCheckpoint(eager=False)
+    )
+    sh = compact.select("doc_id", "source", F.explode("shingles").alias("s"))
+    df_tab = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df_tab, "s")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("df").alias("sum_df"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+        .select(
+            "source",
+            F.expr("sum_df * 1000 div n_sh").alias("commonness_milli"),
+        )
+        .withColumn("weight_ppm", F.expr("1000000000 div commonness_milli"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(commonness_milli) div count(1)").alias(
+                "mean_commonness_milli"
+            ),
+            F.sum("weight_ppm").alias("sum_weight_ppm"),
+        )
+        .withColumn(
+            "effective_frac_ppm", F.expr("sum_weight_ppm div n_docs")
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_SOFT_DEDUP_SQL = f"""
+WITH {SHINGLES_CTE},
+ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+),
+df_tab AS (
+  SELECT s, COUNT(*) AS df FROM ex GROUP BY s
+),
+per_doc AS (
+  SELECT e.doc_id,
+         CAST(SUM(df) * 1000 // COUNT(*) AS BIGINT) AS commonness_milli
+  FROM ex e JOIN df_tab USING (s)
+  GROUP BY e.doc_id
+),
+weighted AS (
+  SELECT d.source, commonness_milli,
+         CAST(1000000000 // commonness_milli AS BIGINT) AS weight_ppm
+  FROM per_doc p JOIN documents d USING (doc_id)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(commonness_milli) // COUNT(*) AS BIGINT) AS mean_commonness_milli,
+       CAST(SUM(weight_ppm) AS BIGINT) AS sum_weight_ppm,
+       CAST(SUM(weight_ppm) // COUNT(*) AS BIGINT) AS effective_frac_ppm
+FROM weighted GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "corpus_soft_dedup_weights": corpus_soft_dedup_weights,
     "corpus_curriculum_schedule": corpus_curriculum_schedule,
     "corpus_ablation_grid": corpus_ablation_grid,
     "corpus_epoch_shuffle": corpus_epoch_shuffle,
@@ -1095,6 +1194,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_soft_dedup_weights": CORPUS_SOFT_DEDUP_SQL,
     "corpus_curriculum_schedule": CORPUS_CURRICULUM_SQL,
     "corpus_ablation_grid": CORPUS_ABLATION_SQL,
     "corpus_epoch_shuffle": CORPUS_EPOCH_SQL,

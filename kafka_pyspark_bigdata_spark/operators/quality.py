@@ -356,11 +356,141 @@ GROUP BY 1, 2 ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# quality_gopher_rules — the published Gopher/MassiveText document filters
+# ---------------------------------------------------------------------------
+
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher"), Appendix A1.1:
+# a document must contain >= 2 of these 8 English function words.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source scorecard of the five Gopher quality rules (Rae et al.
+    2021, Appendix A1.1 — the MassiveText filter battery that became the
+    de-facto baseline for pre-training corpus hygiene):
+
+    * ``wordcount``  — word count in [50, 100 000]
+    * ``meanwordlen`` — mean word length in [3, 10] characters
+    * ``alphafrac``  — >= 80% of words contain an alphabetic character
+    * ``symbolratio`` — (# '#' chars + # '...' runs) <= 0.1 x word count
+    * ``stopwords``  — >= 2 hits from the 8-word function-word list
+
+    Every rule is evaluated as an INTEGER cross-multiplication (e.g.
+    mean-word-length in [3,10] becomes ``3·n_words <= Σlen <= 10·n_words``)
+    so there is no float ratio anywhere — counts, per-rule pass totals and
+    the ppm pass rate are all integers and hash-exact against the oracle.
+
+    Plan shape: one documents scan; every per-doc signal is an in-row
+    array/string expression over the shared ``tokens_expr`` contract (no
+    explode, no UDF); then ONE partial-agg shuffle keyed by source. At
+    100 TB this is a map-side scan + |sources|-row aggregate — the same
+    shape a Gopher-style filter pass has in production, where the verdict
+    column would be carried forward instead of aggregated.
+    """
+    docs = with_tokens(load_documents(spark, sf_dir))
+    n_words = F.size("toks")
+    sum_len = F.aggregate("toks", F.lit(0), lambda acc, t: acc + F.length(t))
+    n_alpha = F.size(F.filter("toks", lambda t: t.rlike("[a-z]")))
+    n_stopw = F.size(F.filter("toks", lambda t: t.isin(*GOPHER_STOPWORDS)))
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ellipsis = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    per_doc = docs.select(
+        "source",
+        n_words.alias("nw"),
+        sum_len.alias("sl"),
+        n_alpha.alias("na"),
+        n_stopw.alias("ns"),
+        (n_hash + n_ellipsis.cast("int")).alias("nsym"),
+    ).select(
+        "source",
+        F.col("nw").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).alias("r_wordcount"),
+        ((F.lit(3) * F.col("nw") <= F.col("sl")) & (F.col("sl") <= F.lit(10) * F.col("nw"))).alias(
+            "r_meanwordlen"
+        ),
+        (F.lit(5) * F.col("na") >= F.lit(4) * F.col("nw")).alias("r_alphafrac"),
+        (F.lit(10) * F.col("nsym") <= F.col("nw")).alias("r_symbolratio"),
+        (F.col("ns") >= 2).alias("r_stopwords"),
+    )
+    pass_all = (
+        F.col("r_wordcount")
+        & F.col("r_meanwordlen")
+        & F.col("r_alphafrac")
+        & F.col("r_symbolratio")
+        & F.col("r_stopwords")
+    )
+    return (
+        per_doc.withColumn("all_ok", pass_all)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("r_wordcount").cast("bigint")).alias("pass_wordcount"),
+            F.sum(F.col("r_meanwordlen").cast("bigint")).alias("pass_meanwordlen"),
+            F.sum(F.col("r_alphafrac").cast("bigint")).alias("pass_alphafrac"),
+            F.sum(F.col("r_symbolratio").cast("bigint")).alias("pass_symbolratio"),
+            F.sum(F.col("r_stopwords").cast("bigint")).alias("pass_stopwords"),
+            F.sum(pass_all.cast("bigint")).alias("n_pass_all"),
+        )
+        .withColumn(
+            "pass_all_ppm", F.expr("n_pass_all * 1000000 div n_docs")
+        )
+        .orderBy("source")
+    )
+
+
+QUALITY_GOPHER_SQL = f"""
+WITH tok AS (
+  SELECT source, text, {TOKENS_SQL} AS toks FROM documents
+),
+per_doc AS (
+  SELECT source,
+         len(toks) AS nw,
+         list_sum(list_transform(toks, t -> strlen(t))) AS sl,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS na,
+         len(list_filter(toks, t -> t IN ({_GOPHER_STOP_SQL}))) AS ns,
+         (strlen(text) - strlen(replace(text, '#', '')))
+           + CAST((strlen(text) - strlen(replace(text, '...', ''))) / 3 AS INTEGER)
+           AS nsym
+  FROM tok
+),
+rules AS (
+  SELECT source,
+         (nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS r_wordcount,
+         (3 * nw <= sl AND sl <= 10 * nw) AS r_meanwordlen,
+         (5 * na >= 4 * nw) AS r_alphafrac,
+         (10 * nsym <= nw) AS r_symbolratio,
+         (ns >= 2) AS r_stopwords
+  FROM per_doc
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN r_wordcount THEN 1 ELSE 0 END) AS BIGINT) AS pass_wordcount,
+       CAST(SUM(CASE WHEN r_meanwordlen THEN 1 ELSE 0 END) AS BIGINT) AS pass_meanwordlen,
+       CAST(SUM(CASE WHEN r_alphafrac THEN 1 ELSE 0 END) AS BIGINT) AS pass_alphafrac,
+       CAST(SUM(CASE WHEN r_symbolratio THEN 1 ELSE 0 END) AS BIGINT) AS pass_symbolratio,
+       CAST(SUM(CASE WHEN r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopwords,
+       CAST(SUM(CASE WHEN r_wordcount AND r_meanwordlen AND r_alphafrac
+                      AND r_symbolratio AND r_stopwords THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pass_all,
+       CAST(SUM(CASE WHEN r_wordcount AND r_meanwordlen AND r_alphafrac
+                      AND r_symbolratio AND r_stopwords THEN 1 ELSE 0 END)
+            AS BIGINT) * 1000000
+         // COUNT(*) AS pass_all_ppm
+FROM rules GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "corpus_quality_floor": corpus_quality_floor,
     "corpus_filter_verdict": corpus_filter_verdict,
     "text_repetition": text_repetition,
     "text_pii_scrub": text_pii_scrub,
+    "quality_gopher_rules": quality_gopher_rules,
 }
 
 ORACLES = {
@@ -368,4 +498,5 @@ ORACLES = {
     "corpus_filter_verdict": CORPUS_FILTER_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "text_pii_scrub": TEXT_PII_SQL,
+    "quality_gopher_rules": QUALITY_GOPHER_SQL,
 }

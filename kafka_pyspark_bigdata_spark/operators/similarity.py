@@ -3857,7 +3857,125 @@ ORDER BY zscore_e4 DESC, vec_id LIMIT {ZSCORE_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# emb_isotropy_score — corpus-level anisotropy audit (mean pairwise cosine)
+# ---------------------------------------------------------------------------
+
+ISO_SCALE = 1_000_000  # normalized components quantized to micros
+# Offset added before the integer division so the dividend is always
+# positive — floor and truncate agree on positives, so Spark's decimal
+# `div` and DuckDB's HUGEINT `//` produce the same quotient even when the
+# mean cosine is negative.
+_ISO_DIV_OFFSET = 2_000_000
+
+
+def emb_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy audit: the mean pairwise cosine of the
+    whole corpus, computed WITHOUT enumerating pairs. Contextual and
+    trained embeddings are notoriously anisotropic — they occupy a narrow
+    cone, so the expected cosine of two random vectors is far above 0
+    (Ethayarajh 2019; Mu & Viswanath 2018's "All-but-the-Top" removes the
+    common direction for exactly this reason). A rising mean cosine is
+    the canary that cosine-threshold dedup/ANN recall is about to drift.
+
+    The pair sum collapses algebraically: with v̂ᵢ the unit vectors and
+    S = Σ v̂ᵢ,   Σ_{i≠j} v̂ᵢ·v̂ⱼ = ‖S‖² − Σᵢ‖v̂ᵢ‖², so one scan suffices.
+    Exactness contract: each normalized component is quantized to micros
+    (``floor(v/‖v‖·10⁶ + 0.5)`` — identical IEEE double sequence in both
+    engines, then integer), per-dimension sums accumulate in
+    DECIMAL(38,0)/HUGEINT, and the final ratios are offset integer
+    divisions — no float aggregate anywhere, so the result is
+    engine-exact at any partition count.
+
+    Plan shape: ONE embeddings scan → posexplode to (dim, q) → ONE
+    partial-agg shuffle keyed by dim (d·n_partitions rows cross the wire,
+    never n·d) → a d-row frame folds to the 1-row report. At 100 TB this
+    is a map-side pass plus a 64-key aggregate — the cheapest corpus-wide
+    statistic in the embedding family.
+    """
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings"))
+    norm = norm_expr("embedding")
+    q = emb.select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda u: F.floor(
+                    u.cast("double") / norm * ISO_SCALE + F.lit(0.5)
+                ).cast("bigint"),
+            )
+        ).alias("dim", "q"),
+        F.floor(norm * ISO_SCALE + F.lit(0.5)).cast("bigint").alias("norm_micro"),
+    )
+    dims = q.groupBy("dim").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("ss"),
+        # norm_micro repeats once per dim; divide back out after the agg
+        F.sum("norm_micro").alias("nm"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return dims.agg(
+        F.max("n").cast("bigint").alias("n_vecs"),
+        F.max(F.expr("nm div n")).alias("mean_norm_micro_num"),
+        F.sum(F.col("s") * F.col("s")).alias("sumsq"),
+        F.sum("ss").alias("selfsq"),
+        F.max(F.abs("s")).alias("max_abs_s"),
+    ).select(
+        "n_vecs",
+        # all per-dim nm/n values are equal (= Σ norm_micro / n_vecs)
+        F.col("mean_norm_micro_num").alias("mean_norm_micro"),
+        (
+            F.expr(
+                f"CAST((sumsq - selfsq + CAST({_ISO_DIV_OFFSET} AS DECIMAL(38,0))"
+                f" * (n_vecs * n_vecs - n_vecs) * {ISO_SCALE})"
+                f" div ((n_vecs * n_vecs - n_vecs) * {ISO_SCALE}) AS BIGINT)"
+                f" - {_ISO_DIV_OFFSET}"
+            )
+        ).alias("mean_cos_ppm"),
+        F.expr("CAST(max_abs_s div n_vecs AS BIGINT)").alias("max_dim_bias_micro"),
+    )
+
+
+EMB_ISOTROPY_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+              / sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * {ISO_SCALE} + 0.5) AS BIGINT) AS q,
+         CAST(floor(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * {ISO_SCALE} + 0.5) AS BIGINT) AS norm_micro
+  FROM embeddings
+),
+dims AS (
+  SELECT dim,
+         CAST(SUM(q) AS HUGEINT) AS s,
+         CAST(SUM(q * q) AS HUGEINT) AS ss,
+         CAST(SUM(norm_micro) AS BIGINT) AS nm,
+         COUNT(*) AS n
+  FROM q GROUP BY dim
+),
+agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_vecs,
+         CAST(MAX(nm // n) AS BIGINT) AS mean_norm_micro,
+         SUM(s * s) AS sumsq,
+         SUM(ss) AS selfsq,
+         MAX(abs(s)) AS max_abs_s
+  FROM dims
+)
+SELECT n_vecs, mean_norm_micro,
+       CAST((sumsq - selfsq + CAST({_ISO_DIV_OFFSET} AS HUGEINT)
+              * (n_vecs * n_vecs - n_vecs) * {ISO_SCALE})
+            // ((n_vecs * n_vecs - n_vecs) * {ISO_SCALE}) AS BIGINT)
+         - {_ISO_DIV_OFFSET} AS mean_cos_ppm,
+       CAST(max_abs_s // n_vecs AS BIGINT) AS max_dim_bias_micro
+FROM agg
+"""
+
+
 QUERIES = {
+    "emb_isotropy_score": emb_isotropy_score,
     "emb_zscore_outliers": emb_zscore_outliers,
     "ann_topk_gemm": ann_topk_gemm,
     "emb_bitpack_hamming_topk": emb_bitpack_hamming_topk,
@@ -3897,6 +4015,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_isotropy_score": EMB_ISOTROPY_SQL,
     "emb_zscore_outliers": _zscore_sql(),
     "ann_topk_gemm": ANN_GEMM_SQL,
     "emb_bitpack_hamming_topk": EMB_HAMMING_SQL,

@@ -945,7 +945,147 @@ FROM stats ORDER BY lag
 
 
 
+# ---------------------------------------------------------------------------
+# ts_sax_symbols — Symbolic Aggregate approXimation words (Lin et al. 2003)
+# ---------------------------------------------------------------------------
+
+SAX_SEGMENTS = 4  # PAA segments -> one symbol each
+SAX_CARD = 4  # alphabet size: quartile breakpoints, symbols 0..3
+# Breakpoints are computed on a COARSENED value domain (100.00-unit
+# buckets of the segment cent sums) so the cumulative-count pass windows
+# over a bounded bucket frame, never over all n·SEGMENTS raw values —
+# the SAX detection floor is the bucket width, exactly like PAA's is the
+# segment width.
+SAX_BUCKET_CENTS = 10_000
+
+
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX — Symbolic Aggregate approXimation (Lin, Keogh et al. 2003,
+    public): each user's 30-day activity series reduces to a 4-symbol
+    word — PAA segment sums, discretized against corpus-wide quartile
+    breakpoints — the representation behind symbolic motif/novelty mining
+    and the HOT-SAX anomaly family. The classic formulation z-normalizes
+    and uses Gaussian breakpoints; this engine uses EMPIRICAL (equi-depth)
+    breakpoints on the raw segment sums, which keeps every step integer
+    (cents → bucket ids → cumulative counts → symbol comparisons) and
+    therefore engine-exact, with no distributional assumption.
+
+    Plan shape: the dense-series build is the shared ``_dense_daily``
+    broadcast grid; segment sums are ONE (user, seg) partial agg;
+    breakpoints come from a cumulative window over the DISTINCT BUCKET
+    frame (bounded by value-range/bucket-width, not by user count) and
+    broadcast back as a 1-row frame; the word assembly is one per-user
+    collect over SAX_SEGMENTS structs. Readout: the word histogram —
+    |alphabet|^|segments| rows max.
+    """
+    dense = _dense_daily(spark, sf_dir)
+    seg = (
+        dense.withColumn("seg", F.expr(f"di * {SAX_SEGMENTS} div nd"))
+        .groupBy("user_id", "seg")
+        .agg(F.sum("v").alias("segsum"))
+        .withColumn("bucket", F.expr(f"segsum div {SAX_BUCKET_CENTS}"))
+    )
+    buckets = seg.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(seg.agg(F.count(F.lit(1)).alias("n_total")))
+    )
+    bps = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.expr(f"cum >= (({j} * n_total) + {SAX_CARD - 1})"
+                           f" div {SAX_CARD}"),
+                    F.col("bucket"),
+                )
+            ).alias(f"b{j}")
+            for j in range(1, SAX_CARD)
+        ]
+    )
+    sym = seg.crossJoin(F.broadcast(bps)).select(
+        "user_id",
+        "seg",
+        sum(
+            (F.col("bucket") > F.col(f"b{j}")).cast("int")
+            for j in range(1, SAX_CARD)
+        ).alias("s"),
+    )
+    words = sym.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "s"))),
+                lambda t: t["s"].cast("string"),
+            ),
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("user_id").alias("example_user"),
+        )
+        .orderBy("word")
+    )
+
+
+TS_SAX_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (
+  SELECT MIN(d) AS d0, datediff('day', MIN(d), MAX(d)) + 1 AS nd FROM ev
+),
+daily AS (
+  SELECT user_id, datediff('day', d0, d) AS di, nd, SUM(cents) AS v
+  FROM ev, bounds GROUP BY 1, 2, 3
+),
+days AS (SELECT DISTINCT di, nd FROM daily),
+users AS (SELECT DISTINCT user_id FROM daily),
+dense AS (
+  SELECT u.user_id, g.di, g.nd, COALESCE(daily.v, 0) AS v
+  FROM users u CROSS JOIN days g
+  LEFT JOIN daily ON daily.user_id = u.user_id AND daily.di = g.di
+),
+seg AS (
+  SELECT user_id, di * {SAX_SEGMENTS} // nd AS seg,
+         SUM(v) // {SAX_BUCKET_CENTS} AS bucket
+  FROM dense GROUP BY 1, 2
+),
+cum AS (
+  SELECT bucket, SUM(COUNT(*)) OVER (ORDER BY bucket) AS cum
+  FROM seg GROUP BY bucket
+),
+tot AS (SELECT COUNT(*) AS n_total FROM seg),
+bps AS (
+  SELECT {", ".join(
+      f"MIN(CASE WHEN cum >= (({j} * n_total) + {SAX_CARD - 1})"
+      f" // {SAX_CARD} THEN bucket END) AS b{j}"
+      for j in range(1, SAX_CARD)
+  )}
+  FROM cum, tot
+),
+sym AS (
+  SELECT user_id, seg,
+         {" + ".join(
+             f"CASE WHEN bucket > b{j} THEN 1 ELSE 0 END"
+             for j in range(1, SAX_CARD)
+         )} AS s
+  FROM seg, bps
+),
+words AS (
+  SELECT user_id, string_agg(CAST(s AS VARCHAR), '' ORDER BY seg) AS word
+  FROM sym GROUP BY user_id
+)
+SELECT word, COUNT(*) AS n_users, MIN(user_id) AS example_user
+FROM words GROUP BY word ORDER BY word
+"""
+
+
 QUERIES = {
+    "ts_sax_symbols": ts_sax_symbols,
     "ts_downsample_lttb": ts_downsample_lttb,
     "ts_forecast_eval_mase": ts_forecast_eval_mase,
     "ts_mad_outliers": ts_mad_outliers,
@@ -957,6 +1097,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ts_sax_symbols": TS_SAX_SQL,
     "ts_downsample_lttb": TS_LTTB_SQL,
     "ts_forecast_eval_mase": TS_MASE_SQL,
     "ts_mad_outliers": TS_MAD_SQL,

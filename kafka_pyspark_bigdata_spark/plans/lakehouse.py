@@ -2321,7 +2321,107 @@ ORDER BY source, version
 """
 
 
+# ---------------------------------------------------------------------------
+# q_deletion_vectors — merge-on-read DELETE via per-file position bitmaps
+# ---------------------------------------------------------------------------
+
+DV_N_FILES = 8  # synthetic file layout: orders hashed into 8 data files
+DV_DELETE_MOD = 7  # the DELETE predicate: o_orderkey % 7 == 3
+
+
+def q_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector (merge-on-read) scan: the lakehouse DELETE pattern
+    where removed rows are recorded as (data_file, row_position) bitmaps
+    instead of rewriting the files (Delta Lake deletion vectors / Iceberg
+    v2 position deletes — both public specs). The data files stay
+    immutable; a reader reconstructs the live table by masking each
+    file's positions against its vector.
+
+    Model: ``orders`` is laid out into {DV_N_FILES} synthetic data files
+    (``file_id = o_orderkey % {DV_N_FILES}``, position = rank within the
+    file — the physical row order a real format would give for free). The
+    DELETE commit materializes positions matching the predicate ONCE into
+    a per-file sorted position array; the read path then never
+    re-evaluates the predicate — it derives (file_id, pos) per row and
+    masks with ``array_contains`` against the BROADCAST vector table
+    ({DV_N_FILES} rows of metadata, exactly how engines apply DVs: the
+    bitmap rides the scan, no shuffle). Readout: per-status total/live/
+    deleted counts and the live total-price in cents — the proof that the
+    masked scan equals the predicate-rewritten table.
+
+    At 100 TB: the vector table is per-file metadata (KBs per deleted
+    file), the read adds one broadcast hash join to the scan stage and
+    zero exchanges; position derivation is free in a real reader
+    (row-group ordinals), and here costs one per-file window at write
+    time only.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    pos_w = Window.partitionBy("file_id").orderBy("o_orderkey")
+    base = orders.select(
+        "*",
+        (F.col("o_orderkey") % DV_N_FILES).alias("file_id"),
+    ).withColumn("pos", F.row_number().over(pos_w) - 1)
+    dv = (
+        base.filter(F.col("o_orderkey") % DV_DELETE_MOD == 3)
+        .groupBy("file_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("del_pos"))
+    )
+    read = base.join(F.broadcast(dv), "file_id", "left").withColumn(
+        "is_deleted",
+        F.coalesce(F.array_contains("del_pos", F.col("pos")), F.lit(False)),
+    )
+    return (
+        read.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((~F.col("is_deleted")).cast("bigint")).alias("n_live"),
+            F.sum(F.col("is_deleted").cast("bigint")).alias("n_deleted"),
+            F.sum(
+                F.when(
+                    ~F.col("is_deleted"),
+                    (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                        "bigint"
+                    ),
+                ).otherwise(F.lit(0))
+            ).alias("live_price_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DELETION_VECTORS_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         o_orderkey % {DV_N_FILES} AS file_id,
+         ROW_NUMBER() OVER (PARTITION BY o_orderkey % {DV_N_FILES}
+                            ORDER BY o_orderkey) - 1 AS pos
+  FROM orders
+),
+dv AS (
+  SELECT file_id, list_sort(list(pos)) AS del_pos
+  FROM base WHERE o_orderkey % {DV_DELETE_MOD} = 3
+  GROUP BY file_id
+),
+read AS (
+  SELECT b.o_orderstatus, b.o_totalprice,
+         COALESCE(list_contains(dv.del_pos, b.pos), FALSE) AS is_deleted
+  FROM base b LEFT JOIN dv USING (file_id)
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN NOT is_deleted THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+       CAST(SUM(CASE WHEN is_deleted THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST(SUM(CASE WHEN NOT is_deleted
+                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS live_price_cents
+FROM read GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "q_deletion_vectors": q_deletion_vectors,
     "q_delta_log_replay": q_delta_log_replay,
     "q_bitemporal_asof": q_bitemporal_asof,
     "q_encoding_stats": q_encoding_stats,
@@ -2350,6 +2450,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_deletion_vectors": DELETION_VECTORS_SQL,
     "q_delta_log_replay": DELTA_LOG_SQL,
     "q_bitemporal_asof": BTEMP_ASOF_SQL,
     "q_encoding_stats": Q_ENCODING_SQL,

@@ -395,3 +395,31 @@ def test_delta_log_replay_invariants(spark):
         if r.version == max(x.version for x in rows if x.source == r.source)
     }
     assert tip == final
+
+
+def test_deletion_vectors_mask_equals_predicate_rewrite(spark):
+    """Merge-on-read must equal copy-on-write: the DV-masked totals match
+    a direct predicate filter of the base table, and live+deleted tiles
+    every status group."""
+    df = lakehouse.q_deletion_vectors(spark, SF_SMOKE)
+    orders = load_table(spark, SF_SMOKE, "orders")
+    mod, n_files = lakehouse.DV_DELETE_MOD, lakehouse.DV_N_FILES
+    expect = {
+        r.o_orderstatus: (r.n_total, r.n_live)
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                (F.col("o_orderkey") % mod != 3).cast("bigint")
+            ).alias("n_live"),
+        )
+        .collect()
+    }
+    for r in df.collect():
+        assert r.n_total == r.n_live + r.n_deleted
+        assert expect[r.o_orderstatus] == (r.n_total, r.n_live)
+    # the vector table really is per-file metadata: <= DV_N_FILES rows
+    base = orders.select(
+        "o_orderkey", (F.col("o_orderkey") % n_files).alias("file_id")
+    )
+    assert base.select("file_id").distinct().count() <= n_files

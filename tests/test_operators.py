@@ -1548,3 +1548,60 @@ def test_cdc_chunks_edit_locality_and_totality(spark, tmp_path):
     for d, r in out.items():
         assert r.n_chunks >= 1
         assert r.n_chars == norm_len[d]
+
+
+def test_bbit_minhash_estimator_structure(spark):
+    """b-bit matches dominate full-signature matches (a full match implies
+    a b-bit match), estimates live in [0, 1e6] ppm, and the clamp formula
+    reproduces in Python from the reported match counts."""
+    from kafka_pyspark_bigdata_spark.operators.dedup import BBIT_B, NUM_HASHES
+
+    mod = 1 << BBIT_B
+    rows = dedup.dedup_bbit_minhash(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "band candidates expected in the planted-dup fixture"
+    for r in rows:
+        assert 0 <= r.est_bbit_ppm <= 1_000_000
+        assert 0 <= r.est_full_ppm <= 1_000_000
+        assert 0 < r.exact_ppm <= 1_000_000
+        assert r.est_bbit_ppm == max(
+            0, (r.m_bbit * mod - NUM_HASHES) * 1_000_000 // (NUM_HASHES * (mod - 1))
+        )
+        # m_full isn't emitted, but est_full_ppm = m_full/k and a full
+        # 64-bit match can only happen when the b low bits also match:
+        assert r.est_full_ppm <= r.m_bbit * 1_000_000 // NUM_HASHES
+
+
+def test_sax_words_cover_all_users_with_balanced_symbols(spark):
+    """Every user gets exactly one 4-symbol word over alphabet {0..3}, and
+    the empirical breakpoints are equi-depth: for each j, at least j/4 of
+    all segments carry a symbol < j (the defining cumulative property)."""
+    import re
+
+    sf = "/root/testdata/sf0.001"
+    rows = timeseries.ts_sax_symbols(spark, sf).collect()
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    n_users = load_table(spark, sf, "events").select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    assert all(re.fullmatch(r"[0-3]{4}", r.word) for r in rows)
+    n_segments = 4 * n_users
+    for j in (1, 2, 3):
+        below = sum(
+            r.n_users * sum(1 for c in r.word if int(c) < j) for r in rows
+        )
+        assert below >= (j * n_segments + 3) // 4 - 3  # ceil, bucket-coarse slack
+
+
+def test_isotropy_unit_norms_and_cosine_range(spark):
+    """The fixture's embeddings are unit-norm, so the reported mean raw
+    norm lands on 1e6 micros up to the quantization half-ulp; the mean
+    pairwise cosine must be a valid cosine; and a second evaluation must
+    reproduce every value bit-for-bit (the accumulators are integer, so
+    there is no summation-order dependence)."""
+    sf = "/root/testdata/sf0.001"
+    r = similarity.emb_isotropy_score(spark, sf).collect()[0]
+    assert abs(r.mean_norm_micro - 1_000_000) <= 1
+    assert -1_000_000 <= r.mean_cos_ppm <= 1_000_000
+    assert 0 <= r.max_dim_bias_micro <= 1_000_000
+    again = similarity.emb_isotropy_score(spark, sf).collect()[0]
+    assert r == again

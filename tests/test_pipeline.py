@@ -188,3 +188,52 @@ def test_curriculum_phases_balanced_and_monotone(spark):
         hi = max(r.max_chars for r in rows if r.phase == p)
         lo = min(r.min_chars for r in rows if r.phase == p + 1)
         assert hi <= lo
+
+
+def test_soft_dedup_weight_bounds(spark):
+    """Commonness is >= 1.0 by construction (every shingle contains
+    itself), so weights are <= 1e6 ppm; a source's effective fraction is
+    exactly the mean of its doc weights (integer division)."""
+    rows = pipeline.corpus_soft_dedup_weights(spark, SF).collect()
+    assert rows, "no sources"
+    for r in rows:
+        assert r.mean_commonness_milli >= 1000
+        assert 0 < r.sum_weight_ppm <= r.n_docs * 1_000_000
+        assert r.effective_frac_ppm == r.sum_weight_ppm // r.n_docs
+
+
+def test_soft_dedup_unique_doc_scores_full_weight(spark):
+    """A document sharing no shingle with any other doc has commonness
+    exactly 1.0 -> weight exactly 1_000_000 ppm. Verified by recomputing
+    document frequencies in Python over the fixture's shingle sets."""
+    import collections
+
+    from kafka_pyspark_bigdata_spark.operators.dedup import with_shingles
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    sh = {
+        r.doc_id: set(r.shingles)
+        for r in with_shingles(load_table(spark, SF, "documents"))
+        .select("doc_id", "shingles")
+        .collect()
+    }
+    df = collections.Counter()
+    for s in sh.values():
+        df.update(s)
+    # python recomputation of the per-source report
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, SF, "documents").select("doc_id", "source").collect()
+    }
+    per_source = collections.defaultdict(lambda: [0, 0])
+    for doc_id, shingles in sh.items():
+        commonness_milli = sum(df[s] for s in shingles) * 1000 // len(shingles)
+        weight = 1_000_000_000 // commonness_milli
+        agg = per_source[src[doc_id]]
+        agg[0] += 1
+        agg[1] += weight
+    got = {
+        r.source: (r.n_docs, r.sum_weight_ppm)
+        for r in pipeline.corpus_soft_dedup_weights(spark, SF).collect()
+    }
+    assert got == {s: tuple(v) for s, v in per_source.items()}

@@ -41,3 +41,54 @@ def test_quality_floor_decile_bound(spark):
     for r in quality.corpus_quality_floor(spark, "/root/testdata/sf0.001").collect():
         assert r.n_kept + r.n_dropped == r.n_docs
         assert r.n_dropped <= (r.n_docs + 9) // 10
+
+
+def test_gopher_rules_pass_all_bounded_by_every_rule(spark):
+    """The conjunction can never pass more docs than any single rule, the
+    per-rule passes are bounded by n_docs, and the ppm rate is exactly the
+    integer division of the counts."""
+    for r in quality.quality_gopher_rules(spark, SF_SMOKE).collect():
+        rules = [
+            r.pass_wordcount,
+            r.pass_meanwordlen,
+            r.pass_alphafrac,
+            r.pass_symbolratio,
+            r.pass_stopwords,
+        ]
+        assert all(0 <= p <= r.n_docs for p in rules)
+        assert r.n_pass_all <= min(rules)
+        assert r.pass_all_ppm == r.n_pass_all * 1_000_000 // r.n_docs
+
+
+def test_gopher_rules_match_python_reference(spark):
+    """Re-evaluate all five rules in plain Python on the raw fixture and
+    compare the per-source pass-all counts bit-for-bit."""
+    import collections
+
+    import duckdb as _dd
+
+    rows = _dd.sql(
+        f"SELECT source, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    stops = set(quality.GOPHER_STOPWORDS)
+    expect: dict[str, int] = collections.defaultdict(int)
+    for source, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        nw = len(toks)
+        sl = sum(len(t) for t in toks)
+        na = sum(1 for t in toks if any("a" <= c <= "z" for c in t))
+        ns = sum(1 for t in toks if t in stops)
+        nsym = text.count("#") + text.count("...")
+        ok = (
+            quality.GOPHER_MIN_WORDS <= nw <= quality.GOPHER_MAX_WORDS
+            and 3 * nw <= sl <= 10 * nw
+            and 5 * na >= 4 * nw
+            and 10 * nsym <= nw
+            and ns >= 2
+        )
+        expect[source] += int(ok)
+    got = {
+        r.source: r.n_pass_all
+        for r in quality.quality_gopher_rules(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(expect)

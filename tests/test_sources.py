@@ -46,15 +46,16 @@ def test_python_datasource_writer_manifest_hides_stray_files(spark):
     import json
     import os
 
-    from kafka_pyspark_bigdata_spark.sources.batch import scratch_dir
     from kafka_pyspark_bigdata_spark.sources.queries import (
         q_python_datasource_writer,
     )
 
     sf = "/root/testdata/sf0.001"
     first = q_python_datasource_writer(spark, sf).collect()[0]
+    # same per-(tag, sf, pid) path the writer's scratch_dir call produced;
+    # NOT scratch_dir() itself — calling it here would wipe the ledger
     ledger = os.path.join(
-        "/tmp", "kpbd_scratch", "pyds_writer_sf0.001", "ledger"
+        "/tmp", "kpbd_scratch", f"pyds_writer_sf0.001_p{os.getpid()}", "ledger"
     )
     # each run stages into a fresh run-<uuid>/ dir and clears the parent
     # first, so repeated runs cannot accumulate orphaned staged files

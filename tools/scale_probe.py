@@ -83,6 +83,12 @@ PROBES = [
     "q_bucketed_reuse",          # second consumer of the bucketed layout
     "dedup_dup_spans_removal",   # ExactSubstr cut + first-occurrence keep
     "streaming_exactly_once_sink",  # txn-ledger foreachBatch replay
+    "quality_gopher_rules",      # in-row rule battery + source agg
+    "emb_isotropy_score",        # d-keyed quantized moment fold
+    "corpus_soft_dedup_weights", # shingle-df inverted-index reweight
+    "q_deletion_vectors",        # broadcast position-mask scan
+    "dedup_bbit_minhash",        # 2-bit signature estimator audit
+    "ts_sax_symbols",            # equi-depth symbolization words
 ]
 
 
