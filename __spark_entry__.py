@@ -88,9 +88,9 @@ def _modules():
 
 # Round-9 rotation. The coverage gate CLOSED in r08: the union of driver
 # rounds r01..r08 = all 331 then-registered names, every one green. This
-# round adds 8 queries (-> 339 = 326 oracle-backed + 13 rows-only). With no
+# round adds 10 queries (-> 341 = 328 oracle-backed + 13 rows-only). With no
 # never-verified backlog left, the ~50-name driver window is spent on:
-# (1) the 8 r09 additions, (2) the 4 names whose CODE PATH changed this
+# (1) the 10 r09 additions, (2) the 4 names whose CODE PATH changed this
 # round (the bucketed-layout trio now validates its process-local cache
 # against the live catalog before reuse; q_csv_roundtrip as the
 # representative of the scratch-dir dead-pid pruning shared by the whole
@@ -108,6 +108,8 @@ _PRIORITY = [
     "q_deletion_vectors",
     "dedup_bbit_minhash",
     "ts_sax_symbols",
+    "cluster_kcenter_greedy",
+    "graph_hyperball_nf",
     # -- code path changed in r09 (catalog-cache validation; scratch prune) --
     "q_bucketed_join",
     "q_bucketed_reuse",

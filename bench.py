@@ -130,6 +130,7 @@ def main() -> None:
         "ann_topk_gemm",
         "ann_mmr_diversified",
         "cluster_stability_rand",
+        "cluster_kcenter_greedy",
         "ann_multiprobe_lsh",
         "ann_ivf_nprobe_recall",
         "emb_cka_alignment",
@@ -169,6 +170,7 @@ def main() -> None:
         "ts_mad_outliers",
         "graph_kcore",
         "graph_label_propagation",
+        "graph_hyperball_nf",
         "q_not_in_null_trap",
         "q_table_checksum",
         "emb_rank_correlation",

@@ -3048,6 +3048,138 @@ ORDER BY n_bands
 
 
 # ---------------------------------------------------------------------------
+# HyperBall-style neighborhood function via KMV sketches
+# ---------------------------------------------------------------------------
+
+HB_ROUNDS = 3
+HB_K = 3  # KMV register size: k smallest hashes per ball (small so the
+# fixture's 2-3-node dup clusters exercise BOTH estimator regimes)
+HB_HMAX = 1 << 32  # hash domain (32-bit md5 prefix, as in minhash_sigs)
+
+
+def graph_hyperball_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood function N(t) = Σ_v |ball(v, t)| of the near-dup pair
+    graph, estimated with mergeable distinct-count sketches — the
+    HyperBall algorithm (Boldi & Vigna 2013, public), which computed
+    distance distributions of 10⁹-node graphs this way. HyperBall uses
+    HyperLogLog registers; this engine uses KMV (k-minimum-values)
+    registers instead: a KMV union is ``sort(distinct(concat)) [:k]`` —
+    pure integer array expressions, so unlike HLL's harmonic-mean float
+    estimate the whole fixed-point is engine-exact and DuckDB-verifiable.
+
+    Per round t: every node's register merges its neighbors' round-t−1
+    registers (one edge join + one partial-agg shuffle — registers are
+    K·8 bytes of state per node, never the ball itself, which is the
+    entire point at 100 TB where balls explode combinatorially). The
+    estimate is exact (=|reg|) below saturation and the standard KMV
+    estimator (k−1)·H/h_(k) above it — reported per round with the
+    saturated-register count so a reader can see which regime each
+    round is in.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    reg = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.array(h).alias("reg"))
+    )
+    est = F.when(F.size("reg") < HB_K, F.size("reg").cast("bigint")).otherwise(
+        F.expr(f"({HB_K - 1} * CAST({HB_HMAX} AS BIGINT)) div element_at(reg, {HB_K})")
+    )
+
+    def readout(r: DataFrame, t: int) -> DataFrame:
+        return r.select(est.alias("e"), (F.size("reg") >= HB_K).cast("int").alias("sat")).agg(
+            F.lit(t).alias("t"),
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("e").alias("nf_est"),
+            F.sum("sat").alias("n_saturated"),
+        )
+    outs = [readout(reg, 0)]
+    for t in range(1, HB_ROUNDS + 1):
+        nbr = (
+            edges.join(reg.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.flatten(F.collect_list("reg")).alias("nreg"))
+        )
+        reg = (
+            reg.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.concat("reg", F.coalesce("nreg", F.array()))
+                        )
+                    ),
+                    1,
+                    HB_K,
+                ).alias("reg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        outs.append(readout(reg, t))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("t")
+
+
+def _hyperball_sql() -> str:
+    est = (
+        f"CASE WHEN len(reg) < {HB_K} THEN CAST(len(reg) AS BIGINT)"
+        f" ELSE ({HB_K - 1} * CAST({HB_HMAX} AS BIGINT)) // reg[{HB_K}] END"
+    )
+    rounds = []
+    prev = "reg0"
+    for t in range(1, HB_ROUNDS + 1):
+        rounds.append(f"""
+reg{t} AS (
+  SELECT r.doc_id,
+         list_sort(list_distinct(r.reg || COALESCE(n.nreg, [])))[1:{HB_K}] AS reg
+  FROM {prev} r LEFT JOIN (
+    SELECT e.doc_a AS doc_id, flatten(list(q.reg)) AS nreg
+    FROM edges e JOIN {prev} q ON e.doc_b = q.doc_id
+    GROUP BY e.doc_a
+  ) n USING (doc_id)
+)""")
+        prev = f"reg{t}"
+    reads = "\n  UNION ALL\n  ".join(
+        f"SELECT {t} AS t, COUNT(*) AS n_nodes,"
+        f" CAST(SUM({est}) AS BIGINT) AS nf_est,"
+        f" CAST(SUM(CASE WHEN len(reg) >= {HB_K} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_saturated FROM reg{t}"
+        for t in range(0, HB_ROUNDS + 1)
+    )
+    return f"""
+WITH {_minhash_ctes()},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reg0 AS (
+  SELECT doc_a AS doc_id,
+         [('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 8))::BIGINT] AS reg
+  FROM (SELECT DISTINCT doc_a FROM edges)
+),
+{",".join(rounds)}
+SELECT t, n_nodes, nf_est, n_saturated FROM (
+  {reads}
+) ORDER BY t
+"""
+
+
+# ---------------------------------------------------------------------------
 # b-bit minwise hashing (Li & König 2010)
 # ---------------------------------------------------------------------------
 
@@ -3173,6 +3305,7 @@ FROM audit ORDER BY doc_a, doc_b
 
 
 QUERIES = {
+    "graph_hyperball_nf": graph_hyperball_nf,
     "dedup_bbit_minhash": dedup_bbit_minhash,
     "graph_link_prediction": graph_link_prediction,
     "graph_kcore": graph_kcore,
@@ -3208,6 +3341,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_hyperball_nf": _hyperball_sql(),
     "dedup_bbit_minhash": _bbit_sql(),
     "graph_link_prediction": _linkpred_sql(),
     "graph_kcore": _kcore_sql(),

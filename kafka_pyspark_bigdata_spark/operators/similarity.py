@@ -3858,6 +3858,138 @@ ORDER BY zscore_e4 DESC, vec_id LIMIT {ZSCORE_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# cluster_kcenter_greedy — Gonzalez farthest-first traversal (k-center)
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 4
+KC_SCALE = 1_000_000  # components quantized to micros before the L2 math
+
+
+def _kc_quant(col: str):
+    return F.transform(
+        col, lambda u: F.floor(u.cast("double") * KC_SCALE + F.lit(0.5)).cast("bigint")
+    )
+
+
+def cluster_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center / farthest-first traversal (Gonzalez 1985, public
+    — the 2-approximation for metric k-center and the seeding step
+    scalable k-means variants like k-means‖, Bahmani et al. 2012, build
+    on): start from vec_id 0, then K−1 times add the point FARTHEST from
+    the current center set. Emits one row per selected center (its
+    distance² to the previous set — a non-increasing sequence, the
+    coverage-radius ladder) plus a final row with the achieved coverage
+    radius² over the whole corpus.
+
+    Exactness: components quantize to micros, so every distance² is a
+    bigint (≤ 64·(2·10⁶)² ≈ 2.6·10¹⁴) and the per-round argmax is an
+    integer max with a deterministic vec_id tie-break — engine-exact
+    against the unrolled-SQL oracle.
+
+    Scale shape per round: the K-so-far center rows broadcast (the
+    k-means driver-literal pattern — K·d ints of model state, never
+    data), the min-distance is a map-side zip_with fold, and the argmax
+    is ONE TakeOrdered row back to the driver. K rounds = K corpus
+    scans, zero corpus shuffles — the shape that makes farthest-first
+    the standard coreset/seeding pass at 100 TB, where a shuffle-per-
+    round Lloyd iteration would be 10× the cost.
+    """
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _kc_quant("embedding").alias("q")
+    ).localCheckpoint(eager=False)
+    d2 = F.aggregate(
+        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    seed = emb.filter(F.col("vec_id") == 0).collect()[0]
+    centers = [(0, seed.q)]  # [(vec_id, quantized components)]
+    out_rows = [(0, 0, 0)]  # (round, center_id, sel_dist2)
+    for rnd in range(1, KCENTER_K):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(cid, cq) for cid, cq in centers], "cid long, cq array<bigint>"
+            )
+        )
+        mind = (
+            emb.crossJoin(cdf)
+            .select("vec_id", "q", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("mind"), F.first("q").alias("q"))
+        )
+        far = mind.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()[0]
+        centers.append((far.vec_id, far.q))
+        out_rows.append((rnd, far.vec_id, far.mind))
+    # final coverage radius over ALL K centers
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(cid, cq) for cid, cq in centers], "cid long, cq array<bigint>"
+        )
+    )
+    radius = (
+        emb.crossJoin(cdf)
+        .select("vec_id", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min("d2").alias("mind"))
+        .agg(F.max("mind").alias("r"))
+        .collect()[0]
+        .r
+    )
+    out_rows.append((KCENTER_K, -1, radius))
+    return spark.createDataFrame(
+        out_rows, "round int, center_id long, sel_dist2 long"
+    ).orderBy("round")
+
+
+def _kcenter_sql() -> str:
+    q = f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {KC_SCALE} + 0.5) AS BIGINT))"
+    d2 = (
+        "list_sum(list_transform(list_zip(p.q, c.q),"
+        " z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    )
+    ctes = [
+        f"pts AS (SELECT vec_id, {q} AS q FROM embeddings)",
+        "c0 AS (SELECT vec_id, q FROM pts WHERE vec_id = 0)",
+        "cent0 AS (SELECT vec_id, q FROM c0)",
+    ]
+    sel_rows = ["SELECT 0 AS round, CAST(0 AS BIGINT) AS center_id, CAST(0 AS BIGINT) AS sel_dist2"]
+    prev = "cent0"
+    for r in range(1, KCENTER_K):
+        ctes.append(f"""
+mind{r} AS (
+  SELECT p.vec_id, p.q, MIN({d2}) AS mind
+  FROM pts p CROSS JOIN {prev} c GROUP BY p.vec_id, p.q
+),
+sel{r} AS (
+  SELECT vec_id, q, mind FROM mind{r}
+  ORDER BY mind DESC, vec_id ASC LIMIT 1
+),
+cent{r} AS (
+  SELECT vec_id, q FROM {prev} UNION ALL SELECT vec_id, q FROM sel{r}
+)""")
+        sel_rows.append(
+            f"SELECT {r} AS round, CAST(vec_id AS BIGINT) AS center_id,"
+            f" CAST(mind AS BIGINT) AS sel_dist2 FROM sel{r}"
+        )
+        prev = f"cent{r}"
+    ctes.append(f"""
+radius AS (
+  SELECT MAX(mind) AS r FROM (
+    SELECT p.vec_id, MIN({d2}) AS mind
+    FROM pts p CROSS JOIN {prev} c GROUP BY p.vec_id
+  )
+)""")
+    sel_rows.append(
+        f"SELECT {KCENTER_K} AS round, CAST(-1 AS BIGINT) AS center_id,"
+        f" CAST(r AS BIGINT) AS sel_dist2 FROM radius"
+    )
+    union = "\n  UNION ALL\n  ".join(sel_rows)
+    return (
+        "WITH " + ",".join(ctes) + f"\nSELECT round, center_id, sel_dist2 FROM (\n  {union}\n) ORDER BY round"
+    )
+
+
+# ---------------------------------------------------------------------------
 # emb_isotropy_score — corpus-level anisotropy audit (mean pairwise cosine)
 # ---------------------------------------------------------------------------
 
@@ -3975,6 +4107,7 @@ FROM agg
 
 
 QUERIES = {
+    "cluster_kcenter_greedy": cluster_kcenter_greedy,
     "emb_isotropy_score": emb_isotropy_score,
     "emb_zscore_outliers": emb_zscore_outliers,
     "ann_topk_gemm": ann_topk_gemm,
@@ -4015,6 +4148,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cluster_kcenter_greedy": _kcenter_sql(),
     "emb_isotropy_score": EMB_ISOTROPY_SQL,
     "emb_zscore_outliers": _zscore_sql(),
     "ann_topk_gemm": ANN_GEMM_SQL,

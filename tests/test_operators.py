@@ -1605,3 +1605,37 @@ def test_isotropy_unit_norms_and_cosine_range(spark):
     assert 0 <= r.max_dim_bias_micro <= 1_000_000
     again = similarity.emb_isotropy_score(spark, sf).collect()[0]
     assert r == again
+
+
+def test_kcenter_radius_ladder_is_monotone(spark):
+    """Gonzalez invariant: each newly selected center is the farthest
+    point, so selection distances are non-increasing, and the final
+    coverage radius cannot exceed the last selection distance. Centers
+    are distinct and the seed is vec_id 0 at distance 0."""
+    from kafka_pyspark_bigdata_spark.operators.similarity import KCENTER_K
+
+    rows = {r.round: r for r in
+            similarity.cluster_kcenter_greedy(spark, "/root/testdata/sf0.001").collect()}
+    assert len(rows) == KCENTER_K + 1
+    assert rows[0].center_id == 0 and rows[0].sel_dist2 == 0
+    sels = [rows[r].sel_dist2 for r in range(1, KCENTER_K)]
+    assert all(a >= b for a, b in zip(sels, sels[1:]))
+    assert rows[KCENTER_K].center_id == -1
+    assert rows[KCENTER_K].sel_dist2 <= sels[-1]
+    ids = [rows[r].center_id for r in range(KCENTER_K)]
+    assert len(set(ids)) == KCENTER_K
+
+
+def test_hyperball_nf_monotone_and_exact_at_t0(spark):
+    """The ball of radius 0 is the node itself (N(0) = n); the
+    neighborhood function estimate never decreases with t; saturated
+    registers never exceed the node count."""
+    rows = sorted(
+        dedup.graph_hyperball_nf(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.t,
+    )
+    assert rows[0].t == 0 and rows[0].nf_est == rows[0].n_nodes
+    assert rows[0].n_saturated == 0
+    ests = [r.nf_est for r in rows]
+    assert all(a <= b for a, b in zip(ests, ests[1:]))
+    assert all(0 <= r.n_saturated <= r.n_nodes for r in rows)

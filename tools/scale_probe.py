@@ -89,6 +89,8 @@ PROBES = [
     "q_deletion_vectors",        # broadcast position-mask scan
     "dedup_bbit_minhash",        # 2-bit signature estimator audit
     "ts_sax_symbols",            # equi-depth symbolization words
+    "cluster_kcenter_greedy",    # K broadcast scans, zero corpus shuffles
+    "graph_hyperball_nf",        # KMV register merge per round
 ]
 
 
