@@ -663,6 +663,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Near-dup pair table, materialized once per (session, sf): the graph
+# family (clusters, triangles, PageRank, LPA, k-hop, CC, modularity,
+# HyperBall, the dup-source matrix) all consume the SAME verified pair
+# set, and re-deriving the shingle→signature→band→verify pipeline per
+# query is the single largest repeated cost in the family. This is the
+# bucketed-layout amortization pattern (sources/queries.py): one write,
+# N cheap consumers — in production the pair table is exactly such a
+# materialized artifact. Keyed by applicationId so a restarted session
+# (dead checkpoint RDDs) falls through to a rebuild, per the round-8
+# catalog-cache lesson.
+_DUP_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) verified near-dup pairs, eagerly checkpointed and
+    cached per (applicationId, sf_dir). See the cache note above."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DUP_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    _DUP_PAIRS_CACHE[key] = df
+    return df
+
+
 def _minhash_ctes() -> str:
     """The shared CTE chain ending in ``verified`` (doc_a, doc_b, jaccard)
     — used by the pair query and by the connected-components oracle."""
@@ -1033,7 +1062,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains. The only driver-side work per round is a count of changed
     labels; labels/edges stay executor-side throughout (localCheckpoint
     per round truncates the growing lineage)."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dup_pairs(spark, sf_dir)
     edges = (
         pairs.unionByName(
             pairs.select(
@@ -1168,7 +1197,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from drift, triangles from true copies). Canonical a<b<c ordered
     3-way self-join, so each triangle is produced exactly once; both join
     keys are node ids, shuffling only the (small) edge list."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dup_pairs(spark, sf_dir)
     e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
     e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
@@ -1216,7 +1245,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference. Scale shape per round: one shuffle of the (small) edge
     list on doc_b + one partial-agg shuffle on doc_a; ranks never leave
     the executors."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dup_pairs(spark, sf_dir)
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
@@ -1307,7 +1336,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     community census (size, id range), stable under (n_members DESC,
     community) ordering. Oracle: the identical unroll as MATERIALIZED
     CTEs with a ROW_NUMBER argmax."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dup_pairs(spark, sf_dir)
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
@@ -1399,7 +1428,7 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     and frontier shuffle on node ids only. K fixed at plan time keeps
     the plan static (the iterative-until-convergence variant is
     ``dedup_clusters``)."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dup_pairs(spark, sf_dir)
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -1966,7 +1995,7 @@ def corpus_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id + source only) and one partial-agg shuffle on the tiny
     (source, source) key. Source pairs are emitted unordered
     (least/greatest) so A-B and B-A collapse."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dup_pairs(spark, sf_dir)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
@@ -2125,7 +2154,7 @@ def graph_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_clusters`` — two independent algorithms, one verified
     answer.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dup_pairs(spark, sf_dir)
     edges = _symmetrize(pairs).localCheckpoint()
     for _ in range(CC_MAX_ITERS):
         # large-star: (v, m(u)) for neighbors v > u
@@ -2238,7 +2267,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold — Q in ppm via a single division, engine-exact. At 100 TB the
     shuffles are on node/cluster ids of the (much smaller) dup graph;
     the labels themselves come from the O(log n) CC operators."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dup_pairs(spark, sf_dir)
     labels = dedup_clusters(spark, sf_dir)
     e_c = (
         pairs.join(
@@ -3076,7 +3105,7 @@ def graph_hyperball_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
     saturated-register count so a reader can see which regime each
     round is in.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dup_pairs(spark, sf_dir)
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()

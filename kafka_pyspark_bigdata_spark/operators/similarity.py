@@ -3897,40 +3897,46 @@ def cluster_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", _kc_quant("embedding").alias("q")
     ).localCheckpoint(eager=False)
-    d2 = F.aggregate(
-        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+
+    def mind_col():
+        # min distance² to the center set, computed IN-ROW against the
+        # broadcast 1-row array of centers — no per-round shuffle: the
+        # whole round is a map-side pass ending in one TakeOrdered row
+        return F.array_min(
+            F.transform(
+                "cents",
+                lambda c: F.aggregate(
+                    F.zip_with("q", c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v,
+                ),
+            )
+        ).alias("mind")
+
+    def cents_row(centers):
+        return F.broadcast(
+            spark.createDataFrame(
+                [([cq for _, cq in centers],)], "cents array<array<bigint>>"
+            )
+        )
+
     seed = emb.filter(F.col("vec_id") == 0).collect()[0]
     centers = [(0, seed.q)]  # [(vec_id, quantized components)]
     out_rows = [(0, 0, 0)]  # (round, center_id, sel_dist2)
     for rnd in range(1, KCENTER_K):
-        cdf = F.broadcast(
-            spark.createDataFrame(
-                [(cid, cq) for cid, cq in centers], "cid long, cq array<bigint>"
-            )
+        far = (
+            emb.crossJoin(cents_row(centers))
+            .select("vec_id", "q", mind_col())
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
         )
-        mind = (
-            emb.crossJoin(cdf)
-            .select("vec_id", "q", d2.alias("d2"))
-            .groupBy("vec_id")
-            .agg(F.min("d2").alias("mind"), F.first("q").alias("q"))
-        )
-        far = mind.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()[0]
         centers.append((far.vec_id, far.q))
         out_rows.append((rnd, far.vec_id, far.mind))
-    # final coverage radius over ALL K centers
-    cdf = F.broadcast(
-        spark.createDataFrame(
-            [(cid, cq) for cid, cq in centers], "cid long, cq array<bigint>"
-        )
-    )
+    # final coverage radius over ALL K centers: map-side mins -> 1-row max
     radius = (
-        emb.crossJoin(cdf)
-        .select("vec_id", d2.alias("d2"))
-        .groupBy("vec_id")
-        .agg(F.min("d2").alias("mind"))
+        emb.crossJoin(cents_row(centers))
+        .select(mind_col())
         .agg(F.max("mind").alias("r"))
         .collect()[0]
         .r

@@ -493,12 +493,19 @@ def text_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The df band is the scale guard: universal tokens (stopwords) would
     make the per-doc pair product quadratic in document LENGTH corpus-
     wide; banding bounds pairs per doc by the (small) count of mid-
-    frequency terms it contains. Plan: df aggregation, band filter,
-    per-doc self-join on doc_id (the bounded explode), pair count, top-k.
+    frequency terms it contains. Plan: df aggregation, band filter, one
+    per-doc collect of the banded tokens, then the pairs explode
+    MAP-SIDE from the sorted in-row array (the graph_kcore pair-explosion
+    shape) straight into the pair partial agg — the r09 rewrite of the
+    original doc_id self-join, which shuffled the banded stream twice
+    and re-derived the tokenize+distinct chain per side.
     """
-    toks = load_documents(spark, sf_dir).select(
-        "doc_id", F.explode(tokens_expr()).alias("tok")
-    ).distinct()
+    toks = (
+        load_documents(spark, sf_dir)
+        .select("doc_id", F.explode(tokens_expr()).alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the df agg AND the band join
+    )
     # n_docs stays IN-PLAN as a broadcast 1-row aggregate (same pattern as
     # q_mean_impute): an eager .count() here would be a full extra corpus
     # scan per plan build at 100 TB.
@@ -510,18 +517,33 @@ def text_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("df") * 100 >= COOC_DF_MIN_PCT * F.col("n_docs"))
         & (F.col("df") * 100 <= COOC_DF_MAX_PCT * F.col("n_docs"))
     )
-    banded = toks.join(F.broadcast(band), "tok")
-    a = banded.select(
-        "doc_id",
-        F.col("tok").alias("tok_a"),
-        F.col("df").alias("df_a"),
-        "n_docs",
+    docarr = (
+        toks.join(F.broadcast(band), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("tok", "df"))).alias("ts"),
+            F.first("n_docs").alias("n_docs"),
+        )
     )
-    b = banded.select("doc_id", F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    # all (i<j) pairs of the sorted per-doc array, generated in-row:
+    # state is the banded-token count per doc (bounded by the df band)
+    pair = docarr.select(
+        "n_docs",
+        F.explode(
+            F.expr(
+                "flatten(transform(ts, (a, i) ->"
+                " transform(slice(ts, i + 2, size(ts)), b -> struct(a, b))))"
+            )
+        ).alias("p"),
+    )
     pairs = (
-        a.join(b, "doc_id")
-        .filter(F.col("tok_a") < F.col("tok_b"))
-        .groupBy("tok_a", "tok_b", "df_a", "df_b", "n_docs")
+        pair.groupBy(
+            F.col("p.a.tok").alias("tok_a"),
+            F.col("p.b.tok").alias("tok_b"),
+            F.col("p.a.df").alias("df_a"),
+            F.col("p.b.df").alias("df_b"),
+            "n_docs",
+        )
         .agg(F.count(F.lit(1)).alias("co_count"))
     )
     return (

@@ -48,14 +48,15 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent-itemset primitive (pairs-only A-Priori pass) behind
     recommendations and cross-sell.
 
-    Plan shape: distinct (order, part) projection, then a self equi-join
-    on l_orderkey — the fan-out is sum over orders of C(k,2) where k is
-    the order's line count (TPC-H max 7), i.e. bounded per key, never
-    |lineitem|^2. Pair counts are one partial-agg shuffle on the (p1,p2)
-    key; per-part counts re-use the distinct projection and join back
-    broadcast (the part dimension is orders of magnitude smaller than
-    the fact table). The order count enters the plan as a broadcast
-    1-row aggregate (no eager driver-side .count()).
+    Plan shape: distinct (order, part) projection, ONE groupBy that
+    collects each order's (sorted) part list — bounded by the order's
+    line count, TPC-H max 7 — then the unordered pairs explode MAP-SIDE
+    from the in-row array straight into the (p1,p2) partial agg (the
+    r09 rewrite of the original self equi-join on l_orderkey, which
+    exchanged the projection twice more). Fan-out is Σ_orders C(k,2),
+    never |lineitem|²; per-part counts re-use the distinct projection
+    and join back broadcast. The order count enters the plan as a
+    broadcast 1-row aggregate (no eager driver-side .count()).
     """
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -71,17 +72,19 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
     )
-    a = li.alias("a")
-    b = li.alias("b")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("ps")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (a, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)), b -> struct(a, b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
+        .groupBy(F.col("p.a").alias("p1"), F.col("p.b").alias("p2"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
     )
