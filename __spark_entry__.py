@@ -25,6 +25,7 @@ SF0001 = "/root/testdata/sf0.001"
 ROWS_ONLY = frozenset({
     "ml_lift_deciles",
     "ml_classifier_auc",
+    "ml_calibration_bins",
     "ml_quality_classifier",
     "ml_permutation_importance",
     "ml_grid_search",
@@ -88,7 +89,7 @@ def _modules():
 
 # Round-9 rotation. The coverage gate CLOSED in r08: the union of driver
 # rounds r01..r08 = all 331 then-registered names, every one green. This
-# round adds 10 queries (-> 341 = 328 oracle-backed + 13 rows-only). With no
+# round adds 11 queries (-> 342 = 328 oracle-backed + 14 rows-only). With no
 # never-verified backlog left, the ~50-name driver window is spent on:
 # (1) the 10 r09 additions, (2) the 4 names whose CODE PATH changed this
 # round (the bucketed-layout trio now validates its process-local cache
@@ -110,6 +111,7 @@ _PRIORITY = [
     "ts_sax_symbols",
     "cluster_kcenter_greedy",
     "graph_hyperball_nf",
+    "ml_calibration_bins",
     # -- code path changed in r09 (catalog-cache validation; scratch prune) --
     "q_bucketed_join",
     "q_bucketed_reuse",
@@ -146,6 +148,7 @@ _PRIORITY = [
     # -- slow rows-only tail (2.7-6.6s each at sf0.01) --
     "ml_permutation_importance",
     "ml_classifier_auc",
+    "ml_calibration_bins",
     "ml_quality_classifier",
     "ml_grid_search",
     "ml_incremental_versions",

@@ -490,6 +490,97 @@ def ml_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CALIB_BINS = 10
+
+
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the purchase classifier: bucket held-out
+    predictions into 10 equal-WIDTH probability bins and report, per
+    bin, the mean predicted probability vs the observed positive rate —
+    the calibration readout (Niculescu-Mizil & Caruana 2005, public)
+    that AUC cannot show: a model can rank perfectly and still be badly
+    mis-calibrated, which matters whenever scores gate downstream
+    thresholds (quality filtering included). The summary row carries ECE
+    (expected calibration error) in ppm: Σ n_bin·|mean_pred − obs_rate|
+    / n_eval, fixed-point.
+
+    Same train/score protocol as ml_classifier_auc (seed=42,
+    hash-deterministic split). Plan: one scored pass → one 10-key
+    partial-agg shuffle; predictions are quantized to ppm BEFORE the
+    mean so the per-bin sums are integers (the only doubles are final
+    displays). Rows-only contract: the model output is not
+    SQL-derivable, and the protocol invariants (bin edges tile [0,1],
+    counts sum to n_eval, ECE recomputes from the rows) are pytest-
+    pinned instead."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    from ..operators.pipeline import TRAIN_BUCKETS, hash_bucket_expr
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.hour("ts").alias("hour"),
+        F.dayofweek("ts").alias("dow"),
+        "value",
+        (F.col("event_type") == "purchase").cast("double").alias("label"),
+        hash_bucket_expr("event_id").alias("bucket"),
+    )
+    assembler = VectorAssembler(
+        inputCols=["hour", "dow", "value"], outputCol="features"
+    )
+    train = assembler.transform(ev.filter(F.col("bucket") < TRAIN_BUCKETS))
+    evald = assembler.transform(ev.filter(F.col("bucket") >= TRAIN_BUCKETS))
+    clf = RandomForestClassifier(
+        featuresCol="features",
+        labelCol="label",
+        numTrees=10,
+        maxDepth=5,
+        seed=42,
+    )
+    model = clf.fit(train)
+    _strip_training_summary(model)
+    scored = model.transform(evald).select(
+        F.floor(
+            vector_to_array("probability").getItem(1) * 1_000_000 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("p_ppm"),
+        F.col("label").cast("long").alias("y"),
+    )
+    bins = (
+        scored.withColumn(
+            "bin",
+            F.least(
+                F.lit(CALIB_BINS - 1),
+                F.expr(f"CAST(p_ppm * {CALIB_BINS} div 1000000 AS INT)"),
+            ),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p_ppm").alias("sum_p_ppm"),
+            F.sum("y").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.expr("sum_p_ppm div n").alias("mean_pred_ppm"),
+            F.expr("n_pos * 1000000 div n").alias("obs_rate_ppm"),
+        )
+        .withColumn(
+            "gap_ppm", F.abs(F.col("mean_pred_ppm") - F.col("obs_rate_ppm"))
+        )
+    )
+    ece = bins.agg(
+        F.lit(-1).alias("bin"),
+        F.sum("n").alias("n"),
+        F.lit(None).cast("bigint").alias("mean_pred_ppm"),
+        F.lit(None).cast("bigint").alias("obs_rate_ppm"),
+        F.expr("sum(n * gap_ppm) div sum(n)").alias("gap_ppm"),
+    )
+    return bins.unionByName(ece).orderBy("bin")
+
+
 def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MODEL-BASED corpus quality filtering (the published
     FineWeb-Edu/phi-style pattern): train a logistic regression on
@@ -715,6 +806,7 @@ QUERIES = {
     "ml_quality_classifier": ml_quality_classifier,
     "ml_lift_deciles": ml_lift_deciles,
     "ml_classifier_auc": ml_classifier_auc,
+    "ml_calibration_bins": ml_calibration_bins,
     "ml_grid_search": ml_grid_search,
     "ml_feature_importances": ml_feature_importances,
     "ml_eval_rmse": ml_eval_rmse,

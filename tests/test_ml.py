@@ -377,3 +377,27 @@ def test_permutation_importance_shape(spark):
     assert len(bases) == 1 and min(bases) > 0
     assert all(r.rmse_permuted > 0 for r in rows)
     assert rows == sorted(rows, key=lambda r: -r.delta)
+
+
+def test_calibration_bins_tile_and_ece_recomputes(spark):
+    """Bin rows: counts positive, rates in [0, 1e6] ppm, mean predicted
+    prob inside the bin's edges (equal-width bins over quantized ppm).
+    The summary row's ECE must equal the count-weighted mean absolute
+    gap recomputed from the bin rows, and counts must sum to n_eval."""
+    from kafka_pyspark_bigdata_spark.ml.queries import CALIB_BINS, ml_calibration_bins
+
+    rows = ml_calibration_bins(spark, "/root/testdata/sf0.001").collect()
+    bins = [r for r in rows if r.bin >= 0]
+    summary = [r for r in rows if r.bin == -1]
+    assert len(summary) == 1
+    n_eval = sum(r.n for r in bins)
+    assert summary[0].n == n_eval and n_eval > 0
+    for r in bins:
+        assert 0 <= r.obs_rate_ppm <= 1_000_000
+        lo = r.bin * 1_000_000 // CALIB_BINS
+        hi = (r.bin + 1) * 1_000_000 // CALIB_BINS
+        ceil_ppm = 1_000_000 if r.bin == CALIB_BINS - 1 else hi
+        assert lo <= r.mean_pred_ppm <= ceil_ppm
+        assert r.gap_ppm == abs(r.mean_pred_ppm - r.obs_rate_ppm)
+    ece = sum(r.n * r.gap_ppm for r in bins) // n_eval
+    assert summary[0].gap_ppm == ece
