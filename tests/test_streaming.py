@@ -240,10 +240,12 @@ def test_upsert_latest_multibatch_and_state_size(spark):
     )
     assert out.count() == n_users
     assert out.groupBy("user_id").count().filter("count > 1").isEmpty()
+    # same per-(tag, sf, pid) path the sink's scratch_dir call produced;
+    # NOT scratch_dir() itself — calling it here would wipe the checkpoint
     ckpt = os.path.join(
         tempfile.gettempdir(),
         "kpbd_scratch",
-        f"upsert_state_{os.path.basename(SF)}",
+        f"upsert_state_{os.path.basename(SF)}_p{os.getpid()}",
         "_ckpt",
         "offsets",
         "*",
