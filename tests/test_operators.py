@@ -1589,7 +1589,7 @@ def test_sax_words_cover_all_users_with_balanced_symbols(spark):
         below = sum(
             r.n_users * sum(1 for c in r.word if int(c) < j) for r in rows
         )
-        assert below >= (j * n_segments + 3) // 4 - 3  # ceil, bucket-coarse slack
+        assert below >= (j * n_segments + 3) // 4 - 3  # ceil, bucket-width margin
 
 
 def test_isotropy_unit_norms_and_cosine_range(spark):
