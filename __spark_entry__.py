@@ -91,12 +91,12 @@ def _modules():
 # rounds r01..r08 = all 331 then-registered names, every one green. This
 # round adds 11 queries (-> 342 = 328 oracle-backed + 14 rows-only). With no
 # never-verified backlog left, the ~50-name driver window is spent on:
-# (1) the 10 r09 additions, (2) the 4 names whose CODE PATH changed this
+# (1) the 11 r09 additions, (2) the 4 names whose CODE PATH changed this
 # round (the bucketed-layout trio now validates its process-local cache
 # against the live catalog before reuse; q_csv_roundtrip as the
 # representative of the scratch-dir dead-pid pruning shared by the whole
 # roundtrip family — behavior-neutral, re-verify under the driver anyway),
-# then (3) re-verification depth: the 13 rows-only entries (slowest ml_*
+# then (3) re-verification depth: the 14 rows-only entries (slowest ml_*
 # last so the budget drains value-hash names first) and the oldest-verified
 # relational core (last driver-checked in r01/r02).
 _PRIORITY = [
@@ -146,9 +146,11 @@ _PRIORITY = [
     "q_sweep_hours",
     "q_events_hourly",
     # -- slow rows-only tail (2.7-6.6s each at sf0.01) --
+    # (ml_calibration_bins shares this cost class but sits in the r09
+    # new-additions block above — a NEW name must land inside the
+    # driver's ~50-name window; dict construction keeps first position)
     "ml_permutation_importance",
     "ml_classifier_auc",
-    "ml_calibration_bins",
     "ml_quality_classifier",
     "ml_grid_search",
     "ml_incremental_versions",

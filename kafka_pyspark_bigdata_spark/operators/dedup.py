@@ -673,16 +673,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # materialized artifact. Keyed by applicationId so a restarted session
 # (dead checkpoint RDDs) falls through to a rebuild, per the round-8
 # catalog-cache lesson.
-_DUP_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DUP_PAIRS_CACHE: dict[tuple[str, str, float], DataFrame] = {}
 
 
 def dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b) verified near-dup pairs, eagerly checkpointed and
-    cached per (applicationId, sf_dir). See the cache note above."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    cached per (applicationId, normalized sf_dir, documents mtime). The
+    mtime in the key invalidates the cache if documents.parquet is
+    rewritten in place within one application (the staleness class the
+    bucketed-layout cache validates against the live catalog); entries
+    from other applications are evicted so dead-session DataFrames are
+    not pinned for the process lifetime."""
+    import os as _os
+
+    app = spark.sparkContext.applicationId
+    norm = sf_dir.rstrip("/")
+    doc_path = _os.path.join(norm, "documents.parquet")
+    try:
+        mtime = _os.path.getmtime(doc_path)
+    except OSError:
+        mtime = -1.0
+    key = (app, norm, mtime)
     cached = _DUP_PAIRS_CACHE.get(key)
     if cached is not None:
         return cached
+    for stale in [k for k in _DUP_PAIRS_CACHE if k[0] != app or k[:2] == (app, norm)]:
+        del _DUP_PAIRS_CACHE[stale]
     df = (
         dedup_minhash_lsh(spark, sf_dir)
         .select("doc_a", "doc_b")

@@ -4000,11 +4000,9 @@ radius AS (
 # ---------------------------------------------------------------------------
 
 ISO_SCALE = 1_000_000  # normalized components quantized to micros
-# Offset added before the integer division so the dividend is always
-# positive — floor and truncate agree on positives, so Spark's decimal
-# `div` and DuckDB's HUGEINT `//` produce the same quotient even when the
-# mean cosine is negative.
-_ISO_DIV_OFFSET = 2_000_000
+# Signed dividend is fine: Spark's decimal `div` and DuckDB's HUGEINT `//`
+# BOTH truncate toward zero (verified: (-7)//2 = -3 in each), so a
+# negative mean cosine divides identically in the two engines.
 
 
 def emb_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4021,8 +4019,9 @@ def emb_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness contract: each normalized component is quantized to micros
     (``floor(v/‖v‖·10⁶ + 0.5)`` — identical IEEE double sequence in both
     engines, then integer), per-dimension sums accumulate in
-    DECIMAL(38,0)/HUGEINT, and the final ratios are offset integer
-    divisions — no float aggregate anywhere, so the result is
+    DECIMAL(38,0)/HUGEINT, and the final ratios are integer divisions
+    (both engines truncate toward zero, so signed dividends divide
+    identically) — no float aggregate anywhere, so the result is
     engine-exact at any partition count.
 
     Plan shape: ONE embeddings scan → posexplode to (dim, q) → ONE
@@ -4063,10 +4062,8 @@ def emb_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_norm_micro_num").alias("mean_norm_micro"),
         (
             F.expr(
-                f"CAST((sumsq - selfsq + CAST({_ISO_DIV_OFFSET} AS DECIMAL(38,0))"
-                f" * (n_vecs * n_vecs - n_vecs) * {ISO_SCALE})"
+                f"CAST((sumsq - selfsq)"
                 f" div ((n_vecs * n_vecs - n_vecs) * {ISO_SCALE}) AS BIGINT)"
-                f" - {_ISO_DIV_OFFSET}"
             )
         ).alias("mean_cos_ppm"),
         F.expr("CAST(max_abs_s div n_vecs AS BIGINT)").alias("max_dim_bias_micro"),
@@ -4103,10 +4100,9 @@ agg AS (
   FROM dims
 )
 SELECT n_vecs, mean_norm_micro,
-       CAST((sumsq - selfsq + CAST({_ISO_DIV_OFFSET} AS HUGEINT)
-              * (n_vecs * n_vecs - n_vecs) * {ISO_SCALE})
+       CAST((sumsq - selfsq)
             // ((n_vecs * n_vecs - n_vecs) * {ISO_SCALE}) AS BIGINT)
-         - {_ISO_DIV_OFFSET} AS mean_cos_ppm,
+         AS mean_cos_ppm,
        CAST(max_abs_s // n_vecs AS BIGINT) AS max_dim_bias_micro
 FROM agg
 """

@@ -979,11 +979,15 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     |alphabet|^|segments| rows max.
     """
     dense = _dense_daily(spark, sf_dir)
+    # seg feeds THREE branches (bucket counts, the n_total aggregate, and
+    # the symbol assignment); pin it or the densification chain runs 3x
+    # (no cross-branch subplan reuse — the ts_similarity_paa precedent)
     seg = (
         dense.withColumn("seg", F.expr(f"di * {SAX_SEGMENTS} div nd"))
         .groupBy("user_id", "seg")
         .agg(F.sum("v").alias("segsum"))
         .withColumn("bucket", F.expr(f"segsum div {SAX_BUCKET_CENTS}"))
+        .localCheckpoint(eager=False)
     )
     buckets = seg.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)

@@ -2359,10 +2359,17 @@ def q_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     pos_w = Window.partitionBy("file_id").orderBy("o_orderkey")
-    base = orders.select(
-        "*",
-        (F.col("o_orderkey") % DV_N_FILES).alias("file_id"),
-    ).withColumn("pos", F.row_number().over(pos_w) - 1)
+    # base feeds BOTH the deletion-vector build and the masked read; pin
+    # it or the scan + per-file position window runs twice (no
+    # cross-branch subplan reuse)
+    base = (
+        orders.select(
+            "*",
+            (F.col("o_orderkey") % DV_N_FILES).alias("file_id"),
+        )
+        .withColumn("pos", F.row_number().over(pos_w) - 1)
+        .localCheckpoint(eager=False)
+    )
     dv = (
         base.filter(F.col("o_orderkey") % DV_DELETE_MOD == 3)
         .groupBy("file_id")

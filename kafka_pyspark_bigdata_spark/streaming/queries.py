@@ -673,12 +673,22 @@ def streaming_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
+    crashed = False
     try:
         _run()
-        raise AssertionError("injected crash did not fire")  # pragma: no cover
     except Exception as exc:  # noqa: BLE001 — StreamingQueryException expected
         if "injected crash" not in str(exc):
             raise
+        crashed = True
+    if not crashed:
+        # loud failure on a DISTINCT path: the sentinel below must not
+        # share the "injected crash" substring the except clause matches,
+        # or a never-firing injection would be silently swallowed
+        raise AssertionError(
+            "exactly-once protocol not exercised: the failure injection "
+            "never raised (check maxFilesPerTrigger batching and "
+            "EXACTLY_ONCE_FAIL_AT)"
+        )
     _run()  # restart, same checkpoint: replays the failed batch id, guard skips
 
     return (
