@@ -570,6 +570,12 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "gap_ppm", F.abs(F.col("mean_pred_ppm") - F.col("obs_rate_ppm"))
         )
+        # bins feeds both the per-bin output and the ECE row; without a pin
+        # the scored pass (model.transform over the eval split) and the
+        # 10-key aggregation execute twice per action — the cross-branch
+        # plan-duplication trap pinned elsewhere (q_deletion_vectors base,
+        # ts_sax_symbols seg).
+        .localCheckpoint(eager=False)
     )
     ece = bins.agg(
         F.lit(-1).alias("bin"),

@@ -3920,8 +3920,14 @@ def cluster_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    seed = emb.filter(F.col("vec_id") == 0).collect()[0]
-    centers = [(0, seed.q)]  # [(vec_id, quantized components)]
+    seed_rows = emb.filter(F.col("vec_id") == 0).collect()
+    if not seed_rows:
+        # A bare IndexError here would read as an engine crash while the
+        # oracle degrades to missing rows — fail with the actual cause.
+        raise AssertionError(
+            "k-center seed vec_id 0 missing from embeddings at " + sf_dir
+        )
+    centers = [(0, seed_rows[0].q)]  # [(vec_id, quantized components)]
     out_rows = [(0, 0, 0)]  # (round, center_id, sel_dist2)
     for rnd in range(1, KCENTER_K):
         far = (
@@ -4022,7 +4028,10 @@ def emb_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0)/HUGEINT, and the final ratios are integer divisions
     (both engines truncate toward zero, so signed dividends divide
     identically) — no float aggregate anywhere, so the result is
-    engine-exact at any partition count.
+    engine-exact at any partition count. The pair-count divisor is
+    widened to DECIMAL(38,0)/HUGEINT before squaring n_vecs, so the
+    contract holds to n_vecs ≈ 1e16 (a BIGINT divisor would silently
+    wrap at ≈3.04M vectors under non-ANSI Spark).
 
     Plan shape: ONE embeddings scan → posexplode to (dim, q) → ONE
     partial-agg shuffle keyed by dim (d·n_partitions rows cross the wire,
@@ -4061,9 +4070,15 @@ def emb_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         # all per-dim nm/n values are equal (= Σ norm_micro / n_vecs)
         F.col("mean_norm_micro_num").alias("mean_norm_micro"),
         (
+            # n_vecs is widened to DECIMAL(38,0) BEFORE the square so the
+            # divisor never overflows BIGINT (the bare n_vecs*n_vecs*1e6
+            # wraps at n_vecs ≈ 3.04M under non-ANSI Spark while DuckDB
+            # throws — r09 review finding). DECIMAL(38,0)/HUGEINT keeps the
+            # divisor exact up to n_vecs ≈ 1e16, far past any corpus size.
             F.expr(
                 f"CAST((sumsq - selfsq)"
-                f" div ((n_vecs * n_vecs - n_vecs) * {ISO_SCALE}) AS BIGINT)"
+                f" div ((CAST(n_vecs AS DECIMAL(38,0)) * n_vecs - n_vecs)"
+                f" * {ISO_SCALE}) AS BIGINT)"
             )
         ).alias("mean_cos_ppm"),
         F.expr("CAST(max_abs_s div n_vecs AS BIGINT)").alias("max_dim_bias_micro"),
@@ -4101,7 +4116,8 @@ agg AS (
 )
 SELECT n_vecs, mean_norm_micro,
        CAST((sumsq - selfsq)
-            // ((n_vecs * n_vecs - n_vecs) * {ISO_SCALE}) AS BIGINT)
+            // ((CAST(n_vecs AS HUGEINT) * n_vecs - n_vecs) * {ISO_SCALE})
+            AS BIGINT)
          AS mean_cos_ppm,
        CAST(max_abs_s // n_vecs AS BIGINT) AS max_dim_bias_micro
 FROM agg
