@@ -17,6 +17,118 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# SENTINEL set: a fixed cross-family sample measured in a FRESH bare-session
+# subprocess, min-of-3 whole-list passes. The shared 156-query session's
+# totals inflate with JVM code-cache/session-state history (r08-r09: the
+# untouched-query median moved 1.14-1.41x round-over-round with zero plan
+# changes), so the shared total can no longer distinguish a real regression
+# from session tax. The sentinel block is the regression detector: same
+# queries, same fresh-JVM protocol every round — its round-over-round median
+# on untouched queries should move <5%. NEVER grow or reorder this list
+# (that would break comparability); add new families to the shared headline
+# list instead.
+SENTINEL = [
+    # TPC-H / relational core
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "q_window_top_orders",
+    # lakehouse
+    "q_cdc_diff",
+    # mining
+    "q_market_basket_pairs",
+    # dedup
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    # ANN / embeddings
+    "ann_topk_bruteforce",
+    "ann_ivf",
+    # graph
+    "graph_label_propagation",
+    # text
+    "text_tfidf_topterms",
+    "text_cooccurrence_pairs",
+    # timeseries
+    "ts_sax_symbols",
+    # quality
+    "quality_gopher_rules",
+    # streaming (fixed-overhead shape: stable, which a sentinel wants)
+    "streaming_count_batcher",
+]
+
+_SENTINEL_MARK = "SENTINEL_RESULT_JSON:"
+
+
+def sentinel_child() -> None:
+    """Run the sentinel set in THIS (fresh) process: warm-up at sf0.001,
+    then 3 timed whole-list passes at $SPARK_GRAFT_SF_DIR, min-of-3.
+    Prints one marked JSON line for the parent to parse."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from kafka_pyspark_bigdata_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench-sentinel")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    names = [n for n in SENTINEL if n in qs]
+    errors: dict[str, str] = {}
+    spark.range(1000).selectExpr("sum(id)").collect()
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir):
+        for name in names:
+            try:
+                qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"warmup: {type(exc).__name__}: {exc}"[:300]
+    passes: list[dict[str, float]] = []
+    for _ in range(3):
+        pass_t: dict[str, float] = {}
+        for name in names:
+            if name in errors:
+                continue
+            t0 = time.time()
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                pass_t[name] = round(time.time() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"run: {type(exc).__name__}: {exc}"[:300]
+        passes.append(pass_t)
+    timings = {
+        name: min(p[name] for p in passes if name in p)
+        for name in names
+        if any(name in p for p in passes) and name not in errors
+    }
+    out = {
+        "queries": timings,
+        "total": round(sum(timings.values()), 3),
+        "passes": passes,
+        "protocol": "fresh bare-session subprocess; min-of-3 whole-list passes",
+    }
+    if errors:
+        out["errors"] = errors
+    print(_SENTINEL_MARK + json.dumps(out))
+
+
+def run_sentinel_subprocess() -> dict:
+    """Spawn the sentinel measurement in a fresh JVM and parse its block."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--sentinel-child"],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith(_SENTINEL_MARK):
+            return json.loads(line[len(_SENTINEL_MARK):])
+    return {
+        "error": f"sentinel child produced no result (rc={proc.returncode}): "
+        + (proc.stderr or proc.stdout)[-300:]
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from kafka_pyspark_bigdata_spark.session import get_spark
@@ -271,6 +383,13 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
+
+    # Sentinel block: fresh-JVM min-of-3 over the fixed cross-family set —
+    # the number that IS comparable round-over-round (the shared total
+    # above carries the session-state tax of the whole 150+-query history).
+    # SPARK_GRAFT_NO_SENTINEL=1 skips it for quick iteration runs.
+    if os.environ.get("SPARK_GRAFT_NO_SENTINEL") != "1":
+        payload["sentinel"] = run_sentinel_subprocess()
     # Full per-query map as a committed on-disk artifact: the driver's
     # stdout window truncates long lines from the head (r04 kept only 69
     # of 122 per-query timings), so the durable per-query record lives
@@ -320,8 +439,15 @@ def main() -> None:
         "n_errors": len(errors),
         "sf": float(sf),
     }
+    sent = payload.get("sentinel")
+    if isinstance(sent, dict) and "total" in sent:
+        summary["sentinel_total"] = sent["total"]
+        summary["sentinel_n"] = len(sent.get("queries", {}))
     print(json.dumps(summary))
 
 
 if __name__ == "__main__":
-    main()
+    if "--sentinel-child" in sys.argv:
+        sentinel_child()
+    else:
+        main()

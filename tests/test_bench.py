@@ -50,11 +50,21 @@ def test_bench_runs_clean_and_prints_one_json_line(tmp_path):
     assert short["metric"] == "headline_queries_total_wall"
     assert short["value"] == d["value"] and short["sf"] == d["sf"]
     assert short["n_queries"] == len(d["queries"]) and short["n_errors"] == 0
-    assert len(proc.stdout.splitlines()[-1]) < 200
+    # Sentinel contract: the fresh-JVM min-of-3 block ran, produced a
+    # per-query map with zero errors, and its total surfaces on the short
+    # summary line the driver's tail window captures.
+    sent = d["sentinel"]
+    assert "errors" not in sent, sent.get("errors", sent.get("error"))
+    assert sent["total"] > 0 and len(sent["passes"]) == 3
+    assert len(sent["queries"]) >= 14
+    assert short["sentinel_total"] == sent["total"]
+    assert short["sentinel_n"] == len(sent["queries"])
+    assert len(proc.stdout.splitlines()[-1]) < 260
     # the redirected detail artifact exists, parses, and carries both passes
     with open(detail) as fh:
         dd = json.load(fh)
     assert dd["value"] == d["value"] and len(dd["passes"]) == 2
+    assert dd["sentinel"]["total"] == sent["total"]
 
 
 def test_registry_has_no_cross_module_name_collisions():
