@@ -203,6 +203,7 @@ def main() -> None:
         # the ANN set).
         "corpus_quality_floor",
         "quality_gopher_rules",
+        "quality_gopher_repetition",
         "text_source_divergence",
         "text_keyphrase_rake",
         "corpus_cap_per_source",

@@ -485,12 +485,419 @@ FROM rules GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# quality_gopher_repetition — the Gopher repetition-filter battery
+# ---------------------------------------------------------------------------
+
+# Rae et al. 2021, Appendix A1.1 — the REPETITION half of the MassiveText
+# battery (the 5 quality rules live in quality_gopher_rules above):
+# duplicate line / paragraph fraction, duplicate line / paragraph CHARACTER
+# fraction, top 2/3/4-gram character fraction, duplicated 5- and 10-gram
+# character fraction. Thresholds are the published maxima, held as ppm
+# integers so the keep verdict is pure integer comparison.
+GOPHER_REP_MAX_PPM = {
+    "dup_line_ppm": 300_000,        # duplicate-line fraction <= 0.30
+    "dup_para_ppm": 300_000,        # duplicate-paragraph fraction <= 0.30
+    "dup_line_char_ppm": 200_000,   # chars in duplicate lines <= 0.20
+    "dup_para_char_ppm": 200_000,   # chars in duplicate paragraphs <= 0.20
+    "top2_char_ppm": 200_000,       # top 2-gram char share <= 0.20
+    "top3_char_ppm": 180_000,       # top 3-gram char share <= 0.18
+    "top4_char_ppm": 160_000,       # top 4-gram char share <= 0.16
+    "dup5_char_ppm": 150_000,       # chars in duplicated 5-grams <= 0.15
+    "dup10_char_ppm": 100_000,      # chars in duplicated 10-grams <= 0.10
+}
+GREP_LINE = 5    # tokens per synthetic "line"
+GREP_PARA = 10   # tokens per synthetic "paragraph"
+GREP_TOP_NS = (2, 3, 4)
+GREP_DUP_NS = (5, 10)
+
+
+def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher REPETITION filter battery (Rae et al. 2021, Appendix
+    A1.1 — the half that quality_gopher_rules does not cover): per
+    document, the duplicate line / paragraph fraction, the duplicate
+    line / paragraph character fraction, the share of characters claimed
+    by the single most frequent 2/3/4-gram, and the fraction of
+    characters covered by ANY duplicated 5- and 10-gram — the filters
+    every published pretraining pipeline (MassiveText, RefinedWeb,
+    FineWeb) runs to drop looped generations and boilerplate.
+
+    Fixture adaptation (same precedent as text_pii_scrub's synthetic
+    contact header): the word-soup corpus has no newlines and almost no
+    natural long-range repeats, so "lines" are consecutive 5-token
+    chunks, "paragraphs" consecutive 10-token chunks, and every 4th
+    document is DETERMINISTICALLY prefixed with a copy of its own first
+    10 tokens (doc_id % 4 = 0; identical expression in the oracle) —
+    simulating the looped-generation pathology the battery exists to
+    catch, chunk-aligned so line/paragraph duplicates actually occur.
+    Character fractions are over token characters (separators excluded).
+
+    Exactness: every metric is an integer ppm (counts x 10^6 div totals,
+    both engines truncating toward zero); the per-doc keep verdict
+    compares those integers against the published thresholds held in
+    GOPHER_REP_MAX_PPM. No floats anywhere.
+
+    Plan shape: one documents scan. The line/paragraph metrics never
+    leave the row: equal chunk strings have equal character counts, so
+    the duplicate-char sum is a sorted-adjacency fold over the in-row
+    chunk array (array_sort + element_at compare — no explode, no
+    window, no shuffle). Only the n-gram half shuffles, and every one
+    of its exchanges is keyed by doc_id (or doc_id+gram), so no key can
+    run hot across documents and the query scales with corpus size, not
+    vocabulary. Duplicate-gram coverage returns to the row as a
+    start-position array and the covered-character sum is an in-row
+    fold over the token-length array — the dup_spans islands pattern
+    without its extra shuffle, because Gopher coverage only needs the
+    char SUM, not the spans.
+    """
+    docs = with_tokens(load_documents(spark, sf_dir)).select("doc_id", "toks")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.slice("toks", 1, GREP_PARA), F.col("toks")),
+        )
+        .otherwise(F.col("toks"))
+        .alias("toks"),
+    )
+    base = aug.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n_toks"),
+        F.aggregate(
+            F.transform("toks", F.length),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("total_chars"),
+    # base feeds chunk frames, the gram frame, the coverage join and the
+    # final assembly — pin it so the tokenize tree derives once.
+    ).localCheckpoint(eager=False)
+
+    def chunk_sorted(width: int):
+        # sorted array of the doc's consecutive width-token chunk strings
+        k = F.expr(f"(n_toks + {width - 1}) div {width}")
+        return F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), (k - 1).cast("int")),
+                lambda i: F.array_join(
+                    F.slice("toks", (i * width + 1).cast("int"), width), " "
+                ),
+            )
+        )
+
+    def chunk_stats(prefix: str):
+        # duplicate occurrences sit adjacent after the sort; equal chunk
+        # strings have equal char counts, so dup chars = Σ chars of each
+        # element equal to its left neighbour (chars = len minus spaces)
+        col = f"_{prefix}_sorted"
+        n = F.size(col)
+        dchars = F.when(
+            n >= 2,
+            F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(2), n),
+                    lambda i: F.when(
+                        F.element_at(F.col(col), i)
+                        == F.element_at(F.col(col), i - 1),
+                        F.length(
+                            F.replace(
+                                F.element_at(F.col(col), i), F.lit(" "), F.lit("")
+                            )
+                        ).cast("bigint"),
+                    ).otherwise(F.lit(0).cast("bigint")),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ),
+        ).otherwise(F.lit(0).cast("bigint"))
+        return [
+            n.alias(f"{prefix}_n"),
+            F.size(F.array_distinct(F.col(col))).alias(f"{prefix}_nd"),
+            dchars.alias(f"{prefix}_dchars"),
+        ]
+
+    chunked = base.select(
+        "doc_id",
+        "n_toks",
+        "total_chars",
+        chunk_sorted(GREP_LINE).alias("_line_sorted"),
+        chunk_sorted(GREP_PARA).alias("_para_sorted"),
+    ).select(
+        "doc_id",
+        "n_toks",
+        "total_chars",
+        *chunk_stats("line"),
+        *chunk_stats("para"),
+    )
+
+    def gram_arr(n: int):
+        return F.when(
+            F.col("n_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_toks") - n),
+                lambda s: F.struct(
+                    F.lit(n).alias("gn"),
+                    s.cast("int").alias("s"),
+                    F.array_join(
+                        F.slice("toks", (s + 1).cast("int"), n), " "
+                    ).alias("gram"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<gn:int,s:int,gram:string>>"))
+
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.flatten(F.array(*[gram_arr(n) for n in GREP_TOP_NS + GREP_DUP_NS]))
+        ).alias("g"),
+    ).select("doc_id", "g.gn", "g.s", "g.gram")
+
+    # ONE count aggregation serves both halves (top shares and duplicate
+    # coverage); pinned so the gram-generation tree derives once.
+    counts = (
+        grams.groupBy("doc_id", "gn", "gram")
+        .agg(F.count(F.lit(1)).alias("c"), F.collect_list("s").alias("ss"))
+        .localCheckpoint(eager=False)
+    )
+    top_w = Window.partitionBy("doc_id", "gn").orderBy(
+        F.desc("c"), F.desc("gram")
+    )
+    tops = (
+        counts.filter(F.col("gn") <= max(GREP_TOP_NS))
+        .select("doc_id", "gn", "gram", "c")
+        .withColumn("rn", F.row_number().over(top_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "gn",
+            # top n-gram's char claim = occurrences x its token chars
+            (F.col("c") * (F.length("gram") - (F.col("gn") - 1))).alias("claim"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("gn") == n, F.col("claim"))).alias(f"top{n}_claim")
+                for n in GREP_TOP_NS
+            ]
+        )
+    )
+
+    starts = (
+        counts.filter(
+            (F.col("gn") >= min(GREP_DUP_NS)) & (F.col("c") >= 2)
+        )
+        .groupBy("doc_id", "gn")
+        .agg(F.flatten(F.collect_list("ss")).alias("starts"))
+    )
+    cov = (
+        starts.join(base.select("doc_id", "toks", "n_toks"), "doc_id")
+        .select(
+            "doc_id",
+            "gn",
+            F.aggregate(
+                F.zip_with(
+                    F.sequence(F.lit(0), F.col("n_toks") - 1),
+                    F.transform("toks", F.length),
+                    lambda p, ln: F.when(
+                        F.exists(
+                            "starts",
+                            lambda st: (p >= st) & (p <= st + F.col("gn") - 1),
+                        ),
+                        ln,
+                    ).otherwise(0),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).alias("cov_chars"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("gn") == n, F.col("cov_chars"))).alias(
+                    f"dup{n}_chars"
+                )
+                for n in GREP_DUP_NS
+            ]
+        )
+    )
+
+    out = (
+        chunked
+        .join(tops, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            "total_chars",
+            F.expr("(line_n - line_nd) * 1000000 div line_n").alias("dup_line_ppm"),
+            F.expr("line_dchars * 1000000 div total_chars").alias(
+                "dup_line_char_ppm"
+            ),
+            F.expr("(para_n - para_nd) * 1000000 div para_n").alias("dup_para_ppm"),
+            F.expr("para_dchars * 1000000 div total_chars").alias(
+                "dup_para_char_ppm"
+            ),
+            *[
+                F.expr(
+                    f"coalesce(top{n}_claim, 0) * 1000000 div total_chars"
+                ).alias(f"top{n}_char_ppm")
+                for n in GREP_TOP_NS
+            ],
+            *[
+                F.expr(
+                    f"coalesce(dup{n}_chars, 0) * 1000000 div total_chars"
+                ).alias(f"dup{n}_char_ppm")
+                for n in GREP_DUP_NS
+            ],
+        )
+    )
+    keep = F.when(
+        F.lit(True)
+        & (F.col("dup_line_ppm") <= GOPHER_REP_MAX_PPM["dup_line_ppm"])
+        & (F.col("dup_para_ppm") <= GOPHER_REP_MAX_PPM["dup_para_ppm"])
+        & (F.col("dup_line_char_ppm") <= GOPHER_REP_MAX_PPM["dup_line_char_ppm"])
+        & (F.col("dup_para_char_ppm") <= GOPHER_REP_MAX_PPM["dup_para_char_ppm"])
+        & (F.col("top2_char_ppm") <= GOPHER_REP_MAX_PPM["top2_char_ppm"])
+        & (F.col("top3_char_ppm") <= GOPHER_REP_MAX_PPM["top3_char_ppm"])
+        & (F.col("top4_char_ppm") <= GOPHER_REP_MAX_PPM["top4_char_ppm"])
+        & (F.col("dup5_char_ppm") <= GOPHER_REP_MAX_PPM["dup5_char_ppm"])
+        & (F.col("dup10_char_ppm") <= GOPHER_REP_MAX_PPM["dup10_char_ppm"]),
+        1,
+    ).otherwise(0)
+    return out.withColumn("keep", keep).orderBy("doc_id")
+
+
+def _gopher_rep_sql() -> str:
+    line, para = GREP_LINE, GREP_PARA
+    gram_union = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, toks, {n} AS gn, UNNEST(range(n_toks - {n} + 1)) AS s"
+        f" FROM base WHERE n_toks >= {n}"
+        for n in GREP_TOP_NS + GREP_DUP_NS
+    )
+    chunk_ctes = []
+    for width, prefix in ((line, "line"), (para, "para")):
+        chunk_ctes.append(f"""
+{prefix}s AS (
+  SELECT doc_id, idx,
+         array_to_string(toks[idx*{width}+1 : idx*{width}+{width}], ' ') AS cstr,
+         CAST(list_sum(list_transform(toks[idx*{width}+1 : idx*{width}+{width}],
+              t -> length(t))) AS BIGINT) AS cchars
+  FROM (SELECT doc_id, toks,
+               UNNEST(range((n_toks + {width - 1}) // {width})) AS idx
+        FROM base)
+),
+{prefix}a AS (
+  SELECT doc_id, COUNT(*) AS {prefix}_n,
+         COUNT(DISTINCT cstr) AS {prefix}_nd,
+         CAST(COALESCE(SUM(CASE WHEN rn >= 2 THEN cchars ELSE 0 END), 0)
+              AS BIGINT) AS {prefix}_dchars
+  FROM (SELECT doc_id, cstr, cchars,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, cstr ORDER BY idx) AS rn
+        FROM {prefix}s)
+  GROUP BY doc_id
+)""")
+    top_cols = ",\n         ".join(
+        f"MAX(CASE WHEN gn = {n} THEN claim END) AS top{n}_claim"
+        for n in GREP_TOP_NS
+    )
+    cov_cols = ",\n         ".join(
+        f"MAX(CASE WHEN gn = {n} THEN cov_chars END) AS dup{n}_chars"
+        for n in GREP_DUP_NS
+    )
+    keep_pred = " AND ".join(
+        f"{col} <= {mx}" for col, mx in GOPHER_REP_MAX_PPM.items()
+    )
+    final_ppm = ",\n       ".join(
+        [
+            "(line_n - line_nd) * 1000000 // line_n AS dup_line_ppm",
+            "line_dchars * 1000000 // total_chars AS dup_line_char_ppm",
+            "(para_n - para_nd) * 1000000 // para_n AS dup_para_ppm",
+            "para_dchars * 1000000 // total_chars AS dup_para_char_ppm",
+        ]
+        + [
+            f"COALESCE(top{n}_claim, 0) * 1000000 // total_chars"
+            f" AS top{n}_char_ppm"
+            for n in GREP_TOP_NS
+        ]
+        + [
+            f"COALESCE(dup{n}_chars, 0) * 1000000 // total_chars"
+            f" AS dup{n}_char_ppm"
+            for n in GREP_DUP_NS
+        ]
+    )
+    return f"""
+WITH docs0 AS (SELECT doc_id, {TOKENS_SQL} AS toks0 FROM documents),
+docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN toks0[1:{para}] || toks0 ELSE toks0 END
+           AS toks
+  FROM docs0
+),
+base AS (
+  SELECT doc_id, toks, len(toks) AS n_toks,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+           AS total_chars
+  FROM docs
+),{",".join(chunk_ctes)},
+grams AS (
+  SELECT doc_id, gn, s,
+         array_to_string(toks[s+1 : s+gn], ' ') AS gram
+  FROM (
+    {gram_union}
+  )
+),
+tops AS (
+  SELECT doc_id, {top_cols}
+  FROM (
+    SELECT doc_id, gn,
+           c * (length(gram) - (gn - 1)) AS claim,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, gn
+                              ORDER BY c DESC, gram DESC) AS rn
+    FROM (SELECT doc_id, gn, gram, COUNT(*) AS c FROM grams
+          WHERE gn <= {max(GREP_TOP_NS)} GROUP BY doc_id, gn, gram)
+  ) WHERE rn = 1 GROUP BY doc_id
+),
+dupstarts AS (
+  SELECT doc_id, gn, list(s) AS starts FROM (
+    SELECT doc_id, gn, s,
+           COUNT(*) OVER (PARTITION BY doc_id, gn, gram) AS c
+    FROM grams WHERE gn >= {min(GREP_DUP_NS)}
+  ) WHERE c >= 2 GROUP BY doc_id, gn
+),
+cov AS (
+  SELECT doc_id, {cov_cols}
+  FROM (
+    SELECT b.doc_id, st.gn,
+           CAST(list_sum(list_transform(range(b.n_toks),
+                p -> CASE WHEN len(list_filter(st.starts,
+                                x -> p >= x AND p <= x + st.gn - 1)) > 0
+                          THEN length(b.toks[p+1]) ELSE 0 END))
+                AS BIGINT) AS cov_chars
+    FROM base b JOIN dupstarts st USING (doc_id)
+  ) GROUP BY doc_id
+)
+SELECT *, CASE WHEN {keep_pred} THEN 1 ELSE 0 END AS keep FROM (
+  SELECT b.doc_id, b.n_toks, b.total_chars,
+       {final_ppm}
+  FROM base b
+  JOIN linea USING (doc_id)
+  JOIN paraa USING (doc_id)
+  LEFT JOIN tops USING (doc_id)
+  LEFT JOIN cov USING (doc_id)
+) ORDER BY doc_id
+"""
+
+
+QUALITY_GOPHER_REP_SQL = _gopher_rep_sql()
+
+
 QUERIES = {
     "corpus_quality_floor": corpus_quality_floor,
     "corpus_filter_verdict": corpus_filter_verdict,
     "text_repetition": text_repetition,
     "text_pii_scrub": text_pii_scrub,
     "quality_gopher_rules": quality_gopher_rules,
+    "quality_gopher_repetition": quality_gopher_repetition,
 }
 
 ORACLES = {
@@ -499,4 +906,5 @@ ORACLES = {
     "text_repetition": TEXT_REPETITION_SQL,
     "text_pii_scrub": TEXT_PII_SQL,
     "quality_gopher_rules": QUALITY_GOPHER_SQL,
+    "quality_gopher_repetition": QUALITY_GOPHER_REP_SQL,
 }

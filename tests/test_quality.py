@@ -92,3 +92,59 @@ def test_gopher_rules_match_python_reference(spark):
         for r in quality.quality_gopher_rules(spark, SF_SMOKE).collect()
     }
     assert got == dict(expect)
+
+
+def test_gopher_repetition_invariants(spark):
+    """All ppm metrics live in [0, 1e6]; the keep verdict recomputes
+    exactly from the ppm columns and thresholds; every augmented doc
+    (its own first paragraph prepended) fails the battery."""
+    rows = quality.quality_gopher_repetition(spark, SF_SMOKE).collect()
+    assert rows
+    ppm_cols = list(quality.GOPHER_REP_MAX_PPM)
+    for r in rows:
+        for c in ppm_cols:
+            assert 0 <= r[c] <= 1_000_000, (r.doc_id, c, r[c])
+        expect_keep = int(
+            all(r[c] <= quality.GOPHER_REP_MAX_PPM[c] for c in ppm_cols)
+        )
+        assert r.keep == expect_keep, r
+        if r.doc_id % 4 == 0 and r.n_toks >= 2 * quality.GREP_PARA:
+            # prefix copy == first paragraph duplicated -> battery fails
+            assert r.dup_para_ppm > 0 and r.keep == 0, r
+
+
+def test_gopher_repetition_python_reference(spark):
+    """Recompute dup_line_ppm and dup5_char_ppm in plain Python on the
+    raw fixture (same augmentation) and compare bit-for-bit."""
+    import collections
+
+    import duckdb as _dd
+
+    rows = _dd.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    L, P = quality.GREP_LINE, quality.GREP_PARA
+    expect = {}
+    for doc_id, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        if doc_id % 4 == 0:
+            toks = toks[:P] + toks
+        n = len(toks)
+        total = sum(len(t) for t in toks)
+        lines = [" ".join(toks[i * L : i * L + L]) for i in range((n + L - 1) // L)]
+        dup_line_ppm = (len(lines) - len(set(lines))) * 1_000_000 // len(lines)
+        g = 5
+        cnt = collections.Counter(
+            tuple(toks[s : s + g]) for s in range(n - g + 1)
+        )
+        covered = set()
+        for s in range(n - g + 1):
+            if cnt[tuple(toks[s : s + g])] >= 2:
+                covered.update(range(s, s + g))
+        cov_chars = sum(len(toks[p]) for p in covered)
+        expect[doc_id] = (dup_line_ppm, cov_chars * 1_000_000 // total)
+    got = {
+        r.doc_id: (r.dup_line_ppm, r.dup5_char_ppm)
+        for r in quality.quality_gopher_repetition(spark, SF_SMOKE).collect()
+    }
+    assert got == expect

@@ -91,6 +91,8 @@ PROBES = [
     "ts_sax_symbols",            # equi-depth symbolization words
     "cluster_kcenter_greedy",    # K broadcast scans, zero corpus shuffles
     "graph_hyperball_nf",        # KMV register merge per round
+    "ml_calibration_bins",       # scored pass + 10-key agg (rows-only op)
+    "quality_gopher_repetition", # in-row chunk/gram gen + doc-keyed aggs
 ]
 
 
