@@ -224,6 +224,7 @@ def main() -> None:
         "ann_ivf",
         "emb_mrl_recall",
         "emb_pca_power_iter",
+        "emb_abtt_postprocess",
         "semdedup_bucketed",
         "mm_decode_image",
         # dedup_embedding_lsh is correctness-gated but not a headline: at

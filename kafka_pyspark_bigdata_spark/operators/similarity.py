@@ -4124,9 +4124,363 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# emb_abtt_postprocess — All-but-the-Top anisotropy removal (Mu & Viswanath)
+# ---------------------------------------------------------------------------
+
+ABTT_SCALE = 1 << 10   # embedding quantization grid for the exact linear algebra
+ABTT_V_SCALE = 1 << 10  # iterate normalization target (power-iteration rounds)
+ABTT_ITERS = 3
+
+
+def emb_abtt_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-Top post-processing (Mu & Viswanath 2018, public):
+    subtract the corpus mean, remove the projection onto the TOP
+    principal direction, and report the isotropy gain — the standard
+    fix for the anisotropy emb_isotropy_score diagnoses (contextual
+    embeddings live in a narrow cone; removing the common direction
+    restores cosine contrast for dedup/ANN thresholds).
+
+    One-row report: ``n_vecs``, ``top_var_ppm`` (share of centered
+    variance held by the removed direction), ``mean_cos_ppm_before``
+    (identical formula and quantization to emb_isotropy_score — the
+    two queries cross-check), and ``mean_cos_ppm_after`` (the same
+    collapse on the post-processed unit vectors).
+
+    Exactness: embeddings quantize once to the 2^10 grid; the corpus
+    mean rounds to that grid sign-safely ((2|s|+n) div (2n), negated
+    back); the top direction comes from 3 unrolled power-iteration
+    rounds on the CENTERED integer matrix (the emb_pca_power_iter
+    machinery) with per-dim reductions in DECIMAL(38,0)/HUGEINT so the
+    z-sums cannot wrap at corpus n; the projection removal
+    w' = w − (w·v)·v_d div (v·v) is truncating integer division (both
+    engines truncate toward zero); unit components re-quantize through
+    the shared sqrt-then-floor recipe (sqrt is bit-identical IEEE in
+    both engines); and the final ratios are integer divisions with
+    DECIMAL-widened divisors. No float aggregate anywhere.
+
+    Scale shape: the model state (64-long mean, then the 64-long
+    iterate per round) travels as driver literals — the k-means
+    pattern; each power round is one 64-key partial-agg shuffle over
+    the pinned exploded frame; the post-processing itself is a pure
+    map pass (all array HOFs in-row) ending in ONE dim-keyed
+    partial-agg shuffle that carries before+after moments together.
+    At 100 TB: 1 + ITERS·1 + 1 tiny-key shuffles total, state never
+    exceeds 64 integers.
+
+    Reference parity: reference repo has no embedding post-processing;
+    this extends the pipeline family (SURVEY.md LLM-ops mandate).
+    """
+    emb = parallelize_scan(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+            f" * {ABTT_SCALE}, 0) AS BIGINT))"
+        ).alias("xq"),
+    ).localCheckpoint(eager=False)
+
+    mu_rows = (
+        emb.select(F.posexplode("xq").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "dim",
+            "n",
+            F.expr(
+                "CAST(CASE WHEN s >= 0 THEN (2*s + n) div (2*n)"
+                " ELSE -((2*(-s) + n) div (2*n)) END AS BIGINT)"
+            ).alias("mu"),
+        )
+        .collect()
+    )
+    mu = [0] * EMB_DIM
+    for r in mu_rows:
+        mu[r.dim] = int(r.mu)
+    mu_arr = "array(" + ",".join(str(c) for c in mu) + ")"
+
+    # centered integer matrix, exploded once for the power rounds
+    e = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(f"zip_with(xq, {mu_arr}, (a, b) -> a - b)")
+        ).alias("dim", "w"),
+    ).localCheckpoint()
+
+    v = [1] * EMB_DIM
+    for _ in range(ABTT_ITERS):
+        arr = F.array(*[F.lit(int(c)) for c in v])
+        y = (
+            e.withColumn("vc", arr[F.col("dim")])
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("w") * F.col("vc")).alias("y"))
+        )
+        z_rows = (
+            e.join(y, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    (F.col("w") * F.col("y")).cast("decimal(38,0)")
+                ).alias("z")
+            )
+            .collect()
+        )
+        z = [0] * EMB_DIM
+        for r in z_rows:
+            z[r.dim] = int(r.z)
+        mz = max(abs(c) for c in z)
+        v = [
+            (1 if c > 0 else -1) * ((abs(c) * ABTT_V_SCALE) // mz) if c else 0
+            for c in z
+        ]
+    v_arr = "array(" + ",".join(str(int(c)) for c in v) + ")"
+    vv = sum(int(c) * int(c) for c in v)
+
+    norm_b = norm_expr("embedding")
+    rows = (
+        emb.select(
+            "embedding",
+            F.expr(f"zip_with(xq, {mu_arr}, (a, b) -> a - b)").alias("w"),
+        )
+        .select(
+            "embedding",
+            "w",
+            F.expr(
+                f"aggregate(zip_with(w, {v_arr}, (a, b) -> a * b),"
+                f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("proj"),
+            F.expr(
+                "aggregate(w, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+            ).alias("wss"),
+        )
+        .select(
+            "embedding",
+            "proj",
+            "wss",
+            F.expr(
+                f"zip_with(w, {v_arr},"
+                f" (a, b) -> a - (proj * b) div {vv})"
+            ).alias("w2"),
+        )
+        .select(
+            "proj",
+            "wss",
+            F.transform(
+                "embedding",
+                lambda u: F.floor(
+                    u.cast("double") / norm_b * ISO_SCALE + F.lit(0.5)
+                ).cast("bigint"),
+            ).alias("qb"),
+            F.expr(
+                f"transform(w2, x -> CAST(floor(CAST(x AS DOUBLE)"
+                f" / sqrt(CAST(aggregate(w2, CAST(0 AS BIGINT),"
+                f" (a, y) -> a + y * y) AS DOUBLE))"
+                f" * {ISO_SCALE} + 0.5) AS BIGINT))"
+            ).alias("qa"),
+        )
+    )
+    ex = rows.select(
+        F.posexplode(F.arrays_zip("qb", "qa")).alias("dim", "z"),
+        "proj",
+        "wss",
+    )
+    dims = ex.groupBy("dim").agg(
+        F.sum(F.col("z.qb").cast("decimal(38,0)")).alias("sb"),
+        F.sum((F.col("z.qb") * F.col("z.qb")).cast("decimal(38,0)")).alias("ssb"),
+        F.sum(F.col("z.qa").cast("decimal(38,0)")).alias("sa"),
+        F.sum((F.col("z.qa") * F.col("z.qa")).cast("decimal(38,0)")).alias("ssa"),
+        # per-row scalars ride the dim-0 slice so they sum once per vector
+        F.sum(
+            F.when(
+                F.col("dim") == 0, (F.col("proj") * F.col("proj")).cast("decimal(38,0)")
+            )
+        ).alias("p2"),
+        F.sum(
+            F.when(F.col("dim") == 0, F.col("wss").cast("decimal(38,0)"))
+        ).alias("w2s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return dims.agg(
+        F.max("n").cast("bigint").alias("n_vecs"),
+        F.sum(F.col("sb") * F.col("sb")).alias("sumsq_b"),
+        F.sum("ssb").alias("selfsq_b"),
+        F.sum(F.col("sa") * F.col("sa")).alias("sumsq_a"),
+        F.sum("ssa").alias("selfsq_a"),
+        F.max("p2").alias("p2"),
+        F.max("w2s").alias("w2s"),
+    ).select(
+        "n_vecs",
+        F.expr(f"CAST(p2 * 1000000 div (w2s * {vv}) AS BIGINT)").alias(
+            "top_var_ppm"
+        ),
+        F.expr(
+            f"CAST((sumsq_b - selfsq_b)"
+            f" div ((CAST(n_vecs AS DECIMAL(38,0)) * n_vecs - n_vecs)"
+            f" * {ISO_SCALE}) AS BIGINT)"
+        ).alias("mean_cos_ppm_before"),
+        F.expr(
+            f"CAST((sumsq_a - selfsq_a)"
+            f" div ((CAST(n_vecs AS DECIMAL(38,0)) * n_vecs - n_vecs)"
+            f" * {ISO_SCALE}) AS BIGINT)"
+        ).alias("mean_cos_ppm_after"),
+    )
+
+
+def _abtt_sql() -> str:
+    xq = (
+        f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+        f" * {ABTT_SCALE}, 0) AS BIGINT))"
+    )
+    ctes = [
+        f"""e0 AS (
+  SELECT vec_id, embedding, {xq} AS xq FROM embeddings
+)""",
+    ]
+    ctes.append("""mudim AS (
+  SELECT dim, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS n,
+         CAST(CASE WHEN SUM(x) >= 0 THEN (2*SUM(x) + COUNT(*)) // (2*COUNT(*))
+              ELSE -((2*(-SUM(x)) + COUNT(*)) // (2*COUNT(*))) END AS BIGINT)
+           AS mu
+  FROM (
+    SELECT UNNEST(generate_series(1, len(xq))) - 1 AS dim, UNNEST(xq) AS x
+    FROM e0
+  )
+  GROUP BY dim
+)""")
+    ctes.append(
+        """mul AS (SELECT list(mu ORDER BY dim) AS mus FROM mudim)"""
+    )
+    ctes.append(
+        """ce AS (
+  SELECT vec_id, UNNEST(generate_series(1, len(w))) - 1 AS dim, UNNEST(w) AS w
+  FROM (
+    SELECT vec_id,
+           list_transform(list_zip(xq, mus), z -> z[1] - z[2]) AS w
+    FROM e0, mul
+  )
+)"""
+    )
+    prev = f"SELECT UNNEST(range(0, {EMB_DIM})) AS dim, CAST(1 AS BIGINT) AS vc"
+    ctes.append(f"v0 AS ({prev})")
+    for i in range(ABTT_ITERS):
+        ctes.append(
+            f"y{i} AS (\n"
+            f"  SELECT ce.vec_id, CAST(SUM(ce.w * v.vc) AS BIGINT) AS y\n"
+            f"  FROM ce JOIN v{i} v USING (dim)\n"
+            f"  GROUP BY ce.vec_id)"
+        )
+        ctes.append(
+            f"z{i} AS (\n"
+            f"  SELECT ce.dim, CAST(SUM(CAST(ce.w AS HUGEINT) * y{i}.y)"
+            f" AS HUGEINT) AS z\n"
+            f"  FROM ce JOIN y{i} USING (vec_id)\n"
+            f"  GROUP BY ce.dim)"
+        )
+        ctes.append(
+            f"v{i + 1} AS (\n"
+            f"  SELECT dim, CAST(CASE WHEN z = 0 THEN 0 ELSE\n"
+            f"    (CASE WHEN z > 0 THEN 1 ELSE -1 END)\n"
+            f"    * ((abs(z) * {ABTT_V_SCALE}) // (SELECT MAX(abs(z)) FROM z{i}))\n"
+            f"    END AS BIGINT) AS vc\n"
+            f"  FROM z{i})"
+        )
+    ctes.append(
+        f"vrow AS (SELECT list(vc ORDER BY dim) AS vs,"
+        f" CAST(SUM(vc * vc) AS BIGINT) AS vv FROM v{ABTT_ITERS})"
+    )
+    ctes.append(
+        """r1 AS (
+  SELECT vec_id, embedding,
+         list_transform(list_zip(xq, mus), z -> z[1] - z[2]) AS w
+  FROM e0, mul
+)"""
+    )
+    ctes.append(
+        """r2 AS (
+  SELECT vec_id, embedding, w, vs, vv,
+         CAST(list_sum(list_transform(list_zip(w, vs),
+              z -> z[1] * z[2])) AS BIGINT) AS proj,
+         CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT) AS wss
+  FROM r1, vrow
+)"""
+    )
+    ctes.append(
+        """r3 AS (
+  SELECT vec_id, embedding, proj, wss,
+         list_transform(list_zip(w, vs),
+              z -> z[1] - (proj * z[2]) // vv) AS w2
+  FROM r2
+)"""
+    )
+    ctes.append(
+        f"""r4 AS (
+  SELECT vec_id, proj, wss,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE)
+                / sqrt(list_sum(list_transform(embedding,
+                       u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))
+                * {ISO_SCALE} + 0.5) AS BIGINT)) AS qb,
+         list_transform(w2,
+           x -> CAST(floor(CAST(x AS DOUBLE)
+                / sqrt(CAST(list_sum(list_transform(w2, y -> y * y)) AS DOUBLE))
+                * {ISO_SCALE} + 0.5) AS BIGINT)) AS qa
+  FROM r3
+)"""
+    )
+    ctes.append(
+        """ex AS (
+  SELECT UNNEST(generate_series(1, len(qb))) - 1 AS dim,
+         UNNEST(qb) AS qb, UNNEST(qa) AS qa, proj, wss
+  FROM r4
+)"""
+    )
+    ctes.append(
+        """dims AS (
+  SELECT dim,
+         CAST(SUM(qb) AS HUGEINT) AS sb, CAST(SUM(qb * qb) AS HUGEINT) AS ssb,
+         CAST(SUM(qa) AS HUGEINT) AS sa, CAST(SUM(qa * qa) AS HUGEINT) AS ssa,
+         CAST(SUM(CASE WHEN dim = 0 THEN CAST(proj AS HUGEINT) * proj END)
+              AS HUGEINT) AS p2,
+         CAST(SUM(CASE WHEN dim = 0 THEN CAST(wss AS HUGEINT) END)
+              AS HUGEINT) AS w2s,
+         COUNT(*) AS n
+  FROM ex GROUP BY dim
+)"""
+    )
+    ctes.append(
+        """agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_vecs,
+         SUM(sb * sb) AS sumsq_b, SUM(ssb) AS selfsq_b,
+         SUM(sa * sa) AS sumsq_a, SUM(ssa) AS selfsq_a,
+         MAX(p2) AS p2, MAX(w2s) AS w2s
+  FROM dims
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT n_vecs,
+       CAST(p2 * 1000000 // (w2s * vv) AS BIGINT)
+         AS top_var_ppm,
+       CAST((sumsq_b - selfsq_b)
+            // ((CAST(n_vecs AS HUGEINT) * n_vecs - n_vecs) * {ISO_SCALE})
+            AS BIGINT) AS mean_cos_ppm_before,
+       CAST((sumsq_a - selfsq_a)
+            // ((CAST(n_vecs AS HUGEINT) * n_vecs - n_vecs) * {ISO_SCALE})
+            AS BIGINT) AS mean_cos_ppm_after
+FROM agg, vrow
+"""
+    )
+
+
+EMB_ABTT_SQL = _abtt_sql()
+
+
 QUERIES = {
     "cluster_kcenter_greedy": cluster_kcenter_greedy,
     "emb_isotropy_score": emb_isotropy_score,
+    "emb_abtt_postprocess": emb_abtt_postprocess,
     "emb_zscore_outliers": emb_zscore_outliers,
     "ann_topk_gemm": ann_topk_gemm,
     "emb_bitpack_hamming_topk": emb_bitpack_hamming_topk,
@@ -4168,6 +4522,7 @@ QUERIES = {
 ORACLES = {
     "cluster_kcenter_greedy": _kcenter_sql(),
     "emb_isotropy_score": EMB_ISOTROPY_SQL,
+    "emb_abtt_postprocess": EMB_ABTT_SQL,
     "emb_zscore_outliers": _zscore_sql(),
     "ann_topk_gemm": ANN_GEMM_SQL,
     "emb_bitpack_hamming_topk": EMB_HAMMING_SQL,

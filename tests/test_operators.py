@@ -1607,6 +1607,24 @@ def test_isotropy_unit_norms_and_cosine_range(spark):
     assert r == again
 
 
+def test_abtt_crosschecks_isotropy_and_reduces_mean_cosine(spark):
+    """emb_abtt_postprocess's `before` column uses the identical formula
+    and quantization as emb_isotropy_score, so the two must agree
+    bit-for-bit; the removed top direction must hold at least ~an
+    average dim's variance share; and post-processing must end with a
+    smaller mean cosine (for centered unit vectors the expectation is
+    ≈ −1/(n−1), strictly below the raw corpus's)."""
+    from kafka_pyspark_bigdata_spark.operators.similarity import EMB_DIM
+
+    sf = "/root/testdata/sf0.001"
+    r = similarity.emb_abtt_postprocess(spark, sf).collect()[0]
+    iso = similarity.emb_isotropy_score(spark, sf).collect()[0]
+    assert r.mean_cos_ppm_before == iso.mean_cos_ppm
+    assert r.n_vecs == iso.n_vecs
+    assert 1_000_000 // (2 * EMB_DIM) <= r.top_var_ppm <= 1_000_000
+    assert -1_000_000 <= r.mean_cos_ppm_after < r.mean_cos_ppm_before
+
+
 def test_kcenter_radius_ladder_is_monotone(spark):
     """Gonzalez invariant: each newly selected center is the farthest
     point, so selection distances are non-increasing, and the final

@@ -93,6 +93,7 @@ PROBES = [
     "graph_hyperball_nf",        # KMV register merge per round
     "ml_calibration_bins",       # scored pass + 10-key agg (rows-only op)
     "quality_gopher_repetition", # in-row chunk/gram gen + doc-keyed aggs
+    "emb_abtt_postprocess",      # centered power rounds + dim-keyed collapse
 ]
 
 
