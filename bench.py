@@ -247,6 +247,7 @@ def main() -> None:
         "cluster_kcenter_greedy",
         "ann_multiprobe_lsh",
         "ann_ivf_nprobe_recall",
+        "ann_ivf_spill",
         "emb_cka_alignment",
         "q_compaction_plan",
         "q_interval_overlap_join",

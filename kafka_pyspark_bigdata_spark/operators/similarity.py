@@ -1427,6 +1427,229 @@ GROUP BY a.nprobe ORDER BY a.nprobe
 
 
 # ---------------------------------------------------------------------------
+# ann_ivf_spill — SPANN-style boundary replication (closure assignment)
+# ---------------------------------------------------------------------------
+
+SPILL_EPS = 0.05  # additive cosine margin for closure assignment
+SPILL_MAX = 3     # max lists a corpus vector may join
+
+
+def ann_ivf_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPANN-style boundary replication for IVF (Chen et al. 2021,
+    public): assign each corpus vector not only to its nearest centroid
+    but to EVERY centroid within an additive cosine margin of the best
+    (capped at SPILL_MAX lists), so vectors near a Voronoi boundary
+    live in all the lists a nearby query might probe. The query then
+    probes a SINGLE list — SPANN's pitch is that closure assignment
+    buys multi-probe recall at single-probe query cost, paying with a
+    bounded storage blowup instead of query fan-out.
+
+    Emits one row per config — ``baseline`` (classic 1-list assignment)
+    and ``spill`` (closure assignment) — with the posting count, the
+    replication factor in ppm, and recall@{k} against the brute-force
+    ground truth, both at nprobe=1. The delta between the two rows IS
+    the storage-for-recall trade.
+
+    Scale shape: identical to ann_ivf up to assignment (broadcast
+    centroids, ONE small-struct shuffle per corpus vector — the rank
+    and best-sim ride the same vec_id window); postings fan out at most
+    SPILL_MAX×; config fan-out is an in-row array filter (no join);
+    candidates stay |Q|-bounded broadcast equi-joins. At 100 TB the
+    only growth vs ann_ivf is the ≤3× posting-list storage — exactly
+    the knob SPANN trades.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_expr("embedding").alias("en")
+    )
+    cents = emb.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").alias("centv"),
+        F.col("en").alias("cn"),
+    )
+    sims = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "en",
+        "cid",
+        cosine_from_parts(
+            dot_expr("embedding", "centv"), F.col("en"), F.col("cn")
+        ).alias("sim"),
+    )
+    wv = Window.partitionBy("vec_id")
+    ranked = sims.select(
+        "vec_id",
+        "embedding",
+        "en",
+        "cid",
+        "sim",
+        F.row_number()
+        .over(wv.orderBy(F.desc("sim"), F.asc("cid")))
+        .alias("rn"),
+        F.max("sim").over(wv).alias("best"),
+    )
+    postings = ranked.filter(
+        (F.col("rn") == 1)
+        | (
+            (F.col("rn") <= SPILL_MAX)
+            & (F.col("sim") >= F.col("best") - SPILL_EPS)
+        )
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("en").alias("cvn"),
+        F.col("cid").alias("list_id"),
+        (F.col("rn") == 1).alias("is_primary"),
+    ).localCheckpoint(eager=False)
+
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probes = (
+        sims.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("en").alias("qn"),
+            "cid",
+            "sim",
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "qv", "qn", F.col("cid").alias("list_id"))
+    )
+    cfgs = F.array(F.lit("baseline"), F.lit("spill"))
+    cand = (
+        F.broadcast(probes)
+        .join(postings, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_parts(
+                dot_expr("qv", "cv"), F.col("qn"), F.col("cvn")
+            ).alias("cosine"),
+            F.explode(
+                F.filter(
+                    cfgs,
+                    lambda c: (c == F.lit("spill")) | F.col("is_primary"),
+                )
+            ).alias("config"),
+        )
+    )
+    wl = Window.partitionBy("config", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    approx = (
+        cand.withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= TOP_K)
+        .select("config", "query_id", "neighbor_id")
+    )
+    bf = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    total = bf.agg(F.count(F.lit(1)).alias("bf_total"))
+    store = postings.select(
+        F.explode(
+            F.filter(cfgs, lambda c: (c == F.lit("spill")) | F.col("is_primary"))
+        ).alias("config")
+    ).groupBy("config").agg(F.count(F.lit(1)).alias("n_postings"))
+    n_vecs = postings.filter("is_primary").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    return (
+        approx.join(bf, ["query_id", "neighbor_id"], "left")
+        .groupBy("config")
+        .agg(
+            F.count(F.lit(1)).alias("n_sel"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .join(store, "config")
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(n_vecs))
+        .select(
+            "config",
+            "n_postings",
+            F.expr("n_postings * 1000000 DIV n_vecs").alias("repl_ppm"),
+            "n_sel",
+            "n_hits",
+            F.expr("n_hits * 1000000 DIV bf_total").alias("recall_ppm"),
+        )
+        .orderBy("config")
+    )
+
+
+def _ann_ivf_spill_sql() -> str:
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_NLIST}
+),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_cos_sql('e.embedding', 'c.cv')} AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT vec_id, embedding, cid, sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn,
+         MAX(sim) OVER (PARTITION BY vec_id) AS best
+  FROM sims
+),
+postings AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, cid AS list_id,
+         (rn = 1) AS is_primary
+  FROM ranked
+  WHERE rn = 1 OR (rn <= {SPILL_MAX} AND sim >= best - {SPILL_EPS})
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cid AS list_id FROM (
+    SELECT vec_id, embedding, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims WHERE vec_id < {N_QUERIES}
+  ) WHERE rn = 1
+),
+cfg AS (SELECT UNNEST(['baseline', 'spill']) AS config),
+cand AS (
+  SELECT cfg.config, p.query_id, t.neighbor_id,
+         {_cos_sql('p.qv', 't.cv')} AS cosine
+  FROM probes p
+  JOIN postings t USING (list_id)
+  JOIN cfg ON cfg.config = 'spill' OR t.is_primary
+  WHERE p.query_id <> t.neighbor_id
+),
+approx AS (
+  SELECT config, query_id, neighbor_id FROM (
+    SELECT config, query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY config, query_id ORDER BY cosine DESC, neighbor_id
+           ) AS rank
+    FROM cand
+  ) WHERE rank <= {TOP_K}
+),
+store AS (
+  SELECT cfg.config, COUNT(*) AS n_postings
+  FROM postings t JOIN cfg ON cfg.config = 'spill' OR t.is_primary
+  GROUP BY cfg.config
+),
+nv AS (SELECT COUNT(*) AS n_vecs FROM postings WHERE is_primary),
+bf AS ({{bf}}),
+total AS (SELECT COUNT(*) AS bf_total FROM bf)
+SELECT a.config,
+       ANY_VALUE(store.n_postings) AS n_postings,
+       CAST(ANY_VALUE(store.n_postings) * 1000000 // ANY_VALUE(nv.n_vecs)
+            AS BIGINT) AS repl_ppm,
+       COUNT(*) AS n_sel,
+       CAST(SUM(CASE WHEN bf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST((SUM(CASE WHEN bf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+            // ANY_VALUE(total.bf_total) AS BIGINT) AS recall_ppm
+FROM approx a
+LEFT JOIN bf ON a.query_id = bf.query_id AND a.neighbor_id = bf.neighbor_id
+JOIN store ON store.config = a.config
+CROSS JOIN nv
+CROSS JOIN total
+GROUP BY a.config ORDER BY a.config
+""".replace("{bf}", ANN_TOPK_SQL.strip())
+
+
+# ---------------------------------------------------------------------------
 # Matryoshka truncation recall (dimension-reduction quality eval)
 # ---------------------------------------------------------------------------
 
@@ -4481,6 +4704,7 @@ QUERIES = {
     "cluster_kcenter_greedy": cluster_kcenter_greedy,
     "emb_isotropy_score": emb_isotropy_score,
     "emb_abtt_postprocess": emb_abtt_postprocess,
+    "ann_ivf_spill": ann_ivf_spill,
     "emb_zscore_outliers": emb_zscore_outliers,
     "ann_topk_gemm": ann_topk_gemm,
     "emb_bitpack_hamming_topk": emb_bitpack_hamming_topk,
@@ -4523,6 +4747,7 @@ ORACLES = {
     "cluster_kcenter_greedy": _kcenter_sql(),
     "emb_isotropy_score": EMB_ISOTROPY_SQL,
     "emb_abtt_postprocess": EMB_ABTT_SQL,
+    "ann_ivf_spill": _ann_ivf_spill_sql(),
     "emb_zscore_outliers": _zscore_sql(),
     "ann_topk_gemm": ANN_GEMM_SQL,
     "emb_bitpack_hamming_topk": EMB_HAMMING_SQL,

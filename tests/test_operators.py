@@ -1625,6 +1625,31 @@ def test_abtt_crosschecks_isotropy_and_reduces_mean_cosine(spark):
     assert -1_000_000 <= r.mean_cos_ppm_after < r.mean_cos_ppm_before
 
 
+def test_ivf_spill_dominates_baseline_at_equal_probe_cost(spark):
+    """Closure assignment makes every query's candidate set a superset
+    of the baseline's, and anything that displaces a true top-k hit must
+    itself be a true top-k member — so spill recall can never be lower.
+    Replication stays within [1, SPILL_MAX]x and baseline is exactly 1x."""
+    from kafka_pyspark_bigdata_spark.operators.similarity import (
+        N_QUERIES,
+        SPILL_MAX,
+        TOP_K,
+    )
+
+    rows = {
+        r.config: r
+        for r in similarity.ann_ivf_spill(spark, "/root/testdata/sf0.001").collect()
+    }
+    base, spill = rows["baseline"], rows["spill"]
+    assert base.repl_ppm == 1_000_000
+    assert 1_000_000 <= spill.repl_ppm <= SPILL_MAX * 1_000_000
+    assert spill.n_postings >= base.n_postings
+    assert spill.n_hits >= base.n_hits
+    for r in rows.values():
+        assert r.n_sel <= N_QUERIES * TOP_K
+        assert 0 <= r.recall_ppm <= 1_000_000
+
+
 def test_kcenter_radius_ladder_is_monotone(spark):
     """Gonzalez invariant: each newly selected center is the farthest
     point, so selection distances are non-increasing, and the final

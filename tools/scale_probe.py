@@ -94,6 +94,7 @@ PROBES = [
     "ml_calibration_bins",       # scored pass + 10-key agg (rows-only op)
     "quality_gopher_repetition", # in-row chunk/gram gen + doc-keyed aggs
     "emb_abtt_postprocess",      # centered power rounds + dim-keyed collapse
+    "ann_ivf_spill",             # closure-assignment postings + 1-probe recall
 ]
 
 
