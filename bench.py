@@ -161,6 +161,7 @@ def main() -> None:
         "q_ivm_join_delta",
         "q_ivm_agg_retract",
         "q_deletion_vectors",
+        "q_partition_evolution",
         "q_join_skew_audit",
         "q_retention_sweep",
         "q_quantiles_exact",

@@ -2427,7 +2427,136 @@ FROM read GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# q_partition_evolution — Iceberg-style partition-spec evolution pruning
+# ---------------------------------------------------------------------------
+
+# The table's partitioning changed mid-history (Iceberg partition-spec
+# evolution, public): files written before PE_PIVOT carry spec 0 (one file
+# per YEAR of o_orderdate); files written after carry spec 1 (one file per
+# YEAR-MONTH). A reader must prune each file under ITS OWN spec — the
+# manifest semantics that let Iceberg evolve partitioning without rewriting
+# old data.
+PE_PIVOT = "1998-01-01"
+PE_LO = "1997-03-15"   # day-granular predicate straddling the pivot
+PE_HI = "1999-08-20"
+PE_Y_LO, PE_Y_HI = 1997, 1999
+PE_YM_LO, PE_YM_HI = 1997 * 12 + 3, 1999 * 12 + 8
+
+
+def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution scan (the Iceberg metadata pattern): the
+    orders table's older files are partitioned by year, newer files by
+    year-month, and a day-granular date-range query prunes each file
+    under the spec it was written with — coarse files survive pruning
+    whole years, fine files prune to months. Emits one row per spec
+    with the manifest-level pruning stats and a correctness proof:
+    ``n_matched_missed`` counts predicate-matching rows living in files
+    the pruner skipped, and must be 0 (pruning is lossless), while the
+    matched revenue from the pruned scan is the number a full-scan
+    query would return.
+
+    The file layout is derived deterministically from the data (the
+    compaction-planner precedent): partition values are functions of
+    each row, so the manifest is a groupBy and the per-row scan/match
+    flags reproduce exactly what a manifest-driven reader would do.
+
+    Scale shape: ONE orders scan computing spec, partition value, and
+    the two flags in-row, then one partial-agg shuffle keyed by the
+    2-value spec id; the manifest statistics aggregate alongside via
+    distinct-file conditional counts. At 100 TB the manifest is
+    metadata (one row per file) and the pruned scan reads only
+    ``files_scanned`` — the whole point of carrying the spec per file.
+    """
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        (F.col("o_orderdate") < F.to_timestamp(F.lit(PE_PIVOT))).alias("old"),
+        F.col("o_orderdate").between(
+            F.to_timestamp(F.lit(PE_LO)), F.to_timestamp(F.lit(PE_HI))
+        ).alias("matched"),
+    )
+    rows = ords.select(
+        F.when(F.col("old"), 0).otherwise(1).alias("spec_id"),
+        F.when(
+            F.col("old"), F.concat(F.lit("s0-"), F.col("y"))
+        )
+        .otherwise(
+            F.concat(F.lit("s1-"), F.col("y"), F.lit("-"), F.col("m"))
+        )
+        .alias("file_key"),
+        # prune decision under the FILE'S OWN spec
+        F.when(
+            F.col("old"), F.col("y").between(PE_Y_LO, PE_Y_HI)
+        )
+        .otherwise(
+            (F.col("y") * 12 + F.col("m")).between(PE_YM_LO, PE_YM_HI)
+        )
+        .alias("scanned"),
+        "matched",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return (
+        rows.groupBy("spec_id")
+        .agg(
+            F.count_distinct("file_key").alias("n_files"),
+            F.count_distinct(
+                F.when(F.col("scanned"), F.col("file_key"))
+            ).alias("n_files_scanned"),
+            F.count(F.lit(1)).alias("rows_total"),
+            F.sum(F.col("scanned").cast("bigint")).alias("rows_scanned"),
+            F.sum(F.col("matched").cast("bigint")).alias("n_matched"),
+            F.sum(
+                (F.col("matched") & ~F.col("scanned")).cast("bigint")
+            ).alias("n_matched_missed"),
+            F.sum(
+                F.when(F.col("matched") & F.col("scanned"), F.col("cents")).otherwise(
+                    0
+                )
+            ).alias("matched_cents"),
+        )
+        .orderBy("spec_id")
+    )
+
+
+PARTITION_EVOLUTION_SQL = f"""
+WITH rows_ AS (
+  SELECT CASE WHEN o_orderdate < TIMESTAMP '{PE_PIVOT}' THEN 0 ELSE 1 END
+           AS spec_id,
+         CASE WHEN o_orderdate < TIMESTAMP '{PE_PIVOT}'
+              THEN 's0-' || CAST(year(o_orderdate) AS VARCHAR)
+              ELSE 's1-' || CAST(year(o_orderdate) AS VARCHAR) || '-'
+                   || CAST(month(o_orderdate) AS VARCHAR) END AS file_key,
+         CASE WHEN o_orderdate < TIMESTAMP '{PE_PIVOT}'
+              THEN year(o_orderdate) BETWEEN {PE_Y_LO} AND {PE_Y_HI}
+              ELSE year(o_orderdate) * 12 + month(o_orderdate)
+                   BETWEEN {PE_YM_LO} AND {PE_YM_HI} END AS scanned,
+         o_orderdate BETWEEN TIMESTAMP '{PE_LO}' AND TIMESTAMP '{PE_HI}'
+           AS matched,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT spec_id,
+       CAST(COUNT(DISTINCT file_key) AS BIGINT) AS n_files,
+       CAST(COUNT(DISTINCT CASE WHEN scanned THEN file_key END) AS BIGINT)
+         AS n_files_scanned,
+       COUNT(*) AS rows_total,
+       CAST(SUM(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN matched AND NOT scanned THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched_missed,
+       CAST(SUM(CASE WHEN matched AND scanned THEN cents ELSE 0 END) AS BIGINT)
+         AS matched_cents
+FROM rows_ GROUP BY spec_id ORDER BY spec_id
+"""
+
+
 QUERIES = {
+    "q_partition_evolution": q_partition_evolution,
     "q_deletion_vectors": q_deletion_vectors,
     "q_delta_log_replay": q_delta_log_replay,
     "q_bitemporal_asof": q_bitemporal_asof,
@@ -2457,6 +2586,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_partition_evolution": PARTITION_EVOLUTION_SQL,
     "q_deletion_vectors": DELETION_VECTORS_SQL,
     "q_delta_log_replay": DELTA_LOG_SQL,
     "q_bitemporal_asof": BTEMP_ASOF_SQL,

@@ -423,3 +423,26 @@ def test_deletion_vectors_mask_equals_predicate_rewrite(spark):
         "o_orderkey", (F.col("o_orderkey") % n_files).alias("file_id")
     )
     assert base.select("file_id").distinct().count() <= n_files
+
+
+def test_partition_evolution_pruning_is_lossless_and_finer_spec_tighter(spark):
+    """Manifest pruning under each file's own spec must never lose a
+    predicate-matching row (n_matched_missed == 0), can only scan a
+    subset of files/rows, and the month-grained spec must over-scan at
+    most as badly as the year-grained spec (cross-multiplied to stay in
+    integers)."""
+    rows = {
+        r.spec_id: r
+        for r in lakehouse.q_partition_evolution(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        assert r.n_matched_missed == 0
+        assert r.n_files_scanned <= r.n_files
+        assert r.n_matched <= r.rows_scanned <= r.rows_total
+        assert r.matched_cents > 0
+    s0, s1 = rows[0], rows[1]
+    # finer partitioning: scanned/matched ratio no worse than coarse spec
+    assert s1.rows_scanned * s0.n_matched <= s0.rows_scanned * s1.n_matched

@@ -95,6 +95,7 @@ PROBES = [
     "quality_gopher_repetition", # in-row chunk/gram gen + doc-keyed aggs
     "emb_abtt_postprocess",      # centered power rounds + dim-keyed collapse
     "ann_ivf_spill",             # closure-assignment postings + 1-probe recall
+    "q_partition_evolution",     # per-spec manifest pruning, one scan + 2-key agg
 ]
 
 
