@@ -205,6 +205,7 @@ def main() -> None:
         "corpus_quality_floor",
         "quality_gopher_rules",
         "quality_gopher_repetition",
+        "quality_ccnet_buckets",
         "text_source_divergence",
         "text_keyphrase_rake",
         "corpus_cap_per_source",

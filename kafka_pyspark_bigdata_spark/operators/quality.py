@@ -891,6 +891,131 @@ SELECT *, CASE WHEN {keep_pred} THEN 1 ELSE 0 END AS keep FROM (
 QUALITY_GOPHER_REP_SQL = _gopher_rep_sql()
 
 
+# ---------------------------------------------------------------------------
+# quality_ccnet_buckets — CCNet-style per-language perplexity terciles
+# ---------------------------------------------------------------------------
+
+
+def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020, public): score
+    every document with a language-model fluency proxy, then cut each
+    LANGUAGE's documents into score terciles — head (most fluent,
+    usually kept), middle (kept for diversity), tail (dropped or
+    down-weighted). Per-language cuts are the point: absolute
+    perplexity is not comparable across languages, so CCNet buckets
+    within each one.
+
+    The score is the corpus bigram-frequency proxy from
+    ``text_bigram_lm_score`` (mean corpus frequency of the doc's
+    adjacent bigrams, ppm — exact integers, no log sums); documents too
+    short to score (< 2 tokens) are excluded, as CCNet excludes
+    unscoreable docs. Output: one row per (lang, bucket) with document
+    and character totals and the bucket's score range; ntile over the
+    deterministic (score DESC, doc_id) order makes the cut
+    engine-exact.
+
+    Scale shape: the scoring half is the inverted-LM join (shuffle
+    carries tokens, never token²); the tercile cut is ONE window keyed
+    by lang — at 100 TB that is a per-language sort of doc-level score
+    rows (already aggregated, ~1e9 rows per trillion tokens, not data-
+    sized), the same shape CCNet runs with its fasttext LM scores.
+    """
+    from .text import tokens_expr
+
+    tokd = (
+        load_documents(spark, sf_dir)
+        .select("doc_id", "lang", "n_chars", tokens_expr().alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    doc_bgs = tokd.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    bg_counts = doc_bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("bg_count"))
+    total = bg_counts.agg(F.sum("bg_count").alias("total_bg"))
+    scores = (
+        doc_bgs.join(bg_counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bg_count").alias("sum_counts"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(CAST(sum_counts AS DECIMAL(38,0)) * 1000000"
+                " DIV (n_bigrams * total_bg) AS BIGINT)"
+            ).alias("score_ppm"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score_ppm"), F.asc("doc_id")
+    )
+    bucketed = (
+        tokd.select("doc_id", "lang", "n_chars")
+        .join(scores, "doc_id")
+        .withColumn("tercile", F.ntile(3).over(w))
+        .withColumn(
+            "bucket",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("tercile"),
+            ),
+        )
+    )
+    return (
+        bucketed.groupBy("lang", "tercile", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("score_ppm").alias("min_score_ppm"),
+            F.max("score_ppm").alias("max_score_ppm"),
+        )
+        .orderBy("lang", "tercile")
+    )
+
+
+QUALITY_CCNET_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, n_chars, {TOKENS_SQL} AS toks FROM documents
+),
+tokd AS (SELECT * FROM toks WHERE len(toks) >= 2),
+db AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM tokd, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+),
+bc AS (SELECT bg, COUNT(*) AS bg_count FROM db GROUP BY bg),
+total AS (SELECT SUM(bg_count) AS total_bg FROM bc),
+scores AS (
+  SELECT doc_id,
+         CAST(CAST(SUM(bg_count) AS HUGEINT) * 1000000
+              // (COUNT(*) * ANY_VALUE(total_bg)) AS BIGINT) AS score_ppm
+  FROM db JOIN bc USING (bg), total
+  GROUP BY doc_id
+),
+bucketed AS (
+  SELECT t.lang, t.n_chars, s.score_ppm,
+         NTILE(3) OVER (PARTITION BY t.lang
+                        ORDER BY s.score_ppm DESC, t.doc_id) AS tercile
+  FROM tokd t JOIN scores s USING (doc_id)
+)
+SELECT lang, CAST(tercile AS INTEGER) AS tercile,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(score_ppm) AS min_score_ppm,
+       MAX(score_ppm) AS max_score_ppm
+FROM bucketed GROUP BY lang, tercile ORDER BY lang, tercile
+"""
+
+
 QUERIES = {
     "corpus_quality_floor": corpus_quality_floor,
     "corpus_filter_verdict": corpus_filter_verdict,
@@ -898,6 +1023,7 @@ QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "quality_gopher_rules": quality_gopher_rules,
     "quality_gopher_repetition": quality_gopher_repetition,
+    "quality_ccnet_buckets": quality_ccnet_buckets,
 }
 
 ORACLES = {
@@ -907,4 +1033,5 @@ ORACLES = {
     "text_pii_scrub": TEXT_PII_SQL,
     "quality_gopher_rules": QUALITY_GOPHER_SQL,
     "quality_gopher_repetition": QUALITY_GOPHER_REP_SQL,
+    "quality_ccnet_buckets": QUALITY_CCNET_SQL,
 }

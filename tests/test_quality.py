@@ -148,3 +148,31 @@ def test_gopher_repetition_python_reference(spark):
         for r in quality.quality_gopher_repetition(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_ccnet_buckets_are_balanced_and_ordered(spark):
+    """Per language: tercile sizes differ by at most one (ntile), the
+    score ranges are non-overlapping in bucket order (head's min >=
+    middle's max >= tail's max boundary-wise), and doc counts sum to
+    the number of scoreable (>= 2 token) documents."""
+    import duckdb as _dd
+
+    df = quality.quality_ccnet_buckets(spark, SF_SMOKE)
+    rows = df.collect()
+    assert {r.bucket for r in rows} == {"head", "middle", "tail"}
+    by_lang: dict[str, dict[int, object]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.tercile] = r
+    n_scoreable = _dd.sql(
+        f"SELECT lang, count(*) FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        " WHERE len(list_filter(string_split_regex(lower(text), '\\s+'),"
+        " t -> t <> '')) >= 2 GROUP BY lang"
+    ).fetchall()
+    expect_n = dict(n_scoreable)
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {1, 2, 3}
+        sizes = [buckets[t].n_docs for t in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1
+        assert sum(sizes) == expect_n[lang]
+        assert buckets[1].min_score_ppm >= buckets[2].max_score_ppm
+        assert buckets[2].min_score_ppm >= buckets[3].max_score_ppm

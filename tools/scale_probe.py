@@ -96,6 +96,7 @@ PROBES = [
     "emb_abtt_postprocess",      # centered power rounds + dim-keyed collapse
     "ann_ivf_spill",             # closure-assignment postings + 1-probe recall
     "q_partition_evolution",     # per-spec manifest pruning, one scan + 2-key agg
+    "quality_ccnet_buckets",     # LM-proxy scoring + per-lang ntile cut
 ]
 
 
