@@ -250,6 +250,7 @@ def main() -> None:
         "ann_multiprobe_lsh",
         "ann_ivf_nprobe_recall",
         "ann_ivf_spill",
+        "ann_filtered_search",
         "emb_cka_alignment",
         "q_compaction_plan",
         "q_interval_overlap_join",

@@ -1650,6 +1650,165 @@ GROUP BY a.config ORDER BY a.config
 
 
 # ---------------------------------------------------------------------------
+# ann_filtered_search — filtered vector search: post-filter fan-out curve
+# ---------------------------------------------------------------------------
+
+FILTER_KPRIMES = (5, 10, 20)  # post-filter shortlist depths (k, 2k, 4k)
+
+
+def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — the production ANN case where the query
+    carries a predicate (here: neighbors must share the query's label,
+    ~10% selectivity). The two standard strategies trade differently:
+    PRE-filtering searches only matching vectors (exact recall, but the
+    index must support the predicate); POST-filtering takes a global
+    top-k' shortlist and filters it, losing whatever matching neighbors
+    the shortlist missed (the Filtered-DiskANN / vector-DB literature's
+    core problem, public). This query measures the post-filter recall
+    curve: one row per shortlist depth k' ∈ {FILTER_KPRIMES} with
+    recall against the exact pre-filtered ground truth — the curve that
+    tells you how much shortlist fan-out a given selectivity forces.
+
+    Scale shape: ONE broadcast-query corpus scan scores every
+    (query, neighbor) pair once (the pinned frame feeds both the
+    ground-truth window and the shortlist windows); k'-fan-out is an
+    in-row array filter + explode bounded by max(k') rows per query;
+    everything downstream is |Q|·k'-sized. At 100 TB the scan is the
+    same map-side pass ann_topk_bruteforce makes — the filter adds no
+    exchange.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm_expr("embedding").alias("qn"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        norm_expr("embedding").alias("cn"),
+        F.col("label").alias("n_label"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    wm = Window.partitionBy("query_id", "match").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("q_label") == F.col("n_label")).alias("match"),
+            cosine_from_parts(
+                dot_expr("qv", "cv"), F.col("qn"), F.col("cn")
+            ).alias("cosine"),
+        )
+        .withColumn("rg", F.row_number().over(wq))
+        .withColumn("rm", F.row_number().over(wm))
+        .localCheckpoint(eager=False)
+    )
+    truth = scored.filter(F.col("match") & (F.col("rm") <= TOP_K)).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    total = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    kp_arr = F.array(*[F.lit(k) for k in FILTER_KPRIMES])
+    shortlisted = (
+        scored.filter(F.col("match") & (F.col("rg") <= max(FILTER_KPRIMES)))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.explode(
+                F.filter(kp_arr, lambda kp: kp >= F.col("rg"))
+            ).alias("kprime"),
+        )
+    )
+    wk = Window.partitionBy("kprime", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    approx = (
+        shortlisted.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= TOP_K)
+        .select("kprime", "query_id", "neighbor_id")
+    )
+    return (
+        approx.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("kprime")
+        .agg(
+            F.count(F.lit(1)).alias("n_sel"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "kprime",
+            "n_sel",
+            "n_hits",
+            "n_truth",
+            F.expr("n_hits * 1000000 DIV n_truth").alias("recall_ppm"),
+        )
+        .orderBy("kprime")
+    )
+
+
+ANN_FILTERED_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         (q.q_label = e.label) AS match,
+         {_cos_sql('q.qv', 'e.embedding')} AS cosine
+  FROM q JOIN embeddings e ON q.query_id <> e.vec_id
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rg,
+         ROW_NUMBER() OVER (PARTITION BY query_id, match
+                            ORDER BY cosine DESC, neighbor_id) AS rm
+  FROM scored
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM ranked
+  WHERE match AND rm <= {TOP_K}
+),
+total AS (SELECT COUNT(*) AS n_truth FROM truth),
+shortlisted AS (
+  SELECT kp.kprime, r.query_id, r.neighbor_id, r.cosine
+  FROM ranked r
+  JOIN (SELECT UNNEST([{", ".join(str(k) for k in FILTER_KPRIMES)}]) AS kprime) kp
+    ON r.rg <= kp.kprime
+  WHERE r.match
+),
+approx AS (
+  SELECT kprime, query_id, neighbor_id FROM (
+    SELECT kprime, query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY kprime, query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM shortlisted
+  ) WHERE rank <= {TOP_K}
+)
+SELECT a.kprime,
+       COUNT(*) AS n_sel,
+       CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       ANY_VALUE(total.n_truth) AS n_truth,
+       CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // ANY_VALUE(total.n_truth) AS BIGINT) AS recall_ppm
+FROM approx a
+LEFT JOIN truth t
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+CROSS JOIN total
+GROUP BY a.kprime ORDER BY a.kprime
+"""
+
+
+# ---------------------------------------------------------------------------
 # Matryoshka truncation recall (dimension-reduction quality eval)
 # ---------------------------------------------------------------------------
 
@@ -4705,6 +4864,7 @@ QUERIES = {
     "emb_isotropy_score": emb_isotropy_score,
     "emb_abtt_postprocess": emb_abtt_postprocess,
     "ann_ivf_spill": ann_ivf_spill,
+    "ann_filtered_search": ann_filtered_search,
     "emb_zscore_outliers": emb_zscore_outliers,
     "ann_topk_gemm": ann_topk_gemm,
     "emb_bitpack_hamming_topk": emb_bitpack_hamming_topk,
@@ -4748,6 +4908,7 @@ ORACLES = {
     "emb_isotropy_score": EMB_ISOTROPY_SQL,
     "emb_abtt_postprocess": EMB_ABTT_SQL,
     "ann_ivf_spill": _ann_ivf_spill_sql(),
+    "ann_filtered_search": ANN_FILTERED_SQL,
     "emb_zscore_outliers": _zscore_sql(),
     "ann_topk_gemm": ANN_GEMM_SQL,
     "emb_bitpack_hamming_topk": EMB_HAMMING_SQL,

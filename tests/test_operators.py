@@ -1650,6 +1650,29 @@ def test_ivf_spill_dominates_baseline_at_equal_probe_cost(spark):
         assert 0 <= r.recall_ppm <= 1_000_000
 
 
+def test_filtered_search_prefix_property_and_monotone_recall(spark):
+    """Anything the post-filter selects is a true filtered top-k member
+    (a higher-cosine matched vector always outranks globally too, so the
+    matched shortlist is a prefix of the true matched order) — hence
+    n_hits == n_sel exactly; and recall is non-decreasing in k'."""
+    from kafka_pyspark_bigdata_spark.operators.similarity import (
+        FILTER_KPRIMES,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    rows = similarity.ann_filtered_search(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r.kprime for r in rows] == sorted(FILTER_KPRIMES)
+    for r in rows:
+        assert r.n_hits == r.n_sel
+        assert r.n_sel <= N_QUERIES * TOP_K
+        assert r.n_truth <= N_QUERIES * TOP_K
+    recalls = [r.recall_ppm for r in rows]
+    assert recalls == sorted(recalls)
+
+
 def test_kcenter_radius_ladder_is_monotone(spark):
     """Gonzalez invariant: each newly selected center is the farthest
     point, so selection distances are non-increasing, and the final

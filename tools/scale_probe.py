@@ -97,6 +97,7 @@ PROBES = [
     "ann_ivf_spill",             # closure-assignment postings + 1-probe recall
     "q_partition_evolution",     # per-spec manifest pruning, one scan + 2-key agg
     "quality_ccnet_buckets",     # LM-proxy scoring + per-lang ntile cut
+    "ann_filtered_search",       # one scored pass, k'-fan-out recall curve
 ]
 
 
