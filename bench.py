@@ -301,6 +301,7 @@ def main() -> None:
         "q_merge_upsert",
         "q_recursive_bom",
         "ts_trend_forecast",
+        "ts_holt_linear",
         "geo_knn_join",
         "dedup_record_linkage",
         "corpus_shard_manifest",

@@ -1088,7 +1088,130 @@ FROM words GROUP BY word ORDER BY word
 """
 
 
+# ---------------------------------------------------------------------------
+# ts_holt_linear — double exponential smoothing as an in-row integer fold
+# ---------------------------------------------------------------------------
+
+HOLT_H = 3  # forecast horizon (steps ahead)
+# Smoothing constants as exact rationals: alpha = 1/4, beta = 1/2 —
+# dyadic so every recurrence step is one integer multiply + truncating
+# divide, identical in both engines.
+
+
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per event-type daily
+    revenue series — the classic state-carrying forecaster (Holt 1957,
+    public) that OLS trend lines (ts_trend_forecast) cannot replace
+    when the level drifts: level and trend update RECURSIVELY,
+        l_t = α·s_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    with α=1/4, β=1/2 held as exact dyadic rationals so each step is
+    integer multiply + truncating divide (identical in both engines —
+    no float state, no drift over thousands of steps). Initialization
+    is the standard l₂=s₂, b₂=s₂−s₁; the fold also carries the
+    one-step-ahead SSE (in-sample fit). Output per series: final
+    level/trend, SSE, and the h=1..{H} forecasts l+h·b.
+
+    The recurrence is inherently sequential IN TIME but independent
+    ACROSS series — the shape that matters at 100 TB: each series
+    folds IN-ROW over its sorted value array (Spark `aggregate` HOF
+    with a struct accumulator), so a million series are a million
+    independent map-side folds after ONE (series, day) partial-agg
+    shuffle and one collect_list per series. No UDF, no window over
+    raw events, no driver loop. (The oracle unrolls the same
+    recurrence as a recursive CTE — see the note above TS_HOLT_SQL on
+    the DuckDB list_reduce defect that rules out the fold mirror.)
+
+    Integer ranges: daily cent sums ~1e8 at fixture scale; SSE terms
+    square them (~1e16) and sum over the series — document-bounded at
+    ~1e18 for 100-step series; beyond that the SSE column (alone)
+    saturates BIGINT and would need DECIMAL carry, noted here as the
+    tested bound.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"), _cents("value").alias("cents")
+    )
+    daily = ev.groupBy("event_type", "d").agg(F.sum("cents").alias("v"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "v"))), lambda p: p["v"]
+        ).alias("vals")
+    ).filter(F.size("vals") >= 2)
+    fold = (
+        "aggregate("
+        " slice(vals, 3, size(vals) - 2),"
+        " named_struct("
+        "   'l', element_at(vals, 2),"
+        "   'b', element_at(vals, 2) - element_at(vals, 1),"
+        "   'sse', CAST(0 AS BIGINT)),"
+        " (acc, x) -> named_struct("
+        "   'l', (x + 3 * (acc.l + acc.b)) div 4,"
+        "   'b', (((x + 3 * (acc.l + acc.b)) div 4) - acc.l + acc.b) div 2,"
+        "   'sse', acc.sse + (acc.l + acc.b - x) * (acc.l + acc.b - x)))"
+    )
+    out = series.select(
+        "event_type",
+        F.size("vals").alias("n_obs"),
+        F.expr(fold).alias("st"),
+    ).select(
+        "event_type",
+        "n_obs",
+        F.col("st.l").alias("level_cents"),
+        F.col("st.b").alias("trend_cents"),
+        F.col("st.sse").alias("sse_cents2"),
+        *[
+            (F.col("st.l") + h * F.col("st.b")).alias(f"forecast_h{h}_cents")
+            for h in range(1, HOLT_H + 1)
+        ],
+    )
+    return out.orderBy("event_type")
+
+
+# The natural DuckDB mirror is list_reduce with a struct accumulator, but
+# DuckDB 1.0's list_reduce MISCOMPUTES multi-step folds whose lambda
+# repeats a subexpression (verified: the 3-element fold of the Holt step
+# returns {42,9,41} while two chained 1-element folds of the identical
+# lambda return the correct {42,10,61}). The oracle therefore unrolls the
+# recurrence as a RECURSIVE CTE over the per-series step index — the
+# engine's established pattern for iterative oracles — where the repeated
+# subexpression evaluates correctly.
+TS_HOLT_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+idx AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i
+  FROM daily
+),
+nn AS (SELECT event_type, MAX(i) AS n FROM idx GROUP BY event_type),
+rec AS (
+  SELECT i2.event_type, CAST(2 AS BIGINT) AS t,
+         i2.v AS l, i2.v - i1.v AS b, CAST(0 AS BIGINT) AS sse
+  FROM idx i1
+  JOIN idx i2 ON i1.event_type = i2.event_type AND i1.i = 1 AND i2.i = 2
+  UNION ALL
+  SELECT r.event_type, r.t + 1,
+         (x.v + 3 * (r.l + r.b)) // 4,
+         (((x.v + 3 * (r.l + r.b)) // 4) - r.l + r.b) // 2,
+         r.sse + (r.l + r.b - x.v) * (r.l + r.b - x.v)
+  FROM rec r
+  JOIN idx x ON x.event_type = r.event_type AND x.i = r.t + 1
+)
+SELECT r.event_type, CAST(nn.n AS INTEGER) AS n_obs,
+       r.l AS level_cents, r.b AS trend_cents, r.sse AS sse_cents2,
+       {", ".join(f"r.l + {h} * r.b AS forecast_h{h}_cents" for h in range(1, HOLT_H + 1))}
+FROM rec r JOIN nn USING (event_type)
+WHERE r.t = nn.n AND nn.n >= 2
+ORDER BY r.event_type
+"""
+
+
 QUERIES = {
+    "ts_holt_linear": ts_holt_linear,
     "ts_sax_symbols": ts_sax_symbols,
     "ts_downsample_lttb": ts_downsample_lttb,
     "ts_forecast_eval_mase": ts_forecast_eval_mase,
@@ -1101,6 +1224,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ts_holt_linear": TS_HOLT_SQL,
     "ts_sax_symbols": TS_SAX_SQL,
     "ts_downsample_lttb": TS_LTTB_SQL,
     "ts_forecast_eval_mase": TS_MASE_SQL,

@@ -469,6 +469,54 @@ def test_autocorr_bounded_and_lag0_would_be_one(spark):
             assert v is None or -1.0 <= v <= 1.0
 
 
+def test_holt_linear_matches_python_recurrence(spark):
+    """Recompute the Holt fold in plain Python over the same per-type
+    daily cent series and compare every output column bit-for-bit; the
+    forecasts must be exactly level + h*trend."""
+    import collections
+
+    import duckdb as _dd
+
+    from kafka_pyspark_bigdata_spark.operators.timeseries import HOLT_H
+
+    sf = "/root/testdata/sf0.001"
+    raw = _dd.sql(
+        f"SELECT event_type, CAST(ts AS DATE) AS d,"
+        f" CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)"
+        f" FROM read_parquet('{sf}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    series: dict[str, dict] = collections.defaultdict(dict)
+    for et, d, v in raw:
+        series[et][d] = int(v)
+
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    expect = {}
+    for et, by_day in series.items():
+        vals = [by_day[d] for d in sorted(by_day)]
+        if len(vals) < 2:
+            continue
+        l, b, sse = vals[1], vals[1] - vals[0], 0
+        for x in vals[2:]:
+            pred = l + b
+            sse += (pred - x) * (pred - x)
+            l_new = trunc_div(x + 3 * pred, 4)
+            b = trunc_div(l_new - l + b, 2)
+            l = l_new
+        expect[et] = (len(vals), l, b, sse)
+    rows = timeseries.ts_holt_linear(spark, sf).collect()
+    got = {
+        r.event_type: (r.n_obs, r.level_cents, r.trend_cents, r.sse_cents2)
+        for r in rows
+    }
+    assert got == expect
+    for r in rows:
+        for h in range(1, HOLT_H + 1):
+            assert r[f"forecast_h{h}_cents"] == r.level_cents + h * r.trend_cents
+
+
 def test_stl_components_recompose_exactly(spark):
     """trend + seasonal + remainder must equal the total (in cents) on
     every full-window day, and edge days must be null."""

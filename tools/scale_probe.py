@@ -98,6 +98,7 @@ PROBES = [
     "q_partition_evolution",     # per-spec manifest pruning, one scan + 2-key agg
     "quality_ccnet_buckets",     # LM-proxy scoring + per-lang ntile cut
     "ann_filtered_search",       # one scored pass, k'-fan-out recall curve
+    "ts_holt_linear",            # per-series in-row recurrence fold
 ]
 
 
