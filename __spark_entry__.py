@@ -87,36 +87,30 @@ def _modules():
     return mods
 
 
-# Round-9 rotation. The coverage gate CLOSED in r08: the union of driver
-# rounds r01..r08 = all 331 then-registered names, every one green. This
-# round adds 11 queries (-> 342 = 328 oracle-backed + 14 rows-only). With no
-# never-verified backlog left, the ~50-name driver window is spent on:
-# (1) the 11 r09 additions, (2) the 4 names whose CODE PATH changed this
-# round (the bucketed-layout trio now validates its process-local cache
-# against the live catalog before reuse; q_csv_roundtrip as the
-# representative of the scratch-dir dead-pid pruning shared by the whole
-# roundtrip family — behavior-neutral, re-verify under the driver anyway),
-# then (3) re-verification depth: the 14 rows-only entries (slowest ml_*
-# last so the budget drains value-hash names first) and the oldest-verified
-# relational core (last driver-checked in r01/r02).
+# Round-10 rotation. Coverage remains closed (driver union r01..r09 =
+# all 342 then-registered names, set-equal both directions per VERDICT
+# r09). This round adds 7 oracle-backed queries (-> 349 = 335
+# oracle-backed + 14 rows-only). The ~50-name driver window is spent on:
+# (1) the 7 r10 additions, (2) the 3 names whose CODE PATH changed this
+# round (review fixes: emb_isotropy_score's overflow-safe divisor,
+# cluster_kcenter_greedy's seed guard, ml_calibration_bins' plan pin),
+# then (3) re-verification depth: the rows-only contract entries and
+# the relational/TPC-H core whose last driver check is oldest
+# (r01/r02, re-covered r09 — keep them in the window tail so any
+# driver budget beyond the must-checks lands on the oldest names).
 _PRIORITY = [
-    # -- new in r09 --
-    "dedup_dup_spans_removal",
-    "streaming_exactly_once_sink",
-    "quality_gopher_rules",
+    # -- new in r10 (7) --
+    "quality_gopher_repetition",
+    "emb_abtt_postprocess",
+    "ann_ivf_spill",
+    "q_partition_evolution",
+    "quality_ccnet_buckets",
+    "ann_filtered_search",
+    "ts_holt_linear",
+    # -- code path changed in r10 (review fixes, 3) --
     "emb_isotropy_score",
-    "corpus_soft_dedup_weights",
-    "q_deletion_vectors",
-    "dedup_bbit_minhash",
-    "ts_sax_symbols",
     "cluster_kcenter_greedy",
-    "graph_hyperball_nf",
     "ml_calibration_bins",
-    # -- code path changed in r09 (catalog-cache validation; scratch prune) --
-    "q_bucketed_join",
-    "q_bucketed_reuse",
-    "q_bucketed_agg",
-    "q_csv_roundtrip",
     # -- re-verification depth: rows-only contract entries (fast ones) --
     "streaming_count_batcher",
     "ml_feature_importances",
@@ -126,7 +120,7 @@ _PRIORITY = [
     "ml_lift_deciles",
     "ml_eval_rmse",
     "ml_predict_loaded",
-    # -- re-verification depth: oldest-verified relational/TPC-H core (r01/r02) --
+    # -- re-verification depth: oldest-verified relational/TPC-H core --
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -146,9 +140,6 @@ _PRIORITY = [
     "q_sweep_hours",
     "q_events_hourly",
     # -- slow rows-only tail (2.7-6.6s each at sf0.01) --
-    # (ml_calibration_bins shares this cost class but sits in the r09
-    # new-additions block above — a NEW name must land inside the
-    # driver's ~50-name window; dict construction keeps first position)
     "ml_permutation_importance",
     "ml_classifier_auc",
     "ml_quality_classifier",
