@@ -158,7 +158,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify joins (r07: 2.84 -> 2.38 s at sf0.1 per BENCH_DETAIL.json;
     r08's lazy checkpoint below: 2.38 -> 2.09 s in the driver's own
     BENCH_r08 artifact, meeting the round-6 <= 2.3 s target; output rows
-    identical by construction and re-verified hash-green).
+    identical by construction and re-verified hash-green). The target's
+    measurement protocol is ISOLATED fresh-JVM min-of-3 (r10
+    re-confirmation: 1.832 s, committed in BENCH_NOTES.md); the number
+    inside bench.py's 16-query sentinel context runs ~0.5 s higher from
+    that context's own session state and is compared only
+    round-over-round, never against this target.
     """
     # localCheckpoint: sh feeds five plan branches (inverted index ×2,
     # prefix, verify ×2) — materialize once instead of recomputing the
