@@ -26,6 +26,7 @@ ROWS_ONLY = frozenset({
     "ml_lift_deciles",
     "ml_classifier_auc",
     "ml_calibration_bins",
+    "ml_isotonic_calibration",
     "ml_quality_classifier",
     "ml_permutation_importance",
     "ml_grid_search",
@@ -89,17 +90,18 @@ def _modules():
 
 # Round-10 rotation. Coverage remains closed (driver union r01..r09 =
 # all 342 then-registered names, set-equal both directions per VERDICT
-# r09). This round adds 7 oracle-backed queries (-> 349 = 335
-# oracle-backed + 14 rows-only). The ~50-name driver window is spent on:
-# (1) the 7 r10 additions, (2) the 3 names whose CODE PATH changed this
-# round (review fixes: emb_isotropy_score's overflow-safe divisor,
-# cluster_kcenter_greedy's seed guard, ml_calibration_bins' plan pin),
-# then (3) re-verification depth: the rows-only contract entries and
-# the relational/TPC-H core whose last driver check is oldest
-# (r01/r02, re-covered r09 — keep them in the window tail so any
-# driver budget beyond the must-checks lands on the oldest names).
+# r09). This round adds 9 queries: 8 oracle-backed plus the rows-only
+# ml_isotonic_calibration (-> 351 = 336 oracle-backed + 15 rows-only).
+# The ~50-name driver window is spent on: (1) the 9 r10 additions,
+# (2) the 3 names whose CODE PATH changed this round (review fixes:
+# emb_isotropy_score's overflow-safe divisor, cluster_kcenter_greedy's
+# seed guard, ml_calibration_bins' plan pin), then (3) re-verification
+# depth: the rows-only contract entries and the relational/TPC-H core
+# whose last driver check is oldest (r01/r02, re-covered r09 — keep
+# them in the window tail so any driver budget beyond the must-checks
+# lands on the oldest names).
 _PRIORITY = [
-    # -- new in r10 (7) --
+    # -- new in r10 (9) --
     "quality_gopher_repetition",
     "emb_abtt_postprocess",
     "ann_ivf_spill",
@@ -107,6 +109,8 @@ _PRIORITY = [
     "quality_ccnet_buckets",
     "ann_filtered_search",
     "ts_holt_linear",
+    "dedup_keep_best_quality",
+    "ml_isotonic_calibration",
     # -- code path changed in r10 (review fixes, 3) --
     "emb_isotropy_score",
     "cluster_kcenter_greedy",

@@ -313,6 +313,7 @@ def main() -> None:
         # the minhash pair pipeline twice (pairs + clusters), so timing it
         # times the dedup chain again, not the modularity fold.
         "dedup_exact",
+        "dedup_keep_best_quality",
         "dedup_dup_spans",
         "dedup_dup_spans_removal",
         # streaming_exactly_once_sink is correctness-gated but not a

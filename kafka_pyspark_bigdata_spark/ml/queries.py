@@ -587,6 +587,66 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bins.unionByName(ece).orderBy("bin")
 
 
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the purchase classifier via
+    pool-adjacent-violators (PAV — Zadrozny & Elkan 2002, public): take
+    the reliability-diagram bins from ml_calibration_bins and pool any
+    adjacent bins whose observed positive rate DECREASES with predicted
+    probability, yielding the monotone non-decreasing calibrated rate a
+    downstream threshold can actually trust. Output: the per-bin rows
+    with a ``calibrated_ppm`` column (equal within each pool) and the
+    pool id each bin landed in.
+
+    PAV runs driver-side over the <= CALIB_BINS-row bin table — the
+    model-state pattern (k-means centroids, power-iteration vectors):
+    the data-sized work is ml_calibration_bins' one scored pass + 10-key
+    aggregate; pooling 10 rows is not a distributed problem. Pool means
+    are exact integer rationals (Σ n_i·obs_i) kept unreduced until the
+    final single truncating division per pool. Rows-only contract: the
+    model scores behind the bins are not SQL-derivable (same as
+    ml_calibration_bins); the PAV invariants — monotone calibrated
+    rates, weighted-sum preservation per pool — are pytest-pinned.
+    """
+    bins = [
+        r
+        for r in ml_calibration_bins(spark, sf_dir).collect()
+        if r.bin >= 0
+    ]
+    bins.sort(key=lambda r: r.bin)
+    # PAV on (weight n, value obs_rate_ppm): pool stack of [num, den, idxs]
+    pools: list[list] = []
+    for i, r in enumerate(bins):
+        pools.append([r.n * r.obs_rate_ppm, r.n, [i]])
+        # merge while the previous pool's mean exceeds the new one's
+        while len(pools) >= 2 and (
+            pools[-2][0] * pools[-1][1] > pools[-1][0] * pools[-2][1]
+        ):
+            num, den, idxs = pools.pop()
+            pools[-1][0] += num
+            pools[-1][1] += den
+            pools[-1][2].extend(idxs)
+    out = []
+    for pool_id, (num, den, idxs) in enumerate(pools):
+        cal = num // den
+        for i in idxs:
+            r = bins[i]
+            out.append(
+                (
+                    int(r.bin),
+                    int(r.n),
+                    int(r.mean_pred_ppm),
+                    int(r.obs_rate_ppm),
+                    pool_id,
+                    int(cal),
+                )
+            )
+    return spark.createDataFrame(
+        sorted(out),
+        "bin int, n long, mean_pred_ppm long, obs_rate_ppm long,"
+        " pool_id int, calibrated_ppm long",
+    ).orderBy("bin")
+
+
 def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MODEL-BASED corpus quality filtering (the published
     FineWeb-Edu/phi-style pattern): train a logistic regression on
@@ -813,6 +873,7 @@ QUERIES = {
     "ml_lift_deciles": ml_lift_deciles,
     "ml_classifier_auc": ml_classifier_auc,
     "ml_calibration_bins": ml_calibration_bins,
+    "ml_isotonic_calibration": ml_isotonic_calibration,
     "ml_grid_search": ml_grid_search,
     "ml_feature_importances": ml_feature_importances,
     "ml_eval_rmse": ml_eval_rmse,

@@ -1212,6 +1212,86 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster RESOLUTION: within each near-dup cluster
+    keep the member with the most content (n_chars, ties to the smaller
+    doc_id) instead of dedup_clusters' arbitrary min-id canonical — the
+    published practice (SlimPajama keeps the longest document per
+    duplicate cluster; code-corpus dedups keep by popularity/length) so
+    deduplication removes redundancy without discarding the best copy.
+    One row per cluster: member count, the kept doc and its size, and
+    the characters the drop actually removes — the per-cluster ledger a
+    curation report aggregates.
+
+    Exactness: the argmax is max(struct(n_chars, -doc_id)) mirrored by
+    the oracle's ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id);
+    sums are integer chars.
+
+    Scale shape: everything downstream of the shared ``dup_pairs``
+    chain (amortized once per session) is sized by the CLUSTER table —
+    one doc_id equi-join against documents for n_chars and one
+    cluster-keyed partial agg; the fact table never reshuffles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clusters = dedup_clusters(spark, sf_dir)
+    members = clusters.join(docs, "doc_id")
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))
+            ).alias("m"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            (-F.col("m.nid")).alias("kept_doc_id"),
+            F.col("m.n_chars").alias("kept_chars"),
+            "total_chars",
+            (F.col("total_chars") - F.col("m.n_chars")).alias("dropped_chars"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _keep_best_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.doc_a, reach.r FROM edges e JOIN reach ON e.doc_b = reach.doc_id
+),
+clusters AS (
+  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+),
+members AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT cluster_id,
+       COUNT(*) AS n_members,
+       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_doc_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS kept_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) - MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+         AS dropped_chars
+FROM members GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the near-dup pair graph — the standard
     distributed graph statistic (how CLIQUEY are the dup clusters: chains
@@ -3374,6 +3454,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "corpus_survivorship": corpus_survivorship,
+    "dedup_keep_best_quality": dedup_keep_best_quality,
     "dedup_exact": dedup_exact,
     "dedup_blocked_levenshtein": dedup_blocked_levenshtein,
     "dedup_clusters": dedup_clusters,
@@ -3410,6 +3491,7 @@ ORACLES = {
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_incremental_minhash": _incremental_minhash_sql(),
     "corpus_survivorship": _survivorship_sql(),
+    "dedup_keep_best_quality": _keep_best_sql(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_blocked_levenshtein": DEDUP_LEVENSHTEIN_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,

@@ -401,3 +401,68 @@ def test_calibration_bins_tile_and_ece_recomputes(spark):
         assert r.gap_ppm == abs(r.mean_pred_ppm - r.obs_rate_ppm)
     ece = sum(r.n * r.gap_ppm for r in bins) // n_eval
     assert summary[0].gap_ppm == ece
+
+
+def test_isotonic_calibration_monotone_and_pool_exact(spark):
+    """PAV invariants: calibrated rates are non-decreasing in bin order;
+    within a pool every bin carries the pool's weighted mean (one
+    truncating division of exact integer sums); pools partition the
+    bins contiguously; and bins/counts match ml_calibration_bins."""
+    from kafka_pyspark_bigdata_spark.ml.queries import (
+        ml_calibration_bins,
+        ml_isotonic_calibration,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = ml_isotonic_calibration(spark, sf).collect()
+    assert rows == sorted(rows, key=lambda r: r.bin)
+    cals = [r.calibrated_ppm for r in rows]
+    assert cals == sorted(cals)
+    pools = [r.pool_id for r in rows]
+    assert pools == sorted(pools)
+    import collections
+
+    by_pool = collections.defaultdict(list)
+    for r in rows:
+        by_pool[r.pool_id].append(r)
+    for members in by_pool.values():
+        num = sum(r.n * r.obs_rate_ppm for r in members)
+        den = sum(r.n for r in members)
+        assert all(r.calibrated_ppm == num // den for r in members)
+    base = {
+        r.bin: (r.n, r.mean_pred_ppm, r.obs_rate_ppm)
+        for r in ml_calibration_bins(spark, sf).collect()
+        if r.bin >= 0
+    }
+    assert {r.bin: (r.n, r.mean_pred_ppm, r.obs_rate_ppm) for r in rows} == base
+
+
+def test_keep_best_quality_argmax_and_ledger(spark):
+    """Every cluster keeps its longest member (ties to smaller doc_id),
+    the ledger balances (total = kept + dropped), and cluster ids /
+    member counts agree with dedup_clusters."""
+    import collections
+
+    from kafka_pyspark_bigdata_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_keep_best_quality,
+    )
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    sf = "/root/testdata/sf0.001"
+    chars = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, sf, "documents").select("doc_id", "n_chars").collect()
+    }
+    members = collections.defaultdict(list)
+    for r in dedup_clusters(spark, sf).collect():
+        members[r.cluster_id].append(r.doc_id)
+    rows = dedup_keep_best_quality(spark, sf).collect()
+    assert {r.cluster_id for r in rows} == set(members)
+    for r in rows:
+        docs = members[r.cluster_id]
+        assert r.n_members == len(docs)
+        best = min(docs, key=lambda d: (-chars[d], d))
+        assert r.kept_doc_id == best and r.kept_chars == chars[best]
+        assert r.total_chars == sum(chars[d] for d in docs)
+        assert r.dropped_chars == r.total_chars - r.kept_chars

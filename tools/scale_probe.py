@@ -99,6 +99,8 @@ PROBES = [
     "quality_ccnet_buckets",     # LM-proxy scoring + per-lang ntile cut
     "ann_filtered_search",       # one scored pass, k'-fan-out recall curve
     "ts_holt_linear",            # per-series in-row recurrence fold
+    "dedup_keep_best_quality",   # cluster-sized argmax ledger on dup_pairs
+    "ml_isotonic_calibration",   # calibration bins + driver-side PAV
 ]
 
 
