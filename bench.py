@@ -72,6 +72,9 @@ def sentinel_child() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     names = [n for n in SENTINEL if n in qs]
+    # A sentinel name absent from the registry would silently shrink the
+    # frozen comparability set — surface it in the artifact instead.
+    missing = [n for n in SENTINEL if n not in qs]
     errors: dict[str, str] = {}
     spark.range(1000).selectExpr("sum(id)").collect()
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
@@ -107,6 +110,8 @@ def sentinel_child() -> None:
     }
     if errors:
         out["errors"] = errors
+    if missing:
+        out["missing_from_registry"] = missing
     print(_SENTINEL_MARK + json.dumps(out))
 
 
@@ -114,12 +119,19 @@ def run_sentinel_subprocess() -> dict:
     """Spawn the sentinel measurement in a fresh JVM and parse its block."""
     import subprocess
 
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--sentinel-child"],
-        capture_output=True,
-        text=True,
-        timeout=1800,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sentinel-child"],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+    except subprocess.TimeoutExpired as exc:
+        # A hung child must not lose the already-measured headline artifact.
+        tail = (exc.stderr or exc.stdout or b"")
+        if isinstance(tail, bytes):
+            tail = tail.decode("utf-8", "replace")
+        return {"error": f"sentinel child timed out after 1800s: {tail[-300:]}"}
     for line in reversed(proc.stdout.splitlines()):
         if line.startswith(_SENTINEL_MARK):
             return json.loads(line[len(_SENTINEL_MARK):])

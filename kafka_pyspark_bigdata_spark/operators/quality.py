@@ -550,7 +550,15 @@ def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     without its extra shuffle, because Gopher coverage only needs the
     char SUM, not the spans.
     """
-    docs = with_tokens(load_documents(spark, sf_dir)).select("doc_id", "toks")
+    # Zero-token guard: an empty doc would make Spark's sequence(0, k-1)
+    # descend ([0,-1] for k=0) while DuckDB's range(0) is empty, and the
+    # ppm divisors (line_n / total_chars) would hit zero — filter such docs
+    # out in BOTH engines (the oracle mirrors with len(toks0) >= 1).
+    docs = (
+        with_tokens(load_documents(spark, sf_dir))
+        .select("doc_id", "toks")
+        .filter(F.size("toks") >= 1)
+    )
     aug = docs.select(
         "doc_id",
         F.when(
@@ -737,9 +745,14 @@ def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("para_dchars * 1000000 div total_chars").alias(
                 "dup_para_char_ppm"
             ),
+            # The claim counts each occurrence's FULL span, so overlapping
+            # self-repeats (e.g. "x x x" for the 2-gram "x x") can push it
+            # past total_chars — cap it so the ppm invariant [0, 1e6] holds
+            # on any data (mirrored with LEAST in the oracle).
             *[
                 F.expr(
-                    f"coalesce(top{n}_claim, 0) * 1000000 div total_chars"
+                    f"least(coalesce(top{n}_claim, 0), total_chars)"
+                    f" * 1000000 div total_chars"
                 ).alias(f"top{n}_char_ppm")
                 for n in GREP_TOP_NS
             ],
@@ -815,8 +828,8 @@ def _gopher_rep_sql() -> str:
             "para_dchars * 1000000 // total_chars AS dup_para_char_ppm",
         ]
         + [
-            f"COALESCE(top{n}_claim, 0) * 1000000 // total_chars"
-            f" AS top{n}_char_ppm"
+            f"LEAST(COALESCE(top{n}_claim, 0), total_chars)"
+            f" * 1000000 // total_chars AS top{n}_char_ppm"
             for n in GREP_TOP_NS
         ]
         + [
@@ -832,6 +845,7 @@ docs AS (
          CASE WHEN doc_id % 4 = 0 THEN toks0[1:{para}] || toks0 ELSE toks0 END
            AS toks
   FROM docs0
+  WHERE len(toks0) >= 1
 ),
 base AS (
   SELECT doc_id, toks, len(toks) AS n_toks,

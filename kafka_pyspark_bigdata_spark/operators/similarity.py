@@ -4653,11 +4653,18 @@ def emb_abtt_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
                     u.cast("double") / norm_b * ISO_SCALE + F.lit(0.5)
                 ).cast("bigint"),
             ).alias("qb"),
+            # Zero-guard: a vector fully annihilated by centering + top-
+            # direction removal has w2 sum-of-squares 0; dividing would be
+            # 0/0 → NaN (engine-divergent). Map it to the all-zero unit
+            # contribution instead (mirrored with CASE WHEN in the oracle).
             F.expr(
-                f"transform(w2, x -> CAST(floor(CAST(x AS DOUBLE)"
+                f"CASE WHEN aggregate(w2, CAST(0 AS BIGINT),"
+                f" (a, y) -> a + y * y) = 0"
+                f" THEN transform(w2, x -> CAST(0 AS BIGINT))"
+                f" ELSE transform(w2, x -> CAST(floor(CAST(x AS DOUBLE)"
                 f" / sqrt(CAST(aggregate(w2, CAST(0 AS BIGINT),"
                 f" (a, y) -> a + y * y) AS DOUBLE))"
-                f" * {ISO_SCALE} + 0.5) AS BIGINT))"
+                f" * {ISO_SCALE} + 0.5) AS BIGINT)) END"
             ).alias("qa"),
         )
     )
@@ -4802,10 +4809,12 @@ def _abtt_sql() -> str:
                 / sqrt(list_sum(list_transform(embedding,
                        u -> CAST(u AS DOUBLE) * CAST(u AS DOUBLE))))
                 * {ISO_SCALE} + 0.5) AS BIGINT)) AS qb,
-         list_transform(w2,
+         CASE WHEN list_sum(list_transform(w2, y -> y * y)) = 0
+              THEN list_transform(w2, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(w2,
            x -> CAST(floor(CAST(x AS DOUBLE)
                 / sqrt(CAST(list_sum(list_transform(w2, y -> y * y)) AS DOUBLE))
-                * {ISO_SCALE} + 0.5) AS BIGINT)) AS qa
+                * {ISO_SCALE} + 0.5) AS BIGINT)) END AS qa
   FROM r3
 )"""
     )
