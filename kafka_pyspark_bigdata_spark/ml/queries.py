@@ -24,10 +24,11 @@ LINEITEM_LABEL = "l_extendedprice"
 EVENTS_FEATURES = ["hour", "dow"]
 EVENTS_LABEL = "value"
 
-# Keyed by (applicationId, sf_dir, table): a PipelineModel handle is bound
+# Keyed by (applicationId, sf_dir, table): a fitted model handle is bound
 # to the JVM that trained it, so a restarted SparkSession must retrain
-# rather than reuse a stale Py4J reference.
-_model_cache: dict[tuple[str, str, str], PipelineModel] = {}
+# rather than reuse a stale Py4J reference. Values are PipelineModel or a
+# bare fitted classifier (the purchase RF).
+_model_cache: dict[tuple[str, str, str], object] = {}
 
 
 def _app_id(spark: SparkSession) -> str:
@@ -51,6 +52,83 @@ def _events_model(spark: SparkSession, sf_dir: str) -> PipelineModel:
             "value",
         )
         _model_cache[key] = trainer.train(df, EVENTS_FEATURES, EVENTS_LABEL)
+    return _model_cache[key]
+
+
+def _lineitem_split_model(spark: SparkSession, sf_dir: str) -> PipelineModel:
+    """The RF regressor trained on the hash-deterministic 80% lineitem
+    split — shared by ml_eval_rmse, ml_lift_deciles and
+    ml_permutation_importance, which previously each re-fit the IDENTICAL
+    model (same frame, same features/label, fixed seed → deterministic
+    ensemble, so sharing the handle cannot change any output; it removes
+    two full RF fits from every driver sweep). Cached per
+    (applicationId, sf_dir) like the serving models above."""
+    from ..operators.pipeline import TRAIN_BUCKETS, hash_bucket_expr
+
+    key = (_app_id(spark), sf_dir, "lineitem_split")
+    if key not in _model_cache:
+        df = load_table(spark, sf_dir, "lineitem").withColumn(
+            "bucket", hash_bucket_expr("l_orderkey")
+        )
+        train_df = df.filter(F.col("bucket") < TRAIN_BUCKETS)
+        _model_cache[key] = trainer.train(
+            train_df, LINEITEM_FEATURES, LINEITEM_LABEL
+        )
+    return _model_cache[key]
+
+
+def _purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared (hour, dow, value, label, bucket) projection behind the
+    purchase classifier — one definition so the train/eval splits are
+    bit-identical across every consumer."""
+    from ..operators.pipeline import hash_bucket_expr
+
+    return load_table(spark, sf_dir, "events").select(
+        F.hour("ts").alias("hour"),
+        F.dayofweek("ts").alias("dow"),
+        "value",
+        (F.col("event_type") == "purchase").cast("double").alias("label"),
+        hash_bucket_expr("event_id").alias("bucket"),
+    )
+
+
+def _purchase_assembler():
+    from pyspark.ml.feature import VectorAssembler
+
+    return VectorAssembler(
+        inputCols=["hour", "dow", "value"], outputCol="features"
+    )
+
+
+def _purchase_classifier(spark: SparkSession, sf_dir: str):
+    """The seed-42 purchase RandomForestClassifier fitted on the 80%
+    events split. ml_classifier_auc and ml_calibration_bins fit the
+    IDENTICAL estimator (numTrees=10, maxDepth=5, seed=42) on the
+    IDENTICAL frame, so one cached fit serves both — and
+    ml_isotonic_calibration transitively, taking a full classifier fit
+    out of the driver's rows-only sweep tail. Deterministic fit ⇒
+    outputs unchanged."""
+    from pyspark.ml.classification import RandomForestClassifier
+
+    key = (_app_id(spark), sf_dir, "purchase_clf")
+    if key not in _model_cache:
+        from ..operators.pipeline import TRAIN_BUCKETS
+
+        train = _purchase_assembler().transform(
+            _purchase_events(spark, sf_dir).filter(
+                F.col("bucket") < TRAIN_BUCKETS
+            )
+        )
+        clf = RandomForestClassifier(
+            featuresCol="features",
+            labelCol="label",
+            numTrees=10,
+            maxDepth=5,
+            seed=42,
+        )
+        model = clf.fit(train)
+        _strip_training_summary(model)
+        _model_cache[key] = model
     return _model_cache[key]
 
 
@@ -209,9 +287,8 @@ def ml_eval_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "lineitem").withColumn(
         "bucket", hash_bucket_expr("l_orderkey")
     )
-    train_df = df.filter(F.col("bucket") < TRAIN_BUCKETS)
     eval_df = df.filter(F.col("bucket") >= TRAIN_BUCKETS)
-    model = trainer.train(train_df, LINEITEM_FEATURES, LINEITEM_LABEL)
+    model = _lineitem_split_model(spark, sf_dir)
     prepared = trainer.cast_prune(eval_df, LINEITEM_FEATURES, LINEITEM_LABEL)
     scored = model.transform(prepared).select(
         (F.col("prediction") - F.col(LINEITEM_LABEL)).alias("err")
@@ -316,9 +393,8 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "lineitem").withColumn(
         "bucket", hash_bucket_expr("l_orderkey")
     )
-    train_df = df.filter(F.col("bucket") < TRAIN_BUCKETS)
     eval_df = df.filter(F.col("bucket") >= TRAIN_BUCKETS)
-    model = trainer.train(train_df, LINEITEM_FEATURES, LINEITEM_LABEL)
+    model = _lineitem_split_model(spark, sf_dir)
     prepared = trainer.cast_prune(
         eval_df.withColumn("tie", F.expr("l_orderkey * 10 + l_linenumber")),
         LINEITEM_FEATURES,
@@ -426,36 +502,19 @@ def ml_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — RF probabilities take few distinct values), one ordered
     window over that small aggregate, one final row. Scales as an
     aggregation, not a sort of all predictions."""
-    from pyspark.ml.classification import RandomForestClassifier
-    from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
 
-    from ..operators.pipeline import TRAIN_BUCKETS, hash_bucket_expr
+    from ..operators.pipeline import TRAIN_BUCKETS
 
-    ev = load_table(spark, sf_dir, "events").select(
-        F.hour("ts").alias("hour"),
-        F.dayofweek("ts").alias("dow"),
-        "value",
-        (F.col("event_type") == "purchase").cast("double").alias("label"),
-        hash_bucket_expr("event_id").alias("bucket"),
-    )
-    assembler = VectorAssembler(
-        inputCols=["hour", "dow", "value"], outputCol="features"
-    )
+    ev = _purchase_events(spark, sf_dir)
+    assembler = _purchase_assembler()
     train = assembler.transform(ev.filter(F.col("bucket") < TRAIN_BUCKETS))
     evald = assembler.transform(ev.filter(F.col("bucket") >= TRAIN_BUCKETS))
     # 10 trees: the AUC protocol (exact rank statistic) is the operator's
     # contract, not the ensemble size — half the fit cost keeps this
-    # rows-only entry inside the driver's sweep budget with AUC ~unchanged
-    clf = RandomForestClassifier(
-        featuresCol="features",
-        labelCol="label",
-        numTrees=10,
-        maxDepth=5,
-        seed=42,
-    )
-    model = clf.fit(train)
-    _strip_training_summary(model)
+    # rows-only entry inside the driver's sweep budget with AUC ~unchanged.
+    # The fit itself is the shared cached purchase classifier.
+    model = _purchase_classifier(spark, sf_dir)
     scored = model.transform(evald).select(
         vector_to_array("probability").getItem(1).alias("score"), "label"
     )
@@ -512,33 +571,15 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-derivable, and the protocol invariants (bin edges tile [0,1],
     counts sum to n_eval, ECE recomputes from the rows) are pytest-
     pinned instead."""
-    from pyspark.ml.classification import RandomForestClassifier
-    from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
 
-    from ..operators.pipeline import TRAIN_BUCKETS, hash_bucket_expr
+    from ..operators.pipeline import TRAIN_BUCKETS
 
-    ev = load_table(spark, sf_dir, "events").select(
-        F.hour("ts").alias("hour"),
-        F.dayofweek("ts").alias("dow"),
-        "value",
-        (F.col("event_type") == "purchase").cast("double").alias("label"),
-        hash_bucket_expr("event_id").alias("bucket"),
+    ev = _purchase_events(spark, sf_dir)
+    evald = _purchase_assembler().transform(
+        ev.filter(F.col("bucket") >= TRAIN_BUCKETS)
     )
-    assembler = VectorAssembler(
-        inputCols=["hour", "dow", "value"], outputCol="features"
-    )
-    train = assembler.transform(ev.filter(F.col("bucket") < TRAIN_BUCKETS))
-    evald = assembler.transform(ev.filter(F.col("bucket") >= TRAIN_BUCKETS))
-    clf = RandomForestClassifier(
-        featuresCol="features",
-        labelCol="label",
-        numTrees=10,
-        maxDepth=5,
-        seed=42,
-    )
-    model = clf.fit(train)
-    _strip_training_summary(model)
+    model = _purchase_classifier(spark, sf_dir)
     scored = model.transform(evald).select(
         F.floor(
             vector_to_array("probability").getItem(1) * 1_000_000 + F.lit(0.5)
@@ -820,7 +861,6 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "lineitem").withColumn(
         "bucket", hash_bucket_expr("l_orderkey")
     )
-    train_df = df.filter(F.col("bucket") < TRAIN_BUCKETS)
     eval_df = trainer.cast_prune(
         df.filter(F.col("bucket") >= TRAIN_BUCKETS),
         LINEITEM_FEATURES,
@@ -840,7 +880,7 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey"),
         ),
     ).localCheckpoint()
-    model = trainer.train(train_df, LINEITEM_FEATURES, LINEITEM_LABEL)
+    model = _lineitem_split_model(spark, sf_dir)
 
     def rmse(frame: DataFrame) -> float:
         row = (

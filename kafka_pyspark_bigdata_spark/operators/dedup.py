@@ -3434,7 +3434,150 @@ FROM audit ORDER BY doc_a, doc_b
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_repeated_lines — C4-style corpus-wide line-level dedup (keep-first)
+# ---------------------------------------------------------------------------
+
+# Tokens per "line" — the same chunk-as-line contract as
+# operators/quality.py's Gopher repetition battery (the word-soup fixture
+# has no newlines, so consecutive 5-token chunks stand in for lines; the
+# fixture's tiny vocabulary makes cross-document chunk collisions common
+# enough to exercise the operator without augmentation: 257 distinct
+# chunks recur across documents at sf0.01).
+REPLINE_W = 5
+
+
+def dedup_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide LINE-level exact dedup with keep-first semantics — the
+    published pretraining granularity between document dedup and
+    ExactSubstr span removal: C4 (Raffel et al. 2020 §2.2) discards any
+    three-sentence span occurring more than once in the corpus, and
+    RefinedWeb/FineWeb run the same pass at line granularity. A line
+    occurring in several documents (cookie banners, nav bars, license
+    blurbs) survives only at its FIRST occurrence in (doc_id, line_idx)
+    order; every other occurrence is removed. Output is the per-document
+    removal ledger: lines seen, lines removed, characters removed, and
+    the kept-character ppm a mixing pipeline would weight by.
+
+    Exactness: first occurrence is ``min(doc_id·10⁶ + idx)`` per line
+    (idx < 10⁶ by construction — a 5-token line per 10⁶ lines would be a
+    200-million-token document), identical integer expression in both
+    engines; character counts exclude the synthetic separator (same
+    convention as quality_gopher_repetition); ppm is truncating integer
+    division.
+
+    Plan shape: one documents scan → in-row chunk array → ONE
+    doc_id-keyed generate (posexplode) → a groupBy keyed by the line
+    STRING (partial aggregation collapses duplicate lines map-side, so a
+    hot boilerplate line arrives at the reducer as per-mapper partials,
+    not 10⁹ raw rows) → one equi-join back on the line string (AQE skew
+    join handles the hot keys) → per-doc partial agg. At 100 TB the
+    groupBy/join key would be xxhash64(line) instead of the raw string —
+    16-byte shuffle rows — kept as the string here so the DuckDB oracle
+    is value-exact on the same contract."""
+    docs = (
+        with_tokens(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "toks")
+        .filter(F.size("toks") >= 1)
+    )
+    w = REPLINE_W
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.expr(f"(size(toks) + {w - 1}) div {w}") - 1
+                ),
+                lambda i: F.array_join(
+                    F.slice("toks", (i * w + 1).cast("int"), w), " "
+                ),
+            )
+        ).alias("idx", "cstr"),
+    ).select(
+        "doc_id",
+        "idx",
+        "cstr",
+        F.length(F.replace(F.col("cstr"), F.lit(" "), F.lit(""))).cast(
+            "bigint"
+        ).alias("cchars"),
+        (F.col("doc_id") * 1_000_000 + F.col("idx")).alias("okey"),
+    )
+    lines = chunks.groupBy("cstr").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min("okey").alias("first_okey"),
+    )
+    flagged = chunks.join(lines, "cstr").select(
+        "doc_id",
+        "cchars",
+        (
+            (F.col("n_occ") >= 2) & (F.col("okey") != F.col("first_okey"))
+        ).alias("removed"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("removed").cast("bigint")).alias("n_removed"),
+            F.sum("cchars").alias("chars_total"),
+            F.sum(
+                F.when(F.col("removed"), F.col("cchars")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("chars_removed"),
+        )
+        .withColumn(
+            "kept_char_ppm",
+            F.expr("(chars_total - chars_removed) * 1000000 div chars_total"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_REPEATED_LINES_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+  WHERE len({TOKENS_SQL}) >= 1
+),
+chunks AS (
+  SELECT doc_id, idx,
+         array_to_string(toks[idx*{REPLINE_W}+1 : idx*{REPLINE_W}+{REPLINE_W}],
+                         ' ') AS cstr,
+         doc_id * 1000000 + idx AS okey
+  FROM (SELECT doc_id, toks,
+               UNNEST(range((len(toks) + {REPLINE_W - 1}) // {REPLINE_W}))
+                 AS idx
+        FROM docs)
+),
+c2 AS (
+  SELECT doc_id, okey, cstr,
+         CAST(strlen(replace(cstr, ' ', '')) AS BIGINT) AS cchars
+  FROM chunks
+),
+lines AS (
+  SELECT cstr, COUNT(*) AS n_occ, MIN(okey) AS first_okey
+  FROM c2 GROUP BY cstr
+),
+flagged AS (
+  SELECT doc_id, cchars,
+         (n_occ >= 2 AND okey <> first_okey) AS removed
+  FROM c2 JOIN lines USING (cstr)
+)
+SELECT doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(cchars) AS BIGINT) AS chars_total,
+       CAST(SUM(CASE WHEN removed THEN cchars ELSE 0 END) AS BIGINT)
+         AS chars_removed,
+       (CAST(SUM(cchars) AS BIGINT)
+          - CAST(SUM(CASE WHEN removed THEN cchars ELSE 0 END) AS BIGINT))
+         * 1000000
+         // CAST(SUM(cchars) AS BIGINT) AS kept_char_ppm
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "dedup_repeated_lines": dedup_repeated_lines,
     "graph_hyperball_nf": graph_hyperball_nf,
     "dedup_bbit_minhash": dedup_bbit_minhash,
     "graph_link_prediction": graph_link_prediction,
@@ -3472,6 +3615,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_repeated_lines": DEDUP_REPEATED_LINES_SQL,
     "graph_hyperball_nf": _hyperball_sql(),
     "dedup_bbit_minhash": _bbit_sql(),
     "graph_link_prediction": _linkpred_sql(),

@@ -906,6 +906,164 @@ QUALITY_GOPHER_REP_SQL = _gopher_rep_sql()
 
 
 # ---------------------------------------------------------------------------
+# quality_fineweb_rules — the FineWeb custom heuristic battery
+# ---------------------------------------------------------------------------
+
+# Penedo et al. 2024 ("The FineWeb Datasets"), §3.6: the three custom
+# filters FineWeb added on top of the C4/Gopher batteries, plus the Gopher
+# bullet-line rule they inherit. Thresholds as ppm integers:
+FW_PUNCT_MIN_PPM = 120_000    # keep iff punct-terminated line ratio > 0.12
+FW_SHORT_MAX_PPM = 670_000    # keep iff short-line (<30 char) ratio < 0.67
+FW_DUPCHAR_MAX_PPM = 100_000  # keep iff duplicated-line char ratio < 0.10
+FW_BULLET_MAX_PPM = 900_000   # keep iff bullet-started line ratio <= 0.90
+FW_SHORT_CHARS = 30           # a line under 30 characters is "short"
+
+
+def quality_fineweb_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FineWeb heuristic battery (Penedo et al. 2024, §3.6 — the
+    third sibling of quality_gopher_rules / quality_gopher_repetition):
+    per document, the fraction of lines ending in terminal punctuation
+    (must exceed 0.12), the fraction of lines shorter than 30 characters
+    (must stay under 0.67), the fraction of characters sitting in
+    duplicated lines (must stay under 0.10 — FineWeb's stricter cousin
+    of Gopher's 0.20), and Gopher's bullet-line rule (at most 90% of
+    lines may start with a bullet).
+
+    Fixture adaptation (same precedent as quality_gopher_repetition's
+    prefix copy): the word-soup corpus has no newlines, punctuation, or
+    bullets, so "lines" are consecutive 5-token chunks and line i of
+    document d is DETERMINISTICALLY decorated — a terminal '.' iff
+    ``i % (1 + d % 12) = 0`` (per-doc punct ratios spanning ~1/12..1,
+    straddling the 0.12 threshold) and a '- ' bullet prefix iff
+    ``i % 10 < d % 11`` (bullet ratios spanning 0..1, straddling 0.9) —
+    with the IDENTICAL integer expressions in the oracle. The rules
+    themselves then measure the decorated lines naturally (last-char /
+    first-char / length checks), so the rule logic is exactly what runs
+    on real text.
+
+    Exactness: all metrics are integer ppm (counts × 10⁶ div totals,
+    truncating in both engines); line lengths include separators and
+    decorations; the keep verdict is pure integer comparison against
+    the published thresholds.
+
+    Plan shape: one documents scan, zero shuffles before the final
+    orderBy — every metric (including duplicate-line chars, via the
+    array_sort + adjacent-equal fold from the Gopher battery) is an
+    in-row expression over the chunk array. At 100 TB this is a pure
+    map pass; the verdict column would be carried forward rather than
+    collected."""
+    w = GREP_LINE
+    docs = (
+        with_tokens(load_documents(spark, sf_dir))
+        .select("doc_id", "toks")
+        .filter(F.size("toks") >= 1)
+    )
+    base = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, (size(toks) + {w - 1}) div {w} - 1),"
+            f" i -> concat("
+            f"   CASE WHEN i % 10 < doc_id % 11 THEN '- ' ELSE '' END,"
+            f"   array_join(slice(toks, CAST(i * {w} + 1 AS INT), {w}), ' '),"
+            f"   CASE WHEN i % (1 + doc_id % 12) = 0 THEN '.' ELSE '' END))"
+        ).alias("lines"),
+    )
+    m = base.select(
+        "doc_id",
+        F.expr("size(lines)").alias("n_lines"),
+        F.expr(
+            "size(filter(lines, l -> right(l, 1) IN ('.', '!', '?', '\"')))"
+        ).alias("n_punct"),
+        F.expr("size(filter(lines, l -> left(l, 1) IN ('-', '*')))").alias(
+            "n_bullet"
+        ),
+        F.expr(
+            f"size(filter(lines, l -> length(l) < {FW_SHORT_CHARS}))"
+        ).alias("n_short"),
+        F.expr(
+            "aggregate(lines, CAST(0 AS BIGINT), (a, l) -> a + length(l))"
+        ).alias("total_chars"),
+        F.expr(
+            "CASE WHEN size(lines) >= 2 THEN aggregate("
+            " transform(sequence(2, size(array_sort(lines))),"
+            "  i -> CASE WHEN element_at(array_sort(lines), i)"
+            "             = element_at(array_sort(lines), i - 1)"
+            "        THEN CAST(length(element_at(array_sort(lines), i))"
+            "                  AS BIGINT)"
+            "        ELSE CAST(0 AS BIGINT) END),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("dup_chars"),
+    )
+    out = m.select(
+        "doc_id",
+        "n_lines",
+        F.expr("n_punct * 1000000 div n_lines").alias("punct_line_ppm"),
+        F.expr("n_short * 1000000 div n_lines").alias("short_line_ppm"),
+        F.expr("n_bullet * 1000000 div n_lines").alias("bullet_line_ppm"),
+        F.expr("dup_chars * 1000000 div total_chars").alias("dup_char_ppm"),
+    )
+    keep = F.when(
+        (F.col("punct_line_ppm") > FW_PUNCT_MIN_PPM)
+        & (F.col("short_line_ppm") < FW_SHORT_MAX_PPM)
+        & (F.col("dup_char_ppm") < FW_DUPCHAR_MAX_PPM)
+        & (F.col("bullet_line_ppm") <= FW_BULLET_MAX_PPM),
+        1,
+    ).otherwise(0)
+    return out.withColumn("keep", keep).orderBy("doc_id")
+
+
+QUALITY_FINEWEB_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+  WHERE len({TOKENS_SQL}) >= 1
+),
+base AS (
+  SELECT doc_id,
+         list_transform(range((len(toks) + {GREP_LINE - 1}) // {GREP_LINE}),
+           i -> concat(
+             CASE WHEN i % 10 < doc_id % 11 THEN '- ' ELSE '' END,
+             array_to_string(toks[i*{GREP_LINE}+1 : i*{GREP_LINE}+{GREP_LINE}],
+                             ' '),
+             CASE WHEN i % (1 + doc_id % 12) = 0 THEN '.' ELSE '' END))
+           AS lines
+  FROM docs
+),
+m AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         len(list_filter(lines,
+             l -> right(l, 1) IN ('.', '!', '?', '"'))) AS n_punct,
+         len(list_filter(lines, l -> left(l, 1) IN ('-', '*'))) AS n_bullet,
+         len(list_filter(lines, l -> strlen(l) < {FW_SHORT_CHARS}))
+           AS n_short,
+         CAST(list_sum(list_transform(lines, l -> strlen(l))) AS BIGINT)
+           AS total_chars,
+         CASE WHEN len(lines) >= 2 THEN
+           CAST(COALESCE(list_sum(list_transform(
+             range(2, len(list_sort(lines)) + 1),
+             i -> CASE WHEN list_sort(lines)[i] = list_sort(lines)[i - 1]
+                  THEN strlen(list_sort(lines)[i]) ELSE 0 END)), 0) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS dup_chars
+  FROM base
+)
+SELECT *, CASE WHEN punct_line_ppm > {FW_PUNCT_MIN_PPM}
+                AND short_line_ppm < {FW_SHORT_MAX_PPM}
+                AND dup_char_ppm < {FW_DUPCHAR_MAX_PPM}
+                AND bullet_line_ppm <= {FW_BULLET_MAX_PPM}
+           THEN 1 ELSE 0 END AS keep
+FROM (
+  SELECT doc_id, n_lines,
+         n_punct * 1000000 // n_lines AS punct_line_ppm,
+         n_short * 1000000 // n_lines AS short_line_ppm,
+         n_bullet * 1000000 // n_lines AS bullet_line_ppm,
+         dup_chars * 1000000 // total_chars AS dup_char_ppm
+  FROM m
+) ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # quality_ccnet_buckets — CCNet-style per-language perplexity terciles
 # ---------------------------------------------------------------------------
 
@@ -1037,6 +1195,7 @@ QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "quality_gopher_rules": quality_gopher_rules,
     "quality_gopher_repetition": quality_gopher_repetition,
+    "quality_fineweb_rules": quality_fineweb_rules,
     "quality_ccnet_buckets": quality_ccnet_buckets,
 }
 
@@ -1047,5 +1206,6 @@ ORACLES = {
     "text_pii_scrub": TEXT_PII_SQL,
     "quality_gopher_rules": QUALITY_GOPHER_SQL,
     "quality_gopher_repetition": QUALITY_GOPHER_REP_SQL,
+    "quality_fineweb_rules": QUALITY_FINEWEB_SQL,
     "quality_ccnet_buckets": QUALITY_CCNET_SQL,
 }

@@ -1670,6 +1670,179 @@ FROM per_doc GROUP BY lang ORDER BY lang
 """
 
 
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility under the LEARNED merge table, per predicted
+    language — the published data-mixing diagnostic (Rust et al. 2021:
+    fertility = subword units per word) that decides per-language token
+    budgets in multilingual corpora. Where corpus_tokenizer_fertility
+    measures the fixed regex pre-tokenizer against LABELED languages,
+    this applies one round of the corpus's own learned BPE merges
+    (``text_bpe_pair_merges`` — the top-{BPE_TOP} adjacent character
+    pairs) to every word and reports, per ``text_langid``-PREDICTED
+    language, tokens-per-word, chars-per-token and bytes-per-token, all
+    as truncating integer ppm.
+
+    Merge application is the standard single BPE round: within each word,
+    scan adjacent character pairs left→right and merge a pair that is in
+    the table when its left character was not consumed by the previous
+    merge. Greedy left-to-right over a maximal run of L consecutive
+    mergeable positions merges ⌈L/2⌉ of them, so the count is an in-row
+    run-length expression — no sequential fold, hence no dependence on
+    DuckDB's defective ``list_reduce`` (see ts_holt_linear).
+
+    Plan shape: the merge table is one (pair)-keyed partial-agg shuffle
+    (pairs collapse map-side; the exchange carries the ≤26²-entry pair
+    vocabulary, not the character stream) collected as a ≤{BPE_TOP}-row
+    driver literal — the model-state pattern (k-means centroids,
+    emb_abtt's direction vector). The scoring pass is then a pure map
+    over documents (every metric in-row) into a 2-key language rollup.
+    At 100 TB: one bounded-vocabulary aggregate + one map pass — the
+    same shape the k-means scorer has."""
+    merges = [
+        r.pair for r in text_bpe_pair_merges(spark, sf_dir).collect()
+    ]
+    mset = (
+        "array(" + ",".join("'" + p.replace("'", "\\'") + "'" for p in merges) + ")"
+    )
+    docs = with_tokens(load_documents(spark, sf_dir)).filter(
+        F.size("toks") >= 1
+    )
+    # 0/1 mergeable-position arrays, one per word (empty for 1-char words —
+    # sequence(1, 0) would DESCEND in Spark, hence the length guard).
+    base = docs.select(
+        "toks",
+        F.expr(
+            f"CASE WHEN size(filter(toks, t -> t IN ({_STOP_SQL}))) * 20"
+            f" >= size(toks) THEN 'en' ELSE 'other' END"
+        ).alias("lang_pred"),
+        F.expr(
+            f"transform(toks, w -> CASE WHEN length(w) >= 2 THEN"
+            f" transform(sequence(1, length(w) - 1),"
+            f"  j -> CASE WHEN array_contains({mset},"
+            f"   substring(w, CAST(j AS INT), 2)) THEN 1 ELSE 0 END)"
+            f" ELSE CAST(array() AS ARRAY<INT>) END)"
+        ).alias("ms"),
+    )
+    # tokens per word = chars − merges; merges per word = Σ over maximal
+    # runs of consecutive mergeable positions of (run_len + 1) div 2.
+    nm = (
+        "CASE WHEN size(m) = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE aggregate(sequence(1, size(m)), CAST(0 AS BIGINT),"
+        "  (a, j) -> a + CASE WHEN element_at(m, j) = 1"
+        "   AND (j = 1 OR element_at(m, j - 1) = 0)"
+        "  THEN CAST(((CASE WHEN array_position("
+        "      slice(m, j, size(m) - j + 1), 0) = 0"
+        "    THEN size(m) + 1"
+        "    ELSE j - 1 + CAST(array_position("
+        "      slice(m, j, size(m) - j + 1), 0) AS INT) END)"
+        "    - j + 1) div 2 AS BIGINT)"
+        "  ELSE CAST(0 AS BIGINT) END) END"
+    )
+    per_doc = base.select(
+        "lang_pred",
+        F.expr("size(toks)").alias("nw"),
+        F.expr(
+            "aggregate(toks, CAST(0 AS BIGINT), (a, w) -> a + length(w))"
+        ).alias("nc"),
+        F.expr(
+            "aggregate(toks, CAST(0 AS BIGINT),"
+            " (a, w) -> a + octet_length(w))"
+        ).alias("nb"),
+        F.expr(
+            f"aggregate(zip_with(toks, ms,"
+            f" (w, m) -> CAST(length(w) AS BIGINT) - ({nm})),"
+            f" CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("nt"),
+    )
+    return (
+        per_doc.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nw").alias("words"),
+            F.sum("nt").alias("tokens"),
+            F.sum("nc").alias("chars"),
+            F.sum("nb").alias("bytes_total"),
+        )
+        .select(
+            "lang_pred",
+            "n_docs",
+            "words",
+            "tokens",
+            "chars",
+            "bytes_total",
+            F.expr("tokens * 1000000 div words").alias("fertility_ppm"),
+            F.expr("chars * 1000000 div tokens").alias("chars_per_token_ppm"),
+            F.expr("bytes_total * 1000000 div tokens").alias(
+                "bytes_per_token_ppm"
+            ),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+def _tokenizer_fertility_sql() -> str:
+    nm = (
+        "CASE WHEN len(z[2]) = 0 THEN 0"
+        " ELSE COALESCE(list_sum(list_transform(range(1, len(z[2]) + 1),"
+        "  j -> CASE WHEN z[2][j] = 1 AND (j = 1 OR z[2][j - 1] = 0)"
+        "  THEN ((CASE WHEN COALESCE(list_position(z[2][j:], 0), 0) = 0"
+        "    THEN len(z[2]) + 1"
+        "    ELSE j - 1 + list_position(z[2][j:], 0) END)"
+        "    - j + 1) // 2"
+        "  ELSE 0 END)), 0) END"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+docs AS (SELECT * FROM tok WHERE len(toks) >= 1),
+merges AS (
+  SELECT pair FROM (
+    SELECT substr(w, i, 2) AS pair
+    FROM (SELECT unnest(toks) AS w FROM docs) t,
+         LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g
+  ) WHERE length(pair) = 2
+  GROUP BY pair ORDER BY COUNT(*) DESC, pair LIMIT {BPE_TOP}
+),
+mset AS (SELECT list(pair) AS msel FROM merges),
+base AS (
+  SELECT toks,
+         CASE WHEN len(list_filter(toks, t -> t IN ({_STOP_SQL}))) * 20
+              >= len(toks) THEN 'en' ELSE 'other' END AS lang_pred,
+         list_transform(toks, w -> CASE WHEN length(w) >= 2 THEN
+           list_transform(range(1, length(w)),
+             j -> CASE WHEN list_contains(msel, substr(w, j, 2))
+                  THEN 1 ELSE 0 END)
+           ELSE [] END) AS ms
+  FROM docs, mset
+),
+per_doc AS (
+  SELECT lang_pred,
+         len(toks) AS nw,
+         CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS nc,
+         CAST(list_sum(list_transform(toks, w -> strlen(w))) AS BIGINT) AS nb,
+         CAST(list_sum(list_transform(list_zip(toks, ms),
+              z -> length(z[1]) - ({nm}))) AS BIGINT) AS nt
+  FROM base
+)
+SELECT lang_pred, COUNT(*) AS n_docs,
+       CAST(SUM(nw) AS BIGINT) AS words,
+       CAST(SUM(nt) AS BIGINT) AS tokens,
+       CAST(SUM(nc) AS BIGINT) AS chars,
+       CAST(SUM(nb) AS BIGINT) AS bytes_total,
+       CAST(SUM(nt) AS BIGINT) * 1000000 // CAST(SUM(nw) AS BIGINT)
+         AS fertility_ppm,
+       CAST(SUM(nc) AS BIGINT) * 1000000 // CAST(SUM(nt) AS BIGINT)
+         AS chars_per_token_ppm,
+       CAST(SUM(nb) AS BIGINT) * 1000000 // CAST(SUM(nt) AS BIGINT)
+         AS bytes_per_token_ppm
+FROM per_doc GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+TEXT_TOKENIZER_FERTILITY_SQL = _tokenizer_fertility_sql()
+
+
 def corpus_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier EVALUATION as a first-class query: the confusion matrix
     of the stopword-ratio language-ID (``text_langid``) against the
@@ -1843,6 +2016,7 @@ QUERIES = {
     "text_kneser_ney_bigram": text_kneser_ney_bigram,
     "corpus_langid_confusion": corpus_langid_confusion,
     "corpus_tokenizer_fertility": corpus_tokenizer_fertility,
+    "text_tokenizer_fertility": text_tokenizer_fertility,
     "text_source_divergence": text_source_divergence,
     "text_keyphrase_rake": text_keyphrase_rake,
     "text_bigram_topnext": text_bigram_topnext,
@@ -1871,6 +2045,7 @@ ORACLES = {
     "text_kneser_ney_bigram": TEXT_KNESER_NEY_SQL,
     "corpus_langid_confusion": CORPUS_LANGID_CONFUSION_SQL,
     "corpus_tokenizer_fertility": CORPUS_FERTILITY_SQL,
+    "text_tokenizer_fertility": TEXT_TOKENIZER_FERTILITY_SQL,
     "text_source_divergence": TEXT_SOURCE_DIVERGENCE_SQL,
     "text_keyphrase_rake": TEXT_RAKE_SQL,
     "text_bigram_topnext": TEXT_BIGRAM_SQL,

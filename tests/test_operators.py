@@ -1753,3 +1753,133 @@ def test_hyperball_nf_monotone_and_exact_at_t0(spark):
     ests = [r.nf_est for r in rows]
     assert all(a <= b for a, b in zip(ests, ests[1:]))
     assert all(0 <= r.n_saturated <= r.n_nodes for r in rows)
+
+
+def test_repeated_lines_keep_first_reference(spark):
+    """Plain-Python recompute of the C4 line-dedup ledger: keep-first
+    semantics mean the corpus-wide kept-line total equals the number of
+    DISTINCT line strings; every per-doc row must match the reference."""
+    import duckdb as _dd
+
+    raw = _dd.sql(
+        "SELECT doc_id, text FROM"
+        " read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        " ORDER BY doc_id"
+    ).fetchall()
+    W = dedup.REPLINE_W
+    occs = []  # (okey, doc_id, cstr, cchars)
+    for doc_id, text in raw:
+        toks = [t for t in text.lower().split() if t]
+        for i in range((len(toks) + W - 1) // W):
+            chunk = toks[i * W : i * W + W]
+            occs.append(
+                (
+                    doc_id * 1_000_000 + i,
+                    doc_id,
+                    " ".join(chunk),
+                    sum(len(t) for t in chunk),
+                )
+            )
+    first = {}
+    count = {}
+    for okey, _, cstr, _ in occs:
+        count[cstr] = count.get(cstr, 0) + 1
+        first.setdefault(cstr, okey)
+    expect = {}
+    for okey, doc_id, cstr, cchars in occs:
+        n, rm, ct, cr = expect.get(doc_id, (0, 0, 0, 0))
+        removed = count[cstr] >= 2 and okey != first[cstr]
+        expect[doc_id] = (
+            n + 1,
+            rm + removed,
+            ct + cchars,
+            cr + (cchars if removed else 0),
+        )
+    got = {
+        r.doc_id: (r.n_lines, r.n_removed, r.chars_total, r.chars_removed)
+        for r in dedup.dedup_repeated_lines(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == expect
+    kept_total = sum(n - rm for n, rm, _, _ in expect.values())
+    assert kept_total == len(count)  # exactly one survivor per line string
+    assert any(rm > 0 for _, rm, _, _ in expect.values())
+
+
+def test_tokenizer_fertility_python_reference(spark):
+    """Simulate one greedy left-to-right BPE merge round in plain Python
+    (explicit consumed-flag scan, NOT the engine's run-length formula)
+    and compare the per-language rollup exactly — proving the
+    ceil(run/2) expression equals true single-round merge semantics."""
+    import duckdb as _dd
+
+    raw = _dd.sql(
+        "SELECT text FROM"
+        " read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    docs = [[t for t in text.lower().split() if t] for (text,) in raw]
+    docs = [d for d in docs if d]
+    pair_counts: dict[str, int] = {}
+    for d in docs:
+        for w in d:
+            if len(w) >= 2:
+                for j in range(len(w) - 1):
+                    p = w[j : j + 2]
+                    pair_counts[p] = pair_counts.get(p, 0) + 1
+    merges = {
+        p
+        for p, _ in sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : text.BPE_TOP
+        ]
+    }
+    stop = set(text.EN_STOPWORDS)
+
+    def word_tokens(w: str) -> int:
+        consumed = False
+        n_merge = 0
+        for j in range(len(w) - 1):
+            if consumed:
+                consumed = False
+                continue
+            if w[j : j + 2] in merges:
+                n_merge += 1
+                consumed = True
+        return len(w) - n_merge
+
+    agg: dict[str, list[int]] = {}
+    for d in docs:
+        lang = "en" if sum(1 for t in d if t in stop) * 20 >= len(d) else "other"
+        a = agg.setdefault(lang, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(d)
+        a[2] += sum(word_tokens(w) for w in d)
+        a[3] += sum(len(w) for w in d)
+        a[4] += sum(len(w.encode()) for w in d)
+    expect = {
+        lang: tuple(v)
+        + (
+            v[2] * 1_000_000 // v[1],
+            v[3] * 1_000_000 // v[2],
+            v[4] * 1_000_000 // v[2],
+        )
+        for lang, v in agg.items()
+    }
+    got = {
+        r.lang_pred: (
+            r.n_docs,
+            r.words,
+            r.tokens,
+            r.chars,
+            r.bytes_total,
+            r.fertility_ppm,
+            r.chars_per_token_ppm,
+            r.bytes_per_token_ppm,
+        )
+        for r in text.text_tokenizer_fertility(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == expect
+    for v in got.values():
+        assert v[2] >= v[1] and v[3] >= v[2]  # words <= tokens <= chars

@@ -176,3 +176,67 @@ def test_ccnet_buckets_are_balanced_and_ordered(spark):
         assert sum(sizes) == expect_n[lang]
         assert buckets[1].min_score_ppm >= buckets[2].max_score_ppm
         assert buckets[2].min_score_ppm >= buckets[3].max_score_ppm
+
+
+def test_fineweb_rules_python_reference(spark):
+    """Recompute the full FineWeb battery in plain Python on the raw
+    fixture (same chunking + deterministic decoration) and compare every
+    ppm column and the keep verdict bit-for-bit; also assert the
+    decoration actually exercises both sides of the punct and bullet
+    thresholds."""
+    import duckdb as _dd
+
+    rows = _dd.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    W = quality.GREP_LINE
+    expect = {}
+    for doc_id, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            continue
+        lines = []
+        for i in range((len(toks) + W - 1) // W):
+            ln = " ".join(toks[i * W : i * W + W])
+            if i % 10 < doc_id % 11:
+                ln = "- " + ln
+            if i % (1 + doc_id % 12) == 0:
+                ln = ln + "."
+            lines.append(ln)
+        n = len(lines)
+        total = sum(len(x) for x in lines)
+        srt = sorted(lines)
+        dup = sum(
+            len(srt[i]) for i in range(1, n) if srt[i] == srt[i - 1]
+        )
+        punct = sum(1 for x in lines if x[-1] in '.!?"') * 1_000_000 // n
+        short = (
+            sum(1 for x in lines if len(x) < quality.FW_SHORT_CHARS)
+            * 1_000_000
+            // n
+        )
+        bullet = sum(1 for x in lines if x[0] in "-*") * 1_000_000 // n
+        dupp = dup * 1_000_000 // total
+        keep = int(
+            punct > quality.FW_PUNCT_MIN_PPM
+            and short < quality.FW_SHORT_MAX_PPM
+            and dupp < quality.FW_DUPCHAR_MAX_PPM
+            and bullet <= quality.FW_BULLET_MAX_PPM
+        )
+        expect[doc_id] = (n, punct, short, bullet, dupp, keep)
+    got = {
+        r.doc_id: (
+            r.n_lines,
+            r.punct_line_ppm,
+            r.short_line_ppm,
+            r.bullet_line_ppm,
+            r.dup_char_ppm,
+            r.keep,
+        )
+        for r in quality.quality_fineweb_rules(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    puncts = [v[1] for v in expect.values()]
+    bullets = [v[3] for v in expect.values()]
+    assert min(puncts) <= quality.FW_PUNCT_MIN_PPM < max(puncts)
+    assert min(bullets) <= quality.FW_BULLET_MAX_PPM < max(bullets)
