@@ -217,11 +217,13 @@ def main() -> None:
         "corpus_quality_floor",
         "quality_gopher_rules",
         "quality_gopher_repetition",
+        "quality_fineweb_rules",
         "quality_ccnet_buckets",
         "text_source_divergence",
         "text_keyphrase_rake",
         "corpus_cap_per_source",
         "corpus_tokenizer_fertility",
+        "text_tokenizer_fertility",
         "mm_modality_router",
         "text_quality",
         "text_fingerprint",
@@ -325,6 +327,7 @@ def main() -> None:
         # the minhash pair pipeline twice (pairs + clusters), so timing it
         # times the dedup chain again, not the modularity fold.
         "dedup_exact",
+        "dedup_repeated_lines",
         "dedup_keep_best_quality",
         "dedup_dup_spans",
         "dedup_dup_spans_removal",

@@ -946,12 +946,13 @@ def quality_fineweb_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorations; the keep verdict is pure integer comparison against
     the published thresholds.
 
-    Plan shape: one documents scan, zero shuffles before the final
-    orderBy — every metric (including duplicate-line chars, via the
-    array_sort + adjacent-equal fold from the Gopher battery) is an
-    in-row expression over the chunk array. At 100 TB this is a pure
-    map pass; the verdict column would be carried forward rather than
-    collected."""
+    Plan shape: one documents scan with zero data-keyed shuffles — the
+    only exchanges are the fixture's scan-parallelize round-robin and
+    the final orderBy's range partitioning; every metric (including
+    duplicate-line chars, via the array_sort + adjacent-equal fold from
+    the Gopher battery) is an in-row expression over the chunk array.
+    At 100 TB this is a pure map pass; the verdict column would be
+    carried forward rather than collected."""
     w = GREP_LINE
     docs = (
         with_tokens(load_documents(spark, sf_dir))

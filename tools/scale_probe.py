@@ -101,6 +101,9 @@ PROBES = [
     "ts_holt_linear",            # per-series in-row recurrence fold
     "dedup_keep_best_quality",   # cluster-sized argmax ledger on dup_pairs
     "ml_isotonic_calibration",   # calibration bins + driver-side PAV
+    "dedup_repeated_lines",      # line-string groupBy + join-back ledger
+    "quality_fineweb_rules",     # pure map pass, in-row line battery
+    "text_tokenizer_fertility",  # pair-vocab agg + map-pass merge scoring
 ]
 
 
