@@ -174,6 +174,7 @@ def main() -> None:
         "q_ivm_agg_retract",
         "q_deletion_vectors",
         "q_partition_evolution",
+        "q_zorder_clustering",
         "q_join_skew_audit",
         "q_retention_sweep",
         "q_quantiles_exact",
@@ -302,6 +303,7 @@ def main() -> None:
         "ts_mad_outliers",
         "graph_kcore",
         "graph_label_propagation",
+        "graph_hits",
         "graph_hyperball_nf",
         "q_not_in_null_trap",
         "q_table_checksum",
@@ -316,6 +318,7 @@ def main() -> None:
         "q_recursive_bom",
         "ts_trend_forecast",
         "ts_holt_linear",
+        "ts_changepoint_cusum",
         "geo_knn_join",
         "dedup_record_linkage",
         "corpus_shard_manifest",

@@ -1414,6 +1414,127 @@ SELECT doc_id, pr AS pagerank_scaled FROM {prev} ORDER BY doc_id
 """
 
 
+HITS_ITERS = 2      # fixed unroll depth (shared with the oracle SQL)
+HITS_SCALE = 10**6  # max-norm fixed-point scale per half-round
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, public) over the
+    near-dup pair graph, oriented by id: the verified pair (a, b) with
+    a < b is read as "earlier document a points at its later near-copy
+    b", so AUTHORITY scores concentrate on documents that re-collect
+    many earlier sources (aggregators, mirrors) and HUB scores on
+    widely-copied originals — the directed complement to PageRank's
+    undirected centrality above.
+
+    Same exactness contract as graph_pagerank: every half-round is an
+    integer sum followed by ONE max-norm rescale ``raw · 10⁶ div max``
+    computed in DECIMAL(38,0)/HUGEINT (the product would pass BIGINT
+    at ~10¹² edges), truncating in both engines — so the unrolled SQL
+    oracle hash-verifies an iterative spectral algorithm that float
+    HITS could only ever get a rows-only check for. The max-norm
+    replaces the paper's L2 norm (a sqrt of a sum of squares of sums —
+    fine for ranking, hostile to integer exactness); both normalize
+    the same fixed point direction.
+
+    Scale shape per half-round: one equi-join of the (cluster-bounded)
+    pair list against the score table + one partial-agg shuffle on the
+    receiving node id, plus a 1-row max broadcast — scores never leave
+    the executors, and the pair graph is the amortized dup_pairs
+    checkpoint shared by the whole graph family."""
+    edges = dup_pairs(spark, sf_dir)  # (doc_a < doc_b) — the orientation
+    nodes = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rescale = F.expr(
+        f"coalesce(CAST((CAST(raw AS DECIMAL(38,0)) * {HITS_SCALE})"
+        f" div mx AS BIGINT), 0)"
+    )
+
+    def half_round(score: DataFrame, col: str, src: str, dst: str) -> DataFrame:
+        raw = (
+            edges.join(score, edges[src] == score["doc_id"])
+            .groupBy(edges[dst].alias("doc_id"))
+            .agg(F.sum(col).alias("raw"))
+        )
+        mx = raw.agg(F.max("raw").alias("mx"))
+        return (
+            nodes.join(raw, "doc_id", "left")
+            .crossJoin(F.broadcast(mx))
+            .select("doc_id", rescale.alias(col))
+        )
+
+    h = nodes.select(
+        "doc_id", F.lit(HITS_SCALE).cast("bigint").alias("s")
+    )
+    a = None
+    for _ in range(HITS_ITERS):
+        a = half_round(h, "s", "doc_a", "doc_b")   # authorities <- hubs
+        h = half_round(a, "s", "doc_b", "doc_a")   # hubs <- authorities
+    return (
+        h.select("doc_id", F.col("s").alias("hub_scaled"))
+        .join(a.select("doc_id", F.col("s").alias("auth_scaled")), "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _hits_sql() -> str:
+    ctes = []
+    prev_h = "h0"
+    last_a = None
+    for k in range(1, HITS_ITERS + 1):
+        ctes.append(
+            f"araw{k} AS MATERIALIZED (\n"
+            f"  SELECT p.doc_b AS doc_id, CAST(SUM(h.s) AS BIGINT) AS raw\n"
+            f"  FROM pairs p JOIN {prev_h} h ON p.doc_a = h.doc_id\n"
+            f"  GROUP BY p.doc_b)"
+        )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (\n"
+            f"  SELECT n.doc_id,\n"
+            f"         CAST(COALESCE((CAST(r.raw AS HUGEINT) * {HITS_SCALE})\n"
+            f"           // (SELECT MAX(raw) FROM araw{k}), 0) AS BIGINT) AS s\n"
+            f"  FROM nodes n LEFT JOIN araw{k} r USING (doc_id))"
+        )
+        ctes.append(
+            f"hraw{k} AS MATERIALIZED (\n"
+            f"  SELECT p.doc_a AS doc_id, CAST(SUM(a.s) AS BIGINT) AS raw\n"
+            f"  FROM pairs p JOIN a{k} a ON p.doc_b = a.doc_id\n"
+            f"  GROUP BY p.doc_a)"
+        )
+        ctes.append(
+            f"h{k} AS MATERIALIZED (\n"
+            f"  SELECT n.doc_id,\n"
+            f"         CAST(COALESCE((CAST(r.raw AS HUGEINT) * {HITS_SCALE})\n"
+            f"           // (SELECT MAX(raw) FROM hraw{k}), 0) AS BIGINT) AS s\n"
+            f"  FROM nodes n LEFT JOIN hraw{k} r USING (doc_id))"
+        )
+        prev_h = f"h{k}"
+        last_a = f"a{k}"
+    return f"""
+WITH {_minhash_ctes()},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+),
+nodes AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL SELECT doc_b AS doc_id FROM pairs
+  )
+),
+h0 AS (SELECT doc_id, CAST({HITS_SCALE} AS BIGINT) AS s FROM nodes),
+{",".join(ctes)}
+SELECT n.doc_id, h.s AS hub_scaled, a.s AS auth_scaled
+FROM nodes n
+JOIN {prev_h} h USING (doc_id)
+JOIN {last_a} a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 LPA_ROUNDS = 3
 
 
@@ -3578,6 +3699,7 @@ FROM flagged GROUP BY doc_id ORDER BY doc_id
 
 QUERIES = {
     "dedup_repeated_lines": dedup_repeated_lines,
+    "graph_hits": graph_hits,
     "graph_hyperball_nf": graph_hyperball_nf,
     "dedup_bbit_minhash": dedup_bbit_minhash,
     "graph_link_prediction": graph_link_prediction,
@@ -3616,6 +3738,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_repeated_lines": DEDUP_REPEATED_LINES_SQL,
+    "graph_hits": _hits_sql(),
     "graph_hyperball_nf": _hyperball_sql(),
     "dedup_bbit_minhash": _bbit_sql(),
     "graph_link_prediction": _linkpred_sql(),

@@ -1210,7 +1210,187 @@ ORDER BY r.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# ts_changepoint_cusum — Page's CUSUM level-shift detector per series
+# ---------------------------------------------------------------------------
+
+CUSUM_SLACK_DIV = 20   # allowance k = mean div 20 (detects >5%-of-mean drift)
+CUSUM_THRESH_DIV = 2   # alarm when the CUSUM exceeds h = mean div 2
+
+
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint monitoring (Page 1954, public) per
+    event-type daily revenue series: the sequential statistic
+        S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − k)),
+        S⁻_t = max(0, S⁻_{t−1} + (μ − x_t − k))
+    with reference μ = the series' own mean, allowance k = μ/20 and
+    decision threshold h = μ/2 — the standard drift monitor a pipeline
+    runs over ingest volumes to catch level shifts that per-day
+    thresholds miss (small persistent drifts accumulate; k subtracts
+    noise, h gates the alarm).
+
+    The recursion is eliminated, not folded: max(0, ·)-reset CUSUM has
+    the exact closed form S_t = P_t − min(0, min_{j≤t} P_j) with P the
+    plain prefix sum of deviations, so both engines compute it with
+    two RUNNING windows (sum, min) over the per-series daily table —
+    no recursive CTE, no dependence on DuckDB's defective list_reduce
+    (ts_holt_linear's lesson), and every value is an exact BIGINT (μ,
+    k, h are truncating integer divisions of cent sums).
+
+    Scale shape: one (event_type, day) partial-agg shuffle over raw
+    events; the windows run inside per-SERIES partitions over daily
+    aggregates (≈ n_days rows each), never over raw events; the final
+    per-series rollup is a |series|-key agg. A million series are a
+    million independent window partitions."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"), _cents("value").alias("cents")
+    )
+    daily = ev.groupBy("event_type", "d").agg(F.sum("cents").alias("v"))
+    stats = daily.groupBy("event_type").agg(
+        F.expr("sum(v) div count(*)").alias("mu"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    base = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "d",
+        "v",
+        "mu",
+        "n_days",
+        F.expr(f"mu div {CUSUM_SLACK_DIV}").alias("k"),
+        F.expr(f"mu div {CUSUM_THRESH_DIV}").alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = base.select(
+        "event_type",
+        "d",
+        "n_days",
+        "mu",
+        "k",
+        "h",
+        F.sum(F.expr("v - mu - k")).over(w).alias("pp"),
+        F.sum(F.expr("mu - v - k")).over(w).alias("pn"),
+    )
+    cum = pref.select(
+        "event_type",
+        "d",
+        "n_days",
+        "mu",
+        "k",
+        "h",
+        "pp",
+        F.min("pp").over(w).alias("pp_min"),
+        "pn",
+        F.min("pn").over(w).alias("pn_min"),
+    ).select(
+        "event_type",
+        "d",
+        "n_days",
+        "mu",
+        "k",
+        "h",
+        F.expr("pp - least(CAST(0 AS BIGINT), pp_min)").alias("s_pos"),
+        F.expr("pn - least(CAST(0 AS BIGINT), pn_min)").alias("s_neg"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.max("mu").alias("mean_cents"),
+            F.max("k").alias("slack_cents"),
+            F.max("h").alias("thresh_cents"),
+            F.max("s_pos").alias("max_cusum_pos"),
+            F.max("s_neg").alias("max_cusum_neg"),
+            F.sum(F.expr("CASE WHEN s_pos > h THEN 1 ELSE 0 END")).alias(
+                "n_alarm_pos"
+            ),
+            F.sum(F.expr("CASE WHEN s_neg > h THEN 1 ELSE 0 END")).alias(
+                "n_alarm_neg"
+            ),
+            F.coalesce(
+                F.date_format(
+                    F.min(
+                        F.when(
+                            (F.col("s_pos") > F.col("h"))
+                            | (F.col("s_neg") > F.col("h")),
+                            F.col("d"),
+                        )
+                    ),
+                    "yyyy-MM-dd",
+                ),
+                F.lit("none"),
+            ).alias("first_alarm_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_CUSUM_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+daily AS (
+  SELECT event_type, d, CAST(SUM(cents) AS BIGINT) AS v
+  FROM ev GROUP BY event_type, d
+),
+stats AS (
+  SELECT event_type,
+         CAST(SUM(v) AS BIGINT) // COUNT(*) AS mu,
+         COUNT(*) AS n_days
+  FROM daily GROUP BY event_type
+),
+base AS (
+  SELECT d.event_type, d.d, d.v, s.mu, s.n_days,
+         s.mu // {CUSUM_SLACK_DIV} AS k,
+         s.mu // {CUSUM_THRESH_DIV} AS h
+  FROM daily d JOIN stats s USING (event_type)
+),
+pref AS (
+  SELECT event_type, d, n_days, mu, k, h,
+         SUM(v - mu - k) OVER w AS pp,
+         SUM(mu - v - k) OVER w AS pn
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+runmin AS (
+  SELECT event_type, d, n_days, mu, k, h, pp, pn,
+         MIN(pp) OVER w AS pp_min,
+         MIN(pn) OVER w AS pn_min
+  FROM pref
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cus AS (
+  SELECT event_type, d, n_days, mu, k, h,
+         CAST(pp - LEAST(CAST(0 AS BIGINT), pp_min) AS BIGINT) AS s_pos,
+         CAST(pn - LEAST(CAST(0 AS BIGINT), pn_min) AS BIGINT) AS s_neg
+  FROM runmin
+)
+SELECT event_type,
+       MAX(n_days) AS n_days,
+       MAX(mu) AS mean_cents,
+       MAX(k) AS slack_cents,
+       MAX(h) AS thresh_cents,
+       MAX(s_pos) AS max_cusum_pos,
+       MAX(s_neg) AS max_cusum_neg,
+       CAST(SUM(CASE WHEN s_pos > h THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarm_pos,
+       CAST(SUM(CASE WHEN s_neg > h THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarm_neg,
+       COALESCE(strftime(MIN(CASE WHEN s_pos > h OR s_neg > h THEN d END),
+                         '%Y-%m-%d'), 'none') AS first_alarm_day
+FROM cus GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "ts_changepoint_cusum": ts_changepoint_cusum,
     "ts_holt_linear": ts_holt_linear,
     "ts_sax_symbols": ts_sax_symbols,
     "ts_downsample_lttb": ts_downsample_lttb,
@@ -1224,6 +1404,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ts_changepoint_cusum": TS_CUSUM_SQL,
     "ts_holt_linear": TS_HOLT_SQL,
     "ts_sax_symbols": TS_SAX_SQL,
     "ts_downsample_lttb": TS_LTTB_SQL,

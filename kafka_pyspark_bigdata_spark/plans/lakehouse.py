@@ -2555,7 +2555,216 @@ FROM rows_ GROUP BY spec_id ORDER BY spec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q_zorder_clustering — Morton-order layout vs ingest order for data skipping
+# ---------------------------------------------------------------------------
+
+ZORD_BITS = 16                       # per-dimension resolution
+ZORD_NFILES = 64                     # files per layout
+ZORD_FILE_W = (1 << (2 * ZORD_BITS)) // ZORD_NFILES  # z-range width per file
+# Four diagonal 1/4 x 1/4 boxes in the normalized 16-bit space — the
+# two-sided range predicates a min/max-pruned reader actually sees.
+ZORD_QUERIES = [
+    (q, q * 16384, q * 16384 + 16383) for q in range(4)
+]
+
+
+def _morton_sum(nx: str, ny: str, div: str) -> str:
+    """The 32-bit Morton interleave as an unrolled integer polynomial —
+    identical text in both engines modulo the integer-division spelling
+    (Spark ``div`` / DuckDB ``//``), no bit operators needed."""
+    terms = []
+    for b in range(ZORD_BITS):
+        terms.append(f"(({nx} {div} {1 << b}) % 2) * {1 << (2 * b)}")
+        terms.append(f"(({ny} {div} {1 << b}) % 2) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+def q_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout audit (Morton 1966; the Delta/Iceberg
+    ``OPTIMIZE ZORDER BY`` pattern): would rewriting lineitem's files in
+    Morton order of (l_partkey, l_suppkey) let min/max file statistics
+    skip more data than the natural ingest order for two-sided range
+    predicates? Both dimensions normalize to 16 bits, interleave into a
+    32-bit z-value (an unrolled integer polynomial — no bit operators,
+    so the expression is engine-identical), and rows land in
+    {ZORD_NFILES} equal-z-width files; the rival layout buckets the same
+    rows by ingest order (equal-width l_orderkey ranges). For four
+    diagonal quarter-space box queries, a file is READ iff its per-file
+    (min,max) box on both dimensions intersects the predicate box —
+    exactly the manifest-level pruning a lakehouse reader runs. Output
+    per (layout, query): files read, rows read, true matched rows, and
+    the read amplification in ppm — the number that justifies (or
+    refuses) an OPTIMIZE rewrite.
+
+    Exactness: normalization, z-values, file ids and intersections are
+    all integer arithmetic with truncating division; matched-row truth
+    is layout-independent (asserted equal across layouts in pytest).
+
+    Scale shape: ONE lineitem scan computes both file ids in-row, one
+    explode to (layout, file) rows, one partial-agg shuffle keyed by
+    the ≤2·{ZORD_NFILES} (layout, file) pairs building the manifest
+    (min/max/count + per-query conditional counts), then the 4-row
+    query table joins the manifest at metadata scale. The 100 TB story
+    is the point: the manifest is one row per file, the pruning
+    decision never touches data, and the rewrite this audit prices
+    would itself be one repartitionByRange on the z-value."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    bounds = li.agg(
+        F.min("l_partkey").alias("px0"),
+        F.max("l_partkey").alias("px1"),
+        F.min("l_suppkey").alias("sy0"),
+        F.max("l_suppkey").alias("sy1"),
+        F.min("l_orderkey").alias("ok0"),
+        F.max("l_orderkey").alias("ok1"),
+    )
+    mx = (1 << ZORD_BITS) - 1
+    norm = li.crossJoin(F.broadcast(bounds)).select(
+        "l_orderkey",
+        F.expr(f"(l_partkey - px0) * {mx} div (px1 - px0)").alias("nx"),
+        F.expr(f"(l_suppkey - sy0) * {mx} div (sy1 - sy0)").alias("ny"),
+        F.expr(
+            f"(l_orderkey - ok0) * {ZORD_NFILES} div (ok1 - ok0 + 1)"
+        ).alias("nfile"),
+    )
+    zed = norm.select(
+        "nx",
+        "ny",
+        F.expr(f"({_morton_sum('nx', 'ny', 'div')}) div {ZORD_FILE_W}").alias(
+            "zfile"
+        ),
+        "nfile",
+    )
+    stacked = zed.select(
+        "nx",
+        "ny",
+        F.explode(
+            F.expr(
+                "array(named_struct('layout', 'zorder', 'file_id', zfile),"
+                " named_struct('layout', 'natural', 'file_id', nfile))"
+            )
+        ).alias("lf"),
+    ).select("nx", "ny", "lf.layout", "lf.file_id")
+    manifest = stacked.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("nx").alias("x_min"),
+        F.max("nx").alias("x_max"),
+        F.min("ny").alias("y_min"),
+        F.max("ny").alias("y_max"),
+        *[
+            F.sum(
+                F.expr(
+                    f"CASE WHEN nx BETWEEN {lo} AND {hi}"
+                    f" AND ny BETWEEN {lo} AND {hi} THEN 1 ELSE 0 END"
+                )
+            ).alias(f"m{q}")
+            for q, lo, hi in ZORD_QUERIES
+        ],
+    )
+    qdf = spark.createDataFrame(
+        ZORD_QUERIES, "query_id int, lo int, hi int"
+    )
+    read = manifest.crossJoin(F.broadcast(qdf)).select(
+        "layout",
+        "query_id",
+        "n_rows",
+        F.expr(
+            "CASE WHEN x_max >= lo AND x_min <= hi"
+            " AND y_max >= lo AND y_min <= hi THEN 1 ELSE 0 END"
+        ).alias("is_read"),
+        F.expr(
+            " + ".join(
+                f"CASE WHEN query_id = {q} THEN m{q} ELSE 0 END"
+                for q, _, _ in ZORD_QUERIES
+            )
+        ).alias("n_matched"),
+    )
+    return (
+        read.groupBy("layout", "query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("is_read").alias("n_files_read"),
+            F.sum(F.expr("CASE WHEN is_read = 1 THEN n_rows ELSE 0 END")).alias(
+                "rows_read"
+            ),
+            F.sum("n_matched").alias("rows_matched"),
+        )
+        .withColumn(
+            "read_amp_ppm",
+            F.expr("rows_read * 1000000 div greatest(rows_matched, 1)"),
+        )
+        .orderBy("query_id", "layout")
+    )
+
+
+def _zorder_sql() -> str:
+    mx = (1 << ZORD_BITS) - 1
+    qvals = ", ".join(f"({q}, {lo}, {hi})" for q, lo, hi in ZORD_QUERIES)
+    mcols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN nx BETWEEN {lo} AND {hi}"
+        f" AND ny BETWEEN {lo} AND {hi} THEN 1 ELSE 0 END) AS BIGINT) AS m{q}"
+        for q, lo, hi in ZORD_QUERIES
+    )
+    mpick = " + ".join(
+        f"CASE WHEN query_id = {q} THEN m{q} ELSE 0 END"
+        for q, _, _ in ZORD_QUERIES
+    )
+    return f"""
+WITH bounds AS (
+  SELECT MIN(l_partkey) AS px0, MAX(l_partkey) AS px1,
+         MIN(l_suppkey) AS sy0, MAX(l_suppkey) AS sy1,
+         MIN(l_orderkey) AS ok0, MAX(l_orderkey) AS ok1
+  FROM lineitem
+),
+norm AS (
+  SELECT (l_partkey - px0) * {mx} // (px1 - px0) AS nx,
+         (l_suppkey - sy0) * {mx} // (sy1 - sy0) AS ny,
+         (l_orderkey - ok0) * {ZORD_NFILES} // (ok1 - ok0 + 1) AS nfile
+  FROM lineitem, bounds
+),
+zed AS (
+  SELECT nx, ny,
+         ({_morton_sum('nx', 'ny', '//')}) // {ZORD_FILE_W} AS zfile,
+         nfile
+  FROM norm
+),
+stacked AS (
+  SELECT nx, ny, 'zorder' AS layout, zfile AS file_id FROM zed
+  UNION ALL
+  SELECT nx, ny, 'natural' AS layout, nfile AS file_id FROM zed
+),
+manifest AS (
+  SELECT layout, file_id, COUNT(*) AS n_rows,
+         MIN(nx) AS x_min, MAX(nx) AS x_max,
+         MIN(ny) AS y_min, MAX(ny) AS y_max,
+         {mcols}
+  FROM stacked GROUP BY layout, file_id
+),
+qs (query_id, lo, hi) AS (VALUES {qvals}),
+read AS (
+  SELECT layout, query_id, n_rows,
+         CASE WHEN x_max >= lo AND x_min <= hi
+               AND y_max >= lo AND y_min <= hi THEN 1 ELSE 0 END AS is_read,
+         {mpick} AS n_matched
+  FROM manifest CROSS JOIN qs
+)
+SELECT layout, query_id,
+       COUNT(*) AS n_files,
+       CAST(SUM(is_read) AS BIGINT) AS n_files_read,
+       CAST(SUM(CASE WHEN is_read = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_read,
+       CAST(SUM(n_matched) AS BIGINT) AS rows_matched,
+       CAST(SUM(CASE WHEN is_read = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+         * 1000000 // GREATEST(CAST(SUM(n_matched) AS BIGINT), 1)
+         AS read_amp_ppm
+FROM read GROUP BY layout, query_id ORDER BY query_id, layout
+"""
+
+
 QUERIES = {
+    "q_zorder_clustering": q_zorder_clustering,
     "q_partition_evolution": q_partition_evolution,
     "q_deletion_vectors": q_deletion_vectors,
     "q_delta_log_replay": q_delta_log_replay,
@@ -2586,6 +2795,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_zorder_clustering": _zorder_sql(),
     "q_partition_evolution": PARTITION_EVOLUTION_SQL,
     "q_deletion_vectors": DELETION_VECTORS_SQL,
     "q_delta_log_replay": DELTA_LOG_SQL,

@@ -446,3 +446,26 @@ def test_partition_evolution_pruning_is_lossless_and_finer_spec_tighter(spark):
     s0, s1 = rows[0], rows[1]
     # finer partitioning: scanned/matched ratio no worse than coarse spec
     assert s1.rows_scanned * s0.n_matched <= s0.rows_scanned * s1.n_matched
+
+
+def test_zorder_clustering_dominates_natural(spark):
+    """Layout-audit invariants: matched-row truth is layout-independent;
+    pruning is lossless (every layout reads at least the matched rows);
+    and the z-order layout never reads more files than natural order on
+    the box queries it exists to serve."""
+    rows = lakehouse.q_zorder_clustering(spark, SF_SMOKE).collect()
+    by = {(r.layout, r.query_id): r for r in rows}
+    qids = {r.query_id for r in rows}
+    assert {r.layout for r in rows} == {"zorder", "natural"}
+    for q in qids:
+        z, n = by[("zorder", q)], by[("natural", q)]
+        assert z.rows_matched == n.rows_matched
+        assert z.rows_read >= z.rows_matched
+        assert n.rows_read >= n.rows_matched
+        assert z.n_files_read <= n.n_files_read
+        assert z.read_amp_ppm <= n.read_amp_ppm
+        assert z.n_files == n.n_files == lakehouse.ZORD_NFILES
+    assert any(
+        by[("zorder", q)].rows_read < by[("natural", q)].rows_read
+        for q in qids
+    )

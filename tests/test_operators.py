@@ -1883,3 +1883,82 @@ def test_tokenizer_fertility_python_reference(spark):
     assert got == expect
     for v in got.values():
         assert v[2] >= v[1] and v[3] >= v[2]  # words <= tokens <= chars
+
+
+def test_hits_contract(spark):
+    """HITS invariants on the oriented dup-pair graph: scores live in
+    [0, HITS_SCALE]; at least one node attains the max-norm ceiling on
+    each side; a node with no outgoing edges has hub 0 and one with no
+    incoming edges has authority 0."""
+    rows = dedup.graph_hits(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    S = dedup.HITS_SCALE
+    assert all(0 <= r.hub_scaled <= S and 0 <= r.auth_scaled <= S for r in rows)
+    assert max(r.hub_scaled for r in rows) == S
+    assert max(r.auth_scaled for r in rows) == S
+    edges = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dup_pairs(spark, "/root/testdata/sf0.001").collect()
+    }
+    srcs = {a for a, _ in edges}
+    dsts = {b for _, b in edges}
+    for r in rows:
+        if r.doc_id not in srcs:
+            assert r.hub_scaled == 0, r
+        if r.doc_id not in dsts:
+            assert r.auth_scaled == 0, r
+
+
+def test_cusum_python_reference(spark):
+    """Recompute the two-sided CUSUM with the TEXTBOOK recursion
+    S_t = max(0, S_{t-1} + dev_t) in plain Python and compare alarms,
+    maxima and first alarm day exactly — proving the prefix-minus-
+    running-min closed form used by both engines equals the recursion."""
+    import collections
+    import duckdb as _dd
+
+    raw = _dd.sql(
+        "SELECT event_type, CAST(ts AS DATE) AS d,"
+        " CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents"
+        " FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchall()
+    daily: dict = collections.defaultdict(lambda: collections.defaultdict(int))
+    for et, d, cents in raw:
+        daily[et][d] += cents
+    expect = {}
+    for et, series in daily.items():
+        days = sorted(series)
+        vals = [series[d] for d in days]
+        mu = sum(vals) // len(vals)
+        k = mu // timeseries.CUSUM_SLACK_DIV
+        h = mu // timeseries.CUSUM_THRESH_DIV
+        sp = sn = 0
+        mp = mn = 0
+        ap = an = 0
+        first = None
+        for d, v in zip(days, vals):
+            sp = max(0, sp + (v - mu - k))
+            sn = max(0, sn + (mu - v - k))
+            mp, mn = max(mp, sp), max(mn, sn)
+            ap += sp > h
+            an += sn > h
+            if (sp > h or sn > h) and first is None:
+                first = d.strftime("%Y-%m-%d")
+        expect[et] = (len(days), mu, k, h, mp, mn, ap, an, first or "none")
+    got = {
+        r.event_type: (
+            r.n_days,
+            r.mean_cents,
+            r.slack_cents,
+            r.thresh_cents,
+            r.max_cusum_pos,
+            r.max_cusum_neg,
+            r.n_alarm_pos,
+            r.n_alarm_neg,
+            r.first_alarm_day,
+        )
+        for r in timeseries.ts_changepoint_cusum(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == expect

@@ -104,6 +104,9 @@ PROBES = [
     "dedup_repeated_lines",      # line-string groupBy + join-back ledger
     "quality_fineweb_rules",     # pure map pass, in-row line battery
     "text_tokenizer_fertility",  # pair-vocab agg + map-pass merge scoring
+    "graph_hits",                # integer max-norm power half-rounds
+    "ts_changepoint_cusum",      # series-keyed running-window closed form
+    "q_zorder_clustering",       # in-row Morton ids + manifest-key agg
 ]
 
 
