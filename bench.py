@@ -233,6 +233,7 @@ def main() -> None:
         "text_bigram_topnext",
         "text_cooccurrence_pairs",
         "ann_topk_bruteforce",
+        "emb_matryoshka_eval",
         "ann_lsh_bucketed",
         "emb_bitpack_hamming_topk",
         "ann_two_stage_rerank",

@@ -4868,7 +4868,165 @@ FROM agg, vrow
 EMB_ABTT_SQL = _abtt_sql()
 
 
+# ---------------------------------------------------------------------------
+# emb_matryoshka_eval — prefix-dimension retrieval quality (MRL)
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (8, 16, 32, 64)  # prefix lengths; the last is the full dimension
+
+
+def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka retrieval audit (Kusupati et al. 2022, public): how
+    much top-{TOP_K} retrieval quality survives truncating embeddings to
+    their first 8/16/32 dimensions? The question every vector pipeline
+    asks before shrinking its index 8x — MRL-trained models keep most
+    recall at small prefixes, and this measures exactly that, against
+    the full-dimension ranking as ground truth (the 64-prefix row is the
+    truth ranked against itself, recall 10⁶ by construction — the
+    built-in sanity row).
+
+    Protocol: the pinned {N_QUERIES}-query broadcast scan (the
+    ann_topk_bruteforce contract) scores each (query, candidate) pair
+    ONCE, computing all four prefix cosines in the same projection
+    (prefix slices share the scan, not re-reads); one explode to
+    (pair, dims) and ONE window per (query, dims) group ranks them
+    (round-6 cosine + id tie-break — the established deterministic
+    ranking); recall@{TOP_K} joins each prefix's top list against the
+    full-dimension top list — a ≤{N_QUERIES}·{TOP_K}·4-row metadata
+    join. Scale shape: one broadcast-query scan (candidates never
+    shuffle), one window over query-scoped groups, then metadata-sized
+    joins — the ann_filtered_search shape with a dims fan-out.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+    )
+
+    def pref_cos(d: int) -> Column:
+        qd, cd = f"slice(qv, 1, {d})", f"slice(cv, 1, {d})"
+        return F.round(
+            F.expr(
+                f"aggregate(zip_with({qd}, {cd},"
+                f" (u, v) -> CAST(u AS DOUBLE) * CAST(v AS DOUBLE)),"
+                f" CAST(0 AS DOUBLE), (a, x) -> a + x)"
+            )
+            / (
+                F.sqrt(
+                    F.expr(
+                        f"aggregate({qd}, CAST(0 AS DOUBLE),"
+                        f" (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+                    )
+                )
+                * F.sqrt(
+                    F.expr(
+                        f"aggregate({cd}, CAST(0 AS DOUBLE),"
+                        f" (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+                    )
+                )
+            ),
+            6,
+        )
+
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("dims"), pref_cos(d).alias("cos")
+                        )
+                        for d in MRL_DIMS
+                    ]
+                )
+            ).alias("dc"),
+        )
+        .select("query_id", "neighbor_id", "dc.dims", "dc.cos")
+    )
+    w = Window.partitionBy("query_id", "dims").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "dims")
+        .localCheckpoint(eager=False)
+    )
+    truth = top.filter(F.col("dims") == EMB_DIM).select(
+        "query_id", "neighbor_id"
+    )
+    hits = top.join(truth, ["query_id", "neighbor_id"]).groupBy("dims").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        hits.select(
+            "dims",
+            "n_hits",
+            F.expr(
+                f"n_hits * 1000000 div {N_QUERIES * TOP_K}"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("dims")
+    )
+
+
+def _mrl_sql() -> str:
+    def cos_d(d: int) -> str:
+        qd, cd = f"qv[1:{d}]", f"cv[1:{d}]"
+        return (
+            f"ROUND(list_sum(list_transform(list_zip({qd}, {cd}),"
+            f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+            f" / (sqrt(list_sum(list_transform({qd},"
+            f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+            f" * sqrt(list_sum(list_transform({cd},"
+            f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+        )
+
+    arms = "\n  UNION ALL\n  ".join(
+        f"SELECT query_id, neighbor_id, {d} AS dims, {cos_d(d)} AS cos"
+        f" FROM pairs"
+        for d in MRL_DIMS
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+pairs AS (
+  SELECT query_id, c.vec_id AS neighbor_id, qv, c.embedding AS cv
+  FROM q JOIN embeddings c ON query_id <> c.vec_id
+),
+scored AS (
+  {arms}
+),
+top AS (
+  SELECT query_id, neighbor_id, dims FROM (
+    SELECT query_id, neighbor_id, dims,
+           ROW_NUMBER() OVER (PARTITION BY query_id, dims
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM top WHERE dims = {EMB_DIM}
+)
+SELECT dims, COUNT(*) AS n_hits,
+       COUNT(*) * 1000000 // {N_QUERIES * TOP_K} AS recall_ppm
+FROM top JOIN truth USING (query_id, neighbor_id)
+GROUP BY dims ORDER BY dims
+"""
+
+
 QUERIES = {
+    "emb_matryoshka_eval": emb_matryoshka_eval,
     "cluster_kcenter_greedy": cluster_kcenter_greedy,
     "emb_isotropy_score": emb_isotropy_score,
     "emb_abtt_postprocess": emb_abtt_postprocess,
@@ -4913,6 +5071,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_matryoshka_eval": _mrl_sql(),
     "cluster_kcenter_greedy": _kcenter_sql(),
     "emb_isotropy_score": EMB_ISOTROPY_SQL,
     "emb_abtt_postprocess": EMB_ABTT_SQL,

@@ -1962,3 +1962,19 @@ def test_cusum_python_reference(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_matryoshka_eval_contract(spark):
+    """The full-dimension row is the truth ranked against itself
+    (recall exactly 10^6); every prefix recall lies in [0, 10^6]; the
+    dims column enumerates MRL_DIMS."""
+    rows = similarity.emb_matryoshka_eval(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by = {r.dims: r for r in rows}
+    assert set(by) == set(similarity.MRL_DIMS)
+    assert by[similarity.EMB_DIM].recall_ppm == 1_000_000
+    K = similarity.TOP_K * similarity.N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_hits <= K
+        assert r.recall_ppm == r.n_hits * 1_000_000 // K

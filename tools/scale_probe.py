@@ -107,6 +107,7 @@ PROBES = [
     "graph_hits",                # integer max-norm power half-rounds
     "ts_changepoint_cusum",      # series-keyed running-window closed form
     "q_zorder_clustering",       # in-row Morton ids + manifest-key agg
+    "emb_matryoshka_eval",       # broadcast-query scan, 4-dims fan-out
 ]
 
 
