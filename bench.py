@@ -324,6 +324,7 @@ def main() -> None:
         "dedup_record_linkage",
         "corpus_shard_manifest",
         "corpus_temperature_sampling",
+        "corpus_upsampling_epochs",
         "corpus_importance_sampling",
         "q_dpp_prune",
         "sketch_ams_f2",

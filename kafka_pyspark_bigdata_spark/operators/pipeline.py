@@ -809,6 +809,151 @@ FROM counts, totals ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_upsampling_epochs — data-constrained epoch allocation per source
+# ---------------------------------------------------------------------------
+
+UPS_MAX_EPOCHS = 4   # diminishing returns beyond ~4 epochs (Muennighoff 2023)
+UPS_BUDGET_MULT = 2  # token budget = 2 x the corpus's one-epoch tokens
+
+
+def corpus_upsampling_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-allocation planner for a data-constrained run (Muennighoff
+    et al. 2023, public: repeating data is worth nearly as much as new
+    data up to ~4 epochs, then value collapses — so a token budget
+    beyond one epoch should buy REPEATS of the best sources, not more
+    of everything). Every source gets its base epoch; the extra budget
+    (here 1x corpus tokens, UPS_BUDGET_MULT=2) is spent in quality
+    order by SLOT RESERVATION: each source in turn reserves its full
+    3-extra-epoch slot while budget remains, the marginal source takes
+    floor(remaining / tokens) whole epochs, everyone after takes none —
+    a deterministic whole-epoch greedy whose prefix form is closed
+    (extra_s = clamp((B − Σ_{{r<s}} 3·T_r) div T_s, 0, 3)), so both
+    engines compute it with ONE prefix-sum window over the per-source
+    aggregate rather than a sequential fold.
+
+    The quality signal is the cheap two-rule Gopher subset (word count
+    in [50, 100k] AND ≥2 function words — quality_gopher_rules'
+    wordcount + stopwords rules) as a per-source pass ppm: integer,
+    self-contained, and exactly what a planner has on hand after the
+    gate pass.
+
+    Scale shape: one documents scan with in-row gate flags → one
+    |sources|-key partial agg → a prefix window and arithmetic over
+    the handful of source rows (metadata scale). At 100 TB the plan is
+    the same: the allocator's input is the per-source ledger, never
+    the corpus."""
+    from .quality import GOPHER_MAX_WORDS, GOPHER_MIN_WORDS, GOPHER_STOPWORDS
+
+    docs = with_tokens(load_documents(spark, sf_dir))
+    per_doc = docs.select(
+        "source",
+        F.size("toks").alias("nw"),
+        (
+            F.size("toks").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+            & (
+                F.size(F.filter("toks", lambda t: t.isin(*GOPHER_STOPWORDS)))
+                >= 2
+            )
+        ).alias("ok"),
+    )
+    src = (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nw").cast("bigint").alias("tokens"),
+            F.sum(F.col("ok").cast("bigint")).alias("n_pass"),
+        )
+        .withColumn("quality_ppm", F.expr("n_pass * 1000000 div n_docs"))
+    )
+    totals = src.agg(F.sum("tokens").alias("t_total"))
+    w = (
+        Window.orderBy(F.desc("quality_ppm"), F.asc("source"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    extra_cap = UPS_MAX_EPOCHS - 1
+    alloc = (
+        src.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pre",
+            F.coalesce(
+                F.sum(F.expr(f"{extra_cap} * tokens")).over(w),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "extra",
+            F.expr(
+                f"greatest(CAST(0 AS BIGINT), least(CAST({extra_cap} AS"
+                f" BIGINT), (t_total * {UPS_BUDGET_MULT - 1} - pre)"
+                f" div tokens))"
+            ),
+        )
+    )
+    return alloc.select(
+        "source",
+        "n_docs",
+        "quality_ppm",
+        "tokens",
+        F.expr("CAST(1 + extra AS INT)").alias("epochs"),
+        F.expr("(1 + extra) * tokens").alias("tokens_contributed"),
+        F.expr(
+            f"(1 + extra) * tokens * 1000000"
+            f" div (t_total * {UPS_BUDGET_MULT})"
+        ).alias("budget_share_ppm"),
+    ).orderBy("source")
+
+
+def _upsampling_sql() -> str:
+    from .quality import GOPHER_MAX_WORDS, GOPHER_MIN_WORDS, GOPHER_STOPWORDS
+
+    gstop = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH tok AS (
+  SELECT source, {TOKENS_SQL} AS toks FROM documents
+),
+per_doc AS (
+  SELECT source, len(toks) AS nw,
+         (len(toks) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+          AND len(list_filter(toks, t -> t IN ({gstop}))) >= 2) AS ok
+  FROM tok
+),
+src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(nw) AS BIGINT) AS tokens,
+         CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+           // COUNT(*) AS quality_ppm
+  FROM per_doc GROUP BY source
+),
+totals AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t_total FROM src),
+alloc AS (
+  SELECT src.*, t_total,
+         CAST(COALESCE(SUM({UPS_MAX_EPOCHS - 1} * tokens) OVER (
+           ORDER BY quality_ppm DESC, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS pre
+  FROM src, totals
+),
+ext AS (
+  SELECT *,
+         GREATEST(CAST(0 AS BIGINT), LEAST(CAST({UPS_MAX_EPOCHS - 1} AS
+           BIGINT), (t_total * {UPS_BUDGET_MULT - 1} - pre) // tokens))
+           AS extra
+  FROM alloc
+)
+SELECT source, n_docs, quality_ppm, tokens,
+       CAST(1 + extra AS INTEGER) AS epochs,
+       (1 + extra) * tokens AS tokens_contributed,
+       (1 + extra) * tokens * 1000000 // (t_total * {UPS_BUDGET_MULT})
+         AS budget_share_ppm
+FROM ext ORDER BY source
+"""
+
+
+CORPUS_UPSAMPLING_SQL = _upsampling_sql()
+
+
 
 # ---------------------------------------------------------------------------
 # Filter-ablation grid (one-pass CUBE)
@@ -1178,6 +1323,7 @@ QUERIES = {
     "corpus_epoch_shuffle": corpus_epoch_shuffle,
     "corpus_span_corruption": corpus_span_corruption,
     "corpus_temperature_sampling": corpus_temperature_sampling,
+    "corpus_upsampling_epochs": corpus_upsampling_epochs,
     "corpus_importance_sampling": corpus_importance_sampling,
     "corpus_shard_manifest": corpus_shard_manifest,
     "corpus_cap_per_source": corpus_cap_per_source,
@@ -1200,6 +1346,7 @@ ORACLES = {
     "corpus_epoch_shuffle": CORPUS_EPOCH_SQL,
     "corpus_span_corruption": CORPUS_SPAN_SQL,
     "corpus_temperature_sampling": CORPUS_TEMPERATURE_SQL,
+    "corpus_upsampling_epochs": CORPUS_UPSAMPLING_SQL,
     "corpus_importance_sampling": CORPUS_IMPORTANCE_SQL,
     "corpus_shard_manifest": CORPUS_SHARD_SQL,
     "corpus_cap_per_source": CORPUS_CAP_SQL,

@@ -237,3 +237,33 @@ def test_soft_dedup_unique_doc_scores_full_weight(spark):
         for r in pipeline.corpus_soft_dedup_weights(spark, SF).collect()
     }
     assert got == {s: tuple(v) for s, v in per_source.items()}
+
+
+def test_upsampling_epochs_greedy_contract(spark):
+    """Slot-reservation greedy invariants: every source gets 1..4 epochs;
+    total contributed tokens never exceed the budget; in quality order
+    the allocation is a 3-phase pattern (full 3-extra slots, at most one
+    partial marginal source, then base-only); removing any one full
+    allocation could not fund an extra epoch for a base-only source
+    earlier in the order (greedy optimality within the order)."""
+    from kafka_pyspark_bigdata_spark.operators import pipeline
+
+    rows = pipeline.corpus_upsampling_epochs(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    total = sum(r.tokens for r in rows)
+    budget = pipeline.UPS_BUDGET_MULT * total
+    assert sum(r.tokens_contributed for r in rows) <= budget
+    for r in rows:
+        assert 1 <= r.epochs <= pipeline.UPS_MAX_EPOCHS
+        assert r.tokens_contributed == r.epochs * r.tokens
+    ordered = sorted(rows, key=lambda r: (-r.quality_ppm, r.source))
+    extras = [r.epochs - 1 for r in ordered]
+    # pattern: a prefix of 3s, at most one value in (0,3), then all 0s
+    i = 0
+    while i < len(extras) and extras[i] == 3:
+        i += 1
+    if i < len(extras) and 0 < extras[i] < 3:
+        i += 1
+    assert all(e == 0 for e in extras[i:]), extras

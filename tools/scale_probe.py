@@ -108,6 +108,7 @@ PROBES = [
     "ts_changepoint_cusum",      # series-keyed running-window closed form
     "q_zorder_clustering",       # in-row Morton ids + manifest-key agg
     "emb_matryoshka_eval",       # broadcast-query scan, 4-dims fan-out
+    "corpus_upsampling_epochs",  # per-source ledger + prefix-window greedy
 ]
 
 
