@@ -234,6 +234,7 @@ def main() -> None:
         "text_cooccurrence_pairs",
         "ann_topk_bruteforce",
         "emb_matryoshka_eval",
+        "emb_sq_recall",
         "ann_lsh_bucketed",
         "emb_bitpack_hamming_topk",
         "ann_two_stage_rerank",

@@ -5025,7 +5025,217 @@ GROUP BY dims ORDER BY dims
 """
 
 
+# ---------------------------------------------------------------------------
+# emb_sq_recall — scalar-quantization (SQ4/SQ8) retrieval audit
+# ---------------------------------------------------------------------------
+
+SQ_BITS = (4, 8)      # code widths audited; full precision is the truth row
+SQ_FP = 10**6         # fixed-point scale for the float components
+
+
+def emb_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization retrieval audit — the OTHER standard index
+    compression axis next to emb_matryoshka_eval's dimension truncation:
+    clamp every component onto a global [min, max] grid of 2^b levels
+    (the FAISS SQ4/SQ8 baseline), DEQUANTIZE, and measure how much
+    top-{TOP_K} retrieval survives at 4 and 8 bits per component (8x
+    and 4x smaller than float32). The full-precision row rides along as
+    the truth ranked against itself (recall 10⁶ — the sanity row).
+
+    Exactness: components quantize to fixed point (round(x·10⁶), the xq
+    pattern), the global min/max is a 2-value broadcast aggregate, and
+    code/dequantize are pure integer ops — ``code = (x−min)·(2^b−1) div
+    range``, ``x' = min + code·range div (2^b−1)`` — identical in both
+    engines; the final cosine over dequantized BIGINTs is the round-6
+    double contract every ANN query here uses (products ≤ ~10¹² over 64
+    terms — exact in doubles).
+
+    Scale shape: one 2-value min/max aggregate, then the pinned
+    broadcast-query scan scores each pair once with all variants in one
+    projection (the matryoshka shape), one window per query-scoped
+    (query, bits) group, and a metadata-sized recall join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = F.expr(
+        f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+        f" * {SQ_FP}, 0) AS BIGINT))"
+    )
+    base = emb.select("vec_id", fp.alias("xq"))
+    rng = base.select(F.explode("xq").alias("c")).agg(
+        F.min("c").alias("qlo"), F.max("c").alias("qhi")
+    )
+    def dequant(col: str, bits: int) -> str:
+        lev = (1 << bits) - 1
+        return (
+            f"transform({col}, x -> qlo + ((x - qlo) * {lev}"
+            f" div (qhi - qlo)) * (qhi - qlo) div {lev})"
+        )
+
+    # Dequantized arrays are hoisted to the per-VECTOR side (one decode
+    # per vector instead of one per pair x variant — the norm-hoisting
+    # pattern) and pinned so the collapsed projection cannot re-inline
+    # the decode under the pair explode (the HOF re-inlining trap).
+    enc = (
+        base.crossJoin(F.broadcast(rng))
+        .select(
+            "vec_id",
+            "xq",
+            *[
+                F.expr(dequant("xq", b)).alias(f"d{b}")
+                for b in SQ_BITS
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
+    q = enc.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("xq").alias("qv"),
+        *[F.col(f"d{b}").alias(f"qd{b}") for b in SQ_BITS],
+    )
+    c = enc.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("xq").alias("cv"),
+        *[F.col(f"d{b}").alias(f"cd{b}") for b in SQ_BITS],
+    )
+
+    def cos(qe: str, ce: str) -> Column:
+        return F.round(
+            F.expr(
+                f"aggregate(zip_with({qe}, {ce},"
+                f" (u, v) -> CAST(u AS DOUBLE) * CAST(v AS DOUBLE)),"
+                f" CAST(0 AS DOUBLE), (a, x) -> a + x)"
+            )
+            / (
+                F.sqrt(
+                    F.expr(
+                        f"aggregate({qe}, CAST(0 AS DOUBLE),"
+                        f" (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+                    )
+                )
+                * F.sqrt(
+                    F.expr(
+                        f"aggregate({ce}, CAST(0 AS DOUBLE),"
+                        f" (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+                    )
+                )
+            ),
+            6,
+        )
+
+    variants = [
+        *[(b, cos(f"qd{b}", f"cd{b}")) for b in SQ_BITS],
+        (32, cos("qv", "cv")),
+    ]
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("bits"), e.alias("cos"))
+                        for b, e in variants
+                    ]
+                )
+            ).alias("bc"),
+        )
+        .select("query_id", "neighbor_id", "bc.bits", "bc.cos")
+    )
+    w = Window.partitionBy("query_id", "bits").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "bits")
+        .localCheckpoint(eager=False)
+    )
+    truth = top.filter(F.col("bits") == 32).select("query_id", "neighbor_id")
+    return (
+        top.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("bits")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            "bits",
+            "n_hits",
+            F.expr(f"n_hits * 1000000 div {N_QUERIES * TOP_K}").alias(
+                "recall_ppm"
+            ),
+        )
+        .orderBy("bits")
+    )
+
+
+def _sq_recall_sql() -> str:
+    def deq(col: str, bits: int) -> str:
+        lev = (1 << bits) - 1
+        return (
+            f"list_transform({col}, x -> qlo + ((x - qlo) * {lev}"
+            f" // (qhi - qlo)) * (qhi - qlo) // {lev})"
+        )
+
+    def cos(qe: str, ce: str) -> str:
+        return (
+            f"ROUND(list_sum(list_transform(list_zip({qe}, {ce}),"
+            f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+            f" / (sqrt(list_sum(list_transform({qe},"
+            f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+            f" * sqrt(list_sum(list_transform({ce},"
+            f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+        )
+
+    arms = "\n  UNION ALL\n  ".join(
+        [
+            f"SELECT query_id, neighbor_id, {b} AS bits,"
+            f" {cos(deq('qv', b), deq('cv', b))} AS cos FROM pairs"
+            for b in SQ_BITS
+        ]
+        + [
+            f"SELECT query_id, neighbor_id, 32 AS bits,"
+            f" {cos('qv', 'cv')} AS cos FROM pairs"
+        ]
+    )
+    xq = (
+        f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+        f" * {SQ_FP}, 0) AS BIGINT))"
+    )
+    return f"""
+WITH base AS (SELECT vec_id, {xq} AS xq FROM embeddings),
+rng AS (
+  SELECT MIN(c) AS qlo, MAX(c) AS qhi
+  FROM (SELECT UNNEST(xq) AS c FROM base)
+),
+q AS (
+  SELECT vec_id AS query_id, xq AS qv FROM base WHERE vec_id < {N_QUERIES}
+),
+pairs AS (
+  SELECT query_id, c.vec_id AS neighbor_id, qv, c.xq AS cv, qlo, qhi
+  FROM q JOIN base c ON query_id <> c.vec_id, rng
+),
+scored AS (
+  {arms}
+),
+top AS (
+  SELECT query_id, neighbor_id, bits FROM (
+    SELECT query_id, neighbor_id, bits,
+           ROW_NUMBER() OVER (PARTITION BY query_id, bits
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM top WHERE bits = 32
+)
+SELECT bits, COUNT(*) AS n_hits,
+       COUNT(*) * 1000000 // {N_QUERIES * TOP_K} AS recall_ppm
+FROM top JOIN truth USING (query_id, neighbor_id)
+GROUP BY bits ORDER BY bits
+"""
+
+
 QUERIES = {
+    "emb_sq_recall": emb_sq_recall,
     "emb_matryoshka_eval": emb_matryoshka_eval,
     "cluster_kcenter_greedy": cluster_kcenter_greedy,
     "emb_isotropy_score": emb_isotropy_score,
@@ -5071,6 +5281,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_sq_recall": _sq_recall_sql(),
     "emb_matryoshka_eval": _mrl_sql(),
     "cluster_kcenter_greedy": _kcenter_sql(),
     "emb_isotropy_score": EMB_ISOTROPY_SQL,

@@ -1978,3 +1978,21 @@ def test_matryoshka_eval_contract(spark):
     for r in rows:
         assert 0 <= r.n_hits <= K
         assert r.recall_ppm == r.n_hits * 1_000_000 // K
+
+
+def test_sq_recall_contract(spark):
+    """SQ audit invariants: the 32-bit row is the truth against itself
+    (recall exactly 10^6); more bits never hurt recall on the grid
+    family (4 <= 8 <= 32 here by construction of nested grids... the
+    nesting isn't exact for 2^b-1 levels, so assert the weaker
+    published expectation: SQ8 >= SQ4 on this fixture and all recalls
+    in range); bits enumerate SQ_BITS + 32."""
+    rows = similarity.emb_sq_recall(spark, "/root/testdata/sf0.001").collect()
+    by = {r.bits: r for r in rows}
+    assert set(by) == set(similarity.SQ_BITS) | {32}
+    assert by[32].recall_ppm == 1_000_000
+    K = similarity.TOP_K * similarity.N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_hits <= K
+        assert r.recall_ppm == r.n_hits * 1_000_000 // K
+    assert by[8].recall_ppm >= by[4].recall_ppm

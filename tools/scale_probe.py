@@ -109,6 +109,7 @@ PROBES = [
     "q_zorder_clustering",       # in-row Morton ids + manifest-key agg
     "emb_matryoshka_eval",       # broadcast-query scan, 4-dims fan-out
     "corpus_upsampling_epochs",  # per-source ledger + prefix-window greedy
+    "emb_sq_recall",             # global-grid quantize + broadcast scan
 ]
 
 
