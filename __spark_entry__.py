@@ -88,67 +88,84 @@ def _modules():
     return mods
 
 
-# Round-10 rotation. Coverage remains closed (driver union r01..r09 =
-# all 342 then-registered names, set-equal both directions per VERDICT
-# r09). This round adds 9 queries: 8 oracle-backed plus the rows-only
-# ml_isotonic_calibration (-> 351 = 336 oracle-backed + 15 rows-only).
-# The ~50-name driver window is spent on: (1) the 9 r10 additions,
-# (2) the 3 names whose CODE PATH changed this round (review fixes:
-# emb_isotropy_score's overflow-safe divisor, cluster_kcenter_greedy's
-# seed guard, ml_calibration_bins' plan pin), then (3) re-verification
-# depth: the rows-only contract entries and the relational/TPC-H core
-# whose last driver check is oldest (r01/r02, re-covered r09 — keep
-# them in the window tail so any driver budget beyond the must-checks
-# lands on the oldest names).
+# Round-11 rotation. Coverage remains closed (driver union r01..r10 =
+# all 351 then-registered names, set-equal both directions per VERDICT
+# r10). This round adds 9 queries, ALL oracle-backed (-> 360 = 345
+# oracle-backed + 15 rows-only). The ~50-name driver window is spent
+# on: (1) the 9 r11 additions, (2) the 8 names whose CODE PATH changed
+# this round (the gopher-repetition claim cap + zero-token guard, the
+# abtt qa zero-guard, and the six ml_* queries now sharing cached
+# seed-42 fits), then (3) re-verification depth ordered by the age of
+# each name's LAST driver check (computed from CORRECTNESS_r01..r10):
+# the 13 names last checked in r01, then the r02 tail — the true
+# oldest checks in the record.
 _PRIORITY = [
-    # -- new in r10 (9) --
+    # -- new in r11 (9) --
+    "dedup_repeated_lines",
+    "quality_fineweb_rules",
+    "text_tokenizer_fertility",
+    "graph_hits",
+    "ts_changepoint_cusum",
+    "q_zorder_clustering",
+    "emb_matryoshka_eval",
+    "corpus_upsampling_epochs",
+    "emb_sq_recall",
+    # -- code path changed in r11 (guards + shared fits, 8) --
     "quality_gopher_repetition",
     "emb_abtt_postprocess",
-    "ann_ivf_spill",
-    "q_partition_evolution",
-    "quality_ccnet_buckets",
-    "ann_filtered_search",
-    "ts_holt_linear",
-    "dedup_keep_best_quality",
-    "ml_isotonic_calibration",
-    # -- code path changed in r10 (review fixes, 3) --
-    "emb_isotropy_score",
-    "cluster_kcenter_greedy",
-    "ml_calibration_bins",
-    # -- re-verification depth: rows-only contract entries (fast ones) --
-    "streaming_count_batcher",
-    "ml_feature_importances",
-    "ml_predict_grid",
-    "ml_sensitivity_quantity",
-    "ml_optimal_hour",
-    "ml_lift_deciles",
     "ml_eval_rmse",
-    "ml_predict_loaded",
-    # -- re-verification depth: oldest-verified relational/TPC-H core --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q_tz_daily_rollup",
-    "q_top_customers",
-    "q_rollup_acctbal",
-    "q_window_top_orders",
-    "q_semi_join",
-    "q_anti_join",
-    "q_distinct_flags",
-    "q_union_all",
-    "q_topk_orders",
-    "q_between_sort",
-    "q_cast_default_json",
-    "q_null_drop",
-    "q_mean_impute",
-    "q_sweep_hours",
-    "q_events_hourly",
-    # -- slow rows-only tail (2.7-6.6s each at sf0.01) --
+    "ml_lift_deciles",
     "ml_permutation_importance",
     "ml_classifier_auc",
-    "ml_quality_classifier",
-    "ml_grid_search",
-    "ml_incremental_versions",
+    "ml_calibration_bins",
+    "ml_isotonic_calibration",
+    # -- oldest driver checks: last verified in r01 (13) --
+    "ann_lsh_bucketed",
+    "ann_topk_bruteforce",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "mm_decode_image",
+    "mm_frame_sample",
+    "streaming_hourly_window",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_token_stats",
+    # -- next-oldest: last verified in r02 (the TPC-H/analytic tail; the
+    #    remainder past the ~50-name window rolls to r12) --
+    "q2_min_metric_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_counts",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_cnt",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_discounted_revenue",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
+    "q22_rich_idle_customers",
+    "q_argmax_events",
+    "q_count_distinct_suppliers",
+    "q_cube_order_stats",
+    "q_exact_median",
+    "q_histogram_drift",
+    "q_key_skew_stats",
+    "q_nested_collect_explode",
+    "q_pivot_user_events",
+    "q_quantiles_exact",
+    "q_range_join_error_context",
+    "q_skyline_pareto",
+    "sketch_join_cardinality",
 ]
 
 
