@@ -4883,7 +4883,9 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall at small prefixes, and this measures exactly that, against
     the full-dimension ranking as ground truth (the 64-prefix row is the
     truth ranked against itself, recall 10⁶ by construction — the
-    built-in sanity row).
+    built-in sanity row). Complements ``emb_mrl_recall`` above, which
+    reports PER-QUERY recall at the single deployed width (16): this is
+    the corpus-level curve ACROSS widths that picks that width.
 
     Protocol: the pinned {N_QUERIES}-query broadcast scan (the
     ann_topk_bruteforce contract) scores each (query, candidate) pair
@@ -4978,7 +4980,7 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mrl_sql() -> str:
+def _matryoshka_sql() -> str:
     def cos_d(d: int) -> str:
         qd, cd = f"qv[1:{d}]", f"cv[1:{d}]"
         return (
@@ -5282,7 +5284,7 @@ QUERIES = {
 
 ORACLES = {
     "emb_sq_recall": _sq_recall_sql(),
-    "emb_matryoshka_eval": _mrl_sql(),
+    "emb_matryoshka_eval": _matryoshka_sql(),
     "cluster_kcenter_greedy": _kcenter_sql(),
     "emb_isotropy_score": EMB_ISOTROPY_SQL,
     "emb_abtt_postprocess": EMB_ABTT_SQL,
