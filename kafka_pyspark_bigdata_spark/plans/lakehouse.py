@@ -2581,11 +2581,17 @@ def _morton_sum(nx: str, ny: str, div: str) -> str:
 
 
 def q_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-ORDER layout audit (Morton 1966; the Delta/Iceberg
-    ``OPTIMIZE ZORDER BY`` pattern): would rewriting lineitem's files in
-    Morton order of (l_partkey, l_suppkey) let min/max file statistics
-    skip more data than the natural ingest order for two-sided range
-    predicates? Both dimensions normalize to 16 bits, interleave into a
+    """Z-ORDER layout audit, BOX-QUERY edition — third member of the
+    layout trio and deliberately disjoint from it: ``q_zorder_layout``
+    builds the curve layout and pins per-file bounding-box tightness;
+    ``q_zorder_skipping`` counts files touched by single-dimension POINT
+    probes under z-order vs a linear sort. THIS query answers the
+    planner's remaining question: for two-sided RANGE predicates (box
+    queries) against the NATURAL INGEST order (the layout a table
+    actually has before any OPTIMIZE), how many files and — new here —
+    how many ROWS does min/max pruning really save, as a read
+    amplification ratio? Would rewriting lineitem's files in Morton
+    order of (l_partkey, l_suppkey), at full 16-bit resolution, pay? Both dimensions normalize to 16 bits, interleave into a
     32-bit z-value (an unrolled integer polynomial — no bit operators,
     so the expression is engine-identical), and rows land in
     {ZORD_NFILES} equal-z-width files; the rival layout buckets the same
