@@ -882,11 +882,13 @@ def corpus_upsampling_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn(
+            # greatest(tokens, 1): a source of only zero-token documents
+            # must take 0 extra epochs, not divide by zero.
             "extra",
             F.expr(
                 f"greatest(CAST(0 AS BIGINT), least(CAST({extra_cap} AS"
                 f" BIGINT), (t_total * {UPS_BUDGET_MULT - 1} - pre)"
-                f" div tokens))"
+                f" div greatest(tokens, 1)))"
             ),
         )
     )
@@ -899,7 +901,7 @@ def corpus_upsampling_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1 + extra) * tokens").alias("tokens_contributed"),
         F.expr(
             f"(1 + extra) * tokens * 1000000"
-            f" div (t_total * {UPS_BUDGET_MULT})"
+            f" div greatest(t_total * {UPS_BUDGET_MULT}, 1)"
         ).alias("budget_share_ppm"),
     ).orderBy("source")
 
@@ -938,14 +940,16 @@ alloc AS (
 ext AS (
   SELECT *,
          GREATEST(CAST(0 AS BIGINT), LEAST(CAST({UPS_MAX_EPOCHS - 1} AS
-           BIGINT), (t_total * {UPS_BUDGET_MULT - 1} - pre) // tokens))
+           BIGINT), (t_total * {UPS_BUDGET_MULT - 1} - pre)
+           // GREATEST(tokens, 1)))
            AS extra
   FROM alloc
 )
 SELECT source, n_docs, quality_ppm, tokens,
        CAST(1 + extra AS INTEGER) AS epochs,
        (1 + extra) * tokens AS tokens_contributed,
-       (1 + extra) * tokens * 1000000 // (t_total * {UPS_BUDGET_MULT})
+       (1 + extra) * tokens * 1000000
+         // GREATEST(t_total * {UPS_BUDGET_MULT}, 1)
          AS budget_share_ppm
 FROM ext ORDER BY source
 """

@@ -4910,28 +4910,29 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def pref_cos(d: int) -> Column:
+        # Zero-norm guard: a vector whose PREFIX is all zeros would give
+        # 0/0 → NaN, and NaN ordering differs across engines — map such
+        # degenerate pairs to -2.0 (below any cosine) so the rank
+        # tie-break stays deterministic (the emb_abtt_postprocess
+        # precedent).
         qd, cd = f"slice(qv, 1, {d})", f"slice(cv, 1, {d})"
-        return F.round(
-            F.expr(
-                f"aggregate(zip_with({qd}, {cd},"
-                f" (u, v) -> CAST(u AS DOUBLE) * CAST(v AS DOUBLE)),"
-                f" CAST(0 AS DOUBLE), (a, x) -> a + x)"
-            )
-            / (
-                F.sqrt(
-                    F.expr(
-                        f"aggregate({qd}, CAST(0 AS DOUBLE),"
-                        f" (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-                    )
-                )
-                * F.sqrt(
-                    F.expr(
-                        f"aggregate({cd}, CAST(0 AS DOUBLE),"
-                        f" (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-                    )
-                )
-            ),
-            6,
+        qss = (
+            f"aggregate({qd}, CAST(0 AS DOUBLE),"
+            f" (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+        css = (
+            f"aggregate({cd}, CAST(0 AS DOUBLE),"
+            f" (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+        dot = (
+            f"aggregate(zip_with({qd}, {cd},"
+            f" (u, v) -> CAST(u AS DOUBLE) * CAST(v AS DOUBLE)),"
+            f" CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        )
+        return F.expr(
+            f"CASE WHEN {qss} = 0.0 OR {css} = 0.0"
+            f" THEN CAST(-2.0 AS DOUBLE)"
+            f" ELSE round({dot} / (sqrt({qss}) * sqrt({css})), 6) END"
         )
 
     scored = (
@@ -4983,13 +4984,22 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _matryoshka_sql() -> str:
     def cos_d(d: int) -> str:
         qd, cd = f"qv[1:{d}]", f"cv[1:{d}]"
-        return (
-            f"ROUND(list_sum(list_transform(list_zip({qd}, {cd}),"
+        qss = (
+            f"list_sum(list_transform({qd},"
+            f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        )
+        css = (
+            f"list_sum(list_transform({cd},"
+            f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        )
+        dot = (
+            f"list_sum(list_transform(list_zip({qd}, {cd}),"
             f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-            f" / (sqrt(list_sum(list_transform({qd},"
-            f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-            f" * sqrt(list_sum(list_transform({cd},"
-            f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+        )
+        return (
+            f"CASE WHEN {qss} = 0.0 OR {css} = 0.0"
+            f" THEN CAST(-2.0 AS DOUBLE)"
+            f" ELSE ROUND({dot} / (sqrt({qss}) * sqrt({css})), 6) END"
         )
 
     arms = "\n  UNION ALL\n  ".join(
@@ -5066,10 +5076,12 @@ def emb_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c").alias("qlo"), F.max("c").alias("qhi")
     )
     def dequant(col: str, bits: int) -> str:
+        # greatest(range, 1): an all-constant corpus (qhi = qlo) must
+        # quantize every component to level 0, not divide by zero.
         lev = (1 << bits) - 1
         return (
             f"transform({col}, x -> qlo + ((x - qlo) * {lev}"
-            f" div (qhi - qlo)) * (qhi - qlo) div {lev})"
+            f" div greatest(qhi - qlo, 1)) * (qhi - qlo) div {lev})"
         )
 
     # Dequantized arrays are hoisted to the per-VECTOR side (one decode
@@ -5100,27 +5112,26 @@ def emb_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def cos(qe: str, ce: str) -> Column:
-        return F.round(
-            F.expr(
-                f"aggregate(zip_with({qe}, {ce},"
-                f" (u, v) -> CAST(u AS DOUBLE) * CAST(v AS DOUBLE)),"
-                f" CAST(0 AS DOUBLE), (a, x) -> a + x)"
-            )
-            / (
-                F.sqrt(
-                    F.expr(
-                        f"aggregate({qe}, CAST(0 AS DOUBLE),"
-                        f" (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-                    )
-                )
-                * F.sqrt(
-                    F.expr(
-                        f"aggregate({ce}, CAST(0 AS DOUBLE),"
-                        f" (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-                    )
-                )
-            ),
-            6,
+        # Same zero-norm guard as emb_matryoshka_eval: a vector whose
+        # dequantized form collapses to all-zero would be 0/0 → NaN with
+        # engine-divergent ordering; -2.0 ranks it deterministically last.
+        qss = (
+            f"aggregate({qe}, CAST(0 AS DOUBLE),"
+            f" (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+        css = (
+            f"aggregate({ce}, CAST(0 AS DOUBLE),"
+            f" (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+        dot = (
+            f"aggregate(zip_with({qe}, {ce},"
+            f" (u, v) -> CAST(u AS DOUBLE) * CAST(v AS DOUBLE)),"
+            f" CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        )
+        return F.expr(
+            f"CASE WHEN {qss} = 0.0 OR {css} = 0.0"
+            f" THEN CAST(-2.0 AS DOUBLE)"
+            f" ELSE round({dot} / (sqrt({qss}) * sqrt({css})), 6) END"
         )
 
     variants = [
@@ -5174,17 +5185,26 @@ def _sq_recall_sql() -> str:
         lev = (1 << bits) - 1
         return (
             f"list_transform({col}, x -> qlo + ((x - qlo) * {lev}"
-            f" // (qhi - qlo)) * (qhi - qlo) // {lev})"
+            f" // GREATEST(qhi - qlo, 1)) * (qhi - qlo) // {lev})"
         )
 
     def cos(qe: str, ce: str) -> str:
-        return (
-            f"ROUND(list_sum(list_transform(list_zip({qe}, {ce}),"
+        qss = (
+            f"list_sum(list_transform({qe},"
+            f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        )
+        css = (
+            f"list_sum(list_transform({ce},"
+            f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        )
+        dot = (
+            f"list_sum(list_transform(list_zip({qe}, {ce}),"
             f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-            f" / (sqrt(list_sum(list_transform({qe},"
-            f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-            f" * sqrt(list_sum(list_transform({ce},"
-            f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+        )
+        return (
+            f"CASE WHEN {qss} = 0.0 OR {css} = 0.0"
+            f" THEN CAST(-2.0 AS DOUBLE)"
+            f" ELSE ROUND({dot} / (sqrt({qss}) * sqrt({css})), 6) END"
         )
 
     arms = "\n  UNION ALL\n  ".join(

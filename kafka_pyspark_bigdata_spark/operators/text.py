@@ -1701,8 +1701,14 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [
         r.pair for r in text_bpe_pair_merges(spark, sf_dir).collect()
     ]
+    # Empty-merges guard: a corpus with no >=2-char words yields zero
+    # merge rules; a bare array() literal would be array<null> and make
+    # array_contains error where DuckDB's NULL list falls to ELSE 0 —
+    # type the empty literal so both engines mark nothing mergeable.
     mset = (
         "array(" + ",".join("'" + p.replace("'", "\\'") + "'" for p in merges) + ")"
+        if merges
+        else "CAST(array() AS ARRAY<STRING>)"
     )
     docs = with_tokens(load_documents(spark, sf_dir)).filter(
         F.size("toks") >= 1

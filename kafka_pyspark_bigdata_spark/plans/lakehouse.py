@@ -2627,10 +2627,18 @@ def q_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_orderkey").alias("ok1"),
     )
     mx = (1 << ZORD_BITS) - 1
+    # greatest(span, 1): a constant dimension (all keys equal) must
+    # normalize to 0 in both engines, not divide by zero (Spark ANSI and
+    # DuckDB both error, but erroring on degenerate stats is wrong for a
+    # layout ADVISOR — a constant column simply cannot be pruned on).
     norm = li.crossJoin(F.broadcast(bounds)).select(
         "l_orderkey",
-        F.expr(f"(l_partkey - px0) * {mx} div (px1 - px0)").alias("nx"),
-        F.expr(f"(l_suppkey - sy0) * {mx} div (sy1 - sy0)").alias("ny"),
+        F.expr(
+            f"(l_partkey - px0) * {mx} div greatest(px1 - px0, 1)"
+        ).alias("nx"),
+        F.expr(
+            f"(l_suppkey - sy0) * {mx} div greatest(sy1 - sy0, 1)"
+        ).alias("ny"),
         F.expr(
             f"(l_orderkey - ok0) * {ZORD_NFILES} div (ok1 - ok0 + 1)"
         ).alias("nfile"),
@@ -2725,8 +2733,8 @@ WITH bounds AS (
   FROM lineitem
 ),
 norm AS (
-  SELECT (l_partkey - px0) * {mx} // (px1 - px0) AS nx,
-         (l_suppkey - sy0) * {mx} // (sy1 - sy0) AS ny,
+  SELECT (l_partkey - px0) * {mx} // GREATEST(px1 - px0, 1) AS nx,
+         (l_suppkey - sy0) * {mx} // GREATEST(sy1 - sy0, 1) AS ny,
          (l_orderkey - ok0) * {ZORD_NFILES} // (ok1 - ok0 + 1) AS nfile
   FROM lineitem, bounds
 ),
