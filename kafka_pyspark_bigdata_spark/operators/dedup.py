@@ -3622,7 +3622,11 @@ def dedup_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bigint"
         ).alias("cchars"),
         (F.col("doc_id") * 1_000_000 + F.col("idx")).alias("okey"),
-    )
+    ).localCheckpoint(eager=False)
+    # localCheckpoint: chunks feeds two plan branches (the line-keyed
+    # groupBy and the join-back) — without the pin, Spark re-derives the
+    # documents scan + posexplode chunking once per branch (the
+    # plan-duplication trap; same amortization convention as dup_pairs).
     lines = chunks.groupBy("cstr").agg(
         F.count(F.lit(1)).alias("n_occ"),
         F.min("okey").alias("first_okey"),
@@ -3670,8 +3674,9 @@ chunks AS (
         FROM docs)
 ),
 c2 AS (
+  -- length() = characters (matches Spark length); strlen() would be bytes
   SELECT doc_id, okey, cstr,
-         CAST(strlen(replace(cstr, ' ', '')) AS BIGINT) AS cchars
+         CAST(length(replace(cstr, ' ', '')) AS BIGINT) AS cchars
   FROM chunks
 ),
 lines AS (

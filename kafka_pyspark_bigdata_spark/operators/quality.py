@@ -951,8 +951,13 @@ def quality_fineweb_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final orderBy's range partitioning; every metric (including
     duplicate-line chars, via the array_sort + adjacent-equal fold from
     the Gopher battery) is an in-row expression over the chunk array.
-    At 100 TB this is a pure map pass; the verdict column would be
-    carried forward rather than collected."""
+    The sorted line array is HOISTED to a projected column (``slines``,
+    the Gopher battery's ``_line_sorted`` idiom) before the dup-chars
+    fold — Spark does not lift loop-invariant subexpressions out of HOF
+    lambdas, so an in-lambda ``array_sort`` would re-sort per element
+    (O(L²·log L) per document); sorting once per row keeps the fold
+    O(L). At 100 TB this is a pure map pass; the verdict column would
+    be carried forward rather than collected."""
     w = GREP_LINE
     docs = (
         with_tokens(load_documents(spark, sf_dir))
@@ -969,7 +974,12 @@ def quality_fineweb_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"   CASE WHEN i % (1 + doc_id % 12) = 0 THEN '.' ELSE '' END))"
         ).alias("lines"),
     )
-    m = base.select(
+    sorted_ = base.select(
+        "doc_id",
+        "lines",
+        F.expr("array_sort(lines)").alias("slines"),
+    )
+    m = sorted_.select(
         "doc_id",
         F.expr("size(lines)").alias("n_lines"),
         F.expr(
@@ -986,10 +996,10 @@ def quality_fineweb_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_chars"),
         F.expr(
             "CASE WHEN size(lines) >= 2 THEN aggregate("
-            " transform(sequence(2, size(array_sort(lines))),"
-            "  i -> CASE WHEN element_at(array_sort(lines), i)"
-            "             = element_at(array_sort(lines), i - 1)"
-            "        THEN CAST(length(element_at(array_sort(lines), i))"
+            " transform(sequence(2, size(slines)),"
+            "  i -> CASE WHEN element_at(slines, i)"
+            "             = element_at(slines, i - 1)"
+            "        THEN CAST(length(element_at(slines, i))"
             "                  AS BIGINT)"
             "        ELSE CAST(0 AS BIGINT) END),"
             " CAST(0 AS BIGINT), (a, x) -> a + x)"
@@ -1030,23 +1040,28 @@ base AS (
            AS lines
   FROM docs
 ),
+sorted_lines AS (
+  -- mirrors the Spark-side hoist: sort once per row, not per fold element
+  SELECT doc_id, lines, list_sort(lines) AS slines FROM base
+),
 m AS (
+  -- length() = characters (matches Spark length); strlen() would be bytes
   SELECT doc_id,
          len(lines) AS n_lines,
          len(list_filter(lines,
              l -> right(l, 1) IN ('.', '!', '?', '"'))) AS n_punct,
          len(list_filter(lines, l -> left(l, 1) IN ('-', '*'))) AS n_bullet,
-         len(list_filter(lines, l -> strlen(l) < {FW_SHORT_CHARS}))
+         len(list_filter(lines, l -> length(l) < {FW_SHORT_CHARS}))
            AS n_short,
-         CAST(list_sum(list_transform(lines, l -> strlen(l))) AS BIGINT)
+         CAST(list_sum(list_transform(lines, l -> length(l))) AS BIGINT)
            AS total_chars,
          CASE WHEN len(lines) >= 2 THEN
            CAST(COALESCE(list_sum(list_transform(
-             range(2, len(list_sort(lines)) + 1),
-             i -> CASE WHEN list_sort(lines)[i] = list_sort(lines)[i - 1]
-                  THEN strlen(list_sort(lines)[i]) ELSE 0 END)), 0) AS BIGINT)
+             range(2, len(slines) + 1),
+             i -> CASE WHEN slines[i] = slines[i - 1]
+                  THEN length(slines[i]) ELSE 0 END)), 0) AS BIGINT)
          ELSE CAST(0 AS BIGINT) END AS dup_chars
-  FROM base
+  FROM sorted_lines
 )
 SELECT *, CASE WHEN punct_line_ppm > {FW_PUNCT_MIN_PPM}
                 AND short_line_ppm < {FW_SHORT_MAX_PPM}
