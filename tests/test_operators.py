@@ -1996,3 +1996,108 @@ def test_sq_recall_contract(spark):
         assert 0 <= r.n_hits <= K
         assert r.recall_ppm == r.n_hits * 1_000_000 // K
     assert by[8].recall_ppm >= by[4].recall_ppm
+
+
+def test_bpe_multiround_python_reference(spark):
+    """Simulate full multi-round BPE training in plain Python (Sennrich
+    2016: recount pair frequencies over the vocabulary after every
+    merge, greedy leftmost-first merge application) and compare every
+    learned rule exactly — then assert the published point of the
+    operator: the dynamic rule sequence diverges from static one-shot
+    ranking (text_bpe_pair_merges' ordering), i.e. recounting after
+    substitution matters, and at least one rule fuses a SYMBOL (a
+    multi-character side static ranking cannot even express)."""
+    import collections
+
+    import duckdb as _dd
+
+    raw = _dd.sql(
+        "SELECT text FROM"
+        " read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    vocab: dict[str, int] = collections.Counter()
+    for (t,) in raw:
+        for w in t.lower().split():
+            if w:
+                vocab[w] += 1
+
+    def pair_counts(v: dict[str, int]) -> dict[str, int]:
+        c: dict[str, int] = collections.Counter()
+        for w, f in v.items():
+            for i in range(len(w) - 1):
+                c[w[i : i + 2]] += f
+        return c
+
+    static = sorted(
+        pair_counts(vocab).items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    v = dict(vocab)
+    decode: dict[str, str] = {}
+    rules = []
+    for k in range(text.BPE_ROUNDS):
+        pc = sorted(pair_counts(v).items(), key=lambda kv: (-kv[1], kv[0]))
+        if not pc:
+            break
+        p, n = pc[0]
+        ph = text._BPE_PH[k]
+        nv: dict[str, int] = collections.Counter()
+        for w, f in v.items():
+            nv[w.replace(p, ph)] += f
+        v = dict(nv)
+        decode[ph] = "".join(decode.get(c, c) for c in p)
+        rules.append(
+            (
+                k + 1,
+                decode.get(p[0], p[0]),
+                decode.get(p[1], p[1]),
+                decode[ph],
+                n,
+                sum(f * len(w) for w, f in v.items()),
+            )
+        )
+
+    got = [
+        (
+            r.merge_round,
+            r.left_sym,
+            r.right_sym,
+            r.merged_sym,
+            r.n,
+            r.symbols_after,
+        )
+        for r in text.text_bpe_multiround(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+    assert got == rules
+    static_pairs = [p for p, _ in static[: len(rules)]]
+    dynamic_pairs = [r[1] + r[2] for r in rules]
+    assert dynamic_pairs != static_pairs
+
+    # at sf0.01 (the oracle-gate fixture, where the engine is
+    # hash-verified against the same unroll) the round-6 rule fuses the
+    # round-1 'er' SYMBOL — re-run the reference simulation there to
+    # pin the docstring's claim
+    raw01 = _dd.sql(
+        "SELECT text FROM"
+        " read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    ).fetchall()
+    v01: dict[str, int] = collections.Counter()
+    for (t,) in raw01:
+        for w in t.lower().split():
+            if w:
+                v01[w] += 1
+    v, decode, fused = dict(v01), {}, False
+    for k in range(text.BPE_ROUNDS):
+        pc = sorted(pair_counts(v).items(), key=lambda kv: (-kv[1], kv[0]))
+        if not pc:
+            break
+        p, _ = pc[0]
+        ph = text._BPE_PH[k]
+        nv: dict[str, int] = collections.Counter()
+        for w, f in v.items():
+            nv[w.replace(p, ph)] += f
+        v = dict(nv)
+        decode[ph] = "".join(decode.get(c, c) for c in p)
+        fused = fused or any(c in decode for c in p if c != ph)
+    assert fused
