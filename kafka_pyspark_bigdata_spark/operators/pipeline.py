@@ -1320,6 +1320,180 @@ FROM weighted GROUP BY source ORDER BY source
 """
 
 
+# DSIR hashed n-gram selection: feature-hash space and the declared
+# curated target subset (stands in for the paper's Wikipedia+books
+# target — the fixture's sources differ measurably in token mix, e.g.
+# stopword shares span 0.04..0.074, so the bucket distributions carry
+# a real signal).
+DSIR_BUCKETS = 64
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+_DSIR_TGT_SQL = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+
+
+def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, NeurIPS): the published distribution-matching rung between
+    the quality gate (``corpus_filter_verdict``) and mixing
+    (``corpus_mix_weighted``). Documents are scored by how much more
+    likely their hashed n-gram features are under a TARGET corpus
+    distribution than under the raw pool, and kept when target-like.
+    Features are the paper's §4 hashed n-grams: unigrams + adjacent
+    bigrams, feature-hashed (md5) into {DSIR_BUCKETS} buckets; both
+    distributions are Laplace-smoothed bucket frequencies.
+
+    Log-free adaptation (the no-libm exactness rule): the paper sums
+    per-gram LOG likelihood ratios; this engine scores each gram with
+    the exact fixed-point likelihood RATIO
+    ``(tgt_b+1)·(S_raw+B) · 10⁶ div ((raw_b+1)·(S_tgt+B))`` (DECIMAL/
+    HUGEINT intermediates) and takes the per-document MEAN ratio, with
+    deterministic selection at ratio ≥ 1 (score_ppm ≥ 10⁶: the doc's
+    grams are on average more probable under the target) instead of
+    Gumbel top-k resampling — reproducible across engines, runs, and
+    cluster sizes.
+
+    Output: the per-source selection-rate audit (docs, selected, rate,
+    mean score) — the table a pipeline owner reads to see which raw
+    sources the target distribution actually admits (the declared
+    target sources themselves should, and do, select at the top).
+
+    Plan shape: one documents scan → in-row gram array → one generate →
+    the compact (doc, source, bucket) gram frame, pinned
+    (localCheckpoint: it feeds the bucket ledger AND the scoring pass —
+    the plan-duplication trap) → a {DSIR_BUCKETS}-row bucket ledger
+    (partial-agg shuffle; buckets collapse map-side) → broadcast the
+    weighted ledger back onto the gram frame → per-doc partial agg →
+    per-source rollup. At 100 TB: two data-keyed exchanges total, with
+    the ledger a broadcast relation — the model-state pattern."""
+    docs = (
+        with_tokens(load_documents(spark, sf_dir))
+        .filter(F.size("toks") >= 1)
+        .select("doc_id", "source", "toks")
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "concat(toks, CASE WHEN size(toks) >= 2 THEN"
+                    " transform(sequence(1, size(toks) - 1),"
+                    "  i -> concat(element_at(toks, CAST(i AS INT)), ' ',"
+                    "              element_at(toks, CAST(i + 1 AS INT))))"
+                    " ELSE CAST(array() AS ARRAY<STRING>) END)"
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(
+                    F.substring(F.md5(F.encode("g", "UTF-8")), 1, 8), 16, 10
+                ).cast("long")
+                % DSIR_BUCKETS
+            ).alias("bucket"),
+            F.col("source")
+            .isin(*DSIR_TARGET_SOURCES)
+            .cast("long")
+            .alias("is_tgt"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ledger = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.sum("is_tgt").alias("tgt_n"),
+    )
+    totals = ledger.groupBy().agg(
+        F.sum("raw_n").alias("s_raw"), F.sum("tgt_n").alias("s_tgt")
+    )
+    weighted = ledger.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.expr(
+            f"CAST(CAST(tgt_n + 1 AS DECIMAL(38,0))"
+            f" * (s_raw + {DSIR_BUCKETS}) * 1000000"
+            f" DIV (CAST(raw_n + 1 AS DECIMAL(38,0))"
+            f"      * (s_tgt + {DSIR_BUCKETS})) AS BIGINT)"
+        ).alias("r_ppm"),
+    )
+    per_doc = (
+        grams.join(F.broadcast(weighted), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.expr("CAST(SUM(r_ppm) AS BIGINT)").alias("sr"),
+            F.count(F.lit(1)).alias("ng"),
+        )
+        .select(
+            "source",
+            F.expr("sr DIV ng").alias("score_ppm"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("score_ppm") >= 1_000_000).cast("long")
+            ).alias("n_selected"),
+            F.expr(
+                "CAST(SUM(score_ppm) DIV COUNT(1) AS BIGINT)"
+            ).alias("avg_score_ppm"),
+        )
+        .withColumn(
+            "sel_rate_ppm", F.expr("n_selected * 1000000 DIV n_docs")
+        )
+        .select(
+            "source", "n_docs", "n_selected", "sel_rate_ppm", "avg_score_ppm"
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_DSIR_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source, {TOKENS_SQL} AS toks FROM documents
+  WHERE len({TOKENS_SQL}) >= 1
+),
+grams AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(g), 1, 8))::BIGINT % {DSIR_BUCKETS}
+              AS BIGINT) AS bucket,
+         CASE WHEN source IN ({_DSIR_TGT_SQL}) THEN 1 ELSE 0 END AS is_tgt
+  FROM (
+    SELECT doc_id, source, unnest(list_concat(toks,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i + 1])
+             ELSE [] END)) AS g
+    FROM docs)
+),
+ledger AS (
+  SELECT bucket, COUNT(*) AS raw_n, SUM(is_tgt) AS tgt_n
+  FROM grams GROUP BY bucket
+),
+totals AS (SELECT SUM(raw_n) AS s_raw, SUM(tgt_n) AS s_tgt FROM ledger),
+weighted AS (
+  SELECT bucket,
+         CAST(CAST(tgt_n + 1 AS HUGEINT) * (s_raw + {DSIR_BUCKETS}) * 1000000
+              // (CAST(raw_n + 1 AS HUGEINT) * (s_tgt + {DSIR_BUCKETS}))
+              AS BIGINT) AS r_ppm
+  FROM ledger, totals
+),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(SUM(r_ppm) AS BIGINT) // COUNT(*) AS score_ppm
+  FROM grams JOIN weighted USING (bucket)
+  GROUP BY doc_id, source
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN score_ppm >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       CAST(SUM(CASE WHEN score_ppm >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000 // COUNT(*) AS sel_rate_ppm,
+       CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS avg_score_ppm
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "corpus_soft_dedup_weights": corpus_soft_dedup_weights,
     "corpus_curriculum_schedule": corpus_curriculum_schedule,
@@ -1328,6 +1502,7 @@ QUERIES = {
     "corpus_span_corruption": corpus_span_corruption,
     "corpus_temperature_sampling": corpus_temperature_sampling,
     "corpus_upsampling_epochs": corpus_upsampling_epochs,
+    "corpus_dsir_selection": corpus_dsir_selection,
     "corpus_importance_sampling": corpus_importance_sampling,
     "corpus_shard_manifest": corpus_shard_manifest,
     "corpus_cap_per_source": corpus_cap_per_source,
@@ -1351,6 +1526,7 @@ ORACLES = {
     "corpus_span_corruption": CORPUS_SPAN_SQL,
     "corpus_temperature_sampling": CORPUS_TEMPERATURE_SQL,
     "corpus_upsampling_epochs": CORPUS_UPSAMPLING_SQL,
+    "corpus_dsir_selection": CORPUS_DSIR_SQL,
     "corpus_importance_sampling": CORPUS_IMPORTANCE_SQL,
     "corpus_shard_manifest": CORPUS_SHARD_SQL,
     "corpus_cap_per_source": CORPUS_CAP_SQL,

@@ -267,3 +267,69 @@ def test_upsampling_epochs_greedy_contract(spark):
     if i < len(extras) and 0 < extras[i] < 3:
         i += 1
     assert all(e == 0 for e in extras[i:]), extras
+
+
+def test_dsir_python_reference(spark):
+    """Reimplement DSIR scoring in plain Python (hashlib md5 feature
+    hashing, Laplace-smoothed integer likelihood ratios, mean-ratio
+    selection) and compare the per-source audit exactly; then assert
+    the operator's point — the declared target sources select at a
+    higher mean rate than the rest."""
+    import hashlib
+
+    import duckdb as _dd
+
+    raw = _dd.sql(
+        "SELECT doc_id, source, text FROM"
+        " read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    B = pipeline.DSIR_BUCKETS
+    tgt = set(pipeline.DSIR_TARGET_SOURCES)
+
+    def grams(text: str) -> list[str]:
+        toks = [t for t in text.lower().split() if t]
+        return toks + [
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        ]
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    docs = [
+        (d, s, [bucket(g) for g in grams(t)])
+        for d, s, t in raw
+        if [t_ for t_ in t.lower().split() if t_]
+    ]
+    raw_n = [0] * B
+    tgt_n = [0] * B
+    for _, s, bs in docs:
+        for b in bs:
+            raw_n[b] += 1
+            if s in tgt:
+                tgt_n[b] += 1
+    s_raw, s_tgt = sum(raw_n), sum(tgt_n)
+    r_ppm = [
+        (tgt_n[b] + 1) * (s_raw + B) * 1_000_000
+        // ((raw_n[b] + 1) * (s_tgt + B))
+        for b in range(B)
+    ]
+    agg: dict[str, list[int]] = {}
+    for _, s, bs in docs:
+        score = sum(r_ppm[b] for b in bs) // len(bs)
+        a = agg.setdefault(s, [0, 0, 0])
+        a[0] += 1
+        a[1] += 1 if score >= 1_000_000 else 0
+        a[2] += score
+    expect = {
+        s: (v[0], v[1], v[1] * 1_000_000 // v[0], v[2] // v[0])
+        for s, v in agg.items()
+    }
+    got = {
+        r.source: (r.n_docs, r.n_selected, r.sel_rate_ppm, r.avg_score_ppm)
+        for r in pipeline.corpus_dsir_selection(spark, SF).collect()
+    }
+    assert got == expect
+    t_rates = [v[2] for s, v in got.items() if s in tgt]
+    o_rates = [v[2] for s, v in got.items() if s not in tgt]
+    assert t_rates and o_rates
+    assert sum(t_rates) / len(t_rates) > sum(o_rates) / len(o_rates)
