@@ -958,6 +958,165 @@ FROM ext ORDER BY source
 CORPUS_UPSAMPLING_SQL = _upsampling_sql()
 
 
+# UniMax budget allocator: per-language epoch cap and the token budget
+# as a fraction of the corpus (3/2 of total tokens — chosen so the
+# fixture lands in the interesting partial-saturation regime: the four
+# smaller languages saturate at their epoch cap and the largest, en, is
+# DOWN-sampled to the uniform water level below even one epoch).
+UNIMAX_EPOCH_CAP = 2
+UNIMAX_BUDGET_NUM = 3
+UNIMAX_BUDGET_DEN = 2
+
+
+def corpus_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023, ICLR: "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): allocate a token budget as UNIFORMLY as
+    possible across languages, subject to a per-language repeat cap —
+    the published successor to temperature sampling
+    (``corpus_temperature_sampling``) that avoids both starving
+    tail languages and over-repeating them. The complementary planner
+    to ``corpus_upsampling_epochs``: that one spends an EXTRA budget in
+    quality order (greedy, per-source); this one waterfills a TOTAL
+    budget uniformly per language under a cap.
+
+    The waterfilling solution in closed prefix form: sort languages by
+    capped capacity ``cap_e = tokens × {UNIMAX_EPOCH_CAP}`` ascending;
+    a language saturates (takes all of cap_e) iff
+    ``cap_e_i · (K − i + 1) ≤ N − P_{{i−1}}`` (its capacity is below the
+    even split of what remains; P = prefix sum of cap_e). Saturation is
+    prefix-closed under this order — if the condition fails at i it
+    fails at every later language — so the saturated set is determined
+    by ONE prefix-sum window over the K-row ledger, and everyone past
+    the cut takes the integer water level
+    ``(N − P_j) div (K − j)`` (truncating; the ≤ K−1 remainder tokens
+    are deliberately left unspent — documented, deterministic). On the
+    fixture N = 3·total div 2: de/fr/es/zh saturate at 2 epochs and en
+    is down-sampled to 0.84 epochs — exactly the paper's headline
+    behavior (the largest language absorbs the budget pressure).
+
+    Scale shape: one documents scan → one |languages|-key partial agg →
+    windows and arithmetic over the K-row ledger (metadata scale). The
+    allocator's input is the per-language ledger, never the corpus."""
+    docs = with_tokens(load_documents(spark, sf_dir))
+    ledger = docs.groupBy("lang").agg(
+        F.expr("CAST(SUM(size(toks)) AS BIGINT)").alias("cap_tokens")
+    )
+    totals = ledger.agg(
+        F.sum("cap_tokens").alias("t_total"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    cap_e = F.expr(f"cap_tokens * {UNIMAX_EPOCH_CAP}")
+    w_ord = Window.orderBy(F.asc("cap_e"), F.asc("lang"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    base = (
+        ledger.crossJoin(F.broadcast(totals))
+        .withColumn("cap_e", cap_e)
+        .withColumn(
+            "budget",
+            F.expr(
+                f"t_total * {UNIMAX_BUDGET_NUM} div {UNIMAX_BUDGET_DEN}"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_ord))
+        .withColumn(
+            "p_prev",
+            F.coalesce(
+                F.sum("cap_e").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+        .withColumn(
+            "saturated",
+            F.expr("cap_e * (k - rn + 1) <= budget - p_prev"),
+        )
+        .withColumn(
+            "j",
+            F.max(F.expr("CASE WHEN saturated THEN rn ELSE 0 END")).over(
+                w_all
+            ),
+        )
+        .withColumn(
+            "p_j",
+            F.max(
+                F.expr("CASE WHEN saturated THEN p_prev + cap_e ELSE 0 END")
+            ).over(w_all),
+        )
+        .withColumn(
+            "level",
+            F.expr(
+                "CASE WHEN k > j THEN (budget - p_j) div (k - j)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+    )
+    return base.select(
+        "lang",
+        "cap_tokens",
+        F.col("cap_e").alias("cap_epoch_tokens"),
+        F.expr("CAST(CASE WHEN saturated THEN 1 ELSE 0 END AS INT)").alias(
+            "saturated"
+        ),
+        F.expr("CASE WHEN saturated THEN cap_e ELSE level END").alias(
+            "alloc_tokens"
+        ),
+        F.expr(
+            "CASE WHEN saturated THEN cap_e ELSE level END * 1000000"
+            " div greatest(cap_tokens, 1)"
+        ).alias("epochs_ppm"),
+    ).orderBy("lang")
+
+
+CORPUS_UNIMAX_SQL = f"""
+WITH ledger AS (
+  SELECT lang, CAST(SUM(len({TOKENS_SQL})) AS BIGINT) AS cap_tokens
+  FROM documents GROUP BY lang
+),
+totals AS (
+  SELECT CAST(SUM(cap_tokens) AS BIGINT) AS t_total, COUNT(*) AS k
+  FROM ledger
+),
+base AS (
+  SELECT lang, cap_tokens,
+         cap_tokens * {UNIMAX_EPOCH_CAP} AS cap_e,
+         t_total * {UNIMAX_BUDGET_NUM} // {UNIMAX_BUDGET_DEN} AS budget,
+         k,
+         ROW_NUMBER() OVER (ORDER BY cap_tokens * {UNIMAX_EPOCH_CAP}, lang)
+           AS rn,
+         CAST(COALESCE(SUM(cap_tokens * {UNIMAX_EPOCH_CAP}) OVER (
+           ORDER BY cap_tokens * {UNIMAX_EPOCH_CAP}, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS p_prev
+  FROM ledger, totals
+),
+sat AS (
+  SELECT *, (cap_e * (k - rn + 1) <= budget - p_prev) AS saturated
+  FROM base
+),
+cut AS (
+  SELECT *,
+         MAX(CASE WHEN saturated THEN rn ELSE 0 END) OVER () AS j,
+         CAST(MAX(CASE WHEN saturated THEN p_prev + cap_e ELSE 0 END)
+              OVER () AS BIGINT) AS p_j
+  FROM sat
+)
+SELECT lang, cap_tokens, cap_e AS cap_epoch_tokens,
+       CAST(CASE WHEN saturated THEN 1 ELSE 0 END AS INTEGER) AS saturated,
+       CAST(CASE WHEN saturated THEN cap_e
+            WHEN k > j THEN (budget - p_j) // (k - j)
+            ELSE 0 END AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN saturated THEN cap_e
+            WHEN k > j THEN (budget - p_j) // (k - j)
+            ELSE 0 END AS BIGINT) * 1000000 // GREATEST(cap_tokens, 1)
+         AS epochs_ppm
+FROM cut ORDER BY lang
+"""
+
+
 
 # ---------------------------------------------------------------------------
 # Filter-ablation grid (one-pass CUBE)
@@ -1502,6 +1661,7 @@ QUERIES = {
     "corpus_span_corruption": corpus_span_corruption,
     "corpus_temperature_sampling": corpus_temperature_sampling,
     "corpus_upsampling_epochs": corpus_upsampling_epochs,
+    "corpus_unimax_budget": corpus_unimax_budget,
     "corpus_dsir_selection": corpus_dsir_selection,
     "corpus_importance_sampling": corpus_importance_sampling,
     "corpus_shard_manifest": corpus_shard_manifest,
@@ -1526,6 +1686,7 @@ ORACLES = {
     "corpus_span_corruption": CORPUS_SPAN_SQL,
     "corpus_temperature_sampling": CORPUS_TEMPERATURE_SQL,
     "corpus_upsampling_epochs": CORPUS_UPSAMPLING_SQL,
+    "corpus_unimax_budget": CORPUS_UNIMAX_SQL,
     "corpus_dsir_selection": CORPUS_DSIR_SQL,
     "corpus_importance_sampling": CORPUS_IMPORTANCE_SQL,
     "corpus_shard_manifest": CORPUS_SHARD_SQL,

@@ -333,3 +333,68 @@ def test_dsir_python_reference(spark):
     o_rates = [v[2] for s, v in got.items() if s not in tgt]
     assert t_rates and o_rates
     assert sum(t_rates) / len(t_rates) > sum(o_rates) / len(o_rates)
+
+
+def test_unimax_python_reference(spark):
+    """Reimplement UniMax waterfilling as the textbook sequential
+    algorithm (sort ascending, give each language min(cap_e, even
+    split of remaining), NOT the engine's closed prefix form) and
+    compare allocations exactly — plus the allocator's invariants:
+    nothing exceeds its epoch cap, the budget is spent up to the
+    documented < K truncation remainder, and the saturated set is a
+    prefix of the capacity order."""
+    import duckdb as _dd
+
+    rows = _dd.sql(
+        "SELECT lang, text FROM"
+        " read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    caps: dict[str, int] = {}
+    for lang, t in rows:
+        caps[lang] = caps.get(lang, 0) + len(
+            [w for w in t.lower().split() if w]
+        )
+    E = pipeline.UNIMAX_EPOCH_CAP
+    total = sum(caps.values())
+    budget = (
+        total * pipeline.UNIMAX_BUDGET_NUM // pipeline.UNIMAX_BUDGET_DEN
+    )
+    order = sorted(caps, key=lambda g: (caps[g] * E, g))
+    remaining, k_left = budget, len(order)
+    expect: dict[str, tuple[int, int]] = {}
+    level = None
+    for g in order:
+        cap_e = caps[g] * E
+        if level is None and cap_e <= remaining // k_left:
+            expect[g] = (1, cap_e)
+            remaining -= cap_e
+            k_left -= 1
+        else:
+            # first unsaturated language: freeze the uniform water
+            # level (the documented contract — the <K truncation
+            # remainder is left unspent, NOT redistributed)
+            if level is None:
+                level = remaining // k_left
+            expect[g] = (0, level)
+            remaining -= level
+
+    got = {
+        r.lang: (
+            r.cap_tokens,
+            r.cap_epoch_tokens,
+            r.saturated,
+            r.alloc_tokens,
+            r.epochs_ppm,
+        )
+        for r in pipeline.corpus_unimax_budget(spark, SF).collect()
+    }
+    assert set(got) == set(caps)
+    for g, (cap, cap_e, sat, alloc, ep) in got.items():
+        assert cap == caps[g] and cap_e == cap * E
+        assert (sat, alloc) == expect[g]
+        assert alloc <= cap_e
+        assert ep == alloc * 1_000_000 // max(cap, 1)
+    spent = sum(a for _, a in expect.values())
+    assert 0 <= budget - spent < len(caps)
+    sat_flags = [got[g][2] for g in order]
+    assert sat_flags == sorted(sat_flags, reverse=True)
