@@ -1093,6 +1093,175 @@ SELECT vec_id, CAST(cid AS INTEGER) AS cluster, CAST({dist} AS BIGINT) AS sq_dis
     return sql
 
 
+# Prototype-pruning knobs: quantization grid for the exact integer L2,
+# histogram bucket width over squared distances (coarse on purpose —
+# selection is bucket-granular so the cut needs no per-row ranking),
+# and the pruned fraction (Sorscher et al. keep ~70-80% in the
+# abundant-data regime).
+PROTO_SCALE = 1 << 10
+PROTO_BUCKET = 1 << 16
+PROTO_PRUNE_PPM = 300_000
+
+
+def cluster_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws: beating power law scaling via data pruning"): rank
+    each example by its distance to its cluster prototype and, in the
+    abundant-data regime, DISCARD the most prototypical (easiest)
+    examples — the published embedding-space pruning rung next to
+    semantic dedup (``semdedup_bucketed`` removes near-duplicates; this
+    removes the easy core). Prototypes here are the fixed seed set
+    (vec_id < {KMEANS_K}, the same seeds ``cluster_kmeans_fixed``
+    starts from); prototypicality is exact integer squared L2 on the
+    2^10 quantization grid.
+
+    Scale-first selection WITHOUT per-row ranking: a per-cluster
+    row_number over the corpus is the skew trap (K partitions at
+    100 TB), so the prune threshold comes from a (cluster, bucket)
+    HISTOGRAM of coarse distance buckets (dist div 2^16): the cut is
+    the largest bucket whose cumulative count stays within the
+    {PROTO_PRUNE_PPM}-ppm target — cumulative counts are monotone, so
+    the "≤ target" set is a bucket prefix and one prefix-sum window
+    over the bounded ledger decides it. Selection is therefore
+    bucket-granular (never exceeds the target; may undershoot by at
+    most one bucket's population — the documented trade for a
+    rank-free plan). Output is the per-cluster pruning audit.
+
+    Plan shape: one embeddings scan → broadcast K-row prototype
+    relation → partial-agg argmin (min(struct(dist, cid)) — one small
+    struct per vector shuffled) → (cluster, bucket) partial agg into
+    the bounded ledger → ledger-sized windows. No data-keyed window,
+    no join back to the corpus: the audit is derivable from the
+    histogram alone."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+            f" * {PROTO_SCALE}) AS BIGINT))"
+        ).alias("v"),
+    ).withColumn(
+        "xx",
+        F.aggregate(
+            F.transform("v", lambda a: a * a),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    protos = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("v").alias("c"),
+        F.col("xx").alias("cc"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assign = (
+        vecs.crossJoin(F.broadcast(protos))
+        .select(
+            "vec_id",
+            F.struct(
+                (F.col("xx") + F.col("cc") - 2 * dot).alias("dist"),
+                "cid",
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"))
+        .select(
+            F.col("m.cid").alias("cid"),
+            F.expr(f"m.dist div {PROTO_BUCKET}").alias("bucket"),
+        )
+    )
+    ledger = assign.groupBy("cid", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cid = Window.partitionBy("cid")
+    w_cum = w_cid.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    audited = (
+        ledger.withColumn("n_vecs", F.sum("cnt").over(w_cid))
+        .withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn(
+            "target_k", F.expr(f"n_vecs * {PROTO_PRUNE_PPM} div 1000000")
+        )
+    )
+    return (
+        audited.groupBy("cid")
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            F.max("target_k").alias("target_k"),
+            F.max(
+                F.expr("CASE WHEN cum <= target_k THEN bucket"
+                       " ELSE CAST(-1 AS BIGINT) END")
+            ).alias("cut_bucket"),
+            F.max(
+                F.expr("CASE WHEN cum <= target_k THEN cum"
+                       " ELSE CAST(0 AS BIGINT) END")
+            ).alias("n_pruned"),
+        )
+        .withColumn(
+            "kept_ppm",
+            F.expr("(n_vecs - n_pruned) * 1000000 div n_vecs"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _proto_prune_sql() -> str:
+    dist = (
+        "list_sum(list_transform(list_zip(v, c),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {PROTO_SCALE}) AS BIGINT)) AS v
+  FROM embeddings
+),
+protos AS (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < {KMEANS_K}),
+assigned AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vecs.vec_id, protos.cid, {dist} AS dist,
+           ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                              ORDER BY {dist}, protos.cid) AS rn
+    FROM vecs CROSS JOIN protos
+  ) WHERE rn = 1
+),
+ledger AS (
+  SELECT CAST(cid AS INTEGER) AS cid,
+         CAST(dist // {PROTO_BUCKET} AS BIGINT) AS bucket,
+         COUNT(*) AS cnt
+  FROM assigned GROUP BY 1, 2
+),
+audited AS (
+  SELECT cid, bucket, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY cid) AS BIGINT) AS n_vecs,
+         CAST(SUM(cnt) OVER (PARTITION BY cid ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY cid) AS BIGINT)
+           * {PROTO_PRUNE_PPM} // 1000000 AS target_k
+  FROM ledger
+)
+SELECT cid, MAX(n_vecs) AS n_vecs, MAX(target_k) AS target_k,
+       MAX(CASE WHEN cum <= target_k THEN bucket
+           ELSE CAST(-1 AS BIGINT) END) AS cut_bucket,
+       MAX(CASE WHEN cum <= target_k THEN cum
+           ELSE CAST(0 AS BIGINT) END) AS n_pruned,
+       (MAX(n_vecs) - MAX(CASE WHEN cum <= target_k THEN cum
+                          ELSE CAST(0 AS BIGINT) END)) * 1000000
+         // MAX(n_vecs) AS kept_ppm
+FROM audited GROUP BY cid ORDER BY cid
+"""
+
+
+CLUSTER_PROTO_PRUNE_SQL = _proto_prune_sql()
+
+
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the LSH-bucketed ANN against exact brute force, per
     query — measure, don't guess: the approximate path's quality is a
@@ -5296,6 +5465,7 @@ QUERIES = {
     "emb_cka_alignment": emb_cka_alignment,
     "ann_ivf": ann_ivf,
     "cluster_kmeans_fixed": cluster_kmeans_fixed,
+    "cluster_prototype_prune": cluster_prototype_prune,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "knn_graph_lsh": knn_graph_lsh,
     "emb_knn_outlier_score": emb_knn_outlier_score,
@@ -5336,6 +5506,7 @@ ORACLES = {
     "ml_knn_classifier_eval": _knn_classifier_sql(),
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "cluster_kmeans_fixed": _kmeans_sql(),
+    "cluster_prototype_prune": CLUSTER_PROTO_PRUNE_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_lsh_bucketed": _ann_lsh_sql(),
     "emb_hard_negatives": _hard_negatives_sql(),

@@ -2101,3 +2101,57 @@ def test_bpe_multiround_python_reference(spark):
         decode[ph] = "".join(decode.get(c, c) for c in p)
         fused = fused or any(c in decode for c in p if c != ph)
     assert fused
+
+
+def test_prototype_prune_python_reference(spark):
+    """Reimplement prototype pruning in plain Python (quantize, assign
+    to the seed prototypes, per-cluster coarse-bucket histogram, prefix
+    cut) and compare the audit exactly; the bucket-granular cut must
+    never exceed the ppm target."""
+    import math
+
+    import duckdb as _dd
+
+    rows = _dd.sql(
+        "SELECT vec_id, embedding FROM"
+        " read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+        " ORDER BY vec_id"
+    ).fetchall()
+    S, BUCK = similarity.PROTO_SCALE, similarity.PROTO_BUCKET
+    vecs = {
+        vid: [int(math.floor(float(x) * S)) for x in emb]
+        for vid, emb in rows
+    }
+    protos = {
+        vid: v for vid, v in vecs.items() if vid < similarity.KMEANS_K
+    }
+    hist: dict[int, dict[int, int]] = {}
+    for vid, v in vecs.items():
+        best = min(
+            (
+                (sum((a - b) ** 2 for a, b in zip(v, c)), cid)
+                for cid, c in protos.items()
+            )
+        )
+        hist.setdefault(best[1], {}).setdefault(best[0] // BUCK, 0)
+        hist[best[1]][best[0] // BUCK] += 1
+    expect = {}
+    for cid, h in hist.items():
+        n = sum(h.values())
+        target = n * similarity.PROTO_PRUNE_PPM // 1_000_000
+        cum, cut, pruned = 0, -1, 0
+        for b in sorted(h):
+            cum += h[b]
+            if cum <= target:
+                cut, pruned = b, cum
+        expect[cid] = (n, target, cut, pruned, (n - pruned) * 1_000_000 // n)
+    got = {
+        r.cid: (r.n_vecs, r.target_k, r.cut_bucket, r.n_pruned, r.kept_ppm)
+        for r in similarity.cluster_prototype_prune(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == expect
+    for n, target, _cut, pruned, kept in got.values():
+        assert pruned <= target <= n
+        assert kept >= 1_000_000 - similarity.PROTO_PRUNE_PPM
