@@ -1204,7 +1204,125 @@ FROM bucketed GROUP BY lang, tercile ORDER BY lang, tercile
 """
 
 
+# ---------------------------------------------------------------------------
+# text_readability_fk — Flesch-Kincaid readability as fixed-point rationals
+# ---------------------------------------------------------------------------
+
+_FK_VOWELS = "('a', 'e', 'i', 'o', 'u', 'y')"
+
+
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring — Flesch Reading Ease (Flesch 1948) and the
+    Flesch-Kincaid grade level (Kincaid et al. 1975), the classic
+    quality-filter features a curation pipeline computes next to the
+    Gopher/FineWeb batteries (readability bands are a standard
+    document-quality covariate and a mixing signal for educational
+    corpora, cf. FineWeb-Edu's grade-level framing). Both scores are
+    pure rationals of three counts — words, sentences, syllables — so
+    they are EXACT in fixed point: grade_ppm = 390000·W div S +
+    11800000·Y div W − 15590000, ease_ppm = 206835000 − 1015000·W div
+    S − 84600000·Y div W (the published coefficients ×10⁶, truncating
+    integer division in both engines).
+
+    Fixture adaptation (the quality_fineweb_rules precedent): the
+    word-soup corpus has no sentence punctuation, so document d's
+    sentence length is the DETERMINISTIC 3 + (d mod 17) tokens
+    (sentences = ceil(words / that) — per-doc words-per-sentence spans
+    the 3..19 range the grade formula is sensitive to), identical
+    integer expression in the oracle. Syllables are counted by the
+    standard vowel-group heuristic — a syllable per maximal run of
+    [aeiouy], at least one per word — which is exactly what it would
+    be on real text.
+
+    Plan shape: one documents scan, all three counts in-row (nested
+    HOF over the token array, zero UDFs), one per-source partial agg;
+    scores derive from the per-source totals. A pure map pass at
+    100 TB."""
+    docs = (
+        with_tokens(load_documents(spark, sf_dir))
+        .filter(F.size("toks") >= 1)
+        .select("doc_id", "source", "toks")
+    )
+    v = _FK_VOWELS
+    per_doc = docs.select(
+        "source",
+        F.expr("CAST(size(toks) AS BIGINT)").alias("w"),
+        F.expr(
+            "CAST((size(toks) + 2 + doc_id % 17)"
+            " div (3 + doc_id % 17) AS BIGINT)"
+        ).alias("s"),
+        F.expr(
+            f"aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a +"
+            f" greatest(CAST(1 AS BIGINT), CAST(size(filter("
+            f"   sequence(1, length(t)),"
+            f"   i -> substring(t, CAST(i AS INT), 1) IN {v}"
+            f"        AND (i = 1 OR NOT substring(t, CAST(i - 1 AS INT), 1)"
+            f"                        IN {v})))"
+            f" AS BIGINT)))"
+        ).alias("y"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("words"),
+            F.sum("s").alias("sentences"),
+            F.sum("y").alias("syllables"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "words",
+            "sentences",
+            "syllables",
+            F.expr(
+                "390000 * words div sentences"
+                " + 11800000 * syllables div words - 15590000"
+            ).alias("fk_grade_ppm"),
+            F.expr(
+                "206835000 - 1015000 * words div sentences"
+                " - 84600000 * syllables div words"
+            ).alias("fre_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_READABILITY_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source, {TOKENS_SQL} AS toks FROM documents
+  WHERE len({TOKENS_SQL}) >= 1
+),
+per_doc AS (
+  SELECT source,
+         CAST(len(toks) AS BIGINT) AS w,
+         CAST((len(toks) + 2 + doc_id % 17) // (3 + doc_id % 17)
+              AS BIGINT) AS s,
+         CAST(COALESCE(list_sum(list_transform(toks, t ->
+           GREATEST(1, len(list_filter(range(1, length(t) + 1),
+             i -> substr(t, i, 1) IN {_FK_VOWELS}
+                  AND (i = 1 OR NOT substr(t, i - 1, 1)
+                                   IN {_FK_VOWELS})))))), 0)
+           AS BIGINT) AS y
+  FROM docs
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS words,
+       CAST(SUM(s) AS BIGINT) AS sentences,
+       CAST(SUM(y) AS BIGINT) AS syllables,
+       390000 * CAST(SUM(w) AS BIGINT) // CAST(SUM(s) AS BIGINT)
+         + 11800000 * CAST(SUM(y) AS BIGINT) // CAST(SUM(w) AS BIGINT)
+         - 15590000 AS fk_grade_ppm,
+       206835000
+         - 1015000 * CAST(SUM(w) AS BIGINT) // CAST(SUM(s) AS BIGINT)
+         - 84600000 * CAST(SUM(y) AS BIGINT) // CAST(SUM(w) AS BIGINT)
+         AS fre_ppm
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "text_readability_fk": text_readability_fk,
     "corpus_quality_floor": corpus_quality_floor,
     "corpus_filter_verdict": corpus_filter_verdict,
     "text_repetition": text_repetition,
@@ -1216,6 +1334,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_readability_fk": TEXT_READABILITY_SQL,
     "corpus_quality_floor": CORPUS_QUALITY_FLOOR_SQL,
     "corpus_filter_verdict": CORPUS_FILTER_SQL,
     "text_repetition": TEXT_REPETITION_SQL,

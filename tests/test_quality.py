@@ -240,3 +240,58 @@ def test_fineweb_rules_python_reference(spark):
     bullets = [v[3] for v in expect.values()]
     assert min(puncts) <= quality.FW_PUNCT_MIN_PPM < max(puncts)
     assert min(bullets) <= quality.FW_BULLET_MAX_PPM < max(bullets)
+
+
+def test_readability_python_reference(spark):
+    """Recompute Flesch-Kincaid / Reading Ease in plain Python (explicit
+    vowel-group syllable scan, the deterministic sentence-length rule)
+    and compare the per-source rollup exactly."""
+    import duckdb as _dd
+
+    raw = _dd.sql(
+        "SELECT doc_id, source, text FROM"
+        f" read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    vowels = set("aeiouy")
+
+    def syl(w: str) -> int:
+        n = 0
+        for i, c in enumerate(w):
+            if c in vowels and (i == 0 or w[i - 1] not in vowels):
+                n += 1
+        return max(1, n)
+
+    agg: dict[str, list[int]] = {}
+    for d, s, t in raw:
+        toks = [w for w in t.lower().split() if w]
+        if not toks:
+            continue
+        sl = 3 + d % 17
+        a = agg.setdefault(s, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(toks)
+        a[2] += (len(toks) + sl - 1) // sl
+        a[3] += sum(syl(w) for w in toks)
+    expect = {
+        s: (
+            v[0],
+            v[1],
+            v[2],
+            v[3],
+            390000 * v[1] // v[2] + 11800000 * v[3] // v[1] - 15590000,
+            206835000 - 1015000 * v[1] // v[2] - 84600000 * v[3] // v[1],
+        )
+        for s, v in agg.items()
+    }
+    got = {
+        r.source: (
+            r.n_docs,
+            r.words,
+            r.sentences,
+            r.syllables,
+            r.fk_grade_ppm,
+            r.fre_ppm,
+        )
+        for r in quality.text_readability_fk(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
