@@ -1479,6 +1479,137 @@ FROM weighted GROUP BY source ORDER BY source
 """
 
 
+# DoReMi knobs: unrolled Group-DRO rounds and the multiplicative step
+# size applied to the per-domain excess-loss proxy (ppm scale).
+DOREMI_ROUNDS = 3
+DOREMI_ETA = 8
+
+
+def corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain reweighting (Xie et al. 2023, NeurIPS: "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    Group-DRO over domains — per round, upweight domains with EXCESS
+    loss (where the proxy model underperforms the reference),
+    renormalize, and average the weight iterates into the final
+    mixture. The published rung between per-domain quality signals and
+    ``corpus_mix_weighted``'s static mixing.
+
+    Two fixture adaptations, both documented: (1) the container trains
+    no proxy/reference model pair, so the per-domain excess-loss proxy
+    is the deterministic heuristic on hand — each source's absolute
+    deviation of its stopword share from the corpus baseline (the
+    fixture's sources genuinely differ, spanning 0.04..0.074; a domain
+    far from the reference distribution stands in for "domain the
+    proxy models badly"); (2) the paper's exponentiated-gradient
+    update ``w·exp(η·excess)`` is LINEARIZED to the exact fixed-point
+    multiplicative step ``w·(10⁶ + η·excess) div 10⁶`` — the
+    first-order expansion, per the engine's no-libm exactness rule.
+    {DOREMI_ROUNDS} rounds are unrolled; truncating renormalization
+    makes the rounds genuinely sequential (not a closed power form).
+
+    Plan shape: one documents scan → one |sources|-key partial agg →
+    all rounds as arithmetic + ledger-sized window sums over the
+    ~20-row domain ledger (metadata scale — the allocator input is the
+    ledger, never the corpus), the ``corpus_upsampling_epochs``
+    convention."""
+    docs = with_tokens(load_documents(spark, sf_dir))
+    ledger = docs.groupBy("source").agg(
+        F.expr("CAST(SUM(size(toks)) AS BIGINT)").alias("tokens"),
+        F.expr(
+            f"CAST(SUM(size(filter(toks, t -> t IN ({_STOP_SQL}))))"
+            f" AS BIGINT)"
+        ).alias("stop_tokens"),
+    )
+    totals = ledger.agg(
+        F.sum("tokens").alias("t_all"),
+        F.sum("stop_tokens").alias("s_all"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cur = (
+        ledger.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "loss_ppm",
+            F.expr("stop_tokens * 1000000 div greatest(tokens, 1)"),
+        )
+        .withColumn(
+            "base_ppm", F.expr("s_all * 1000000 div greatest(t_all, 1)")
+        )
+        .withColumn("excess_ppm", F.expr("abs(loss_ppm - base_ppm)"))
+        .withColumn("w0", F.expr("CAST(1000000 div k AS BIGINT)"))
+    )
+    for t in range(1, DOREMI_ROUNDS + 1):
+        cur = (
+            cur.withColumn(
+                f"u{t}",
+                F.expr(
+                    f"w{t - 1} * (1000000 + {DOREMI_ETA} * excess_ppm)"
+                    f" div 1000000"
+                ),
+            )
+            .withColumn(f"su{t}", F.sum(f"u{t}").over(w_all))
+            .withColumn(
+                f"w{t}", F.expr(f"u{t} * 1000000 div su{t}")
+            )
+        )
+    wavg = " + ".join(f"w{t}" for t in range(1, DOREMI_ROUNDS + 1))
+    return cur.select(
+        "source",
+        "tokens",
+        "excess_ppm",
+        *[F.col(f"w{t}") for t in range(DOREMI_ROUNDS + 1)],
+        F.expr(f"({wavg}) div {DOREMI_ROUNDS}").alias("w_final_ppm"),
+    ).orderBy("source")
+
+
+def _doremi_sql() -> str:
+    sql = f"""
+WITH ledger AS (
+  SELECT source,
+         CAST(SUM(len({TOKENS_SQL})) AS BIGINT) AS tokens,
+         CAST(SUM(len(list_filter({TOKENS_SQL}, t -> t IN ({_STOP_SQL}))))
+              AS BIGINT) AS stop_tokens
+  FROM documents GROUP BY source
+),
+totals AS (
+  SELECT CAST(SUM(tokens) AS BIGINT) AS t_all,
+         CAST(SUM(stop_tokens) AS BIGINT) AS s_all,
+         COUNT(*) AS k
+  FROM ledger
+),
+r0 AS (
+  SELECT source, tokens,
+         abs(stop_tokens * 1000000 // GREATEST(tokens, 1)
+             - s_all * 1000000 // GREATEST(t_all, 1)) AS excess_ppm,
+         CAST(1000000 // k AS BIGINT) AS w0
+  FROM ledger, totals
+)"""
+    for t in range(1, DOREMI_ROUNDS + 1):
+        sql += f""",
+u{t} AS (
+  SELECT *, w{t - 1} * (1000000 + {DOREMI_ETA} * excess_ppm) // 1000000
+           AS uu{t}
+  FROM r{t - 1}
+),
+r{t} AS (
+  SELECT *, CAST(uu{t} * 1000000 // (SUM(uu{t}) OVER ()) AS BIGINT) AS w{t}
+  FROM u{t}
+)"""
+    wavg = " + ".join(f"w{t}" for t in range(1, DOREMI_ROUNDS + 1))
+    cols = ", ".join(f"w{t}" for t in range(DOREMI_ROUNDS + 1))
+    sql += f"""
+SELECT source, tokens, excess_ppm, {cols},
+       ({wavg}) // {DOREMI_ROUNDS} AS w_final_ppm
+FROM r{DOREMI_ROUNDS} ORDER BY source
+"""
+    return sql
+
+
+CORPUS_DOREMI_SQL = _doremi_sql()
+
+
 # DSIR hashed n-gram selection: feature-hash space and the declared
 # curated target subset (stands in for the paper's Wikipedia+books
 # target — the fixture's sources differ measurably in token mix, e.g.
@@ -1662,6 +1793,7 @@ QUERIES = {
     "corpus_temperature_sampling": corpus_temperature_sampling,
     "corpus_upsampling_epochs": corpus_upsampling_epochs,
     "corpus_unimax_budget": corpus_unimax_budget,
+    "corpus_doremi_weights": corpus_doremi_weights,
     "corpus_dsir_selection": corpus_dsir_selection,
     "corpus_importance_sampling": corpus_importance_sampling,
     "corpus_shard_manifest": corpus_shard_manifest,
@@ -1687,6 +1819,7 @@ ORACLES = {
     "corpus_temperature_sampling": CORPUS_TEMPERATURE_SQL,
     "corpus_upsampling_epochs": CORPUS_UPSAMPLING_SQL,
     "corpus_unimax_budget": CORPUS_UNIMAX_SQL,
+    "corpus_doremi_weights": CORPUS_DOREMI_SQL,
     "corpus_dsir_selection": CORPUS_DSIR_SQL,
     "corpus_importance_sampling": CORPUS_IMPORTANCE_SQL,
     "corpus_shard_manifest": CORPUS_SHARD_SQL,

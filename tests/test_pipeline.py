@@ -398,3 +398,69 @@ def test_unimax_python_reference(spark):
     assert 0 <= budget - spent < len(caps)
     sat_flags = [got[g][2] for g in order]
     assert sat_flags == sorted(sat_flags, reverse=True)
+
+
+def test_doremi_python_reference(spark):
+    """Replay the linearized Group-DRO rounds in plain Python
+    (multiplicative step on the excess proxy + truncating
+    renormalization) and compare every iterate exactly; the domain
+    with the largest excess must end with the largest final weight."""
+    import duckdb as _dd
+
+    raw = _dd.sql(
+        "SELECT source, text FROM"
+        " read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    stop = set(pipeline.EN_STOPWORDS)
+    agg: dict[str, list[int]] = {}
+    for s, t in raw:
+        toks = [w for w in t.lower().split() if w]
+        a = agg.setdefault(s, [0, 0])
+        a[0] += len(toks)
+        a[1] += sum(1 for w in toks if w in stop)
+    t_all = sum(v[0] for v in agg.values())
+    s_all = sum(v[1] for v in agg.values())
+    base = s_all * 1_000_000 // max(t_all, 1)
+    k = len(agg)
+    excess = {
+        s: abs(v[1] * 1_000_000 // max(v[0], 1) - base)
+        for s, v in agg.items()
+    }
+    w = {s: 1_000_000 // k for s in agg}
+    iters = [dict(w)]
+    for _ in range(pipeline.DOREMI_ROUNDS):
+        u = {
+            s: w[s]
+            * (1_000_000 + pipeline.DOREMI_ETA * excess[s])
+            // 1_000_000
+            for s in agg
+        }
+        su = sum(u.values())
+        w = {s: u[s] * 1_000_000 // su for s in agg}
+        iters.append(dict(w))
+    expect = {
+        s: (
+            agg[s][0],
+            excess[s],
+            *[it[s] for it in iters],
+            sum(it[s] for it in iters[1:]) // pipeline.DOREMI_ROUNDS,
+        )
+        for s in agg
+    }
+    got = {
+        r.source: (
+            r.tokens,
+            r.excess_ppm,
+            r.w0,
+            r.w1,
+            r.w2,
+            r.w3,
+            r.w_final_ppm,
+        )
+        for r in pipeline.corpus_doremi_weights(spark, SF).collect()
+    }
+    assert got == expect
+    top_excess = max(got, key=lambda s: (got[s][1], s))
+    top_weight = max(got, key=lambda s: (got[s][6], s))
+    assert top_excess == top_weight
+    assert sum(v[6] for v in got.values()) <= 1_000_000
