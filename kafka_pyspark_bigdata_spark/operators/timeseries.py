@@ -198,6 +198,143 @@ ORDER BY sum_sq, user_a, user_b
 """
 
 
+# Matrix-profile knobs: PAA resolution per series and the subsequence
+# (window) length over the PAA series. 16 segments over the 30-day
+# grid keep the in-row profile O(M²·L) ≈ 500 integer ops per series.
+MP_SEGMENTS = 16
+MP_WIN = 4
+
+
+def ts_matrix_profile_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile per series (Yeh et al. 2016, ICDM: "Matrix
+    Profile I") over a PAA-reduced daily series (Keogh et al. 2001) —
+    the time-series primitive that yields both the DISCORD (the
+    subsequence farthest from its nearest neighbor: the series'
+    top anomaly; Keogh et al. 2005) and the top MOTIF (the closest
+    repeating pair) in one pass. Computed exactly: profile[i] =
+    min over j with |i−j| ≥ window (the standard trivial-match
+    exclusion zone) of the squared Euclidean distance between
+    length-{MP_WIN} subsequences of the {MP_SEGMENTS}-segment PAA
+    series; discord = argmax, motif = argmin, first index on ties
+    (array_position finds the first occurrence in both engines).
+
+    All arithmetic is integer: daily cent sums → PAA segment sums (no
+    division) → BIGINT squared distances. No z-normalization — the
+    published profile z-normalizes each subsequence, which needs
+    sqrt-of-variance ratios; on fixed-point money series the
+    non-normalized distance profile (also standard: "MP with the
+    Euclidean, non-normalized distance" in the UCR code base) keeps
+    every compared value exact.
+
+    Plan shape: the shared densified daily grid (one events scan + the
+    broadcast day grid) → one per-user collect into the 30-slot series
+    row → PAA and the full profile as ONE in-row expression (no pair
+    shuffle, no window function): per series the profile is
+    O(M²·L) ≈ 500 integer ops. At 100 TB: one shuffle keyed by
+    series id — the per-series daily-table convention every ts_*
+    operator shares; the profile never leaves the row."""
+    m, L = MP_SEGMENTS, MP_WIN
+    nwin = m - L + 1
+    dense = _dense_daily(spark, sf_dir)
+    series = dense.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("di", "v"))), lambda s: s["v"]
+        ).alias("vec")
+    )
+    paa = (
+        f"transform(sequence(0, {m - 1}), s -> aggregate("
+        f" sequence(1, size(vec)), CAST(0 AS BIGINT),"
+        f" (a, d) -> a + CASE WHEN (d - 1) * {m} div size(vec) = s"
+        f"  THEN element_at(vec, d) ELSE CAST(0 AS BIGINT) END))"
+    )
+    dist = (
+        f"aggregate(sequence(0, {L - 1}), CAST(0 AS BIGINT),"
+        f" (a, t) -> a + (element_at(p, CAST(i + t AS INT))"
+        f"                - element_at(p, CAST(j + t AS INT)))"
+        f"             * (element_at(p, CAST(i + t AS INT))"
+        f"                - element_at(p, CAST(j + t AS INT))))"
+    )
+    profile = (
+        f"transform(sequence(1, {nwin}), i -> array_min(transform("
+        f" filter(sequence(1, {nwin}), j -> abs(i - j) >= {L}),"
+        f" j -> {dist})))"
+    )
+    return (
+        series.select("user_id", F.expr(paa).alias("p"))
+        .select("user_id", F.expr(profile).alias("prof"))
+        .select(
+            "user_id",
+            F.expr("array_position(prof, array_max(prof))").alias(
+                "discord_idx"
+            ),
+            F.expr("array_max(prof)").alias("discord_dist"),
+            F.expr("array_position(prof, array_min(prof))").alias(
+                "motif_idx"
+            ),
+            F.expr("array_min(prof)").alias("motif_dist"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _matrix_profile_sql() -> str:
+    m, L = MP_SEGMENTS, MP_WIN
+    nwin = m - L + 1
+    dist = (
+        f"list_sum(list_transform(range(0, {L}),"
+        f" t -> (p[i + t] - p[j + t]) * (p[i + t] - p[j + t])))"
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (
+  SELECT MIN(d) AS d0, datediff('day', MIN(d), MAX(d)) + 1 AS nd FROM ev
+),
+daily AS (
+  SELECT user_id, datediff('day', d0, d) AS di, nd, SUM(cents) AS v
+  FROM ev, bounds GROUP BY 1, 2, 3
+),
+days AS (SELECT DISTINCT di, nd FROM daily),
+users AS (SELECT DISTINCT user_id FROM daily),
+dense AS (
+  SELECT u.user_id, g.di, g.nd, COALESCE(daily.v, 0) AS v
+  FROM users u CROSS JOIN days g
+  LEFT JOIN daily ON daily.user_id = u.user_id AND daily.di = g.di
+),
+series AS (
+  SELECT user_id, list(v ORDER BY di) AS vec FROM dense GROUP BY 1
+),
+paa AS (
+  SELECT user_id,
+         list_transform(range(0, {m}), s -> CAST(COALESCE(list_sum(
+           list_transform(range(1, len(vec) + 1),
+             d -> CASE WHEN (d - 1) * {m} // len(vec) = s
+                  THEN vec[d] ELSE 0 END)), 0) AS BIGINT)) AS p
+  FROM series
+),
+prof AS (
+  SELECT user_id,
+         list_transform(range(1, {nwin + 1}), i -> CAST(list_min(
+           list_transform(list_filter(range(1, {nwin + 1}),
+                                      j -> abs(i - j) >= {L}),
+             j -> {dist})) AS BIGINT)) AS prof
+  FROM paa
+)
+SELECT user_id,
+       CAST(list_position(prof, list_max(prof)) AS BIGINT) AS discord_idx,
+       list_max(prof) AS discord_dist,
+       CAST(list_position(prof, list_min(prof)) AS BIGINT) AS motif_idx,
+       list_min(prof) AS motif_dist
+FROM prof ORDER BY user_id
+"""
+
+
+TS_MATRIX_PROFILE_SQL = _matrix_profile_sql()
+
+
 TS_AC_LAGS = (1, 2, 3, 7)  # lag-7 = weekly periodicity on a daily series
 
 
@@ -1398,6 +1535,7 @@ QUERIES = {
     "ts_mad_outliers": ts_mad_outliers,
     "ts_trend_forecast": ts_trend_forecast,
     "ts_similarity_paa": ts_similarity_paa,
+    "ts_matrix_profile_paa": ts_matrix_profile_paa,
     "ts_autocorr": ts_autocorr,
     "ts_cross_correlation": ts_cross_correlation,
     "ts_stl_lite": ts_stl_lite,
@@ -1412,6 +1550,7 @@ ORACLES = {
     "ts_mad_outliers": TS_MAD_SQL,
     "ts_trend_forecast": TS_TREND_SQL,
     "ts_similarity_paa": TS_SIMILARITY_SQL,
+    "ts_matrix_profile_paa": TS_MATRIX_PROFILE_SQL,
     "ts_autocorr": _autocorr_sql(),
     "ts_cross_correlation": TS_XCORR_SQL,
     "ts_stl_lite": TS_STL_SQL,

@@ -2155,3 +2155,65 @@ def test_prototype_prune_python_reference(spark):
     for n, target, _cut, pruned, kept in got.values():
         assert pruned <= target <= n
         assert kept >= 1_000_000 - similarity.PROTO_PRUNE_PPM
+
+
+def test_matrix_profile_python_reference(spark):
+    """Recompute the PAA matrix profile in plain Python (explicit dense
+    daily grid, segment sums, O(M^2·L) min-distance scan with the
+    exclusion zone) and compare discord/motif exactly; the discord
+    distance can never be below the motif distance."""
+    import duckdb as _dd
+
+    daily = _dd.sql(
+        "SELECT user_id, datediff('day', (SELECT MIN(CAST(ts AS DATE))"
+        " FROM read_parquet('/root/testdata/sf0.001/events.parquet')),"
+        " CAST(ts AS DATE)) AS di,"
+        " CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))"
+        "      AS BIGINT) AS v"
+        " FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+        " GROUP BY 1, 2"
+    ).fetchall()
+    nd = max(di for _, di, _ in daily) + 1
+    grid: dict[int, list[int]] = {}
+    for u, di, v in daily:
+        grid.setdefault(u, [0] * nd)[di] += v
+    M, L = timeseries.MP_SEGMENTS, timeseries.MP_WIN
+    nwin = M - L + 1
+    expect = {}
+    for u, vec in grid.items():
+        p = [0] * M
+        for di, v in enumerate(vec):
+            p[di * M // nd] += v
+        prof = []
+        for i in range(1, nwin + 1):
+            prof.append(
+                min(
+                    sum(
+                        (p[i - 1 + t] - p[j - 1 + t]) ** 2 for t in range(L)
+                    )
+                    for j in range(1, nwin + 1)
+                    if abs(i - j) >= L
+                )
+            )
+        dmax, dmin = max(prof), min(prof)
+        expect[u] = (
+            prof.index(dmax) + 1,
+            dmax,
+            prof.index(dmin) + 1,
+            dmin,
+        )
+    got = {
+        r.user_id: (
+            r.discord_idx,
+            r.discord_dist,
+            r.motif_idx,
+            r.motif_dist,
+        )
+        for r in timeseries.ts_matrix_profile_paa(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == expect
+    for di_, dd_, mi_, md_ in got.values():
+        assert dd_ >= md_ >= 0
+        assert 1 <= di_ <= nwin and 1 <= mi_ <= nwin
