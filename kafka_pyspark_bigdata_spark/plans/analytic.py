@@ -637,6 +637,117 @@ ORDER BY p.pct_ppm
 """
 
 
+# DDSketch percentiles audited per return flag (ppm).
+DD_PCTS_PPM = (500_000, 900_000, 990_000)
+
+
+def sketch_ddsketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch (Masson, Rim & Lee, VLDB 2019: "DDSketch: a fast and
+    fully-mergeable quantile sketch with relative-error guarantees"),
+    base-2 variant: values fall into logarithmic buckets
+    [2^k, 2^{{k+1}}) and a quantile is answered from the cumulative
+    bucket histogram — the sketch whose buckets MERGE by addition
+    across partitions/shards (the property that matters at 100 TB:
+    per-executor histograms combine map-side, unlike an exact
+    quantile's global sort), with a RELATIVE error bound (γ = 2 here)
+    where GK/percentile_approx bounds RANK error.
+
+    Log-free exactness: the published sketch computes bucket indices
+    as ⌈log_γ x⌉; with γ = 2 the index is the integer binary magnitude
+    ``length(bin(cents)) − 1`` — floor(log₂) by string length, no libm
+    anywhere (both engines print unpadded binary), and the bucket
+    bounds are shiftleft powers of two. The audit row reports, per
+    (l_returnflag, percentile): the population, the ceil-rank target,
+    the answering bucket's index and its [lo, hi] value bounds — the
+    sketch's guarantee that the true quantile (in cents) lies inside.
+
+    Plan shape: one lineitem scan → (flag, bucket) partial agg (the
+    histogram — bucket counts collapse map-side) → cumulative window
+    over the bounded per-flag ledger (≤ 64 buckets per flag) → a 3-row
+    percentile literal joined in → min-bucket-covering-rank per
+    (flag, pct). Nothing data-sized past the first aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    hist = (
+        li.select("l_returnflag", F.expr("length(bin(cents)) - 1").alias("k"))
+        .groupBy("l_returnflag", "k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_flag = Window.partitionBy("l_returnflag")
+    w_cum = w_flag.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ledger = hist.withColumn("n", F.sum("cnt").over(w_flag)).withColumn(
+        "cum", F.sum("cnt").over(w_cum)
+    )
+    pcts = spark.createDataFrame(
+        [(p,) for p in DD_PCTS_PPM], "pct_ppm bigint"
+    )
+    return (
+        ledger.crossJoin(F.broadcast(pcts))
+        .withColumn(
+            "target_rank",
+            F.expr("(n * pct_ppm + 999999) div 1000000"),
+        )
+        .filter(F.col("cum") >= F.col("target_rank"))
+        .groupBy("l_returnflag", "pct_ppm", "n", "target_rank")
+        .agg(F.min("k").alias("bucket_k"))
+        .select(
+            "l_returnflag",
+            "pct_ppm",
+            "n",
+            "target_rank",
+            "bucket_k",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bucket_k AS INT))"
+            ).alias("est_lo_cents"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bucket_k + 1 AS INT)) - 1"
+            ).alias("est_hi_cents"),
+        )
+        .orderBy("l_returnflag", "pct_ppm")
+    )
+
+
+SKETCH_DDSKETCH_SQL = f"""
+WITH vals AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM lineitem
+),
+hist AS (
+  SELECT l_returnflag, length(bin(cents)) - 1 AS k, COUNT(*) AS cnt
+  FROM vals GROUP BY 1, 2
+),
+ledger AS (
+  SELECT l_returnflag, k, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n,
+         CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM hist
+),
+tgt AS (
+  SELECT l.*, p.pct_ppm,
+         (n * p.pct_ppm + 999999) // 1000000 AS target_rank
+  FROM ledger l CROSS JOIN
+       (VALUES {', '.join(f'({p})' for p in DD_PCTS_PPM)}) p(pct_ppm)
+)
+SELECT l_returnflag, pct_ppm, n, target_rank,
+       MIN(k) AS bucket_k,
+       (1::BIGINT << CAST(MIN(k) AS INTEGER)) AS est_lo_cents,
+       (1::BIGINT << CAST(MIN(k) + 1 AS INTEGER)) - 1 AS est_hi_cents
+FROM tgt WHERE cum >= target_rank
+GROUP BY l_returnflag, pct_ppm, n, target_rank
+ORDER BY l_returnflag, pct_ppm
+"""
+
+
 def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS through the spark.sql entry point (every other query
     uses the DataFrame API; this proves the SQL front door plans the same
@@ -1578,6 +1689,7 @@ FROM b GROUP BY bucket ORDER BY bucket
 QUERIES = {
     "sketch_kmv_setops": sketch_kmv_setops,
     "sketch_gk_quantile_eval": sketch_gk_quantile_eval,
+    "sketch_ddsketch_quantile": sketch_ddsketch_quantile,
     "sketch_hll_error": sketch_hll_error,
     "q_hist_equidepth": q_hist_equidepth,
     "q_skyline_pareto": q_skyline_pareto,
@@ -1609,6 +1721,7 @@ QUERIES = {
 ORACLES = {
     "sketch_kmv_setops": SKETCH_KMV_SETOPS_SQL,
     "sketch_gk_quantile_eval": SKETCH_GK_SQL,
+    "sketch_ddsketch_quantile": SKETCH_DDSKETCH_SQL,
     "sketch_hll_error": SKETCH_HLL_SQL,
     "q_hist_equidepth": Q_HIST_EQUIDEPTH_SQL,
     "q_skyline_pareto": Q_SKYLINE_SQL,

@@ -51,3 +51,34 @@ def test_gk_quantile_bound_holds_and_is_monotone(spark):
     assert all(r.within_bound for r in rows)
     vals = [r.exact_value for r in rows]
     assert vals == sorted(vals)
+
+
+def test_ddsketch_guarantee_contains_exact_quantile(spark):
+    """The DDSketch answer bucket must CONTAIN the exact quantile: for
+    every (flag, pct) row, the true ceil-rank percentile of the cent
+    values lies in [est_lo, est_hi], and bounds are the γ=2 powers."""
+    import duckdb as _dd
+
+    rows = analytic.sketch_ddsketch_quantile(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 3 * len(analytic.DD_PCTS_PPM)
+    vals: dict[str, list[int]] = {}
+    for f, c in _dd.sql(
+        "SELECT l_returnflag,"
+        " CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    ).fetchall():
+        vals.setdefault(f, []).append(c)
+    exact = {}
+    for f, cs in vals.items():
+        cs.sort()
+        for p in analytic.DD_PCTS_PPM:
+            k = -(-len(cs) * p // 1_000_000)  # ceil rank
+            exact[(f, p)] = cs[k - 1]
+    for r in rows:
+        assert r.est_lo_cents == 1 << r.bucket_k
+        assert r.est_hi_cents == (1 << (r.bucket_k + 1)) - 1
+        ev = exact[(r.l_returnflag, r.pct_ppm)]
+        assert r.est_lo_cents <= ev <= r.est_hi_cents
+        assert 1 <= r.target_rank <= r.n
