@@ -1210,6 +1210,148 @@ def cluster_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mahalanobis OOD knobs: quantization grid, per-dim contribution clamp
+# (keeps the 64-term sum far from BIGINT range even on a near-constant
+# dimension), and the audit size.
+OOD_SCALE = 1 << 10
+OOD_CLAMP = 1_000_000_000_000
+OOD_TOP = 20
+
+
+def emb_ood_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-distribution scoring by class-conditional Mahalanobis
+    distance (Lee et al. 2018, NeurIPS: "A Simple Unified Framework for
+    Detecting Out-of-Distribution Samples..."), diagonal-covariance
+    variant — the embedding-space OOD filter a curation pipeline runs
+    to surface vectors that belong to NO labeled class (mislabeled,
+    corrupted, or genuinely novel examples). A vector's score is its
+    distance to the NEAREST class; the audit returns the {OOD_TOP}
+    highest-scoring (most OOD) vectors.
+
+    Exact rational form: with per-(label, dim) integer sums N, S = Σq,
+    Q = Σq² on the 2^10 quantization grid, the studentized deviation is
+    ``(x − μ)²/σ² = (N·q − S)² / (N·Q − S²)`` — numerator and
+    denominator both integers, no mean or variance ever materialized
+    as a float. Per-dim contributions are ppm-scaled truncating
+    divisions, clamped at {OOD_CLAMP} (degenerate near-constant
+    dimension guard: ``greatest(V, 1)`` plus the clamp), summed over
+    the 64 dims in-row. Ties in the nearest-class argmin break toward
+    the smaller label; the top list orders by score desc, vec_id.
+
+    Plan shape: one embeddings scan → posexplode into the
+    (label, dim)-keyed partial agg (the |labels|·64-row moment ledger —
+    map-side collapse, the emb_label_centroids shape) → ledger
+    re-assembled into per-label stat ARRAYS (bounded collect) →
+    broadcast-crossJoin onto the quantized vectors → per-vector argmin
+    struct-agg → one {OOD_TOP}-row TakeOrdered. At 100 TB the moment
+    sums move to DECIMAL(38,0) (the docstring'd widening every moment
+    ledger in this module shares); shape is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+            f" * {OOD_SCALE}) AS BIGINT))"
+        ).alias("q"),
+    ).localCheckpoint(eager=False)
+    # localCheckpoint: quant feeds the moment ledger AND the scoring
+    # crossJoin — without the pin the scan + quantization runs twice.
+    moments = (
+        quant.select("label", F.posexplode("q").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.expr("v * v")).alias("qq"),
+        )
+    )
+    stats = moments.groupBy("label").agg(
+        F.max("n").alias("n"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, s))),"
+            " p -> p.s)"
+        ).alias("sa"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim,"
+            " n * qq - s * s))), p -> p.col2)"
+        ).alias("va"),
+    )
+    dist = (
+        f"aggregate(sequence(1, size(q)), CAST(0 AS BIGINT), (a, d) ->"
+        f" a + least((n * element_at(q, CAST(d AS INT))"
+        f"            - element_at(sa, CAST(d AS INT)))"
+        f"         * (n * element_at(q, CAST(d AS INT))"
+        f"            - element_at(sa, CAST(d AS INT))) * 1000000"
+        f"      div greatest(element_at(va, CAST(d AS INT)),"
+        f"                   CAST(1 AS BIGINT)),"
+        f"      CAST({OOD_CLAMP} AS BIGINT)))"
+    )
+    scored = (
+        quant.select("vec_id", "q")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            F.struct(
+                F.expr(dist).alias("d"), F.col("label").alias("lbl")
+            ).alias("dl"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dl").alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.lbl").alias("nearest_label"),
+            F.col("m.d").alias("score_ppm"),
+        )
+    )
+    return scored.orderBy(F.desc("score_ppm"), "vec_id").limit(OOD_TOP)
+
+
+def _ood_mahalanobis_sql() -> str:
+    dist = (
+        f"CAST(list_sum(list_transform(range(1, len(q) + 1), d ->"
+        f" LEAST((n * q[d] - sa[d]) * (n * q[d] - sa[d]) * 1000000"
+        f"       // GREATEST(va[d], 1), {OOD_CLAMP}))) AS BIGINT)"
+    )
+    return f"""
+WITH quant AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {OOD_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+moments AS (
+  SELECT label, dim, COUNT(*) AS n,
+         CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(v * v) AS BIGINT) AS qq
+  FROM (
+    SELECT label, unnest(generate_series(1, len(q))) - 1 AS dim,
+           unnest(q) AS v
+    FROM quant)
+  GROUP BY label, dim
+),
+stats AS (
+  SELECT label, MAX(n) AS n,
+         list(s ORDER BY dim) AS sa,
+         list(n * qq - s * s ORDER BY dim) AS va
+  FROM moments GROUP BY label
+),
+scored AS (
+  SELECT vec_id, label AS nearest_label, d AS score_ppm FROM (
+    SELECT q.vec_id, s.label, {dist} AS d,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, s.label) AS rn
+    FROM quant q CROSS JOIN stats s
+  ) WHERE rn = 1
+)
+SELECT vec_id, nearest_label, score_ppm
+FROM scored ORDER BY score_ppm DESC, vec_id LIMIT {OOD_TOP}
+"""
+
+
+EMB_OOD_MAHALANOBIS_SQL = _ood_mahalanobis_sql()
+
+
 def _proto_prune_sql() -> str:
     dist = (
         "list_sum(list_transform(list_zip(v, c),"
@@ -5466,6 +5608,7 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "cluster_kmeans_fixed": cluster_kmeans_fixed,
     "cluster_prototype_prune": cluster_prototype_prune,
+    "emb_ood_mahalanobis": emb_ood_mahalanobis,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "knn_graph_lsh": knn_graph_lsh,
     "emb_knn_outlier_score": emb_knn_outlier_score,
@@ -5507,6 +5650,7 @@ ORACLES = {
     "emb_label_centroids": EMB_CENTROIDS_SQL,
     "cluster_kmeans_fixed": _kmeans_sql(),
     "cluster_prototype_prune": CLUSTER_PROTO_PRUNE_SQL,
+    "emb_ood_mahalanobis": EMB_OOD_MAHALANOBIS_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_lsh_bucketed": _ann_lsh_sql(),
     "emb_hard_negatives": _hard_negatives_sql(),

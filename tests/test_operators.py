@@ -2217,3 +2217,61 @@ def test_matrix_profile_python_reference(spark):
     for di_, dd_, mi_, md_ in got.values():
         assert dd_ >= md_ >= 0
         assert 1 <= di_ <= nwin and 1 <= mi_ <= nwin
+
+
+def test_ood_mahalanobis_python_reference(spark):
+    """Recompute the diagonal class-conditional Mahalanobis audit in
+    plain Python (integer moments, exact rational (N·q−S)²/(N·Q−S²),
+    clamp, nearest-class argmin, top-K) and compare exactly."""
+    import math
+
+    import duckdb as _dd
+
+    rows = _dd.sql(
+        "SELECT vec_id, label, embedding FROM"
+        " read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    ).fetchall()
+    S = similarity.OOD_SCALE
+    vecs = {
+        vid: (lbl, [int(math.floor(float(x) * S)) for x in emb])
+        for vid, lbl, emb in rows
+    }
+    dims = len(next(iter(vecs.values()))[1])
+    stats: dict[int, tuple[int, list[int], list[int]]] = {}
+    for lbl in {l for l, _ in vecs.values()}:
+        members = [q for l, q in vecs.values() if l == lbl]
+        n = len(members)
+        sa = [sum(q[d] for q in members) for d in range(dims)]
+        qq = [sum(q[d] * q[d] for q in members) for d in range(dims)]
+        stats[lbl] = (n, sa, [n * qq[d] - sa[d] ** 2 for d in range(dims)])
+    expect = []
+    for vid, (_, q) in vecs.items():
+        best = min(
+            (
+                (
+                    sum(
+                        min(
+                            (n * q[d] - sa[d]) ** 2
+                            * 1_000_000
+                            // max(va[d], 1),
+                            similarity.OOD_CLAMP,
+                        )
+                        for d in range(dims)
+                    ),
+                    lbl,
+                )
+                for lbl, (n, sa, va) in stats.items()
+            )
+        )
+        expect.append((vid, best[1], best[0]))
+    expect.sort(key=lambda t: (-t[2], t[0]))
+    expect = expect[: similarity.OOD_TOP]
+    got = [
+        (r.vec_id, r.nearest_label, r.score_ppm)
+        for r in similarity.emb_ood_mahalanobis(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+    assert got == expect
+    scores = [s for _, _, s in got]
+    assert scores == sorted(scores, reverse=True)
