@@ -88,73 +88,38 @@ def _modules():
     return mods
 
 
-# Round-11 rotation. Coverage remains closed (driver union r01..r10 =
-# all 351 then-registered names, set-equal both directions per VERDICT
-# r10). This round adds 9 queries, ALL oracle-backed (-> 360 = 345
-# oracle-backed + 15 rows-only). The ~50-name driver window is spent
-# on: (1) the 9 r11 additions, (2) the 8 names whose CODE PATH changed
-# this round (the gopher-repetition claim cap + zero-token guard, the
-# abtt qa zero-guard, and the six ml_* queries now sharing cached
-# seed-42 fits), then (3) re-verification depth ordered by the age of
-# each name's LAST driver check (computed from CORRECTNESS_r01..r10):
-# the 13 names last checked in r01, then the r02 tail — the true
-# oldest checks in the record.
+# Round-12 rotation. Coverage remains closed (driver union r01..r11 =
+# all 360 then-registered names, set-equal both directions per VERDICT
+# r11). This round adds 9 queries, ALL oracle-backed (-> 369 = 354
+# oracle-backed + 15 rows-only). Per the r11 ADVICE rule, the window's
+# "changed" set covers any name whose PLAN OR ORACLE SQL text changed
+# since its last driver check. The ~50-name driver window is spent on:
+# (1) the 9 r12 additions; (2) the 2 names whose plan AND oracle
+# changed this round (the fineweb array_sort hoist + strlen->length,
+# the repeated-lines chunk pin + strlen->length); (3) emb_mrl_recall,
+# whose ORACLE builder was fixed in r11 (6c82798) but sat outside the
+# r11 window — the exact gap the new rule closes; then (4)
+# re-verification depth ordered by the age of each name's LAST driver
+# check (computed from CORRECTNESS_r01..r11): the 11 names last
+# checked in r02, then the r03 tail in name order (the remainder of
+# r03 — 12 names from q_sql_udf_pricing on — rolls to r13).
 _PRIORITY = [
-    # -- new in r11 (9) --
-    "dedup_repeated_lines",
+    # -- new in r12 (9) --
+    "text_bpe_multiround",
+    "corpus_dsir_selection",
+    "corpus_unimax_budget",
+    "corpus_doremi_weights",
+    "cluster_prototype_prune",
+    "text_readability_fk",
+    "ts_matrix_profile_paa",
+    "sketch_ddsketch_quantile",
+    "emb_ood_mahalanobis",
+    # -- plan + oracle changed in r12 (2) --
     "quality_fineweb_rules",
-    "text_tokenizer_fertility",
-    "graph_hits",
-    "ts_changepoint_cusum",
-    "q_zorder_clustering",
-    "emb_matryoshka_eval",
-    "corpus_upsampling_epochs",
-    "emb_sq_recall",
-    # -- code path changed in r11 (guards + shared fits, 8) --
-    "quality_gopher_repetition",
-    "emb_abtt_postprocess",
-    "ml_eval_rmse",
-    "ml_lift_deciles",
-    "ml_permutation_importance",
-    "ml_classifier_auc",
-    "ml_calibration_bins",
-    "ml_isotonic_calibration",
-    # -- oldest driver checks: last verified in r01 (13) --
-    "ann_lsh_bucketed",
-    "ann_topk_bruteforce",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "mm_decode_image",
-    "mm_frame_sample",
-    "streaming_hourly_window",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_token_stats",
-    # -- next-oldest: last verified in r02 (the TPC-H/analytic tail; the
-    #    remainder past the ~50-name window rolls to r12) --
-    "q2_min_metric_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_counts",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_parts_supplier_cnt",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_discounted_revenue",
-    "q20_part_promotion",
-    "q21_waiting_supplier",
-    "q22_rich_idle_customers",
-    "q_argmax_events",
+    "dedup_repeated_lines",
+    # -- oracle changed in r11, missed by the r11 window (1) --
+    "emb_mrl_recall",
+    # -- oldest driver checks: last verified in r02 (11) --
     "q_count_distinct_suppliers",
     "q_cube_order_stats",
     "q_exact_median",
@@ -166,6 +131,35 @@ _PRIORITY = [
     "q_range_join_error_context",
     "q_skyline_pareto",
     "sketch_join_cardinality",
+    # -- next-oldest: last verified in r03 (first 27 in name order;
+    #    the rest of r03 rolls to r13) --
+    "ann_mrr_eval",
+    "corpus_ablation_grid",
+    "corpus_epoch_shuffle",
+    "corpus_span_corruption",
+    "dedup_record_linkage",
+    "ml_target_encoding",
+    "q_array_analytics",
+    "q_arrow_udf_checksum",
+    "q_asof_click_purchase",
+    "q_collated_group",
+    "q_encoding_stats",
+    "q_funnel",
+    "q_hilbert_skipping",
+    "q_ingest_quarantine",
+    "q_interval_concurrency",
+    "q_lateral_topk",
+    "q_lead_gap",
+    "q_merge_upsert",
+    "q_nested_roundtrip",
+    "q_not_in_null_trap",
+    "q_observe_metrics",
+    "q_pandas_api_rollup",
+    "q_python_datasource",
+    "q_range_frame_sum",
+    "q_recursive_bom",
+    "q_seq_pattern_match",
+    "q_sessionize",
 ]
 
 

@@ -181,6 +181,7 @@ def main() -> None:
         "q_gapfill_interpolate",
         "q_partial_agg_merge",
         "sketch_gk_quantile_eval",
+        "sketch_ddsketch_quantile",
         "sketch_kmv_setops",
         "q_text_lines_roundtrip",
         "q_binaryfile_scan",
@@ -208,6 +209,7 @@ def main() -> None:
         "ts_similarity_paa",
         "ts_autocorr",
         "ts_sax_symbols",
+        "ts_matrix_profile_paa",
         "ts_cross_correlation",
         "q_tz_daily_rollup",
         # text / similarity / multimodal / dedup extensions — ordered
@@ -220,9 +222,11 @@ def main() -> None:
         "quality_gopher_repetition",
         "quality_fineweb_rules",
         "quality_ccnet_buckets",
+        "text_readability_fk",
         "text_source_divergence",
         "text_keyphrase_rake",
         "corpus_cap_per_source",
+        "corpus_dsir_selection",
         "corpus_tokenizer_fertility",
         "text_tokenizer_fertility",
         "mm_modality_router",
@@ -278,6 +282,7 @@ def main() -> None:
         "q_bitemporal_asof",
         "q_delta_log_replay",
         "emb_zscore_outliers",
+        "emb_ood_mahalanobis",
         "emb_isotropy_score",
         "q_attribution_linear",
         "q_recursive_cte_native",
@@ -294,6 +299,7 @@ def main() -> None:
         "text_bm25_topk",
         "text_bigram_lm_score",
         "text_bpe_pair_merges",
+        "text_bpe_multiround",
         "ts_forecast_eval_mase",
         "q_ks_drift",
         "corpus_epoch_shuffle",
@@ -326,6 +332,8 @@ def main() -> None:
         "corpus_shard_manifest",
         "corpus_temperature_sampling",
         "corpus_upsampling_epochs",
+        "corpus_unimax_budget",
+        "corpus_doremi_weights",
         "corpus_importance_sampling",
         "q_dpp_prune",
         "sketch_ams_f2",
@@ -346,6 +354,7 @@ def main() -> None:
         "corpus_soft_dedup_weights",
         "corpus_ngram_novelty",
         "cluster_kmeans_fixed",
+        "cluster_prototype_prune",
         "dedup_threshold_sweep",
         "dedup_lsh_tuning_curve",
         "dedup_minhash_lsh",

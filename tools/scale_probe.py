@@ -110,6 +110,15 @@ PROBES = [
     "emb_matryoshka_eval",       # broadcast-query scan, 4-dims fan-out
     "corpus_upsampling_epochs",  # per-source ledger + prefix-window greedy
     "emb_sq_recall",             # global-grid quantize + broadcast scan
+    "text_bpe_multiround",       # vocab-ledger rounds + 1-row argmaxes
+    "corpus_dsir_selection",     # gram-bucket ledger + broadcast rescore
+    "corpus_unimax_budget",      # per-lang ledger waterfill windows
+    "corpus_doremi_weights",     # domain-ledger DRO rounds
+    "cluster_prototype_prune",   # broadcast argmin + histogram cut
+    "text_readability_fk",       # in-row syllable scan, map pass
+    "ts_matrix_profile_paa",     # per-series in-row O(M^2 L) profile
+    "sketch_ddsketch_quantile",  # log-bucket histogram + ledger cum
+    "emb_ood_mahalanobis",       # (label,dim) moment ledger + argmin
 ]
 
 
