@@ -281,6 +281,7 @@ def main() -> None:
         "corpus_curriculum_schedule",
         "q_bitemporal_asof",
         "q_delta_log_replay",
+        "q_vacuum_eligibility",
         "emb_zscore_outliers",
         "emb_ood_mahalanobis",
         "emb_isotropy_score",

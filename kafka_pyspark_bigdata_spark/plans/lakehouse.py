@@ -2322,6 +2322,125 @@ ORDER BY source, version
 
 
 # ---------------------------------------------------------------------------
+# q_vacuum_eligibility — VACUUM retention audit over the transaction log
+# ---------------------------------------------------------------------------
+
+# Snapshots within VACUUM_RETAIN versions of the current one stay
+# time-travelable; files only THEY reference cannot be reclaimed yet.
+VACUUM_RETAIN = 2
+
+
+def q_vacuum_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM eligibility audit — the retention computation behind Delta
+    Lake's ``VACUUM`` (public protocol: a tombstoned file is physically
+    deletable only once NO retained snapshot can still reference it)
+    and Iceberg's ``expire_snapshots`` orphan-file cleanup. Replays the
+    same deterministic add/remove log as ``q_delta_log_replay`` (file f
+    lives in versions [add_v, rm_v)), fixes the CURRENT version at
+    {LOG_VERSIONS - 1} with a {VACUUM_RETAIN}-version retention window,
+    and classifies every file: LIVE at current (rm never landed in the
+    log), VACUUM-ELIGIBLE (tombstoned with last live version before the
+    retention horizon — ``rm_v ≤ current − {VACUUM_RETAIN}``), or
+    RETAINED-DEAD (tombstoned but still referenced by a retained
+    snapshot — the storage a shorter retention would reclaim). The
+    per-source readout is the table an operator reads before running
+    VACUUM: reclaimable bytes now, bytes pinned by retention, live
+    footprint.
+
+    Scale: pure METADATA — one (source, file)-granular ledger agg over
+    the manifest-derived log, then a per-source rollup; no data file is
+    opened, nothing data-sized past the first aggregate (the
+    q_delta_log_replay argument)."""
+    current = LOG_VERSIONS - 1
+    horizon = current - VACUUM_RETAIN
+    docs = load_table(spark, sf_dir, "documents")
+    ledger = (
+        docs.groupBy(
+            "source",
+            (F.col("doc_id") / COMPACT_PLAN_DOCS_PER_FILE)
+            .cast("long")
+            .alias("file_id"),
+        )
+        .agg(F.sum("n_chars").alias("bytes"))
+        .withColumn("add_v", F.expr(f"file_id % {LOG_VERSIONS}"))
+        .withColumn("rm_v", F.expr("add_v + 1 + file_id % 3"))
+        .withColumn("tombstoned", F.expr(f"rm_v < {LOG_VERSIONS}"))
+    )
+    return (
+        ledger.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.expr("CASE WHEN NOT tombstoned THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_live"),
+            F.sum(
+                F.expr("CASE WHEN NOT tombstoned THEN bytes ELSE 0 END")
+            ).alias("live_bytes"),
+            F.sum(F.expr("CASE WHEN tombstoned THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_tombstoned"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN tombstoned AND rm_v <= {horizon}"
+                    f" THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_vacuum_eligible"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN tombstoned AND rm_v <= {horizon}"
+                    f" THEN bytes ELSE 0 END"
+                )
+            ).alias("reclaim_bytes"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN tombstoned AND rm_v > {horizon}"
+                    f" THEN bytes ELSE 0 END"
+                )
+            ).alias("retained_dead_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+VACUUM_ELIGIBILITY_SQL = f"""
+WITH ledger AS (
+  SELECT source,
+         CAST(doc_id // {COMPACT_PLAN_DOCS_PER_FILE} AS BIGINT) AS file_id,
+         CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1, 2
+),
+files AS (
+  SELECT source, bytes,
+         file_id % {LOG_VERSIONS} AS add_v,
+         file_id % {LOG_VERSIONS} + 1 + file_id % 3 AS rm_v,
+         (file_id % {LOG_VERSIONS} + 1 + file_id % 3) < {LOG_VERSIONS}
+           AS tombstoned
+  FROM ledger
+)
+SELECT source,
+       COUNT(*) AS n_files,
+       CAST(SUM(CASE WHEN NOT tombstoned THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_live,
+       CAST(SUM(CASE WHEN NOT tombstoned THEN bytes ELSE 0 END) AS BIGINT)
+         AS live_bytes,
+       CAST(SUM(CASE WHEN tombstoned THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tombstoned,
+       CAST(SUM(CASE WHEN tombstoned
+                      AND rm_v <= {LOG_VERSIONS - 1 - VACUUM_RETAIN}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_vacuum_eligible,
+       CAST(SUM(CASE WHEN tombstoned
+                      AND rm_v <= {LOG_VERSIONS - 1 - VACUUM_RETAIN}
+                THEN bytes ELSE 0 END) AS BIGINT) AS reclaim_bytes,
+       CAST(SUM(CASE WHEN tombstoned
+                      AND rm_v > {LOG_VERSIONS - 1 - VACUUM_RETAIN}
+                THEN bytes ELSE 0 END) AS BIGINT) AS retained_dead_bytes
+FROM files GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_deletion_vectors — merge-on-read DELETE via per-file position bitmaps
 # ---------------------------------------------------------------------------
 
@@ -2782,6 +2901,7 @@ QUERIES = {
     "q_partition_evolution": q_partition_evolution,
     "q_deletion_vectors": q_deletion_vectors,
     "q_delta_log_replay": q_delta_log_replay,
+    "q_vacuum_eligibility": q_vacuum_eligibility,
     "q_bitemporal_asof": q_bitemporal_asof,
     "q_encoding_stats": q_encoding_stats,
     "q_encoding_stats_sharded": q_encoding_stats_sharded,
@@ -2813,6 +2933,7 @@ ORACLES = {
     "q_partition_evolution": PARTITION_EVOLUTION_SQL,
     "q_deletion_vectors": DELETION_VECTORS_SQL,
     "q_delta_log_replay": DELTA_LOG_SQL,
+    "q_vacuum_eligibility": VACUUM_ELIGIBILITY_SQL,
     "q_bitemporal_asof": BTEMP_ASOF_SQL,
     "q_encoding_stats": Q_ENCODING_SQL,
     "q_encoding_stats_sharded": Q_ENCODING_SHARDED_SQL,

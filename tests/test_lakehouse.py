@@ -469,3 +469,51 @@ def test_zorder_clustering_dominates_natural(spark):
         by[("zorder", q)].rows_read < by[("natural", q)].rows_read
         for q in qids
     )
+
+
+def test_vacuum_eligibility_accounting_closes(spark):
+    """File classes tile: live + tombstoned = total, eligible +
+    retained-dead = tombstoned (by bytes too), and eligibility agrees
+    with a Python replay of the retention rule."""
+    from kafka_pyspark_bigdata_spark.plans import lakehouse as lh
+
+    import duckdb as _dd
+
+    rows = lh.q_vacuum_eligibility(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    horizon = lh.LOG_VERSIONS - 1 - lh.VACUUM_RETAIN
+    files = _dd.sql(
+        "SELECT source, CAST(doc_id // {per} AS BIGINT) AS fid,"
+        " CAST(SUM(n_chars) AS BIGINT) AS bytes"
+        " FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        " GROUP BY 1, 2".format(per=lh.COMPACT_PLAN_DOCS_PER_FILE)
+    ).fetchall()
+    expect: dict[str, list[int]] = {}
+    for src, fid, bts in files:
+        add_v = fid % lh.LOG_VERSIONS
+        rm_v = add_v + 1 + fid % 3
+        tomb = rm_v < lh.LOG_VERSIONS
+        a = expect.setdefault(src, [0] * 7)
+        a[0] += 1
+        if not tomb:
+            a[1] += 1
+            a[2] += bts
+        else:
+            a[3] += 1
+            if rm_v <= horizon:
+                a[4] += 1
+                a[5] += bts
+            else:
+                a[6] += bts
+    for r in rows:
+        e = expect[r.source]
+        assert (
+            r.n_files,
+            r.n_live,
+            r.live_bytes,
+            r.n_tombstoned,
+            r.n_vacuum_eligible,
+            r.reclaim_bytes,
+            r.retained_dead_bytes,
+        ) == tuple(e)
+        assert r.n_live + r.n_tombstoned == r.n_files

@@ -119,6 +119,7 @@ PROBES = [
     "ts_matrix_profile_paa",     # per-series in-row O(M^2 L) profile
     "sketch_ddsketch_quantile",  # log-bucket histogram + ledger cum
     "emb_ood_mahalanobis",       # (label,dim) moment ledger + argmin
+    "q_vacuum_eligibility",      # manifest-ledger retention audit
 ]
 
 
