@@ -90,11 +90,11 @@ def _modules():
 
 # Round-12 rotation. Coverage remains closed (driver union r01..r11 =
 # all 360 then-registered names, set-equal both directions per VERDICT
-# r11). This round adds 10 queries, ALL oracle-backed (-> 370 = 355
+# r11). This round adds 11 queries, ALL oracle-backed (-> 371 = 356
 # oracle-backed + 15 rows-only). Per the r11 ADVICE rule, the window's
 # "changed" set covers any name whose PLAN OR ORACLE SQL text changed
 # since its last driver check. The ~50-name driver window is spent on:
-# (1) the 10 r12 additions; (2) the 2 names whose plan AND oracle
+# (1) the 11 r12 additions; (2) the 2 names whose plan AND oracle
 # changed this round (the fineweb array_sort hoist + strlen->length,
 # the repeated-lines chunk pin + strlen->length); (3) emb_mrl_recall,
 # whose ORACLE builder was fixed in r11 (6c82798) but sat outside the
@@ -102,9 +102,9 @@ def _modules():
 # re-verification depth ordered by the age of each name's LAST driver
 # check (computed from CORRECTNESS_r01..r11): the 11 names last
 # checked in r02, then the r03 tail in name order (the remainder of
-# r03 — 13 names from q_sessionize on — rolls to r13).
+# r03 — 14 names from q_seq_pattern_match on — rolls to r13).
 _PRIORITY = [
-    # -- new in r12 (10) --
+    # -- new in r12 (11) --
     "text_bpe_multiround",
     "corpus_dsir_selection",
     "corpus_unimax_budget",
@@ -115,6 +115,7 @@ _PRIORITY = [
     "sketch_ddsketch_quantile",
     "emb_ood_mahalanobis",
     "q_vacuum_eligibility",
+    "graph_resource_allocation",
     # -- plan + oracle changed in r12 (2) --
     "quality_fineweb_rules",
     "dedup_repeated_lines",
@@ -159,7 +160,6 @@ _PRIORITY = [
     "q_python_datasource",
     "q_range_frame_sum",
     "q_recursive_bom",
-    "q_seq_pattern_match",
 ]
 
 

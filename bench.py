@@ -296,6 +296,7 @@ def main() -> None:
         # headline: its wall time is two stream-query startups (fixed
         # overhead), not data-path throughput.
         "graph_link_prediction",
+        "graph_resource_allocation",
         "text_search_and_rank",
         "text_bm25_topk",
         "text_bigram_lm_score",

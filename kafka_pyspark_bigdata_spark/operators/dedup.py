@@ -3133,6 +3133,114 @@ LIMIT {LINKPRED_TOP}
 """
 
 
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang 2009, EPJ B
+    "Predicting missing links via local information" — the RA index,
+    the degree-weighted local predictor that consistently outperforms
+    plain common-neighbors and Adamic-Adar in the published
+    benchmarks): RA(u,v) = Σ_{{w ∈ CN(u,v)}} 1/deg(w) — a shared
+    neighbor "transmits a unit of resource" split evenly among its
+    neighbors, so a hub certifies a pair far more weakly than a
+    low-degree bridge. Complements ``graph_link_prediction`` (CN count
+    + neighbor-Jaccard): same candidate space, different — and
+    strictly degree-aware — scoring.
+
+    Exactness: Adamic-Adar's 1/log deg needs libm; RA's 1/deg is a
+    RATIONAL, kept as the ppm integer ``10⁶ div deg(w)`` per wedge
+    (truncating, order-independent under summation) — which is exactly
+    why RA, not AA, is the published index this engine ships.
+
+    Plan shape (the r06 link-prediction rewrite's argument): one
+    lineitem shuffle into per-order part arrays → map-side edge
+    explode → one adjacency groupBy (degree = size of the same array)
+    → map-side wedge explode carrying the CENTER's 10⁶ div deg — each
+    (u, v, w) wedge produced exactly once, so the score is a plain
+    partial-aggregating SUM — → existing-edge anti-join AFTER the
+    aggregation → top-{LINKPRED_TOP}. Per-center fan-out is C(deg, 2);
+    hub capping applies at 100 TB as documented on the CN variant."""
+    per_order = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform({0}, (x, i) -> transform("
+        "slice({0}, i + 2, size({0})), y -> struct(x AS pa, y AS pb))))"
+    )
+    pairs = (
+        per_order.select(F.explode(F.expr(pair_expr.format("ps"))).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= LINKPRED_SUPPORT)
+        .select("pa", "pb")
+        .localCheckpoint()
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    )
+    adj = und.groupBy(F.col("pa").alias("w")).agg(
+        F.array_sort(F.collect_set("pb")).alias("nb")
+    )
+    cand = (
+        adj.filter(F.size("nb") >= 2)
+        .select(
+            F.explode(F.expr(pair_expr.format("nb"))).alias("p"),
+            F.expr("CAST(1000000 div size(nb) AS BIGINT)").alias("r"),
+        )
+        .groupBy(F.col("p.pa").alias("u"), F.col("p.pb").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cn"), F.sum("r").alias("ra_ppm"))
+    )
+    return (
+        cand.join(
+            pairs,
+            (F.col("u") == F.col("pa")) & (F.col("v") == F.col("pb")),
+            "left_anti",
+        )
+        .select("u", "v", "cn", "ra_ppm")
+        .orderBy(F.desc("ra_ppm"), "u", "v")
+        .limit(LINKPRED_TOP)
+    )
+
+
+def _resource_allocation_sql() -> str:
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {LINKPRED_SUPPORT}
+),
+und AS (
+  SELECT pa, pb FROM pairs
+  UNION ALL SELECT pb AS pa, pa AS pb FROM pairs
+),
+deg AS (SELECT pa AS node, COUNT(*) AS deg FROM und GROUP BY pa),
+wedges AS (
+  SELECT e1.pa AS u, e2.pb AS v, e1.pb AS w
+  FROM und e1 JOIN und e2
+    ON e1.pb = e2.pa AND e1.pa < e2.pb
+),
+scored AS (
+  SELECT wedges.u, wedges.v, COUNT(*) AS cn,
+         CAST(SUM(1000000 // deg.deg) AS BIGINT) AS ra_ppm
+  FROM wedges JOIN deg ON wedges.w = deg.node
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pairs p WHERE p.pa = wedges.u AND p.pb = wedges.v
+  )
+  GROUP BY wedges.u, wedges.v
+)
+SELECT u, v, cn, ra_ppm
+FROM scored ORDER BY ra_ppm DESC, u, v LIMIT {LINKPRED_TOP}
+"""
+
+
+GRAPH_RESOURCE_ALLOCATION_SQL = _resource_allocation_sql()
+
+
 # ---------------------------------------------------------------------------
 # LSH band-configuration tuning curve
 # ---------------------------------------------------------------------------
@@ -3708,6 +3816,7 @@ QUERIES = {
     "graph_hyperball_nf": graph_hyperball_nf,
     "dedup_bbit_minhash": dedup_bbit_minhash,
     "graph_link_prediction": graph_link_prediction,
+    "graph_resource_allocation": graph_resource_allocation,
     "graph_kcore": graph_kcore,
     "graph_ktruss": graph_ktruss,
     "graph_modularity": graph_modularity,
@@ -3747,6 +3856,7 @@ ORACLES = {
     "graph_hyperball_nf": _hyperball_sql(),
     "dedup_bbit_minhash": _bbit_sql(),
     "graph_link_prediction": _linkpred_sql(),
+    "graph_resource_allocation": GRAPH_RESOURCE_ALLOCATION_SQL,
     "graph_kcore": _kcore_sql(),
     "graph_ktruss": _ktruss_sql(),
     "graph_modularity": GRAPH_MODULARITY_SQL,

@@ -2275,3 +2275,54 @@ def test_ood_mahalanobis_python_reference(spark):
     assert got == expect
     scores = [s for _, _, s in got]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_resource_allocation_python_reference(spark):
+    """Recompute the RA index in plain Python (explicit neighbor-set
+    intersection, per-center 10^6 // deg contributions) and compare the
+    top list exactly; RA must weight a low-degree shared neighbor above
+    a hub (monotonicity of the per-wedge contribution)."""
+    import duckdb as _dd
+
+    raw = _dd.sql(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM"
+        " read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    ).fetchall()
+    by_order: dict[int, set[int]] = {}
+    for ok, pk in raw:
+        by_order.setdefault(ok, set()).add(pk)
+    pair_n: dict[tuple[int, int], int] = {}
+    for ps in by_order.values():
+        sp = sorted(ps)
+        for i, a in enumerate(sp):
+            for b in sp[i + 1 :]:
+                pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    edges = {p for p, n in pair_n.items() if n >= dedup.LINKPRED_SUPPORT}
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    scores: dict[tuple[int, int], list[int]] = {}
+    for w, nb in nbrs.items():
+        contrib = 1_000_000 // len(nb)
+        sp = sorted(nb)
+        for i, u in enumerate(sp):
+            for v in sp[i + 1 :]:
+                a = scores.setdefault((u, v), [0, 0])
+                a[0] += 1
+                a[1] += contrib
+    expect = sorted(
+        (
+            (u, v, cn, ra)
+            for (u, v), (cn, ra) in scores.items()
+            if (u, v) not in edges
+        ),
+        key=lambda t: (-t[3], t[0], t[1]),
+    )[: dedup.LINKPRED_TOP]
+    got = [
+        (r.u, r.v, r.cn, r.ra_ppm)
+        for r in dedup.graph_resource_allocation(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+    assert got == expect

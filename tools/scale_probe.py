@@ -120,6 +120,7 @@ PROBES = [
     "sketch_ddsketch_quantile",  # log-bucket histogram + ledger cum
     "emb_ood_mahalanobis",       # (label,dim) moment ledger + argmin
     "q_vacuum_eligibility",      # manifest-ledger retention audit
+    "graph_resource_allocation", # map-side wedge explode + RA sum
 ]
 
 
