@@ -90,11 +90,11 @@ def _modules():
 
 # Round-12 rotation. Coverage remains closed (driver union r01..r11 =
 # all 360 then-registered names, set-equal both directions per VERDICT
-# r11). This round adds 11 queries, ALL oracle-backed (-> 371 = 356
+# r11). This round adds 12 queries, ALL oracle-backed (-> 372 = 357
 # oracle-backed + 15 rows-only). Per the r11 ADVICE rule, the window's
 # "changed" set covers any name whose PLAN OR ORACLE SQL text changed
 # since its last driver check. The ~50-name driver window is spent on:
-# (1) the 11 r12 additions; (2) the 2 names whose plan AND oracle
+# (1) the 12 r12 additions; (2) the 2 names whose plan AND oracle
 # changed this round (the fineweb array_sort hoist + strlen->length,
 # the repeated-lines chunk pin + strlen->length); (3) emb_mrl_recall,
 # whose ORACLE builder was fixed in r11 (6c82798) but sat outside the
@@ -102,9 +102,9 @@ def _modules():
 # re-verification depth ordered by the age of each name's LAST driver
 # check (computed from CORRECTNESS_r01..r11): the 11 names last
 # checked in r02, then the r03 tail in name order (the remainder of
-# r03 — 14 names from q_seq_pattern_match on — rolls to r13).
+# r03 — 15 names from q_recursive_bom on — rolls to r13).
 _PRIORITY = [
-    # -- new in r12 (11) --
+    # -- new in r12 (12) --
     "text_bpe_multiround",
     "corpus_dsir_selection",
     "corpus_unimax_budget",
@@ -159,7 +159,6 @@ _PRIORITY = [
     "q_pandas_api_rollup",
     "q_python_datasource",
     "q_range_frame_sum",
-    "q_recursive_bom",
 ]
 
 

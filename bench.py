@@ -354,6 +354,7 @@ def main() -> None:
         "text_cdc_chunks",
         "dedup_shingle_coverage",
         "corpus_soft_dedup_weights",
+        "corpus_split_leakage",
         "corpus_ngram_novelty",
         "cluster_kmeans_fixed",
         "cluster_prototype_prune",

@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.batch import load_table
-from .dedup import SHINGLES_CTE, with_shingles
+from .dedup import (
+    MINHASH_VERIFY_THRESHOLD,
+    SHINGLES_CTE,
+    _minhash_ctes,
+    dup_pairs,
+    with_shingles,
+)
 from .text import (
     EN_STOPWORDS,
     _STOP_SQL,
@@ -1479,6 +1485,130 @@ FROM weighted GROUP BY source ORDER BY source
 """
 
 
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval NEAR-DUP leakage audit — the published failure mode
+    behind deduplicating before splitting (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", §6:
+    near-duplicates straddling the train/validation boundary inflate
+    eval scores; the C4/GPT-3 papers report the same class of test-set
+    contamination). An EVAL document is LEAKED when it is a verified
+    near-duplicate (the minhash-LSH pair table at the
+    {MINHASH_VERIFY_THRESHOLD} Jaccard verify threshold) of at least
+    one TRAIN document under the engine's content-addressed 80/20
+    hash split (``corpus_split_stats``' exact split rule). Where
+    ``text_decontaminate`` catches EXACT shingle overlap with a
+    curated eval set, this audits the sampled split itself for
+    near-dup contamination — the check a dataset card runs before
+    quoting held-out perplexity.
+
+    Output per source: eval population, leaked eval docs (distinct),
+    leakage ppm, and the raw cross-split pair count. Sources with no
+    leakage still appear (left join, zero-filled).
+
+    Plan shape: the verified pair table is the AMORTIZED per-session
+    ``dup_pairs`` checkpoint (shared with the nine graph-family
+    consumers — no minhash recompute); both endpoints join against the
+    broadcastable (doc_id, split) projection; leaked docs collapse via
+    a distinct-by-key partial agg; the rollup is |sources|-sized.
+    At 100 TB: two hash joins on the pair table + ledger arithmetic —
+    the dedup chain itself is the dominant (already amortized) cost."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (hash_bucket_expr() < TRAIN_BUCKETS).alias("is_train"),
+    )
+    pairs = dup_pairs(spark, sf_dir)
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("source").alias("src_a"),
+        F.col("is_train").alias("train_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("src_b"),
+        F.col("is_train").alias("train_b"),
+    )
+    cross = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("train_a") != F.col("train_b"))
+        .select(
+            F.when(F.col("train_a"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("eval_doc"),
+            F.when(F.col("train_a"), F.col("src_b"))
+            .otherwise(F.col("src_a"))
+            .alias("source"),
+        )
+    )
+    leaked = cross.groupBy("source").agg(
+        F.countDistinct("eval_doc").alias("n_leaked"),
+        F.count(F.lit(1)).alias("n_cross_pairs"),
+    )
+    eval_pop = (
+        docs.filter(~F.col("is_train"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_eval"))
+    )
+    return (
+        eval_pop.join(leaked, "source", "left")
+        .select(
+            "source",
+            "n_eval",
+            F.coalesce("n_leaked", F.lit(0)).cast("bigint").alias("n_leaked"),
+            F.coalesce("n_cross_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("n_cross_pairs"),
+            F.expr(
+                "coalesce(n_leaked, 0) * 1000000 div greatest(n_eval, 1)"
+            ).alias("leak_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def _split_leakage_sql() -> str:
+    return f"""
+WITH {_minhash_ctes()},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified
+  WHERE jaccard >= {MINHASH_VERIFY_THRESHOLD}
+),
+split AS (
+  SELECT doc_id, source,
+         ({_bucket_sql()} < {TRAIN_BUCKETS}) AS is_train
+  FROM documents
+),
+cross_pairs AS (
+  SELECT CASE WHEN a.is_train THEN p.doc_b ELSE p.doc_a END AS eval_doc,
+         CASE WHEN a.is_train THEN b.source ELSE a.source END AS source
+  FROM pairs p
+  JOIN split a ON p.doc_a = a.doc_id
+  JOIN split b ON p.doc_b = b.doc_id
+  WHERE a.is_train <> b.is_train
+),
+leaked AS (
+  SELECT source, COUNT(DISTINCT eval_doc) AS n_leaked,
+         COUNT(*) AS n_cross_pairs
+  FROM cross_pairs GROUP BY source
+),
+eval_pop AS (
+  SELECT source, COUNT(*) AS n_eval FROM split
+  WHERE NOT is_train GROUP BY source
+)
+SELECT e.source, e.n_eval,
+       CAST(COALESCE(l.n_leaked, 0) AS BIGINT) AS n_leaked,
+       CAST(COALESCE(l.n_cross_pairs, 0) AS BIGINT) AS n_cross_pairs,
+       CAST(COALESCE(l.n_leaked, 0) * 1000000
+            // GREATEST(e.n_eval, 1) AS BIGINT) AS leak_ppm
+FROM eval_pop e LEFT JOIN leaked l USING (source)
+ORDER BY e.source
+"""
+
+
+CORPUS_SPLIT_LEAKAGE_SQL = _split_leakage_sql()
+
+
 # DoReMi knobs: unrolled Group-DRO rounds and the multiplicative step
 # size applied to the per-domain excess-loss proxy (ppm scale).
 DOREMI_ROUNDS = 3
@@ -1794,6 +1924,7 @@ QUERIES = {
     "corpus_upsampling_epochs": corpus_upsampling_epochs,
     "corpus_unimax_budget": corpus_unimax_budget,
     "corpus_doremi_weights": corpus_doremi_weights,
+    "corpus_split_leakage": corpus_split_leakage,
     "corpus_dsir_selection": corpus_dsir_selection,
     "corpus_importance_sampling": corpus_importance_sampling,
     "corpus_shard_manifest": corpus_shard_manifest,
@@ -1820,6 +1951,7 @@ ORACLES = {
     "corpus_upsampling_epochs": CORPUS_UPSAMPLING_SQL,
     "corpus_unimax_budget": CORPUS_UNIMAX_SQL,
     "corpus_doremi_weights": CORPUS_DOREMI_SQL,
+    "corpus_split_leakage": CORPUS_SPLIT_LEAKAGE_SQL,
     "corpus_dsir_selection": CORPUS_DSIR_SQL,
     "corpus_importance_sampling": CORPUS_IMPORTANCE_SQL,
     "corpus_shard_manifest": CORPUS_SHARD_SQL,

@@ -464,3 +464,50 @@ def test_doremi_python_reference(spark):
     top_weight = max(got, key=lambda s: (got[s][6], s))
     assert top_excess == top_weight
     assert sum(v[6] for v in got.values()) <= 1_000_000
+
+
+def test_split_leakage_consistent_with_pair_table(spark):
+    """Recompute the leakage audit in Python from the (already
+    hash-verified) minhash pair table plus the exact split rule, and
+    compare every per-source row; leaked docs are always a subset of
+    the eval population."""
+    from kafka_pyspark_bigdata_spark.operators import dedup
+    from kafka_pyspark_bigdata_spark.sources.batch import load_table
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, SF)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    docs = {
+        r.doc_id: (r.source, r.bucket < pipeline.TRAIN_BUCKETS)
+        for r in load_table(spark, SF, "documents")
+        .withColumn("bucket", pipeline.hash_bucket_expr())
+        .select("doc_id", "source", "bucket")
+        .collect()
+    }
+    leaked: dict[str, set[int]] = {}
+    cross: dict[str, int] = {}
+    for a, b in pairs:
+        (sa, ta), (sb, tb) = docs[a], docs[b]
+        if ta == tb:
+            continue
+        ev, src = (b, sb) if ta else (a, sa)
+        leaked.setdefault(src, set()).add(ev)
+        cross[src] = cross.get(src, 0) + 1
+    n_eval: dict[str, int] = {}
+    for _, (src, tr) in docs.items():
+        if not tr:
+            n_eval[src] = n_eval.get(src, 0) + 1
+    got = {
+        r.source: (r.n_eval, r.n_leaked, r.n_cross_pairs, r.leak_ppm)
+        for r in pipeline.corpus_split_leakage(spark, SF).collect()
+    }
+    assert set(got) == set(n_eval)
+    for src, (ne, nl, nc, ppm) in got.items():
+        assert ne == n_eval[src]
+        assert nl == len(leaked.get(src, set()))
+        assert nc == cross.get(src, 0)
+        assert ppm == nl * 1_000_000 // max(ne, 1)
+        assert nl <= ne

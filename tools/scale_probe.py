@@ -121,6 +121,7 @@ PROBES = [
     "emb_ood_mahalanobis",       # (label,dim) moment ledger + argmin
     "q_vacuum_eligibility",      # manifest-ledger retention audit
     "graph_resource_allocation", # map-side wedge explode + RA sum
+    "corpus_split_leakage",      # dup_pairs x split broadcast joins
 ]
 
 
