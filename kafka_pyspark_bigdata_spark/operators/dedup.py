@@ -3063,6 +3063,11 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One shuffle builds BOTH the per-node adjacency (wedge source) and
     # the degree table (size of the same array). collect_set == the
     # neighbor set exactly: und rows are unique by construction.
+    # NOT pinned (r12, measured): adj feeds the wedge explode and two
+    # deg broadcast builds, but all three branches sit in ONE query and
+    # AQE reuses the identical und-groupBy shuffle stage at runtime — a
+    # localCheckpoint here only added materialization I/O (2.47 → 2.92 s
+    # at sf0.1 in the A/B harness) and was reverted.
     adj = und.groupBy(F.col("pa").alias("w")).agg(
         F.array_sort(F.collect_set("pb")).alias("nb")
     )

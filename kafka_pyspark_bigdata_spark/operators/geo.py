@@ -298,8 +298,20 @@ def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     a core neighbor; noise: the rest. Everything is integer counts over
     the verified pair list — one union + two keyed aggregations + one
     semi-join against the (small) core set; no distances recomputed.
+
+    r12: the pair frame and the per-point neighbor-count frame are
+    localCheckpoint-pinned — ``pairs`` fed the union twice and ``und``
+    two consumers (ncnt, border_ids), so the grid-bucketed candidate
+    join ran up to 4× (Spark has no cross-branch CSE — the
+    dedup amortization convention); ``base`` feeds three consumers.
+    Values are deterministic from the input, so pinning cannot change
+    any result.
     """
-    pairs = _grid_pairs_unordered(spark, sf_dir).select("user_a", "user_b")
+    pairs = (
+        _grid_pairs_unordered(spark, sf_dir)
+        .select("user_a", "user_b")
+        .localCheckpoint(eager=False)
+    )
     und = pairs.union(
         pairs.select(F.col("user_b").alias("user_a"), F.col("user_a").alias("user_b"))
     ).toDF("u", "v")
@@ -309,6 +321,7 @@ def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .join(ncnt, F.col("user_id") == F.col("u"), "left")
         .select("user_id", F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"))
+        .localCheckpoint(eager=False)
     )
     cores = base.filter(F.col("n_neighbors") >= DBSCAN_MINPTS).select(
         F.col("user_id").alias("core_id")

@@ -541,11 +541,16 @@ def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     leave the row: equal chunk strings have equal character counts, so
     the duplicate-char sum is a sorted-adjacency fold over the in-row
     chunk array (array_sort + element_at compare — no explode, no
-    window, no shuffle). Only the n-gram half shuffles, and every one
-    of its exchanges is keyed by doc_id (or doc_id+gram), so no key can
-    run hot across documents and the query scales with corpus size, not
-    vocabulary. Duplicate-gram coverage returns to the row as a
-    start-position array and the covered-character sum is an in-row
+    window, no shuffle). Only the n-gram half shuffles — exactly TWO
+    doc-keyed exchanges: the (doc, width, gram) count partial agg, then
+    ONE groupBy(doc_id) that folds the per-width top claims
+    (max(struct(c, gram)) — the same (desc c, desc gram) ordering the
+    previous row_number window used) and the duplicated-gram start
+    lists together (r12: collapsed from a window + two groupBy branches
+    + a join back to base), followed by a single doc-keyed join onto
+    the in-row chunk stats. No key can run hot across documents and
+    the query scales with corpus size, not vocabulary. Duplicate-gram
+    coverage stays in the row: the covered-character sum is an in-row
     fold over the token-length array — the dup_spans islands pattern
     without its extra shuffle, because Gopher coverage only needs the
     char SUM, not the spans.
@@ -577,8 +582,9 @@ def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda a, x: a + x,
         ).alias("total_chars"),
-    # base feeds chunk frames, the gram frame, the coverage join and the
-    # final assembly — pin it so the tokenize tree derives once.
+    # base feeds the chunk frame and the gram frame — pin it so the
+    # tokenize tree derives once (r12: the coverage join consumer is
+    # gone; toks now rides through the chunk frame instead).
     ).localCheckpoint(eager=False)
 
     def chunk_sorted(width: int):
@@ -626,12 +632,14 @@ def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     chunked = base.select(
         "doc_id",
+        "toks",
         "n_toks",
         "total_chars",
         chunk_sorted(GREP_LINE).alias("_line_sorted"),
         chunk_sorted(GREP_PARA).alias("_para_sorted"),
     ).select(
         "doc_id",
+        "toks",
         "n_toks",
         "total_chars",
         *chunk_stats("line"),
@@ -661,78 +669,81 @@ def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "g.gn", "g.s", "g.gram")
 
     # ONE count aggregation serves both halves (top shares and duplicate
-    # coverage); pinned so the gram-generation tree derives once.
-    counts = (
-        grams.groupBy("doc_id", "gn", "gram")
-        .agg(F.count(F.lit(1)).alias("c"), F.collect_list("s").alias("ss"))
-        .localCheckpoint(eager=False)
+    # coverage); a SINGLE further groupBy(doc_id) then folds both the
+    # per-width top claims (max(struct(c, gram)) — identical ordering to
+    # the previous row_number over (desc c, desc gram), struct comparison
+    # is lexicographic) and the duplicated-gram start lists into one row
+    # per document. r12: this replaced a window over (doc_id, gn) + two
+    # separate groupBy(doc_id) branches + a second join back to base —
+    # four exchanges and a checkpoint collapsed into one partial-agg
+    # shuffle, with the coverage fold moving into the final projection.
+    counts = grams.groupBy("doc_id", "gn", "gram").agg(
+        F.count(F.lit(1)).alias("c"), F.collect_list("s").alias("ss")
     )
-    top_w = Window.partitionBy("doc_id", "gn").orderBy(
-        F.desc("c"), F.desc("gram")
-    )
-    tops = (
-        counts.filter(F.col("gn") <= max(GREP_TOP_NS))
-        .select("doc_id", "gn", "gram", "c")
-        .withColumn("rn", F.row_number().over(top_w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            "gn",
-            # top n-gram's char claim = occurrences x its token chars
-            (F.col("c") * (F.length("gram") - (F.col("gn") - 1))).alias("claim"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("gn") == n, F.col("claim"))).alias(f"top{n}_claim")
-                for n in GREP_TOP_NS
-            ]
-        )
+    gagg = counts.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when(F.col("gn") == n, F.struct("c", "gram"))
+            ).alias(f"top{n}_m")
+            for n in GREP_TOP_NS
+        ],
+        *[
+            F.flatten(
+                F.collect_list(
+                    F.when((F.col("gn") == n) & (F.col("c") >= 2), F.col("ss"))
+                )
+            ).alias(f"starts{n}")
+            for n in GREP_DUP_NS
+        ],
     )
 
-    starts = (
-        counts.filter(
-            (F.col("gn") >= min(GREP_DUP_NS)) & (F.col("c") >= 2)
-        )
-        .groupBy("doc_id", "gn")
-        .agg(F.flatten(F.collect_list("ss")).alias("starts"))
-    )
-    cov = (
-        starts.join(base.select("doc_id", "toks", "n_toks"), "doc_id")
-        .select(
-            "doc_id",
-            "gn",
+    def cov_chars(n: int) -> Column:
+        # chars covered by ANY duplicated n-gram: per token position, its
+        # char length if some duplicated gram's span [st, st+n-1] covers
+        # it (same fold as before, now in-row over the merged start list;
+        # an absent/empty start list sums to 0 — the value the previous
+        # left-join + coalesce produced)
+        return F.coalesce(
             F.aggregate(
                 F.zip_with(
                     F.sequence(F.lit(0), F.col("n_toks") - 1),
                     F.transform("toks", F.length),
                     lambda p, ln: F.when(
                         F.exists(
-                            "starts",
-                            lambda st: (p >= st) & (p <= st + F.col("gn") - 1),
+                            f"starts{n}",
+                            lambda st: (p >= st) & (p <= st + n - 1),
                         ),
                         ln,
                     ).otherwise(0),
                 ),
                 F.lit(0).cast("bigint"),
                 lambda a, x: a + x,
-            ).alias("cov_chars"),
+            ),
+            F.lit(0).cast("bigint"),
         )
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("gn") == n, F.col("cov_chars"))).alias(
-                    f"dup{n}_chars"
-                )
-                for n in GREP_DUP_NS
-            ]
-        )
-    )
 
     out = (
         chunked
-        .join(tops, "doc_id", "left")
-        .join(cov, "doc_id", "left")
+        .join(gagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            "total_chars",
+            "line_n",
+            "line_nd",
+            "line_dchars",
+            "para_n",
+            "para_nd",
+            "para_dchars",
+            *[
+                (
+                    F.col(f"top{n}_m.c")
+                    * (F.length(F.col(f"top{n}_m.gram")) - (n - 1))
+                ).alias(f"top{n}_claim")
+                for n in GREP_TOP_NS
+            ],
+            *[cov_chars(n).alias(f"dup{n}_chars") for n in GREP_DUP_NS],
+        )
         .select(
             "doc_id",
             "n_toks",

@@ -338,7 +338,11 @@ def cluster_stability_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + one small-struct partial agg each — the ``ann_ivf``
     assignment shape), an id-keyed join of the two label columns, a
     (ca, cb) contingency agg over ≤ K² cells, then scalar arithmetic.
-    Nothing after the two assignment aggs scales with the corpus."""
+    Nothing after the two assignment aggs scales with the corpus.
+    (r12: a one-map-pass variant — both labels as in-row array_max over
+    collapsed centroid arrays, no vec_id join — was measured and
+    reverted: HOF lambdas run interpreted and it timed 1.21 vs 1.14 s
+    at sf0.1 against this codegen'd shape.)"""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", norm_expr("embedding").alias("en")
     )
@@ -837,6 +841,11 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group key is the 8-byte vec_id only — the embedding rides through
     # first() (all 16 rows of a group carry the identical array, so the
     # pick is value-deterministic) instead of hashing 256-byte array keys.
+    # (r12: an IN-ROW array_max variant over a collapsed centroid array
+    # was measured and REVERTED — higher-order-function lambdas execute
+    # on the interpreted path, and the codegen'd crossJoin+partial-agg
+    # was 1.17 vs 1.60 s at sf0.1. ann_ivf_spill keeps its in-row form
+    # because there it replaces a full rank window, not a partial agg.)
     corpus = (
         sims.groupBy("vec_id")
         .agg(
@@ -949,10 +958,11 @@ def cluster_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     All arithmetic is integer (floor-scaled vectors, BIGINT squared-L2,
     floor-division centroid updates), so the unrolled SQL oracle
     reproduces assignments bit-exactly — no float reduction order in any
-    compared value. Plan shape per iteration: assignment is a broadcast
-    cross join against the K-row centroid relation + a partial-agg
-    argmin (``min(struct(dist, cid))`` — one small struct per corpus
-    vector shuffled), and the update is one partial-agg shuffle carrying
+    compared value. Plan shape per iteration: assignment is an IN-ROW
+    argmin (``array_min`` over the broadcast 1-row centroid array — a
+    pure map pass, zero corpus shuffle; r12 rewrite of the K-way
+    crossJoin + groupBy(vec_id) argmin, which re-shuffled every vector
+    per iteration), and the update is one partial-agg shuffle carrying
     64 BIGINT sums + a count per cluster per partition. The K×64
     centroid matrix collected per iteration is model state, not data —
     the same driver-side role as ``ml.trainer``'s fitted pipeline.
@@ -997,31 +1007,30 @@ def cluster_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # generated code is then identical across iterations, so Spark
         # compiles the assignment stage once and reuses it (literal
         # centroid arrays re-trigger whole-stage-codegen every round —
-        # measured 2× slower end-to-end at sf0.1). Argmin is a partial
-        # aggregation: the shuffle carries one (dist, cid) struct + the
-        # vector per row — the same one-struct-per-row exchange as
-        # ann_ivf's list assignment.
+        # measured 2× slower end-to-end at sf0.1). r12: the K-row
+        # relation collapses to ONE row holding the centroid array, so
+        # the argmin is array_min over an in-row transform — the whole
+        # assignment is a MAP pass (the cluster_kcenter_greedy shape);
+        # previously the K-way crossJoin fed a groupBy(vec_id)
+        # min(struct) that re-shuffled the full corpus (vector payload
+        # included) every iteration. min(struct(d, cid)) and
+        # array_min(struct(d, cid)) share the same lexicographic struct
+        # ordering, so assignments and tie-breaks are identical.
         cents_df = spark.createDataFrame(
             [(cid, cv, sum(x * x for x in cv)) for cid, cv in cents_],
             "cid int, c array<bigint>, cc bigint",
+        ).agg(F.collect_list(F.struct("cid", "c", "cc")).alias("cs"))
+        best = F.expr(
+            "array_min(transform(cs, s -> struct("
+            "xx + s.cc - 2 * aggregate(zip_with(v, s.c, (a, b) -> a * b),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d,"
+            " s.cid AS cid)))"
         )
-        dot = F.aggregate(
-            F.zip_with("v", "c", lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        dist = F.col("xx") + F.col("cc") - 2 * dot
-        scored = vecs.crossJoin(F.broadcast(cents_df)).select(
-            "vec_id", "v", "cid", dist.alias("d")
-        )
-        return scored.groupBy("vec_id").agg(
-            F.min(F.struct(F.col("d"), F.col("cid"))).alias("m"),
-            F.first("v").alias("v"),
-        ).select(
+        return vecs.crossJoin(F.broadcast(cents_df)).select(
             "vec_id",
             "v",
-            F.col("m.cid").alias("cluster"),
-            F.col("m.d").alias("sq_dist"),
+            best["cid"].alias("cluster"),
+            best["d"].alias("sq_dist"),
         )
 
     for _ in range(KMEANS_ITERS):
@@ -1132,7 +1141,9 @@ def cluster_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct per vector shuffled) → (cluster, bucket) partial agg into
     the bounded ledger → ledger-sized windows. No data-keyed window,
     no join back to the corpus: the audit is derivable from the
-    histogram alone."""
+    histogram alone. (r12: the in-row array_min variant was measured
+    ~equal-to-slower here — interpreted HOF lambdas vs this codegen'd
+    agg — and the original shape was kept.)"""
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select(
         "vec_id",
@@ -1596,6 +1607,8 @@ def ann_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot_expr("embedding", "centv"), F.col("en"), F.col("cn")
         ).alias("sim"),
     )
+    # codegen'd crossJoin + partial-agg argmax (the ann_ivf shape; the
+    # r12 in-row variant was measured slower — see ann_ivf)
     corpus = (
         sims.groupBy("vec_id")
         .agg(
@@ -1762,12 +1775,12 @@ def ann_ivf_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the storage-for-recall trade.
 
     Scale shape: identical to ann_ivf up to assignment (broadcast
-    centroids, ONE small-struct shuffle per corpus vector — the rank
-    and best-sim ride the same vec_id window); postings fan out at most
-    SPILL_MAX×; config fan-out is an in-row array filter (no join);
-    candidates stay |Q|-bounded broadcast equi-joins. At 100 TB the
-    only growth vs ann_ivf is the ≤3× posting-list storage — exactly
-    the knob SPANN trades.
+    centroid array, IN-ROW closure ranking — zero corpus shuffle; r12
+    rewrite of the row_number+max window over the exploded sims);
+    postings fan out at most SPILL_MAX×; config fan-out is an in-row
+    array filter (no join); candidates stay |Q|-bounded broadcast
+    equi-joins. At 100 TB the only growth vs ann_ivf is the ≤3×
+    posting-list storage — exactly the knob SPANN trades.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", norm_expr("embedding").alias("en")
@@ -1786,31 +1799,53 @@ def ann_ivf_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot_expr("embedding", "centv"), F.col("en"), F.col("cn")
         ).alias("sim"),
     )
-    wv = Window.partitionBy("vec_id")
-    ranked = sims.select(
-        "vec_id",
-        "embedding",
-        "en",
-        "cid",
-        "sim",
-        F.row_number()
-        .over(wv.orderBy(F.desc("sim"), F.asc("cid")))
-        .alias("rn"),
-        F.max("sim").over(wv).alias("best"),
+    # closure assignment IN-ROW (r12): the centroid ranking per vector
+    # is an array_sort of struct(-sim, cid) — ascending = (sim DESC,
+    # cid ASC), exactly the previous window's ORDER BY — and the
+    # rank/best-sim filter reads positions off that sorted array.
+    # Previously this was a row_number + max window over the
+    # 16×-exploded sims frame, i.e. a full-corpus shuffle carrying the
+    # embedding payload; now the corpus never shuffles. Same doubles,
+    # same comparisons, bit-identical postings.
+    cents1 = cents.agg(F.collect_list(F.struct("cid", "centv", "cn")).alias("cs"))
+    sorted_expr = (
+        "array_sort(transform(cs, s -> struct("
+        "-round(aggregate(zip_with(embedding, s.centv,"
+        " (u, v) -> CAST(u AS DOUBLE) * CAST(v AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        " / (en * s.cn), 6) AS ns,"
+        " s.cid AS cid)))"
     )
-    postings = ranked.filter(
-        (F.col("rn") == 1)
-        | (
-            (F.col("rn") <= SPILL_MAX)
-            & (F.col("sim") >= F.col("best") - SPILL_EPS)
+    posts_expr = (
+        f"filter(transform(ranked_arr, (e, i) -> struct(-e.ns AS sim,"
+        f" e.cid AS cid, i + 1 AS rn)),"
+        f" p -> p.rn = 1 OR (p.rn <= {SPILL_MAX}"
+        f" AND p.sim >= -element_at(ranked_arr, 1).ns"
+        f" - CAST({SPILL_EPS} AS DOUBLE)))"
+    )
+    postings = (
+        emb.crossJoin(F.broadcast(cents1))
+        .select(
+            "vec_id",
+            "embedding",
+            "en",
+            F.expr(sorted_expr).alias("ranked_arr"),
         )
-    ).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cv"),
-        F.col("en").alias("cvn"),
-        F.col("cid").alias("list_id"),
-        (F.col("rn") == 1).alias("is_primary"),
-    ).localCheckpoint(eager=False)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+            F.col("en").alias("cvn"),
+            F.explode(F.expr(posts_expr)).alias("p"),
+        )
+        .select(
+            "neighbor_id",
+            "cv",
+            "cvn",
+            F.col("p.cid").alias("list_id"),
+            (F.col("p.rn") == 1).alias("is_primary"),
+        )
+        .localCheckpoint(eager=False)
+    )
 
     wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
     probes = (
@@ -2243,48 +2278,57 @@ def emb_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     max|z|) keeps DIV operands nonnegative so Spark's truncating DIV and
     DuckDB's flooring // agree. No floats anywhere until nowhere.
 
-    Scale shape per iteration: broadcast the 64-long iterate (one tiny
-    crossJoin), map-side zip_with dot per row, posexplode + partial agg
-    on 64 dim keys, 1-row max aggregate. Three iterations = three
-    64-key shuffles over the corpus scan; state is the 64-element
-    vector, never the matrix."""
-    e = (
+    Scale shape per iteration: the iterate rides into the plan as a
+    64-long literal; y = x·v is an in-row zip_with fold (computed once
+    per ROW, not per element — it passes through the Generate as a
+    column), and z = Xᵀy is a posexplode + 64-key partial-agg shuffle
+    (64 rows per task cross the wire). r12: this replaced a per-round
+    groupBy(vec_id) + join-back pair — two full-corpus exchanges per
+    round on a 64×-exploded frame — with one map pass and a metadata-
+    sized exchange. State is the 64-element vector, never the
+    matrix."""
+    base = (
         load_table(spark, sf_dir, "embeddings")
         .select(
-            "vec_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
-                    f" * {PCA_X_SCALE}, 0) AS BIGINT))"
-                )
-            ).alias("dim", "xv"),
+            F.expr(
+                f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+                f" * {PCA_X_SCALE}, 0) AS BIGINT))"
+            ).alias("xq")
         )
-        .localCheckpoint()
+        # consumed by PCA_ITERS round jobs — pin so the scan+quantize tree
+        # derives once; lazy so the first round materializes it in-line
+        .localCheckpoint(eager=False)
     )
 
     # Iterate travels as a 64-long literal (the kmeans-fixed pattern: the
     # per-round driver collect is exactly the 64-element iterate, never
-    # data). Each round is then ONE job — dot per row against the
-    # literal, vec_id partial agg, vec_id join, dim partial agg — with
-    # the normalization done on 64 Python ints (arbitrary-precision, and
-    # floor-div on the nonnegative |z| matches both engines' DIV).
+    # data). Each round is then ONE map-only job, with the normalization
+    # done on 64 Python ints (arbitrary-precision, and floor-div on the
+    # nonnegative |z| matches both engines' DIV).
     v = [1] * EMB_DIM
     for _ in range(PCA_ITERS):
-        arr = F.array(*[F.lit(int(c)) for c in v])
-        y = (
-            e.withColumn("vc", arr[F.col("dim")])
-            .groupBy("vec_id")
-            .agg(F.sum(F.col("xv") * F.col("vc")).alias("y"))
+        arr = "array(" + ",".join(str(int(c)) for c in v) + ")"
+        # y = x·v folds IN-ROW against the literal iterate (evaluated
+        # once per row — it rides through the Generate as a plain
+        # column, outside any lambda); the Xᵀy reduction is then a
+        # posexplode into (dim, x_dim) + ONE 64-key partial-agg shuffle
+        # (64 rows per task cross the wire). r12: the previous shape
+        # shuffled the full exploded corpus TWICE per round — a
+        # groupBy(vec_id) for y and a join-back for z.
+        y = F.expr(
+            f"aggregate(zip_with(xq, {arr}, (a, b) -> a * b),"
+            f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
         z_rows = (
-            e.join(y, "vec_id")
+            base.select("xq", y.alias("y"))
+            .select(F.posexplode("xq").alias("dim", "xv"), "y")
             .groupBy("dim")
             .agg(F.sum(F.col("xv") * F.col("y")).alias("z"))
             .collect()
         )
         z = [0] * EMB_DIM
         for r in z_rows:
-            z[r.dim] = r.z
+            z[r.dim] = int(r.z)
         mz = max(abs(c) for c in z)
         v = [
             (1 if c > 0 else -1) * ((abs(c) * PCA_V_SCALE) // mz) if c else 0
@@ -4854,18 +4898,19 @@ def emb_abtt_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the model state (64-long mean, then the 64-long
     iterate per round) travels as driver literals — the k-means
-    pattern; each power round is one 64-key partial-agg shuffle over
-    the pinned exploded frame; the post-processing itself is a pure
-    map pass (all array HOFs in-row) ending in ONE dim-keyed
-    partial-agg shuffle that carries before+after moments together.
-    At 100 TB: 1 + ITERS·1 + 1 tiny-key shuffles total, state never
-    exceeds 64 integers.
+    pattern; the mean and each power round are MAP-ONLY passes (in-row
+    zip_with dot, then 64 keyless BIGINT/DECIMAL sum aggregates that
+    partial-agg to one row per task — r12: this replaced a 64×
+    posexplode + per-round groupBy(vec_id)+join-back, two full-corpus
+    exchanges per round); the post-processing itself is a pure map
+    pass (all array HOFs in-row) ending in ONE dim-keyed partial-agg
+    shuffle that carries before+after moments together. At 100 TB:
+    one tiny-key shuffle total, state never exceeds 64 integers.
 
     Reference parity: reference repo has no embedding post-processing;
     this extends the pipeline family (SURVEY.md LLM-ops mandate).
     """
     emb = parallelize_scan(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id",
         "embedding",
         F.expr(
             f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
@@ -4873,47 +4918,63 @@ def emb_abtt_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("xq"),
     ).localCheckpoint(eager=False)
 
-    mu_rows = (
-        emb.select(F.posexplode("xq").alias("dim", "x"))
-        .groupBy("dim")
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-        .select(
-            "dim",
-            "n",
-            F.expr(
-                "CAST(CASE WHEN s >= 0 THEN (2*s + n) div (2*n)"
-                " ELSE -((2*(-s) + n) div (2*n)) END AS BIGINT)"
-            ).alias("mu"),
+    # Corpus mean per dim as ONE keyless aggregate (64 BIGINT sums + a
+    # count, partial-agg to a single row) — r12: replaced a posexplode +
+    # groupBy(dim) pass; the rounding to the grid moves to driver-side
+    # Python ints (arbitrary precision; // on the nonnegative rearranged
+    # operands equals both engines' truncating DIV).
+    mu_row = emb.agg(
+        *[
+            F.sum(F.expr(f"element_at(xq, {d + 1})")).alias(f"s{d}")
+            for d in range(EMB_DIM)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n_cnt = int(mu_row["n"])
+    mu = []
+    for d in range(EMB_DIM):
+        s = int(mu_row[f"s{d}"])
+        mu.append(
+            (2 * s + n_cnt) // (2 * n_cnt)
+            if s >= 0
+            else -((2 * (-s) + n_cnt) // (2 * n_cnt))
         )
-        .collect()
-    )
-    mu = [0] * EMB_DIM
-    for r in mu_rows:
-        mu[r.dim] = int(r.mu)
     mu_arr = "array(" + ",".join(str(c) for c in mu) + ")"
 
-    # centered integer matrix, exploded once for the power rounds
-    e = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.expr(f"zip_with(xq, {mu_arr}, (a, b) -> a - b)")
-        ).alias("dim", "w"),
-    ).localCheckpoint()
+    # centered integer matrix, kept IN-ROW for the power rounds (r12:
+    # replaced the 64×-exploded eager checkpoint + per-round
+    # groupBy(vec_id)+join-back pair — each round is now one map pass
+    # ending in a 1-row 64-sum reduce, zero data-keyed shuffles, the
+    # emb_pca_power_iter shape)
+    # nb (the pre-processing L2 norm) is hoisted INTO the pinned frame:
+    # the qb lambda below divides by it per element, and Spark does not
+    # hoist loop-invariant subexpressions out of HOF lambdas — inline it
+    # was an O(d²) fold per row; behind the checkpoint barrier it is
+    # computed exactly once per vector (r12, the _line_sorted idiom).
+    cw = emb.select(
+        "embedding",
+        F.expr(f"zip_with(xq, {mu_arr}, (a, b) -> a - b)").alias("w"),
+        norm_expr("embedding").alias("nb"),
+    ).localCheckpoint(eager=False)
 
     v = [1] * EMB_DIM
     for _ in range(ABTT_ITERS):
-        arr = F.array(*[F.lit(int(c)) for c in v])
-        y = (
-            e.withColumn("vc", arr[F.col("dim")])
-            .groupBy("vec_id")
-            .agg(F.sum(F.col("w") * F.col("vc")).alias("y"))
+        arr = "array(" + ",".join(str(int(c)) for c in v) + ")"
+        # y = w·v folds IN-ROW (a plain column through the Generate);
+        # z is a posexplode + ONE 64-key partial-agg shuffle — r12: the
+        # previous shape shuffled the exploded corpus twice per round
+        # (groupBy(vec_id) + join-back), the emb_pca_power_iter fix.
+        y = F.expr(
+            f"aggregate(zip_with(w, {arr}, (a, b) -> a * b),"
+            f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
         z_rows = (
-            e.join(y, "vec_id")
+            cw.select("w", y.alias("y"))
+            .select(F.posexplode("w").alias("dim", "wv"), "y")
             .groupBy("dim")
             .agg(
                 F.sum(
-                    (F.col("w") * F.col("y")).cast("decimal(38,0)")
+                    (F.col("wv") * F.col("y")).cast("decimal(38,0)")
                 ).alias("z")
             )
             .collect()
@@ -4929,15 +4990,12 @@ def emb_abtt_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_arr = "array(" + ",".join(str(int(c)) for c in v) + ")"
     vv = sum(int(c) * int(c) for c in v)
 
-    norm_b = norm_expr("embedding")
     rows = (
-        emb.select(
-            "embedding",
-            F.expr(f"zip_with(xq, {mu_arr}, (a, b) -> a - b)").alias("w"),
-        )
+        cw
         .select(
             "embedding",
             "w",
+            "nb",
             F.expr(
                 f"aggregate(zip_with(w, {v_arr}, (a, b) -> a * b),"
                 f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
@@ -4948,6 +5006,7 @@ def emb_abtt_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "embedding",
+            "nb",
             "proj",
             "wss",
             F.expr(
@@ -4955,13 +5014,24 @@ def emb_abtt_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" (a, b) -> a - (proj * b) div {vv})"
             ).alias("w2"),
         )
+        # w2ss hoisted to a projected column (r12): the qa lambda divided
+        # by sqrt(aggregate(w2, ...)) PER ELEMENT — Spark does not hoist
+        # loop-invariant subexpressions out of HOF lambdas, so the fold
+        # ran d times per row (O(d²)). As a column referenced twice
+        # (guard + lambda) CollapseProject keeps it a separate
+        # projection, evaluated once per row. Same BIGINT fold, same
+        # values.
+        .withColumn(
+            "w2ss",
+            F.expr("aggregate(w2, CAST(0 AS BIGINT), (a, y) -> a + y * y)"),
+        )
         .select(
             "proj",
             "wss",
             F.transform(
                 "embedding",
                 lambda u: F.floor(
-                    u.cast("double") / norm_b * ISO_SCALE + F.lit(0.5)
+                    u.cast("double") / F.col("nb") * ISO_SCALE + F.lit(0.5)
                 ).cast("bigint"),
             ).alias("qb"),
             # Zero-guard: a vector fully annihilated by centering + top-
@@ -4969,12 +5039,10 @@ def emb_abtt_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 0/0 → NaN (engine-divergent). Map it to the all-zero unit
             # contribution instead (mirrored with CASE WHEN in the oracle).
             F.expr(
-                f"CASE WHEN aggregate(w2, CAST(0 AS BIGINT),"
-                f" (a, y) -> a + y * y) = 0"
+                f"CASE WHEN w2ss = 0"
                 f" THEN transform(w2, x -> CAST(0 AS BIGINT))"
                 f" ELSE transform(w2, x -> CAST(floor(CAST(x AS DOUBLE)"
-                f" / sqrt(CAST(aggregate(w2, CAST(0 AS BIGINT),"
-                f" (a, y) -> a + y * y) AS DOUBLE))"
+                f" / sqrt(CAST(w2ss AS DOUBLE))"
                 f" * {ISO_SCALE} + 0.5) AS BIGINT)) END"
             ).alias("qa"),
         )
@@ -5211,13 +5279,30 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins — the ann_filtered_search shape with a dims fan-out.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+
+    # Per-vector prefix sum-of-squares hoisted to the VECTOR side (r12):
+    # the per-pair projection previously re-folded both norms for every
+    # (query, candidate, dims) combination — every candidate's 4 prefix
+    # norms were recomputed N_QUERIES times. Each is now computed once
+    # per vector, below the join (a child projection cannot be collapsed
+    # upward across the join boundary), and the pair evaluates only the
+    # dot. The fold expression is IDENTICAL (same left-to-right double
+    # reduction over the same prefix), so every cosine is bit-unchanged.
+    def pref_ss(col: str, d: int) -> str:
+        return (
+            f"aggregate(slice({col}, 1, {d}), CAST(0 AS DOUBLE),"
+            f" (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        *[F.expr(pref_ss("embedding", d)).alias(f"qss{d}") for d in MRL_DIMS],
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
+        *[F.expr(pref_ss("embedding", d)).alias(f"css{d}") for d in MRL_DIMS],
     )
 
     def pref_cos(d: int) -> Column:
@@ -5227,14 +5312,7 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tie-break stays deterministic (the emb_abtt_postprocess
         # precedent).
         qd, cd = f"slice(qv, 1, {d})", f"slice(cv, 1, {d})"
-        qss = (
-            f"aggregate({qd}, CAST(0 AS DOUBLE),"
-            f" (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-        )
-        css = (
-            f"aggregate({cd}, CAST(0 AS DOUBLE),"
-            f" (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-        )
+        qss, css = f"qss{d}", f"css{d}"
         dot = (
             f"aggregate(zip_with({qd}, {cd},"
             f" (u, v) -> CAST(u AS DOUBLE) * CAST(v AS DOUBLE)),"
@@ -5395,10 +5473,20 @@ def emb_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div greatest(qhi - qlo, 1)) * (qhi - qlo) div {lev})"
         )
 
-    # Dequantized arrays are hoisted to the per-VECTOR side (one decode
-    # per vector instead of one per pair x variant — the norm-hoisting
-    # pattern) and pinned so the collapsed projection cannot re-inline
-    # the decode under the pair explode (the HOF re-inlining trap).
+    # Dequantized arrays AND their sum-of-squares are hoisted to the
+    # per-VECTOR side (one decode + one norm fold per vector instead of
+    # one per pair x variant — the norm-hoisting pattern; r12 extended
+    # the hoist from the decode to the norms, which were still being
+    # re-folded per pair) and pinned so the collapsed projection cannot
+    # re-inline the decode under the pair explode (the HOF re-inlining
+    # trap). The norm fold expression is identical (same left-to-right
+    # double reduction), so every cosine is bit-unchanged.
+    def ss_expr(col: str) -> str:
+        return (
+            f"aggregate({col}, CAST(0 AS DOUBLE),"
+            f" (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+
     enc = (
         base.crossJoin(F.broadcast(rng))
         .select(
@@ -5409,31 +5497,34 @@ def emb_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for b in SQ_BITS
             ],
         )
+        .select(
+            "vec_id",
+            "xq",
+            F.expr(ss_expr("xq")).alias("ssfp"),
+            *[F.col(f"d{b}") for b in SQ_BITS],
+            *[F.expr(ss_expr(f"d{b}")).alias(f"ss{b}") for b in SQ_BITS],
+        )
         .localCheckpoint(eager=False)
     )
     q = enc.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("xq").alias("qv"),
+        F.col("ssfp").alias("qssfp"),
         *[F.col(f"d{b}").alias(f"qd{b}") for b in SQ_BITS],
+        *[F.col(f"ss{b}").alias(f"qss{b}") for b in SQ_BITS],
     )
     c = enc.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("xq").alias("cv"),
+        F.col("ssfp").alias("cssfp"),
         *[F.col(f"d{b}").alias(f"cd{b}") for b in SQ_BITS],
+        *[F.col(f"ss{b}").alias(f"css{b}") for b in SQ_BITS],
     )
 
-    def cos(qe: str, ce: str) -> Column:
+    def cos(qe: str, ce: str, qss: str, css: str) -> Column:
         # Same zero-norm guard as emb_matryoshka_eval: a vector whose
         # dequantized form collapses to all-zero would be 0/0 → NaN with
         # engine-divergent ordering; -2.0 ranks it deterministically last.
-        qss = (
-            f"aggregate({qe}, CAST(0 AS DOUBLE),"
-            f" (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-        )
-        css = (
-            f"aggregate({ce}, CAST(0 AS DOUBLE),"
-            f" (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-        )
         dot = (
             f"aggregate(zip_with({qe}, {ce},"
             f" (u, v) -> CAST(u AS DOUBLE) * CAST(v AS DOUBLE)),"
@@ -5446,8 +5537,8 @@ def emb_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     variants = [
-        *[(b, cos(f"qd{b}", f"cd{b}")) for b in SQ_BITS],
-        (32, cos("qv", "cv")),
+        *[(b, cos(f"qd{b}", f"cd{b}", f"qss{b}", f"css{b}")) for b in SQ_BITS],
+        (32, cos("qv", "cv", "qssfp", "cssfp")),
     ]
     scored = (
         F.broadcast(q)

@@ -1344,7 +1344,10 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both already aggregated — nothing fact-sized moves twice); the
     final per-doc top-3 is a window over the tf rows. Score =
     tf·10^6 DIV df in BIGINT — truncating division, positive operands,
-    identical in both engines.
+    identical in both engines. (r12: a localCheckpoint pin on tf was
+    tried for the two-consumer branch and REVERTED — AQE reuses the
+    identical tf shuffle stage at runtime, so the pin only added
+    materialization I/O, 1.64 → 1.77 s in the A/B harness.)
     """
     toks = load_documents(spark, sf_dir).select(
         "doc_id", F.explode(tokens_expr()).alias("term")

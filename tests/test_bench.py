@@ -29,7 +29,13 @@ def test_bench_runs_clean_and_prints_one_json_line(tmp_path):
         capture_output=True,
         text=True,
         env=env,
-        timeout=900,
+        # r12: the interrupted build round grew the headline list 173 →
+        # 185 without touching this timeout; at sf0.001 the run is
+        # fixed-overhead-bound (~3 executions × 185 queries + the
+        # sentinel child JVM) and crossed 900 s under the suite's
+        # resident-JVM contention. 1800 s keeps the guard while leaving
+        # the same 2× headroom the 900 s figure originally had.
+        timeout=1800,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     payloads = [

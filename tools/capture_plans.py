@@ -1,0 +1,48 @@
+"""Capture `.explain("formatted")` for named queries into plans/r12/.
+
+Usage: python tools/capture_plans.py <before|after> <query> [query ...]
+
+Writes plans/r12/<query>_<suffix>.txt. Plans are built at sf0.1 (the bench
+SF) with the same get_spark session the bench uses, so Exchange counts /
+join strategies match what the timed runs execute (AQE initial plan).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    names = sys.argv[2:]
+    os.makedirs(OUT_DIR, exist_ok=True)
+    from kafka_pyspark_bigdata_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("capture-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    import contextlib
+    import io
+
+    for name in names:
+        df = qs[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        path = os.path.join(OUT_DIR, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {path} ({plan.count('Exchange')} Exchange refs)")
+
+
+if __name__ == "__main__":
+    main()
