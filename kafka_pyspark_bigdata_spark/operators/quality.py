@@ -1121,6 +1121,10 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .text import tokens_expr
 
+    # (r12: localCheckpoint pins on tokd and doc_bgs were tried for the
+    # repeated tokenize/explode map trees and REVERTED — materializing
+    # the token arrays cost more than re-deriving them: 1.95 → 2.67 s
+    # at sf0.1 in the A/B harness.)
     tokd = (
         load_documents(spark, sf_dir)
         .select("doc_id", "lang", "n_chars", tokens_expr().alias("toks"))

@@ -593,18 +593,30 @@ def sketch_gk_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # offset + within-bucket row_number is a valid global rank (ties take
     # arbitrary order in both forms — only the VALUE at rank k is read,
     # and tied rows share it).
+    # r12: only a bucket whose rank interval (roff, roff+bn] CONTAINS a
+    # target rank can produce an answer row — join the |targets|-row
+    # table onto the bucket ledger FIRST, so the per-bucket rank window
+    # sorts ~|targets| buckets instead of the whole column (guide §2.4:
+    # the full-table exchange+sort feeding the window disappears; same
+    # values by the same tie argument).
     lib = li.withColumn("b", F.expr("CAST(v AS BIGINT) DIV 1000"))
     per_b = lib.groupBy("b").agg(F.count(F.lit(1)).alias("bn"))
     wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
-    offsets = per_b.select("b", (F.sum("bn").over(wb) - F.col("bn")).alias("roff"))
-    wv = Window.partitionBy("b").orderBy("v")
-    ranked = lib.join(F.broadcast(offsets), "b").withColumn(
-        "rk", F.col("roff") + F.row_number().over(wv)
+    offsets = per_b.select(
+        "b", "bn", (F.sum("bn").over(wb) - F.col("bn")).alias("roff")
     )
+    tbuckets = offsets.join(
+        F.broadcast(targets),
+        (targets["k"] > F.col("roff")) & (targets["k"] <= F.col("roff") + F.col("bn")),
+    ).select("b", "roff", "k", "pct_ppm")
+    # partition by (b, pct_ppm): a bucket matched by two targets carries
+    # one full copy of its rows PER target after the join, and each
+    # target must rank its own copy independently
+    wv = Window.partitionBy("b", "pct_ppm").orderBy("v")
     exact_vals = (
-        ranked.join(
-            F.broadcast(targets), ranked["rk"] == targets["k"], "inner"
-        )
+        lib.join(F.broadcast(tbuckets), "b")
+        .withColumn("rk", F.col("roff") + F.row_number().over(wv))
+        .filter(F.col("rk") == F.col("k"))
         .select("pct_ppm", F.col("v").alias("exact_value"))
     )
     err_allow = F.expr(f"n div {GK_ACCURACY} + 1")

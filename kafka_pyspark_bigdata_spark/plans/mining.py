@@ -1053,15 +1053,32 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("b", F.expr("price_cents DIV 100000"))
     per_b = li.groupBy("b").agg(F.sum("w").alias("bw"))
     wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
-    offsets = per_b.select("b", (F.sum("bw").over(wb) - F.col("bw")).alias("woff"))
+    offsets = per_b.select(
+        "b", "bw", (F.sum("bw").over(wb) - F.col("bw")).alias("woff")
+    )
+    tot = li.agg(F.sum("w").alias("w_total"))
+    # r12: exactly ONE bucket contains the crossing row — the smallest b
+    # whose bucket-end cumulative weight (woff + bw) reaches half the
+    # total (earlier buckets have no qualifying row; later buckets'
+    # qualifying rows sort after every crossing-bucket row because the
+    # bucket key is monotone in price and ties cannot straddle a bucket
+    # boundary). Joining li onto that 1-row bucket first means the
+    # running-weight window sorts one bucket's rows, not the whole
+    # table (guide §2.4 — the q_weighted_median analog of the
+    # sketch_gk_quantile_eval target-bucket prefilter). Same selected
+    # row, same values.
+    crossing = (
+        offsets.crossJoin(F.broadcast(tot))
+        .filter((F.col("woff") + F.col("bw")) * 2 >= F.col("w_total"))
+        .orderBy("b")
+        .limit(1)
+        .select("b", "woff", "w_total")
+    )
     wsort = Window.partitionBy("b").orderBy(
         "price_cents", "l_orderkey", "l_linenumber"
     ).rowsBetween(Window.unboundedPreceding, 0)
-    tot = li.agg(F.sum("w").alias("w_total"))
-    cum = (
-        li.join(F.broadcast(offsets), "b")
-        .withColumn("cum_w", F.col("woff") + F.sum("w").over(wsort))
-        .crossJoin(F.broadcast(tot))
+    cum = li.join(F.broadcast(crossing), "b").withColumn(
+        "cum_w", F.col("woff") + F.sum("w").over(wsort)
     )
     return (
         cum.filter(F.col("cum_w") * 2 >= F.col("w_total"))
