@@ -648,7 +648,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         with_shingles(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "shingles")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     bands_long = minhash_bands(minhash_sigs(sh))
     lhs = bands_long.select(
@@ -704,6 +704,10 @@ def dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cached
     for stale in [k for k in _DUP_PAIRS_CACHE if k[0] != app or k[:2] == (app, norm)]:
         del _DUP_PAIRS_CACHE[stale]
+    # EAGER on purpose (r12, measured): the unrolled graph fixed points
+    # (HITS half-rounds, LPA rounds) re-read this frame many times —
+    # deferring materialization into the first consumer made graph_hits
+    # 1.67 → 1.88 s at sf0.1, so the upfront barrier stays.
     df = (
         dedup_minhash_lsh(spark, sf_dir)
         .select("doc_a", "doc_b")
@@ -1561,7 +1565,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dup_pairs(spark, sf_dir)
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("doc_a").alias("node"))
         .distinct()
@@ -1581,7 +1585,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("m")
             )
             .select("node", (-F.col("m.nl")).alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return (
         labels.groupBy("label")
@@ -2268,7 +2272,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         with_shingles(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "shingles")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sigs = minhash_sigs(sh)
     bands_long = minhash_bands(sigs)
@@ -2777,7 +2781,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= KCORE_SUPPORT)
         .select("pa", "pb")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out = []
     edges = pairs
@@ -2790,7 +2794,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg = (
             und.groupBy("pa")
             .agg(F.count(F.lit(1)).alias("deg"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         row = deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),
@@ -2902,7 +2906,7 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out = []
     for it in range(KTRUSS_ROUNDS + 1):
@@ -2926,7 +2930,7 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
             .agg(F.count(F.lit(1)).alias("support"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         row = (
             edges.agg(F.count(F.lit(1)).alias("n_edges"))
@@ -2946,7 +2950,7 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(F.broadcast(support), ["pa", "pb"], "left")
             .filter(F.coalesce(F.col("support"), F.lit(0)) >= KTRUSS_K - 2)
             .select("pa", "pb")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     res = out[0]
     for r in out[1:]:
@@ -3055,7 +3059,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= LINKPRED_SUPPORT)
         .select("pa", "pb")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     und = pairs.unionByName(
         pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
@@ -3180,7 +3184,7 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= LINKPRED_SUPPORT)
         .select("pa", "pb")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     und = pairs.unionByName(
         pairs.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
@@ -3283,9 +3287,9 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         with_shingles(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "shingles")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    sigs = minhash_sigs(sh).localCheckpoint()
+    sigs = minhash_sigs(sh).localCheckpoint(eager=False)
     out = None
     for bands, rows in LSH_TUNE_CONFIGS:
         band_keys = [
@@ -3443,7 +3447,7 @@ def graph_hyperball_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dup_pairs(spark, sf_dir)
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     h = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")

@@ -87,7 +87,7 @@ def ts_similarity_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
     series, candidates from PAA band agreement (docstring above)."""
     # the PAA query reads the densified grid TWICE (full series + segment
     # sums); pin so the multi-join densification chain runs once
-    dense = _dense_daily(spark, sf_dir).localCheckpoint()
+    dense = _dense_daily(spark, sf_dir).localCheckpoint(eager=False)
     series = dense.groupBy("user_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("di", "v"))), lambda s: s["v"]

@@ -67,7 +67,7 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # subplan reuse, so without pinning the scan+distinct shuffle
         # runs 4x. localCheckpoint = write once, read 4x — at 100 TB the
         # difference between one fact-table pass and four.
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
