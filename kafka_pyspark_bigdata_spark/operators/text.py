@@ -2149,7 +2149,7 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         bgs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     left = counts.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("t1")

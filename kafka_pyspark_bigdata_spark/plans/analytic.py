@@ -351,7 +351,7 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # 3 sketch builds read this distinct audience — pin: one
         # scan+distinct shuffle, not three
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     hv = (
         F.conv(
@@ -363,7 +363,7 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / F.lit(_HASH_SPACE)
     )
-    hashed = ev.select("event_type", hv.alias("hv")).localCheckpoint()
+    hashed = ev.select("event_type", hv.alias("hv")).localCheckpoint(eager=False)
     a = hashed.filter(F.col("event_type") == "click").select("hv").orderBy(
         "hv"
     ).limit(KMV_SETOP_K)

@@ -120,7 +120,7 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("signup_ts"))
         # feeds 3 consumers (stage-2 join, stage-3 lineage, the final
         # counts) — pin so the event scan runs once, not per branch
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     within = lambda lo: (  # noqa: E731
         F.unix_micros(F.col("ts")) - F.unix_micros(F.col(lo))

@@ -1568,7 +1568,7 @@ def q_skyline_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # pinned: feeds both the frontier derivation and the final
         # join-back — one orders scan + one agg shuffle, not two
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     gm = per_cust.groupBy("c_nationkey", "spend_cents").agg(
         F.max("n_orders").alias("gm")
