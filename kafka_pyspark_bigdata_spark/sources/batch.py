@@ -70,6 +70,21 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Scan-PLAN memo (r12): building a parquet scan costs ~78 ms on the
+# driver per call (footer/schema read + py4j round-trips), and the query
+# builders call load_table thousands of times across a bench run — tens
+# of seconds of pure plan-construction overhead. A DataFrame is an
+# immutable lazy plan, so the SAME object can seed every query that
+# reads the table: each action still scans the parquet files from disk —
+# nothing row-shaped is ever held here (the (applicationId, sf_dir) key
+# and the stale-app pruning mirror the ml fit-sharing convention in
+# ml/queries.py). _PSCAN memoizes parallelize_scan's repartition
+# decision for exactly those cached frames (identity-checked so a
+# recycled id() can never alias a different frame).
+_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_PSCAN_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Column pruning + filter pushdown reach the
     parquet reader automatically because this stays declarative.
@@ -79,6 +94,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to microsecond timestamps in the plan — same truncation DuckDB applies
     when casting TIMESTAMP_NS to its microsecond TIMESTAMP.
     """
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    hit = _SCAN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    stale = [k for k in _SCAN_CACHE if k[0] != key[0]]
+    if stale:
+        for k in stale:
+            del _SCAN_CACHE[k]
+        _PSCAN_CACHE.clear()
+
     path = table_path(sf_dir, name)
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType
@@ -96,6 +121,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # value-identical — and it matches the DuckDB oracles, which
             # normalize via CAST(ts AS TIMESTAMP).
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _SCAN_CACHE[key] = df
     return df
 
 
@@ -109,12 +135,25 @@ def parallelize_scan(df: DataFrame, min_ratio: int = 2) -> DataFrame:
     fixtures are single files, and compute-heavy operators (shingling,
     hashing, cosine) would otherwise run single-threaded. The shuffle this
     inserts moves only the small input, never fires on big inputs.
+
+    The decision is memoized for load_table's cached scan frames (the
+    ``.rdd`` probe is a full analysis+planning round-trip, ~36 ms per
+    call); the plan and values are identical either way.
     """
+    ent = _PSCAN_CACHE.get(id(df))
+    if ent is not None and ent[0] is df:
+        return ent[1]
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * min_ratio <= target:
-        return df.repartition(target)
-    return df
+        out = df.repartition(target)
+    else:
+        out = df
+    # memoize only frames that live in _SCAN_CACHE: their strong refs
+    # keep id(df) stable, and the cache stays bounded by table count
+    if any(v is df for v in _SCAN_CACHE.values()):
+        _PSCAN_CACHE[id(df)] = (df, out)
+    return out
 
 
 def read_csv(spark: SparkSession, paths: list[str] | str, schema: StructType) -> DataFrame:
