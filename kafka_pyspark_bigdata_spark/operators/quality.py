@@ -678,7 +678,15 @@ def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four exchanges and a checkpoint collapsed into one partial-agg
     # shuffle, with the coverage fold moving into the final projection.
     counts = grams.groupBy("doc_id", "gn", "gram").agg(
-        F.count(F.lit(1)).alias("c"), F.collect_list("s").alias("ss")
+        F.count(F.lit(1)).alias("c"),
+        # start positions are consumed ONLY by the duplicated-gram
+        # coverage half (widths {GREP_DUP_NS}); the top-share widths
+        # never read them — the when() skips them at the aggregation
+        # buffer, cutting the collected state for the majority of grams
+        # (r12; values unchanged: gagg only flattens ss for dup widths)
+        F.collect_list(
+            F.when(F.col("gn") >= min(GREP_DUP_NS), F.col("s"))
+        ).alias("ss"),
     )
     gagg = counts.groupBy("doc_id").agg(
         *[

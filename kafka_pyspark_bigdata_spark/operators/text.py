@@ -498,13 +498,17 @@ def text_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAP-SIDE from the sorted in-row array (the graph_kcore pair-explosion
     shape) straight into the pair partial agg — the r09 rewrite of the
     original doc_id self-join, which shuffled the banded stream twice
-    and re-derived the tokenize+distinct chain per side.
+    and re-derived the tokenize+distinct chain per side. The distinct
+    frame feeds the df agg AND the band join UNPINNED (r12): the two
+    branches share an identical distinct-exchange subtree, which AQE
+    reuses at runtime (one tokenize+distinct pass either way), and the
+    localCheckpoint that used to sit here only added materialization
+    I/O — 2.95 → 2.24 s at sf0.1 in the A/B harness.
     """
     toks = (
         load_documents(spark, sf_dir)
         .select("doc_id", F.explode(tokens_expr()).alias("tok"))
         .distinct()
-        .localCheckpoint(eager=False)  # feeds the df agg AND the band join
     )
     # n_docs stays IN-PLAN as a broadcast 1-row aggregate (same pattern as
     # q_mean_impute): an eager .count() here would be a full extra corpus

@@ -58,16 +58,14 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and join back broadcast. The order count enters the plan as a
     broadcast 1-row aggregate (no eager driver-side .count()).
     """
+    # UNPINNED (r12): all four consumers share the identical
+    # scan+distinct exchange subtree, which AQE reuses at runtime — one
+    # fact-table pass either way — and the localCheckpoint that used to
+    # sit here only added materialization I/O (1.92 → 1.73 s at sf0.1).
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        # The distinct projection feeds FOUR consumers (both self-join
-        # sides, part counts, order count); Spark has no cross-branch
-        # subplan reuse, so without pinning the scan+distinct shuffle
-        # runs 4x. localCheckpoint = write once, read 4x — at 100 TB the
-        # difference between one fact-table pass and four.
-        .localCheckpoint(eager=False)
     )
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
