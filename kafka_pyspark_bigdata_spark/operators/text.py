@@ -1259,18 +1259,25 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_documents(spark, sf_dir)
         .select(F.explode(tokens_expr()).alias("tok"))
     )
+    # r12: hash per DISTINCT token, not per occurrence — the sketch cell
+    # for (row, col) is Σ counts of the tokens hashing there, so the
+    # per-token count table (which the exact top-k branch needs anyway,
+    # and whose agg subtree AQE reuses across both branches) is built
+    # first and each token's d positions are computed once. Cell values
+    # are the identical integers (Σ_tok cnt = occurrence count).
+    tcnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     sketch = (
-        toks.select(
+        tcnt.select(
+            "cnt",
             F.posexplode(
                 F.array(*[_cms_col_expr("tok", r) for r in range(CMS_D)])
-            ).alias("row", "col")
+            ).alias("row", "col"),
         )
         .groupBy("row", "col")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("cnt").alias("cnt"))
     )
     top = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("true_count"))
+        tcnt.select("tok", F.col("cnt").alias("true_count"))
         .orderBy(F.desc("true_count"), F.asc("tok"))
         .limit(CMS_TOP)
     )

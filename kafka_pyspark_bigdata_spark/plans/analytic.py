@@ -1376,24 +1376,32 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT — both engines agree bit-for-bit, so even the ESTIMATOR is
     hash-verified."""
     ev = load_table(spark, sf_dir, "events").select("user_id")
-    est = ev.select(
-        "user_id", F.explode(F.sequence(F.lit(0), F.lit(AMS_R - 1))).alias("r")
+    # r12: the sign depends only on (user_id, r), so hash PER USER, not
+    # per event — the per-user count table (which the exact-F₂ readout
+    # needs anyway, and whose agg subtree AQE reuses across both
+    # branches) is built first and Z_r = Σ_u sign_r(u)·cnt(u): the md5
+    # fanout shrinks by the events-per-user factor while every Z_r is
+    # the identical integer (Σ_u sign·cnt = Σ_events sign).
+    ucnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    est = ucnt.select(
+        "user_id",
+        "cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(AMS_R - 1))).alias("r"),
     ).select(
         "r",
-        F.expr(
-            "1 - 2 * (CAST(conv(substring(md5(concat(CAST(user_id AS STRING),"
-            " ':', CAST(r AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2)"
-        ).alias("sign"),
+        (
+            F.expr(
+                "1 - 2 * (CAST(conv(substring(md5(concat(CAST(user_id AS STRING),"
+                " ':', CAST(r AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2)"
+            )
+            * F.col("cnt")
+        ).alias("sz"),
     )
-    z = est.groupBy("r").agg(F.sum("sign").alias("z"))
+    z = est.groupBy("r").agg(F.sum("sz").alias("z"))
     ams = z.agg(
         F.expr(f"sum(z * z) div {AMS_R}").alias("ams_f2_est"),
     )
-    exact = (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("exact_f2"))
-    )
+    exact = ucnt.agg(F.sum(F.col("cnt") * F.col("cnt")).alias("exact_f2"))
     return ams.crossJoin(F.broadcast(exact)).select(
         "exact_f2",
         "ams_f2_est",
