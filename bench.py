@@ -484,6 +484,13 @@ def main() -> None:
     if isinstance(sent, dict) and "total" in sent:
         summary["sentinel_total"] = sent["total"]
         summary["sentinel_n"] = len(sent.get("queries", {}))
+        # r13: the driver's ~2000-char stdout window drops the full
+        # per-query map two rounds running (PERF_r11/r12 per_query both
+        # empty), leaving it blind to per-query regressions. The 16-query
+        # sentinel map is ~450 chars — it fits the window, so round-over-
+        # round regression detection gets at least sentinel-level pairs.
+        # Additions-only: nothing existing is removed or renamed.
+        summary["sentinel_queries"] = sent.get("queries", {})
     print(json.dumps(summary))
 
 

