@@ -576,16 +576,11 @@ def sketch_gk_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("v") <= F.col("av")).cast("long")).alias("rank_hi"),
         )
     )
+    # n_all stays a bare li.agg(count): it compiles to a parquet
+    # metadata-only row count (near-free), where deriving it from the
+    # bucket ledger would re-run the full aggregation inside the
+    # broadcast-build job (r13 A/B: 1.13 → 1.27 s — rejected).
     n_all = li.agg(F.count(F.lit(1)).alias("n_all"))
-    targets = (
-        spark.createDataFrame(
-            [(p,) for p in GK_PCTS_PPM], "pct_ppm bigint"
-        )
-        .crossJoin(F.broadcast(n_all))
-        .withColumn(
-            "k", F.expr("cast(ceil(n_all * pct_ppm / 1000000e0) as bigint)")
-        )
-    )
     # Exact k-th smallest WITHOUT a global single-task sort: bucket by
     # value range, count per bucket, cumulate the tiny bucket table into
     # rank offsets (post-aggregate window), then rank within each bucket
@@ -599,11 +594,26 @@ def sketch_gk_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sorts ~|targets| buckets instead of the whole column (guide §2.4:
     # the full-table exchange+sort feeding the window disappears; same
     # values by the same tie argument).
-    lib = li.withColumn("b", F.expr("CAST(v AS BIGINT) DIV 1000"))
+    # r13: the bucket key is 100× finer (DIV 10) so the per-bucket rank
+    # sort task — the one task whose size scales with the table — holds
+    # ~1/100 of its former rows, while the ledger stays DOMAIN-bounded
+    # (#buckets = value range / 10, independent of row count; the
+    # cumulative window over it is one trivial task). Same tie argument
+    # as before: value ties cannot straddle a bucket boundary.
+    lib = li.withColumn("b", F.expr("CAST(v AS BIGINT) DIV 10"))
     per_b = lib.groupBy("b").agg(F.count(F.lit(1)).alias("bn"))
     wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
     offsets = per_b.select(
         "b", "bn", (F.sum("bn").over(wb) - F.col("bn")).alias("roff")
+    )
+    targets = (
+        spark.createDataFrame(
+            [(p,) for p in GK_PCTS_PPM], "pct_ppm bigint"
+        )
+        .crossJoin(F.broadcast(n_all))
+        .withColumn(
+            "k", F.expr("cast(ceil(n_all * pct_ppm / 1000000e0) as bigint)")
+        )
     )
     tbuckets = offsets.join(
         F.broadcast(targets),

@@ -1048,13 +1048,30 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("w"),
         "l_orderkey",
         "l_linenumber",
-    ).withColumn("b", F.expr("price_cents DIV 100000"))
+    ).withColumn("b", F.expr("price_cents DIV 1000"))
+    # r13 (VERDICT item 7, resolved at ONE level): bucket row-counts
+    # grow linearly with data, so the crossing bucket's window sort was
+    # the one task whose size scales with the table. The bucket key is
+    # now 100× finer (DIV 1000 — one bucket per $10 of price), which
+    # shrinks that final sort task 100× while the cumulative ledger
+    # window stays DOMAIN-bounded (#buckets = price range / $10,
+    # independent of row count — ~10⁴ rows at any SF, one trivial
+    # window task). The literal two-STAGE prune (coarse bucket →
+    # sub-bucket) was implemented and measured first: hash-green but
+    # 1.03 → 1.45 s — the extra ledger window + limit + broadcast
+    # chain is pure fixed job overhead, failing the no-regression
+    # gate; the fine single prune reaches the same task-size bound
+    # without the extra jobs (numbers in OPTIMIZATION_r13.md).
     per_b = li.groupBy("b").agg(F.sum("w").alias("bw"))
     wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
     offsets = per_b.select(
         "b", "bw", (F.sum("bw").over(wb) - F.col("bw")).alias("woff")
     )
-    tot = li.agg(F.sum("w").alias("w_total"))
+    # r13: the total is the same ledger's sum — deriving it from per_b
+    # instead of a separate li.agg saves one full fact scan (the two
+    # branches share the identical groupBy exchange, which AQE stage
+    # reuse dedups at runtime).
+    tot = per_b.agg(F.sum("bw").alias("w_total"))
     # r12: exactly ONE bucket contains the crossing row — the smallest b
     # whose bucket-end cumulative weight (woff + bw) reaches half the
     # total (earlier buckets have no qualifying row; later buckets'
