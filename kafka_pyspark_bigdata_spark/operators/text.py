@@ -1008,11 +1008,18 @@ def text_bpe_multiround(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("pair")
             .agg(F.sum("f").alias("n"))
         )
+        # NOT checkpointed (r13, measured): each localCheckpoint costs
+        # ~0.15-0.2 s of DRIVER analysis per round while the whole
+        # query's execution is ~0.25 s — and the per-round `prev` pin
+        # below already truncates the lineage, so best's plan stays one
+        # round deep without its own pin (the 2^k plan-duplication trap
+        # needs an UNpinned prev chain, not an unpinned best). The two
+        # consumers (prev's broadcast + acc) re-derive a 31-row
+        # aggregate from prev's pinned RDD — runtime noise.
         best = (
             pairs.orderBy(F.desc("n"), "pair")
             .limit(1)
             .select(F.col("pair").alias(f"p{k}"), F.col("n").alias(f"n{k}"))
-            .localCheckpoint(eager=False)
         )
         ph = _BPE_PH[k - 1]
         # merge application: injective (the fresh symbol decodes back),

@@ -226,26 +226,48 @@ def ts_matrix_profile_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
     Euclidean, non-normalized distance" in the UCR code base) keeps
     every compared value exact.
 
-    Plan shape: the shared densified daily grid (one events scan + the
-    broadcast day grid) → one per-user collect into the 30-slot series
-    row → PAA and the full profile as ONE in-row expression (no pair
-    shuffle, no window function): per series the profile is
-    O(M²·L) ≈ 500 integer ops. At 100 TB: one shuffle keyed by
-    series id — the per-series daily-table convention every ts_*
-    operator shares; the profile never leaves the row."""
+    Plan shape (r13): PAA segment sums aggregate STRAIGHT from the
+    sparse event rows — the day-rank ledger (a tiny window over the
+    distinct observed days) broadcasts each day's segment id onto the
+    scan, one (user, segment)-keyed partial agg builds the sums, and a
+    per-user fold densifies the ≤{MP_SEGMENTS} segments in-row (absent
+    segment = 0, exactly the value the dense grid's zero-filled days
+    summed to; summation is associative, so summing cents per segment
+    directly equals summing per day then per segment). The r12 shape
+    materialized the full users × days grid (crossJoin + left join +
+    zero-fill) and collected every user's day vector only to fold it
+    back down to {MP_SEGMENTS} sums — at 100 TB that grid carries
+    |U|·|D| rows of mostly zeros; the sparse form carries only
+    observed events. The profile stays ONE in-row expression (no pair
+    shuffle, no window function): per series O(M²·L) ≈ 500 integer
+    ops; it never leaves the row."""
     m, L = MP_SEGMENTS, MP_WIN
     nwin = m - L + 1
-    dense = _dense_daily(spark, sf_dir)
-    series = dense.groupBy("user_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("di", "v"))), lambda s: s["v"]
-        ).alias("vec")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"), _cents("value").alias("cents")
+    )
+    days = ev.select("d").distinct()
+    wd = Window.orderBy("d")
+    # day -> PAA segment: dr is the day's 0-based rank among OBSERVED
+    # days and dd their count — identical to the dense vec's
+    # (position - 1) * m div size(vec) mapping (vec held exactly the
+    # observed-day grid, sorted)
+    dayseg = (
+        days.select("d", (F.row_number().over(wd) - 1).alias("dr"))
+        .crossJoin(F.broadcast(days.agg(F.count(F.lit(1)).alias("dd"))))
+        .select("d", F.expr(f"dr * {m} div dd").alias("seg"))
+    )
+    segsums = (
+        ev.join(F.broadcast(dayseg), "d")
+        .groupBy("user_id", "seg")
+        .agg(F.sum("cents").alias("sv"))
+    )
+    series = segsums.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("seg", "sv"))).alias("sm")
     )
     paa = (
-        f"transform(sequence(0, {m - 1}), s -> aggregate("
-        f" sequence(1, size(vec)), CAST(0 AS BIGINT),"
-        f" (a, d) -> a + CASE WHEN (d - 1) * {m} div size(vec) = s"
-        f"  THEN element_at(vec, d) ELSE CAST(0 AS BIGINT) END))"
+        f"transform(sequence(0, {m - 1}),"
+        f" s -> coalesce(try_element_at(sm, s), CAST(0 AS BIGINT)))"
     )
     dist = (
         f"aggregate(sequence(0, {L - 1}), CAST(0 AS BIGINT),"
