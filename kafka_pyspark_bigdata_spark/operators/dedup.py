@@ -3280,62 +3280,136 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     theory column anchors it.
 
     One signature pass is shared by all three configs (localCheckpoint —
-    sigs are the expensive part); each config adds one banded self-join
-    + one bounded exact-verify join, the same O(n·b) shuffle shape as
-    ``dedup_minhash_lsh`` — never all-pairs. Counts are integers;
-    theory values are config constants — hash-exact."""
+    sigs are the expensive part). r13: the three candidate sets are
+    NESTED — a band collision under (2×8) means 8 consecutive sigs are
+    equal, which implies both (4×4) half-bands and all four (8×2)
+    quarter-bands collide — so ONE banded self-join (the widest
+    config, 8×2) builds the candidate superset, ONE exact-verify join
+    computes each pair's Jaccard, and the two finer configs are
+    in-row sig-equality flags on that single pair frame, folded by one
+    conditional aggregate (guide §2.4: two self-joins, two verify
+    joins, and four count aggregations removed). Membership via exact
+    sig equality is the md5 band-key equality up to md5 collisions —
+    the same vanishing-probability caveat the band keys themselves
+    already carry. Counts are integers; theory values are config
+    constants — hash-exact."""
     sh = (
         with_shingles(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "shingles")
         .localCheckpoint(eager=False)
     )
     sigs = minhash_sigs(sh).localCheckpoint(eager=False)
-    out = None
-    for bands, rows in LSH_TUNE_CONFIGS:
-        band_keys = [
-            F.md5(
-                F.encode(
-                    F.concat_ws(
-                        "|", *[f"sig{b * rows + r}" for r in range(rows)]
-                    ),
-                    "UTF-8",
-                )
-            ).alias(f"band{b}")
-            for b in range(bands)
-        ]
-        long = sigs.select("doc_id", *band_keys).select(
-            "doc_id",
-            F.posexplode(
-                F.array(*[f"band{b}" for b in range(bands)])
-            ).alias("band_idx", "bk"),
-        )
-        cand = (
-            long.select(F.col("doc_id").alias("doc_a"), "band_idx", "bk")
-            .join(
-                long.select(F.col("doc_id").alias("doc_b"), "band_idx", "bk"),
-                ["band_idx", "bk"],
+    wide_bands, wide_rows = LSH_TUNE_CONFIGS[0]
+    band_keys = [
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    "|", *[f"sig{b * wide_rows + r}" for r in range(wide_rows)]
+                ),
+                "UTF-8",
             )
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .dropDuplicates()
+        ).alias(f"band{b}")
+        for b in range(wide_bands)
+    ]
+    long = sigs.select("doc_id", *band_keys).select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[f"band{b}" for b in range(wide_bands)])
+        ).alias("band_idx", "bk"),
+    )
+    cand = (
+        long.select(F.col("doc_id").alias("doc_a"), "band_idx", "bk")
+        .join(
+            long.select(F.col("doc_id").alias("doc_b"), "band_idx", "bk"),
+            ["band_idx", "bk"],
         )
-        verified = _verify_jaccard(cand, sh, MINHASH_VERIFY_THRESHOLD)
-        row = (
-            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-            .crossJoin(verified.agg(F.count(F.lit(1)).alias("n_verified")))
-            .select(
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    n_sigs = len(_MH_PARAMS)
+    sig_arr = F.array(*[f"sig{i}" for i in range(n_sigs)])
+    flagged = (
+        cand.join(
+            F.broadcast(
+                sigs.select(F.col("doc_id").alias("doc_a"), sig_arr.alias("sa"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sigs.select(F.col("doc_id").alias("doc_b"), sig_arr.alias("sb"))
+            ),
+            "doc_b",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+            ),
+            "doc_b",
+        )
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_common)
+
+    def collides(bands: int, rows: int) -> Column:
+        # does this candidate pair collide under (bands × rows)? some
+        # band's `rows` consecutive signatures all equal — the exact
+        # condition the md5 band key encodes
+        return F.expr(
+            "exists(sequence(0, {b}), bi -> forall(sequence(1, {r}),"
+            " ri -> sa[bi * {r} + ri - 1] = sb[bi * {r} + ri - 1]))".format(
+                b=bands - 1, r=rows
+            )
+        )
+
+    stats = flagged.agg(
+        *[
+            agg
+            for i, (bands, rows) in enumerate(LSH_TUNE_CONFIGS)
+            for agg in (
+                F.sum(collides(bands, rows).cast("bigint")).alias(f"nc{i}"),
+                F.sum(
+                    (
+                        collides(bands, rows)
+                        & (jac >= MINHASH_VERIFY_THRESHOLD)
+                    ).cast("bigint")
+                ).alias(f"nv{i}"),
+            )
+        ]
+    )
+    rows_arr = F.array(
+        *[
+            F.struct(
                 F.lit(bands).alias("n_bands"),
                 F.lit(rows).alias("rows_per_band"),
-                "n_candidates",
-                "n_verified",
-                F.expr("n_verified * 1000000 DIV n_candidates").alias(
-                    "precision_ppm"
-                ),
+                F.col(f"nc{i}").alias("n_candidates"),
+                F.col(f"nv{i}").alias("n_verified"),
                 F.lit(_capture_ppm(bands, rows)).alias("theory_capture_ppm"),
             )
+            for i, (bands, rows) in enumerate(LSH_TUNE_CONFIGS)
+        ]
+    )
+    return (
+        stats.select(F.explode(rows_arr).alias("r"))
+        .select(
+            "r.n_bands",
+            "r.rows_per_band",
+            "r.n_candidates",
+            "r.n_verified",
+            F.expr("r.n_verified * 1000000 DIV r.n_candidates").alias(
+                "precision_ppm"
+            ),
+            "r.theory_capture_ppm",
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("n_bands")
+        .orderBy("n_bands")
+    )
 
 
 def _lsh_tuning_sql() -> str:

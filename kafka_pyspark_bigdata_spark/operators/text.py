@@ -521,37 +521,57 @@ def text_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("df") * 100 >= COOC_DF_MIN_PCT * F.col("n_docs"))
         & (F.col("df") * 100 <= COOC_DF_MAX_PCT * F.col("n_docs"))
     )
+    # r13 (guide §2.3: shuffle keys, not payloads): the pair aggregation
+    # used to key on (tok_a, tok_b, df_a, df_b, n_docs) — two strings
+    # plus three functionally-dependent longs per exploded pair row.
+    # The banded vocabulary is a broadcast-sized ledger, so each token
+    # gets a dense integer id from a ledger window ordered by the token
+    # string; the per-doc array sorts by id (≡ the previous string
+    # sort, ids are rank-assigned), pairs explode as (int, int), the
+    # partial agg keys on 8 bytes instead of two strings, and the
+    # strings/dfs/n_docs join back onto the ≤|band|² aggregated pair
+    # rows via the same broadcast ledger. Same pair multiset, same
+    # counts, same output columns.
+    wband = Window.orderBy("tok")
+    # pinned: the id ledger has THREE consumers (doc join + two
+    # post-agg decode joins); without the pin each re-derives the
+    # distinct+df+window chain in the plan (24 → 62 Exchange refs
+    # measured) even though AQE reuses the exchanges at runtime
+    bandid = band.select(
+        "tok", "df", "n_docs", F.row_number().over(wband).alias("tid")
+    ).localCheckpoint(eager=False)
     docarr = (
-        toks.join(F.broadcast(band), "tok")
+        toks.join(F.broadcast(bandid.select("tok", "tid")), "tok")
         .groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("tok", "df"))).alias("ts"),
-            F.first("n_docs").alias("n_docs"),
-        )
+        .agg(F.array_sort(F.collect_list("tid")).alias("ts"))
     )
     # all (i<j) pairs of the sorted per-doc array, generated in-row:
     # state is the banded-token count per doc (bounded by the df band)
     pair = docarr.select(
-        "n_docs",
         F.explode(
             F.expr(
                 "flatten(transform(ts, (a, i) ->"
-                " transform(slice(ts, i + 2, size(ts)), b -> struct(a, b))))"
+                " transform(slice(ts, i + 2, size(ts)),"
+                " b -> struct(a AS ta, b AS tb))))"
             )
         ).alias("p"),
     )
     pairs = (
-        pair.groupBy(
-            F.col("p.a.tok").alias("tok_a"),
-            F.col("p.b.tok").alias("tok_b"),
-            F.col("p.a.df").alias("df_a"),
-            F.col("p.b.df").alias("df_b"),
-            "n_docs",
-        )
+        pair.groupBy(F.col("p.ta").alias("ta"), F.col("p.tb").alias("tb"))
         .agg(F.count(F.lit(1)).alias("co_count"))
     )
+    ja = bandid.select(
+        F.col("tid").alias("ta"), F.col("tok").alias("tok_a"),
+        F.col("df").alias("df_a"),
+    )
+    jb = bandid.select(
+        F.col("tid").alias("tb"), F.col("tok").alias("tok_b"),
+        F.col("df").alias("df_b"), "n_docs",
+    )
     return (
-        pairs.select(
+        pairs.join(F.broadcast(ja), "ta")
+        .join(F.broadcast(jb), "tb")
+        .select(
             "tok_a",
             "tok_b",
             "co_count",

@@ -58,21 +58,23 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and join back broadcast. The order count enters the plan as a
     broadcast 1-row aggregate (no eager driver-side .count()).
     """
-    # UNPINNED (r12): all four consumers share the identical
-    # scan+distinct exchange subtree, which AQE reuses at runtime — one
-    # fact-table pass either way — and the localCheckpoint that used to
-    # sit here only added materialization I/O (1.92 → 1.73 s at sf0.1).
-    li = (
+    # r13 (guide §2.4): the old shape paid TWO fact exchanges — a
+    # distinct on (order, part), then a re-shuffle of that projection
+    # by order for the basket collect. collect_set dedups parts WITHIN
+    # the one order-keyed aggregation (the graph_kcore per_order
+    # shape), so the fact table crosses the wire once; the order count
+    # and the per-part document frequencies both derive from the
+    # basket frame map-side (count of baskets / explode of the sorted
+    # set — the same distinct (order, part) multiset), and all three
+    # consumers share the single collect_set exchange via AQE runtime
+    # stage reuse.
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    n_orders = li.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
-    )
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("l_partkey")).alias("ps")
-    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     pairs = (
         baskets.select(
             F.explode(
@@ -86,7 +88,11 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
     )
-    part_n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    part_n = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_part"))
+    )
     return (
         pairs.join(
             F.broadcast(part_n.withColumnRenamed("l_partkey", "p1")), "p1"
