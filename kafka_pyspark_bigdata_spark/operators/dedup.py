@@ -1893,13 +1893,19 @@ def dedup_shingle_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 5× faster at sf0.1 than the window-over-shingle-key
     formulation this replaces, whose global sort dominated. Fractions
     are integer fixed-point (×10^6 DIV) so both engines agree exactly."""
+    # lazy pin (r13: the r12 eager→lazy sweep missed this one — the
+    # eager form pays a synchronous materialization job at plan-build);
+    # still pinned: shingling feeds two branches
     docs = (
         with_shingles(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "shingles")
-        .localCheckpoint()  # shingling feeds two aggregation branches
+        .localCheckpoint(eager=False)
     )
     inv = docs.select("doc_id", F.explode("shingles").alias("s"))
-    totals = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # per-doc shingle count is the array's SIZE — in-row, no
+    # explode+shuffle aggregation needed (r13; count(*) over the
+    # exploded rows is the same integer)
+    totals = docs.select("doc_id", F.size("shingles").cast("bigint").alias("n_shingles"))
     per_sh = inv.groupBy("s").agg(
         F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("only_doc")
     )
@@ -1953,13 +1959,17 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a COUNT over that already-aggregated table, and the final join
     is per-doc counts only. Two partial-agg shuffles (shingle key, then
     doc key) + one small join; fractions integer-fixed-point."""
+    # lazy pin (r13: the r12 eager→lazy sweep missed this one); still
+    # pinned: shingling feeds two branches
     docs = (
         with_shingles(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "shingles")
-        .localCheckpoint()  # shingling feeds two aggregation branches
+        .localCheckpoint(eager=False)
     )
     inv = docs.select("doc_id", F.explode("shingles").alias("s"))
-    totals = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # per-doc shingle count is the array's SIZE — in-row, no
+    # explode+shuffle aggregation needed (r13)
+    totals = docs.select("doc_id", F.size("shingles").cast("bigint").alias("n_shingles"))
     novel = (
         inv.groupBy("s")
         .agg(F.min("doc_id").alias("first_doc"))

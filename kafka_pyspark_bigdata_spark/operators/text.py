@@ -1784,10 +1784,17 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("phrase", "n_occ", F.round("raw", 6).alias("score"))
     )
+    # r13 (guide §2.4): rank-then-filter ran a row_number window over
+    # the WHOLE phrase table — a single-partition global sort.
+    # orderBy().limit() is a TakeOrdered (per-partition top-k, merged
+    # on the driver), so only RAKE_TOP rows ever sort globally; the
+    # rank column is then a window over those {RAKE_TOP} rows. Same
+    # ordering, same rows, same ranks.
     wtop = Window.orderBy(F.desc("score"), F.asc("phrase"))
     return (
-        scored.withColumn("rank", F.row_number().over(wtop))
-        .filter(F.col("rank") <= RAKE_TOP)
+        scored.orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(RAKE_TOP)
+        .withColumn("rank", F.row_number().over(wtop))
         .select("rank", "phrase", "n_occ", "score")
         .orderBy("rank")
     )

@@ -126,13 +126,19 @@ def ts_similarity_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
+    # r13 (guide §2.4): rank-then-filter ran a row_number window over
+    # every verified candidate pair — a single-partition global sort.
+    # orderBy().limit() is a TakeOrdered (per-partition top-k), so only
+    # TS_TOP_PAIRS rows sort globally; rank is then a window over those
+    # few rows. Same ordering, same rows, same ranks.
     w = Window.orderBy("sum_sq", "user_a", "user_b")
     return (
         cand.join(va, "user_a")
         .join(vb, "user_b")
         .select("user_a", "user_b", sum_sq.alias("sum_sq"))
+        .orderBy("sum_sq", "user_a", "user_b")
+        .limit(TS_TOP_PAIRS)
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TS_TOP_PAIRS)
         .select(
             "user_a",
             "user_b",

@@ -61,6 +61,19 @@ def get_spark(
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Whole-stage-codegen class cache (STATIC conf, JVM-wide): the
+        # default 100 entries thrashes on any application that runs a
+        # fleet of distinct queries — this engine's bench compiles 600+
+        # generated classes per run, so every pass re-evicts and
+        # re-compiles stages the warm-up already compiled. Sized for a
+        # many-query application; identical reasoning on a production
+        # cluster running a query fleet (compilation happens once per
+        # app either way — this is not a local-only tune). ~20-50 KB of
+        # metaspace per cached class keeps 2000 entries under ~100 MB.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"),
+        )
         # Long-lived sessions (the 400-test suite, a multi-hour job server)
         # accumulate orphaned localCheckpoint/cache blocks until the
         # ContextCleaner's periodic GC fires — the 30min default is longer
