@@ -88,77 +88,75 @@ def _modules():
     return mods
 
 
-# Round-12 rotation. Coverage remains closed (driver union r01..r11 =
-# all 360 then-registered names, set-equal both directions per VERDICT
-# r11). This round adds 12 queries, ALL oracle-backed (-> 372 = 357
-# oracle-backed + 15 rows-only). Per the r11 ADVICE rule, the window's
-# "changed" set covers any name whose PLAN OR ORACLE SQL text changed
-# since its last driver check. The ~50-name driver window is spent on:
-# (1) the 12 r12 additions; (2) the 2 names whose plan AND oracle
-# changed this round (the fineweb array_sort hoist + strlen->length,
-# the repeated-lines chunk pin + strlen->length); (3) emb_mrl_recall,
-# whose ORACLE builder was fixed in r11 (6c82798) but sat outside the
-# r11 window — the exact gap the new rule closes; then (4)
-# re-verification depth ordered by the age of each name's LAST driver
-# check (computed from CORRECTNESS_r01..r11): the 11 names last
-# checked in r02, then the r03 tail in name order (the remainder of
-# r03 — 15 names from q_recursive_bom on — rolls to r13).
+# Round-13 rotation (optimization round 2). No new queries (registry
+# stays 372 = 357 oracle-backed + 15 rows-only). Per the r12 ADVICE
+# rule — prioritize names whose PLAN changed in the round so the
+# driver independently re-checks optimization rewrites — the ~50-name
+# window is spent on: (1) the 14 queries whose physical plan this
+# round's rewrites changed (gopher coverage in-row, LTTB argmax,
+# encoding-stats split, fine-bucket quantile prunes, BPE checkpoint
+# drop, sparse matrix-profile, LSH tuning collapse, co-occurrence id
+# keys, basket collect_set, lazy-pin/in-row-totals pair, two
+# TakeOrdered rewrites); (2) corpus_split_leakage, which no driver
+# sample has ever covered (computed from CORRECTNESS_r01..r12); then
+# (3) re-verification depth by staleness: the 15-name r03 remainder
+# the r12 rotation rolled forward, then the head of the r04 cohort in
+# name order (the rest of r04 rolls to the next round).
 _PRIORITY = [
-    # -- new in r12 (12) --
+    # -- plan changed in r13 (14) --
+    "quality_gopher_repetition",
+    "ts_downsample_lttb",
+    "q_encoding_stats_sharded",
+    "q_weighted_median",
+    "sketch_gk_quantile_eval",
     "text_bpe_multiround",
-    "corpus_dsir_selection",
-    "corpus_unimax_budget",
-    "corpus_doremi_weights",
-    "cluster_prototype_prune",
-    "text_readability_fk",
     "ts_matrix_profile_paa",
-    "sketch_ddsketch_quantile",
-    "emb_ood_mahalanobis",
-    "q_vacuum_eligibility",
-    "graph_resource_allocation",
-    # -- plan + oracle changed in r12 (2) --
-    "quality_fineweb_rules",
-    "dedup_repeated_lines",
-    # -- oracle changed in r11, missed by the r11 window (1) --
-    "emb_mrl_recall",
-    # -- oldest driver checks: last verified in r02 (11) --
-    "q_count_distinct_suppliers",
-    "q_cube_order_stats",
-    "q_exact_median",
-    "q_histogram_drift",
-    "q_key_skew_stats",
-    "q_nested_collect_explode",
-    "q_pivot_user_events",
-    "q_quantiles_exact",
-    "q_range_join_error_context",
-    "q_skyline_pareto",
-    "sketch_join_cardinality",
-    # -- next-oldest: last verified in r03 (first 27 in name order;
-    #    the rest of r03 rolls to r13) --
-    "ann_mrr_eval",
-    "corpus_ablation_grid",
-    "corpus_epoch_shuffle",
-    "corpus_span_corruption",
-    "dedup_record_linkage",
-    "ml_target_encoding",
-    "q_array_analytics",
-    "q_arrow_udf_checksum",
-    "q_asof_click_purchase",
-    "q_collated_group",
-    "q_encoding_stats",
-    "q_funnel",
-    "q_hilbert_skipping",
-    "q_ingest_quarantine",
-    "q_interval_concurrency",
-    "q_lateral_topk",
-    "q_lead_gap",
-    "q_merge_upsert",
-    "q_nested_roundtrip",
-    "q_not_in_null_trap",
-    "q_observe_metrics",
-    "q_pandas_api_rollup",
-    "q_python_datasource",
-    "q_range_frame_sum",
+    "dedup_lsh_tuning_curve",
+    "text_cooccurrence_pairs",
+    "q_market_basket_pairs",
+    "dedup_shingle_coverage",
+    "corpus_ngram_novelty",
+    "text_keyphrase_rake",
+    "ts_similarity_paa",
+    # -- never in any driver sample (1) --
+    "corpus_split_leakage",
+    # -- oldest driver checks: the r03 remainder (15) --
+    "q_recursive_bom",
+    "q_seq_pattern_match",
+    "q_sessionize",
+    "q_sql_udf_pricing",
+    "q_table_checksum",
+    "q_variant_shred",
+    "q_zorder_skipping",
+    "streaming_checkpoint_resume",
+    "streaming_dedup_within_watermark",
+    "streaming_rocksdb_agg",
+    "streaming_stream_join",
+    "streaming_watermark_lates",
+    "text_chunk_udtf",
+    "text_search_and_rank",
+    "text_simpson_diversity",
+    # -- next-oldest: last verified in r04, head in name order (20) --
+    "ann_two_stage_rerank",
+    "corpus_dup_source_matrix",
+    "corpus_shard_manifest",
+    "corpus_survivorship",
+    "corpus_temperature_sampling",
+    "dedup_containment",
+    "dedup_incremental_minhash",
+    "emb_bitpack_hamming_topk",
+    "emb_bitpack_recall_eval",
+    "emb_gram_matrix",
+    "emb_knn_outlier_score",
+    "emb_pca_power_iter",
+    "emb_rank_correlation",
+    "geo_knn_join",
+    "q_chi2_independence",
+    "q_click_no_purchase",
+    "q_compact_small_files",
+    "q_cumulative_distinct_users",
+    "q_dpp_prune",
+    "q_event_transition_matrix",
 ]
 
 

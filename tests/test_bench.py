@@ -65,7 +65,13 @@ def test_bench_runs_clean_and_prints_one_json_line(tmp_path):
     assert len(sent["queries"]) >= 14
     assert short["sentinel_total"] == sent["total"]
     assert short["sentinel_n"] == len(sent["queries"])
-    assert len(proc.stdout.splitlines()[-1]) < 260
+    # r13: the summary line also carries the 16-query sentinel map so
+    # the driver's per-query regression view is non-empty (PERF_r11/r12
+    # both had per_query: {}). ~650 chars — the bound guards the real
+    # contract: the LAST line must fit the driver's ~2000-char tail
+    # window in one complete parseable piece.
+    assert short["sentinel_queries"] == sent["queries"]
+    assert len(proc.stdout.splitlines()[-1]) < 1800
     # the redirected detail artifact exists, parses, and carries both passes
     with open(detail) as fh:
         dd = json.load(fh)
